@@ -1,0 +1,119 @@
+"""Construction pipeline: docs → mentions → linked triples → dedup → adjacency.
+
+Checks the closed-form triple expectations from the deterministic synth
+corpus (FIXTURES.md F1) and the input_hint span-sequence invariant.
+"""
+
+import pyarrow as pa
+import ray.data
+
+from pyrdf2vec_ray import synth
+from pyrdf2vec_ray.pipelines.construct import (
+    construct_kg,
+    extract_mentions,
+    materialize_adjacency,
+)
+from pyrdf2vec_ray.schemas import IRI_PREFIX
+from pyrdf2vec_ray.stages.extract import span_invariant_columns
+from pyrdf2vec_ray.synth import entity_iri, entity_name
+
+N_DOCS, SEED, N_ENT = 200, 42, 30
+
+
+def candidates(n_entities=N_ENT):
+    return {
+        entity_name(i).casefold(): entity_iri(i) for i in range(n_entities)
+    }
+
+
+def triple_set(table: pa.Table) -> set:
+    return set(
+        zip(
+            table["subj"].to_pylist(),
+            table["pred"].to_pylist(),
+            table["obj"].to_pylist(),
+        )
+    )
+
+
+def test_extraction_and_linking_matches_closed_form():
+    from pyrdf2vec_ray.util import to_table
+
+    docs = synth.synth_documents(N_DOCS, seed=SEED, n_entities=N_ENT)
+    triples = construct_kg(docs, candidates())
+    got = triple_set(to_table(triples))
+    want = triple_set(synth.expected_triples(N_DOCS, seed=SEED, n_entities=N_ENT))
+    assert got == want
+    assert len(got) > 50
+
+
+def test_span_sequence_invariant_roundtrip():
+    # the pipeline reads spans; re-deriving the fingerprint from the same
+    # table twice (pre/post pipeline wiring) must be identical per doc_id
+    docs_t = synth.make_documents_batch(list(range(50)), seed=SEED, n_entities=N_ENT)
+    before = span_invariant_columns(docs_t)
+    ds = ray.data.from_arrow(docs_t)
+    after_ds = ds.map_batches(span_invariant_columns, batch_format="pyarrow")
+    from pyrdf2vec_ray.util import to_table
+    after = to_table(after_ds)
+    a = dict(zip(before["doc_id"].to_pylist(), before["span_seq"].to_pylist()))
+    b = dict(zip(after["doc_id"].to_pylist(), after["span_seq"].to_pylist()))
+    assert a == b and len(a) == 50
+
+
+def test_skip_predicates_filter():
+    docs = synth.synth_documents(100, seed=SEED, n_entities=N_ENT)
+    skip = frozenset({IRI_PREFIX + "knows"})
+    triples = construct_kg(docs, candidates(), skip_predicates=skip)
+    preds = set(
+        p
+        for b in triples.iter_batches(batch_format="pyarrow")
+        for p in b["pred"].to_pylist()
+    )
+    assert IRI_PREFIX + "knows" not in preds
+    assert len(preds) > 0
+
+
+def test_mention_extraction_counts():
+    docs_t = synth.make_documents_batch(list(range(20)), seed=SEED, n_entities=N_ENT)
+    ds = ray.data.from_arrow(docs_t)
+    mentions = extract_mentions(ds)
+    n_text_spans = sum(
+        1
+        for spans in docs_t["spans"].to_pylist()
+        for s in spans
+        if s["kind"] == "text"
+    )
+    assert mentions.count() == n_text_spans  # synth embeds 1 mention per text span
+
+
+def test_adjacency_materialization():
+    triples_t = synth.triples_table(synth.LOOP)
+    ds = ray.data.from_arrow(triples_t)
+    adj = materialize_adjacency(ds)
+    rows = {
+        r["subj"]: r["out"]
+        for b in adj.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    alice = IRI_PREFIX + "Alice"
+    assert {(h["pred"], h["obj"]) for h in rows[alice]} == {
+        (IRI_PREFIX + "knows", IRI_PREFIX + "Bob"),
+        (IRI_PREFIX + "knows", IRI_PREFIX + "Dean"),
+    }
+    assert set(rows) == {IRI_PREFIX + n for n in ["Alice", "Bob", "Dean"]}
+
+
+def test_adjacency_hot_key_salting():
+    # a hub with 10 hops and max_hops_per_row=4 → 3 salted rows
+    triples = [("hub", "p", f"o{i}") for i in range(10)]
+    ds = ray.data.from_arrow(synth.triples_table(triples))
+    adj = materialize_adjacency(ds, max_hops_per_row=4)
+    rows = [
+        r
+        for b in adj.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    assert len(rows) == 3
+    assert sorted(r["part"] for r in rows) == [0, 1, 2]
+    assert sum(len(r["out"]) for r in rows) == 10
