@@ -90,11 +90,9 @@ class GraphIndex:
         corpus) triples into the index.  At cluster scale this becomes a
         per-shard build on index actors; the CSR layout is shard-ready
         (hash subj → shard)."""
-        table = pa.concat_tables(
-            [pa.Table.from_batches([b]) for b in triples_ds.iter_batches(
-                batch_size=1 << 20, batch_format="pyarrow")]
-        )
-        return GraphIndex.from_table(table)
+        from pyrdf2vec_ray.util import to_table
+
+        return GraphIndex.from_table(to_table(triples_ds))
 
     # -- broadcast -----------------------------------------------------------
 

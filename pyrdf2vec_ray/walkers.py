@@ -1,0 +1,327 @@
+"""Walk strategies as Ray Data pipelines (SURVEY.md §2.3/§2.5).
+
+``extract_walks(gi, entities, spec)`` returns a lazy Dataset of
+``(entity, walks: list<list<string>>)`` rows — one row per root entity,
+exactly the reference's ``EntityWalks`` (typings.py:13).  Entities
+stream through an actor pool; the graph, fitted sampler state, WL
+labels and community partition are broadcast once via the object store.
+Corpus-global strategies (HALK frequency filter, NGram id assignment)
+add a barrier aggregation + a rewrite pass, per SURVEY.md A8/W4.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from pyrdf2vec_ray.functions import canon
+from pyrdf2vec_ray.samplers import FittedSampler, SamplerSpec
+from pyrdf2vec_ray.stages.community import detect_communities
+from pyrdf2vec_ray.stages.walk import WalkCore
+from pyrdf2vec_ray.stages.wl import wl_labels
+from pyrdf2vec_ray.state.graph_index import GraphIndex
+
+STRATEGIES = (
+    "random", "anonymous", "walklet", "split", "ngram", "halk", "wl", "community",
+)
+
+WALKS_SCHEMA = pa.schema(
+    [("entity", pa.string()), ("walks", pa.list_(pa.list_(pa.string())))]
+)
+HALK_SCHEMA = pa.schema(
+    [
+        ("entity", pa.string()),
+        ("threshold", pa.float64()),
+        ("walks", pa.list_(pa.list_(pa.string()))),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class WalkerSpec:
+    """Mirrors the reference walker constructor surface
+    (walkers/walker.py:35-108 + per-walker kwargs)."""
+
+    strategy: str = "random"
+    max_depth: int = 2
+    max_walks: int | None = None        # None → BFS, else DFS (random.py:120-131)
+    with_reverse: bool = False
+    md5_bytes: int | None = 8
+    sampler: SamplerSpec = field(default_factory=SamplerSpec)
+    random_state: int | None = None
+    seed_mode: str = "per_entity"       # or "per_call" (reference-faithful RNG)
+    wl_iterations: int = 4
+    grams: int = 3
+    wildcards: tuple | None = None
+    freq_thresholds: tuple = (0.01,)
+    hop_prob: float = 0.1
+
+    def __post_init__(self):
+        if self.strategy not in STRATEGIES:
+            raise ValueError(f"unknown strategy {self.strategy!r}")
+        if self.max_depth < 0:
+            raise ValueError("max_depth must be >= 0")
+        if self.max_walks is not None and self.max_walks < 0:
+            raise ValueError("max_walks must be >= 0 or None")
+
+
+class WalkExtractor:
+    """map_batches actor: holds the broadcast graph + fitted state, walks a
+    batch of root entities per call."""
+
+    def __init__(self, graph_ref, spec: WalkerSpec, entities_ref,
+                 sampler_ref, labels_ref=None, community_ref=None):
+        from pyrdf2vec_ray.state.graph_index import LocalGraph
+
+        self.g = LocalGraph(ray.get(graph_ref))
+        self.spec = spec
+        self.entities: frozenset = ray.get(entities_ref)
+        fitted: FittedSampler = ray.get(sampler_ref)
+        self.labels = ray.get(labels_ref) if labels_ref is not None else None
+        community = ray.get(community_ref) if community_ref is not None else None
+        self.core = WalkCore(
+            self.g,
+            fitted,
+            spec.max_depth,
+            spec.max_walks,
+            spec.with_reverse,
+            spec.random_state,
+            spec.seed_mode,
+            community=community,
+            hop_prob=spec.hop_prob,
+        )
+
+    def _canonical(self, name_walks: list[list[str]], root: str) -> list[list[str]]:
+        spec = self.spec
+        s = spec.strategy
+        out: set[tuple] = set()
+        if s in ("random", "community", "halk"):
+            for w in name_walks:
+                out.add(canon.map_random(w, self.entities, spec.md5_bytes))
+        elif s == "anonymous":
+            for w in name_walks:
+                out.add(canon.map_anonymous(w, root))
+        elif s == "walklet":
+            for w in name_walks:
+                out |= canon.map_walklets(w, root, spec.with_reverse)
+        elif s == "split":
+            for w in name_walks:
+                out.add(canon.split_walk(w, spec.with_reverse))
+        elif s == "wl":
+            for n in range(spec.wl_iterations + 1):
+                for w in name_walks:
+                    out.add(canon.map_wl(w, self.entities, self.labels, n))
+        elif s == "ngram":
+            # raw walks out; global two-phase id assignment happens in
+            # ngram_post (deterministic ids — SURVEY.md W4 deviation note)
+            out = set(tuple(w) for w in name_walks)
+        return [list(t) for t in out]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = self.g.a.names
+        ents, walk_lists = [], []
+        for entity in batch["entity"].to_pylist():
+            vid = self.g.name_to_id(entity)
+            if vid < 0:
+                raise ValueError(
+                    f"The entity {entity!r} is not in the Knowledge Graph."
+                )
+            id_walks = self.core.extract_walks(vid, entity)
+            name_walks = [[str(names[i]) for i in w] for w in id_walks]
+            ents.append(entity)
+            walk_lists.append(self._canonical(name_walks, entity))
+        return pa.Table.from_pydict(
+            {"entity": ents, "walks": walk_lists}, schema=WALKS_SCHEMA
+        )
+
+
+def assert_exists(gi: GraphIndex, entities: list[str]) -> None:
+    """Existence check (kg.is_exist, kg.py:352-375; raise semantics
+    rdf2vec.py:166-172)."""
+    ok = gi.local().contains(entities)
+    if not bool(np.all(ok)):
+        missing = [e for e, m in zip(entities, ok) if not m]
+        raise ValueError(
+            f"The provided entities must be in the Knowledge Graph: {missing}"
+        )
+
+
+def extract_walks(
+    gi: GraphIndex,
+    entities: list[str],
+    spec: WalkerSpec,
+    concurrency: int | tuple = (1, 8),
+    batch_size: int = 64,
+    skip_verify: bool = False,
+) -> ray.data.Dataset:
+    """Entities → per-entity canonical walks Dataset."""
+    if not skip_verify:
+        assert_exists(gi, entities)
+    g = gi.local()
+    graph_ref = gi.broadcast()
+    entities_ref = ray.put(frozenset(entities))
+    sampler_ref = ray.put(FittedSampler.fit(spec.sampler, g))
+    labels_ref = None
+    community_ref = None
+    if spec.strategy == "wl":
+        labels_ref = ray.put(wl_labels(g, spec.wl_iterations, spec.md5_bytes))
+    if spec.strategy == "community":
+        community_ref = ray.put(detect_communities(g))
+
+    ents_ds = ray.data.from_arrow(
+        pa.table({"entity": pa.array(entities, pa.string())})
+    )
+    n_blocks = max(1, min(len(entities) // max(1, batch_size), 64))
+    ents_ds = ents_ds.repartition(n_blocks)
+    ds = ents_ds.map_batches(
+        WalkExtractor,
+        fn_constructor_kwargs={
+            "graph_ref": graph_ref,
+            "spec": spec,
+            "entities_ref": entities_ref,
+            "sampler_ref": sampler_ref,
+            "labels_ref": labels_ref,
+            "community_ref": community_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if spec.strategy == "halk":
+        ds = halk_post(ds, spec)
+    elif spec.strategy == "ngram":
+        ds = ngram_post(ds, spec)
+    return ds
+
+
+# ---- corpus-global post-processing (barrier stages) ------------------------
+
+def halk_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset:
+    """HALK frequency filter (halk.py:118-176, SURVEY.md A8): global
+    per-predicate walk-frequency stats → broadcast rare sets → rebuild.
+    Partial counts per batch, then one small groupby(pred) shuffle."""
+
+    # consumed twice (stats + rebuild): pin the extracted walks in the
+    # object store instead of re-running the walk actors
+    walks_ds = walks_ds.materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        total = 0
+        for walks in batch["walks"].to_pylist():
+            for walk in walks:
+                total += 1
+                for pred in set(walk[1::2]):
+                    counts[pred] = counts.get(pred, 0) + 1
+        preds = list(counts) + ["\x00TOTAL\x00"]
+        vals = list(counts.values()) + [total]
+        return pa.table({"pred": preds, "n": pa.array(vals, pa.int64())})
+
+    stats = (
+        walks_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("pred")
+        .sum("n")
+    )
+    stats_t = stats.to_pandas()
+    col = "sum(n)" if "sum(n)" in stats_t.columns else "n"
+    total = int(stats_t.loc[stats_t["pred"] == "\x00TOTAL\x00", col].iloc[0])
+    freqs = {
+        r["pred"]: r[col] / total
+        for _, r in stats_t.iterrows()
+        if r["pred"] != "\x00TOTAL\x00"
+    }
+    rare_sets = {
+        th: frozenset(p for p, f in freqs.items() if f < th)
+        for th in spec.freq_thresholds
+    }
+    rare_ref = ray.put(rare_sets)
+    with_reverse = spec.with_reverse
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        rare = ray.get(rare_ref)
+        ents, ths, outs = [], [], []
+        for entity, walks in zip(
+            batch["entity"].to_pylist(), batch["walks"].to_pylist()
+        ):
+            tuples = [tuple(w) for w in walks]
+            for th, rset in rare.items():
+                rebuilt = canon.halk_rebuild(tuples, set(rset), with_reverse)
+                ents.append(entity)
+                ths.append(float(th))
+                outs.append([list(t) for t in rebuilt])
+        return pa.Table.from_pydict(
+            {"entity": ents, "threshold": ths, "walks": outs}, schema=HALK_SCHEMA
+        )
+
+    return walks_ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def ngram_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset:
+    """NGram two-phase deterministic id assignment (SURVEY.md W4): collect
+    distinct n-gram keys (local distinct per batch → global unique), order
+    lexicographically for reproducible ids (the reference's ids are
+    mp-worker encounter-order dependent, ngram.py:79-81 — equivalence is a
+    consistent bijection), then rewrite."""
+    grams, wildcards = spec.grams, spec.wildcards
+    SEP = "\x1f"
+    walks_ds = walks_ds.materialize()   # consumed twice (keys + rewrite)
+
+    def walk_and_variants(walk: list[str]):
+        yield walk
+        if wildcards:
+            yield from canon.wildcard_variants(walk, list(wildcards))
+
+    def partial_keys(batch: pa.Table) -> pa.Table:
+        keys = set()
+        for walks in batch["walks"].to_pylist():
+            for walk in walks:
+                for w in walk_and_variants(walk):
+                    keys.update(SEP.join(k) for k in canon.ngram_keys(w, grams))
+        return pa.table({"key": sorted(keys)})
+
+    keys_ds = walks_ds.map_batches(partial_keys, batch_format="pyarrow")
+    distinct = sorted(keys_ds.unique("key"))
+    id_map = {tuple(k.split(SEP)): str(i) for i, k in enumerate(distinct)}
+    map_ref = ray.put(id_map)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        nmap = dict(ray.get(map_ref))
+        ents, outs = [], []
+        for entity, walks in zip(
+            batch["entity"].to_pylist(), batch["walks"].to_pylist()
+        ):
+            out: set[tuple] = set()
+            for walk in walks:
+                for w in walk_and_variants(walk):
+                    out.add(canon.take_n_grams(w, grams, nmap))
+            ents.append(entity)
+            outs.append([list(t) for t in out])
+        return pa.Table.from_pydict(
+            {"entity": ents, "walks": outs}, schema=WALKS_SCHEMA
+        )
+
+    return walks_ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def explode_walks(walks_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(entity, walks) → (entity, walk) corpus rows."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ents, ws = [], []
+        for entity, walks in zip(
+            batch["entity"].to_pylist(), batch["walks"].to_pylist()
+        ):
+            for w in walks:
+                ents.append(entity)
+                ws.append(w)
+        return pa.Table.from_pydict(
+            {"entity": pa.array(ents, pa.string()),
+             "walk": pa.array(ws, pa.list_(pa.string()))}
+        )
+
+    return walks_ds.map_batches(explode, batch_format="pyarrow")
