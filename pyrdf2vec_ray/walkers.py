@@ -120,7 +120,10 @@ class WalkExtractor:
             # raw walks out; global two-phase id assignment happens in
             # ngram_post (deterministic ids — SURVEY.md W4 deviation note)
             out = set(tuple(w) for w in name_walks)
-        return [list(t) for t in out]
+        # sorted: corpus order must not depend on per-process string-hash
+        # seeds (the reference's set order is process-dependent; we are
+        # deterministic under any parallelism, SURVEY.md §4 Ordering)
+        return [list(t) for t in sorted(out)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         names = self.g.a.names
@@ -300,7 +303,7 @@ def ngram_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset
                 for w in walk_and_variants(walk):
                     out.add(canon.take_n_grams(w, grams, nmap))
             ents.append(entity)
-            outs.append([list(t) for t in out])
+            outs.append([list(t) for t in sorted(out)])
         return pa.Table.from_pydict(
             {"entity": ents, "walks": outs}, schema=WALKS_SCHEMA
         )

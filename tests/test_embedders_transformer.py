@@ -1,0 +1,125 @@
+"""Embedder + transformer behavior mirroring tests/embedders/test_word2vec.py
+and tests/test_rdf2vec.py: determinism, fit-before-transform errors,
+online update, fit_transform ≡ fit+transform, save/load round-trip."""
+
+import numpy as np
+import pytest
+
+from pyrdf2vec_ray import synth
+from pyrdf2vec_ray.embedders import (
+    FastText,
+    Word2Vec,
+    compute_ngrams_bytes,
+    ft_hash_bytes,
+)
+from pyrdf2vec_ray.pipelines.rdf2vec import RDF2VecTransformer
+from pyrdf2vec_ray.state.graph_index import GraphIndex
+from pyrdf2vec_ray.walkers import WalkerSpec
+
+IRI = synth.IRI_PREFIX
+ENTITIES = [IRI + n for n in ["Alice", "Bob", "Dean"]]
+
+CORPUS = [
+    [("a", "p", "b"), ("a", "q", "c")],
+    [("b", "p", "c")],
+    [("c", "r", "a"), ("c", "p", "b"), ("c",)],
+]
+CORPUS = [[list(w) for w in ew] for ew in CORPUS]
+
+
+def test_word2vec_determinism():
+    va = Word2Vec(vector_size=16, epochs=3, seed=7).fit(CORPUS).transform(["a", "b"])
+    vb = Word2Vec(vector_size=16, epochs=3, seed=7).fit(CORPUS).transform(["a", "b"])
+    assert all(np.array_equal(x, y) for x, y in zip(va, vb))
+    assert va[0].shape == (16,)
+    assert not np.array_equal(va[0], va[1])
+
+
+def test_word2vec_unseen_raises():
+    w2v = Word2Vec(vector_size=8, epochs=1).fit(CORPUS)
+    with pytest.raises(ValueError, match="must have been provided to fit"):
+        w2v.transform(["zzz"])
+
+
+def test_word2vec_online_update():
+    w2v = Word2Vec(vector_size=8, epochs=2, seed=1).fit(CORPUS)
+    w2v.fit([[["x", "p", "a"]]], is_update=True)
+    out = w2v.transform(["a", "x"])
+    assert len(out) == 2
+
+
+def test_fasttext_oov_vector():
+    ft = FastText(vector_size=12, epochs=2, seed=3, bucket=1000).fit(CORPUS)
+    # corpus tokens aren't IRIs → each token is its own "ngram"
+    known = ft.transform(["a"])[0]
+    assert known.shape == (12,)
+    # OOV IRI whose '#' fragment collides with a seen token's ngram
+    oov = ft.get_vector("http://x#a")
+    assert np.allclose(oov, known) or oov.shape == (12,)
+
+
+def test_ngram_hash_reference_values():
+    assert compute_ngrams_bytes("http://dl#hasBond") == [b"http://dl", b"hasBond"]
+    assert compute_ngrams_bytes("plain") == [b"plain"]
+    # FNV-1a start values
+    assert ft_hash_bytes(b"") == 2166136261
+    assert ft_hash_bytes(b"a") == (2166136261 ^ 97) * 16777619
+
+
+@pytest.fixture(scope="module")
+def gi_loop():
+    return GraphIndex.from_table(synth.triples_table(synth.LOOP))
+
+
+def test_fit_transform_equivalence(gi_loop):
+    kw = dict(
+        embedder=Word2Vec(vector_size=8, epochs=2, seed=5),
+        walkers=[WalkerSpec(strategy="random", max_depth=2, max_walks=None,
+                            random_state=5)],
+    )
+    t1 = RDF2VecTransformer(**kw)
+    e1, _ = t1.fit_transform(gi_loop, ENTITIES)
+    t2 = RDF2VecTransformer(
+        embedder=Word2Vec(vector_size=8, epochs=2, seed=5),
+        walkers=[WalkerSpec(strategy="random", max_depth=2, max_walks=None,
+                            random_state=5)],
+    )
+    t2.fit(gi_loop, ENTITIES)
+    e2, _ = t2.transform(gi_loop, ENTITIES)
+    assert all(np.array_equal(a, b) for a, b in zip(e1, e2))
+
+
+def test_transformer_unknown_entity_raises(gi_loop):
+    t = RDF2VecTransformer()
+    with pytest.raises(ValueError, match="Knowledge Graph"):
+        t.fit(gi_loop, ["does", "not", "exist"])
+
+
+def test_transformer_literals_and_save_load(gi_loop, tmp_path):
+    t = RDF2VecTransformer(
+        embedder=Word2Vec(vector_size=8, epochs=1, seed=2),
+        walkers=[WalkerSpec(max_depth=1, max_walks=None)],
+        literals=[[IRI + "knows"]],
+    )
+    emb, lits = t.fit_transform(gi_loop, ENTITIES)
+    assert len(emb) == 3 and len(lits) == 3
+    p = str(tmp_path / "t.pkl")
+    t.save(p)
+    t2 = RDF2VecTransformer.load(p)
+    emb2 = t2.embedder.transform(ENTITIES)
+    assert all(np.array_equal(a, b) for a, b in zip(emb, emb2))
+
+
+def test_transformer_online_update(gi_loop):
+    chain_gi = GraphIndex.from_table(
+        synth.triples_table(synth.LOOP + synth.LONG_CHAIN)
+    )
+    t = RDF2VecTransformer(
+        embedder=Word2Vec(vector_size=8, epochs=1, seed=2),
+        walkers=[WalkerSpec(max_depth=1, max_walks=None)],
+    )
+    t.fit(chain_gi, ENTITIES)
+    t.fit(chain_gi, [IRI + "Emma", IRI + "Alice"], is_update=True)
+    assert set(t._entities) == set(ENTITIES + [IRI + "Emma"])
+    out = t.embedder.transform(ENTITIES + [IRI + "Emma"])
+    assert len(out) == 4
