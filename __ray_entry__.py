@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in pyrdf2vec_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes the implemented operators from SURVEY.md §2 plus
+the training-data-pipeline extras; ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one (same column names).  Entries
+without an oracle are rows-only checked (stateful walks with RNG,
+hashing ops, approximate search) — their semantics are pinned by the
+pytest suite instead.
 """
 
 from __future__ import annotations
@@ -18,27 +16,445 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# ---- helpers ---------------------------------------------------------------
+
+def _rename(ds, mapping: dict[str, str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names]
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _customer_entities(sf_dir: str) -> list[str]:
+    import ray.data
+
+    keys = (
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .to_pandas()["c_custkey"]
+        .sort_values()
+    )
+    return [f"customer:{k}" for k in keys]
+
+
+_GI_CACHE: dict[str, Any] = {}
+
+
+def _graph_index(sf_dir: str):
+    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
+    from pyrdf2vec_ray.state.graph_index import GraphIndex
+
+    if sf_dir not in _GI_CACHE:
+        _GI_CACHE[sf_dir] = GraphIndex.from_dataset(tpch_triples(sf_dir))
+    return _GI_CACHE[sf_dir]
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _synth_docs(sf_dir: str):
+    """Deterministic interleaved spans documents scaled to the sf dir
+    (input_hint schema; no external data)."""
+    import pyarrow.parquet as pq
+
+    from pyrdf2vec_ray import synth
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return synth.synth_documents(n, seed=42, n_entities=max(20, n // 50)), n
+
+
+# ---- queries ---------------------------------------------------------------
+
+def q_kg_triples(sf_dir: str):
+    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
+
+    return tpch_triples(sf_dir)
+
+
+def q_kg_out_degree(sf_dir: str):
+    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
+
+    deg = tpch_triples(sf_dir).groupby("subj").count()
+    return _rename(deg, {"count()": "out_deg"})
+
+
+def q_sampler_objfreq(sf_dir: str):
+    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
+
+    deg = tpch_triples(sf_dir).groupby("obj").count()
+    return _rename(deg, {"count()": "in_deg"})
+
+
+def q_sampler_predfreq(sf_dir: str):
+    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
+
+    return _rename(
+        tpch_triples(sf_dir).groupby("pred").count(), {"count()": "n"}
+    )
+
+
+def q_sampler_objpredfreq(sf_dir: str):
+    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
+
+    return _rename(
+        tpch_triples(sf_dir).groupby(["pred", "obj"]).count(), {"count()": "n"}
+    )
+
+
+def q_bfs_walks_customers(sf_dir: str):
+    """BFS depth-2 walks (no md5) from every customer — the reference's
+    RandomWalker(max_depth=2, max_walks=None, md5_bytes=None) on the
+    relational KG; every walk here reaches full depth, so the oracle is a
+    two-join SQL path query."""
+    from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)
+    spec = WalkerSpec(strategy="random", max_depth=2, max_walks=None, md5_bytes=None)
+    walks = extract_walks(gi, entities, spec, batch_size=256)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cols = {f"e0": [], "p1": [], "e1": [], "p2": [], "e2": []}
+        for ws in batch["walks"].to_pylist():
+            for w in ws:
+                cols["e0"].append(w[0])
+                cols["p1"].append(w[1])
+                cols["e1"].append(w[2])
+                cols["p2"].append(w[3])
+                cols["e2"].append(w[4])
+        return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+
+    return walks.map_batches(explode, batch_format="pyarrow")
+
+
+def q_walklets_customers(sf_dir: str):
+    from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)
+    spec = WalkerSpec(strategy="walklet", max_depth=1, max_walks=None)
+    walks = extract_walks(gi, entities, spec, batch_size=256)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        w0, w1 = [], []
+        for ws in batch["walks"].to_pylist():
+            for w in ws:
+                if len(w) == 2:
+                    w0.append(w[0])
+                    w1.append(w[1])
+        return pa.table(
+            {"w0": pa.array(w0, pa.string()), "w1": pa.array(w1, pa.string())}
+        )
+
+    return walks.map_batches(explode, batch_format="pyarrow")
+
+
+def q_literals_region_chain(sf_dir: str):
+    """Literal chain customer -in_nation-> nation -in_region-> region
+    (get_pliterals, kg.py:330-350), exploded to (entity, value)."""
+    from pyrdf2vec_ray.literals import literals_dataset
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)
+    ds = literals_dataset(gi, entities, [["in_nation", "in_region"]])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ents, vals = [], []
+        for e, chains in zip(batch["entity"].to_pylist(), batch["values"].to_pylist()):
+            for v in chains[0]:
+                ents.append(e)
+                vals.append(v)
+        return pa.table(
+            {"entity": pa.array(ents, pa.string()), "value": pa.array(vals, pa.string())}
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    from pyrdf2vec_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_doc_text_stats(sf_dir: str):
+    from pyrdf2vec_ray.ops.text import text_stats
+
+    return text_stats(_docs(sf_dir))
+
+
+def q_tokens_by_lang(sf_dir: str):
+    from pyrdf2vec_ray.ops.text import token_count_by_lang
+
+    return token_count_by_lang(_docs(sf_dir))
+
+
+def q_events_hourly(sf_dir: str):
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import tumbling_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = tumbling_window(events, freq="h")
+    return out.select_columns(["user_id", "window_start", "n_events"])
+
+
+def q_knn_bruteforce(sf_dir: str):
+    import ray.data
+
+    from pyrdf2vec_ray.ops.similarity import knn_bruteforce
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    out = knn_bruteforce(
+        emb,
+        np.stack(qdf["embedding"].to_numpy()),
+        qdf["vec_id"].to_numpy(),
+        k=5,
+    )
+    return out.select(["query_id", "neighbor_id"])
+
+
+# ---- rows-only queries (non-SQL-expressible; pinned by pytest) -------------
+
+def q_construct_triples(sf_dir: str):
+    """Flagship: interleaved spans docs → extraction → linking → dedup."""
+    from pyrdf2vec_ray import synth
+    from pyrdf2vec_ray.pipelines.construct import construct_kg
+
+    docs, n = _synth_docs(sf_dir)
+    n_entities = max(20, n // 50)
+    cands = {
+        synth.entity_name(i).casefold(): synth.entity_iri(i)
+        for i in range(n_entities)
+    }
+    return construct_kg(docs, cands)
+
+
+def q_doc_lang_id(sf_dir: str):
+    from pyrdf2vec_ray.ops.text import lang_id
+
+    return lang_id(_docs(sf_dir))
+
+
+def q_doc_quality(sf_dir: str):
+    from pyrdf2vec_ray.ops.text import quality_scores
+
+    return quality_scores(_docs(sf_dir))
+
+
+def q_doc_simhash(sf_dir: str):
+    from pyrdf2vec_ray.ops.dedup import simhash
+
+    return simhash(_docs(sf_dir))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from pyrdf2vec_ray.ops.text import fingerprint
+
+    return fingerprint(_docs(sf_dir))
+
+
+def q_minhash_neardup(sf_dir: str):
+    from pyrdf2vec_ray.ops.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(sf_dir), threshold=0.8)
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from pyrdf2vec_ray.ops.dedup import embedding_neardup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.95)
+
+
+def q_knn_ivf(sf_dir: str):
+    import ray.data
+
+    from pyrdf2vec_ray.ops.similarity import knn_ivf
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    return knn_ivf(
+        emb,
+        np.stack(qdf["embedding"].to_numpy()),
+        qdf["vec_id"].to_numpy(),
+        k=5,
+    )
+
+
+def q_media_features(sf_dir: str):
+    from pyrdf2vec_ray.ops.multimodal import media_features
+
+    docs, _ = _synth_docs(sf_dir)
+    return media_features(docs)
+
+
+def q_events_sessions(sf_dir: str):
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import sessionize
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return sessionize(events)
+
+
+def q_walks_wl_sample(sf_dir: str):
+    from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)[:100]
+    spec = WalkerSpec(strategy="wl", max_depth=2, max_walks=None, wl_iterations=2)
+    return explode_walks(extract_walks(gi, entities, spec, batch_size=64))
+
+
+def q_walks_dfs_sampled(sf_dir: str):
+    from pyrdf2vec_ray.samplers import SamplerSpec
+    from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)[:200]
+    spec = WalkerSpec(
+        strategy="random", max_depth=3, max_walks=8, random_state=42,
+        sampler=SamplerSpec(kind="pagerank"),
+    )
+    return explode_walks(extract_walks(gi, entities, spec, batch_size=64))
+
+
+# ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: relational KG → BFS walk corpus Dataset."""
+    from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
+
+    gi = _graph_index(SF_SMOKE)
+    entities = _customer_entities(SF_SMOKE)[:100]
+    spec = WalkerSpec(strategy="random", max_depth=2, max_walks=None)
+    return explode_walks(extract_walks(gi, entities, spec, batch_size=64))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "kg_triples": q_kg_triples,
+        "kg_out_degree": q_kg_out_degree,
+        "sampler_objfreq": q_sampler_objfreq,
+        "sampler_predfreq": q_sampler_predfreq,
+        "sampler_objpredfreq": q_sampler_objpredfreq,
+        "bfs_walks_customers": q_bfs_walks_customers,
+        "walklets_customers": q_walklets_customers,
+        "literals_region_chain": q_literals_region_chain,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_text_stats": q_doc_text_stats,
+        "tokens_by_lang": q_tokens_by_lang,
+        "events_hourly": q_events_hourly,
+        "knn_bruteforce": q_knn_bruteforce,
+        # rows-only (non-SQL-expressible)
+        "construct_triples": q_construct_triples,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
+        "doc_simhash": q_doc_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_neardup": q_minhash_neardup,
+        "embedding_neardup": q_embedding_neardup,
+        "knn_ivf": q_knn_ivf,
+        "media_features": q_media_features,
+        "events_sessions": q_events_sessions,
+        "walks_wl_sample": q_walks_wl_sample,
+        "walks_dfs_sampled": q_walks_dfs_sampled,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TRIPLES_CTE = """
+WITH triples AS (
+  SELECT 'customer:' || c_custkey AS subj, 'in_nation' AS pred,
+         'nation:' || c_nationkey AS obj FROM customer
+  UNION
+  SELECT 'supplier:' || s_suppkey, 'in_nation', 'nation:' || s_nationkey FROM supplier
+  UNION
+  SELECT 'nation:' || n_nationkey, 'in_region', 'region:' || n_regionkey FROM nation
+  UNION
+  SELECT 'order:' || o_orderkey, 'placed_by', 'customer:' || o_custkey FROM orders
+  UNION
+  SELECT 'order:' || l_orderkey, 'contains', 'part:' || l_partkey FROM lineitem
+  UNION
+  SELECT 'part:' || l_partkey, 'supplied_by', 'supplier:' || l_suppkey FROM lineitem
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_triples": _TRIPLES_CTE + "SELECT subj, pred, obj FROM triples",
+        "kg_out_degree": _TRIPLES_CTE
+        + "SELECT subj, count(*) AS out_deg FROM triples GROUP BY subj",
+        "sampler_objfreq": _TRIPLES_CTE
+        + "SELECT obj, count(*) AS in_deg FROM triples GROUP BY obj",
+        "sampler_predfreq": _TRIPLES_CTE
+        + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
+        "sampler_objpredfreq": _TRIPLES_CTE
+        + "SELECT pred, obj, count(*) AS n FROM triples GROUP BY pred, obj",
+        "bfs_walks_customers": """
+            SELECT 'customer:' || c_custkey AS e0,
+                   'in_nation' AS p1,
+                   'nation:' || c_nationkey AS e1,
+                   'in_region' AS p2,
+                   'region:' || n_regionkey AS e2
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "walklets_customers": """
+            SELECT 'customer:' || c_custkey AS w0, 'in_nation' AS w1 FROM customer
+            UNION ALL
+            SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+        """,
+        "literals_region_chain": """
+            SELECT 'customer:' || c_custkey AS entity,
+                   'region:' || n_regionkey AS value
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "doc_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_text_stats": r"""
+            SELECT doc_id, length(text) AS n_chars,
+                   len(regexp_split_to_array(text, '\s+')) AS n_tokens
+            FROM documents
+        """,
+        "tokens_by_lang": r"""
+            SELECT lang, CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "events_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "knn_bruteforce": """
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                e.vec_id ASC
+                     ) AS rn
+              FROM embeddings q CROSS JOIN embeddings e
+              WHERE q.vec_id < 5
+            ) WHERE rn <= 5
+        """,
+    }

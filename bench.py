@@ -1,0 +1,196 @@
+"""Headline benchmark: runs the engine's flagship pipelines over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON line.
+
+    python bench.py              # single run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
+                                 # same input; reports scaling efficiency
+
+Owns its Ray session (the only scripts allowed to: bench.py, CLI, tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_benchmarks() -> dict:
+    import numpy as np
+
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from pyrdf2vec_ray import synth
+    from pyrdf2vec_ray.ops.dedup import minhash_dedup_pairs
+    from pyrdf2vec_ray.ops.similarity import knn_bruteforce
+    from pyrdf2vec_ray.ops.text import lang_id, text_stats
+    from pyrdf2vec_ray.pipelines.construct import construct_kg
+    from pyrdf2vec_ray.samplers import SamplerSpec
+    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
+    from pyrdf2vec_ray.state.graph_index import GraphIndex
+    from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        tic = time.perf_counter()
+        out = fn()
+        queries[name] = round(time.perf_counter() - tic, 3)
+        return out
+
+    # warm the page cache so we measure compute + shuffle, not first read
+    ray.data.read_parquet(f"{SF_DIR}/documents.parquet").count()
+
+    # 1. KG construction over interleaved spans docs (the north_rule flagship)
+    n_entities = max(50, n_docs // 50)
+    cands = {
+        synth.entity_name(i).casefold(): synth.entity_iri(i)
+        for i in range(n_entities)
+    }
+
+    def bench_construct():
+        docs = synth.synth_documents(n_docs, seed=42, n_entities=n_entities)
+        return construct_kg(docs, cands).count()
+
+    n_triples_docs = timed("construct_docs_kg", bench_construct)
+    extras["construct_docs_per_sec"] = round(n_docs / queries["construct_docs_kg"], 1)
+
+    # 2. relational KG build (read → vectorized triples → dedup shuffle)
+    triples_ds = None
+
+    def bench_kg():
+        nonlocal triples_ds
+        triples_ds = tpch_triples(SF_DIR).materialize()
+        return triples_ds.count()
+
+    n_triples = timed("kg_build", bench_kg)
+
+    # 3. graph index + BFS walks from every customer
+    gi = GraphIndex.from_dataset(triples_ds)
+    cust = ray.data.read_parquet(
+        f"{SF_DIR}/customer.parquet", columns=["c_custkey"]
+    ).to_pandas()["c_custkey"]
+    entities = [f"customer:{k}" for k in sorted(cust)]
+
+    def bench_bfs():
+        spec = WalkerSpec(strategy="random", max_depth=2, max_walks=None)
+        return explode_walks(
+            extract_walks(gi, entities, spec, batch_size=512, concurrency=(1, 8))
+        ).count()
+
+    n_bfs = timed("bfs_walks", bench_bfs)
+
+    # 4. sampled DFS walks (pagerank-weighted actor pool)
+    def bench_dfs():
+        spec = WalkerSpec(
+            strategy="random", max_depth=3, max_walks=8, random_state=42,
+            sampler=SamplerSpec(kind="pagerank"),
+        )
+        ents = entities[: max(1000, len(entities) // 4)]
+        return explode_walks(
+            extract_walks(gi, ents, spec, batch_size=256, concurrency=(1, 8))
+        ).count()
+
+    timed("dfs_walks", bench_dfs)
+
+    # 5. text analysis over documents
+    def bench_text():
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return text_stats(docs).count() + lang_id(docs).count()
+
+    timed("text_analysis", bench_text)
+
+    # 6. MinHash near-dup over documents
+    def bench_minhash():
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return minhash_dedup_pairs(docs, threshold=0.8).num_rows
+
+    timed("minhash_dedup", bench_minhash)
+
+    # 7. brute-force cosine top-k over embeddings
+    def bench_knn():
+        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        qdf = emb.filter(expr="vec_id < 32").to_pandas().sort_values("vec_id")
+        return knn_bruteforce(
+            emb, np.stack(qdf["embedding"].to_numpy()),
+            qdf["vec_id"].to_numpy(), k=10,
+        ).num_rows
+
+    timed("knn_bruteforce", bench_knn)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "kg_construct+walks+dataops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": {
+            "n_docs": n_docs,
+            "construct_triples": n_triples_docs,
+            "kg_triples": n_triples,
+            "bfs_walks": n_bfs,
+        },
+        **extras,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run_once(lo), run_once(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same input, fresh sessions)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

@@ -1,0 +1,151 @@
+"""Text analysis operators over the `documents` table (task brief:
+language-ID, quality scoring, token counting, fingerprinting).
+
+All are stateless vectorized ``map_batches`` stages; the regex/stopword
+state lives in an actor ``__init__`` so it compiles once per actor.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+TOKEN_RE = r"\s+"
+WORD_RE = re.compile(r"[a-zA-Z']+")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"},
+    "es": {"el", "la", "de", "que", "los", "una", "es", "por", "con", "para"},
+}
+
+
+def text_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_chars, n_tokens): whitespace token count + char count,
+    vectorized via pandas str kernels.  SQL-oracle-matched."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": text.str.len().astype("int64"),
+                "n_tokens": text.str.split(TOKEN_RE, regex=True)
+                .map(len)
+                .astype("int64"),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pandas", batch_size=8192)
+
+
+class QualityScorer:
+    """Quality heuristics: word ratio, stopword ratio, mean word length,
+    uppercase ratio.  Actor state = compiled regex + stopword set."""
+
+    def __init__(self):
+        self.word_re = WORD_RE
+        self.stop = LANG_PROFILES["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        words = text.map(lambda t: self.word_re.findall(t.lower()))
+        n_words = words.map(len)
+        stop_hits = words.map(lambda ws: sum(w in self.stop for w in ws))
+        mean_len = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        n_chars = text.str.len().clip(lower=1)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": n_words.astype("int64"),
+                "stopword_ratio": (stop_hits / n_words.clip(lower=1)).astype("float64"),
+                "mean_word_len": mean_len,
+                "alpha_ratio": (
+                    text.str.count(r"[A-Za-z]") / n_chars
+                ).astype("float64"),
+            }
+        )
+
+
+def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(
+        QualityScorer, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+
+class LangId:
+    """Stopword-profile language ID (n-gram heuristic): argmax of per-
+    language stopword hit counts; 'und' (undetermined) when nothing hits."""
+
+    def __init__(self):
+        self.word_re = WORD_RE
+        self.profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        langs = []
+        for t in batch["text"].astype(str):
+            ws = self.word_re.findall(t.lower())
+            best, best_hits = "und", 0
+            for lang in sorted(self.profiles):
+                hits = sum(w in self.profiles[lang] for w in ws)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            langs.append(best)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": langs})
+
+
+def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(
+        LangId, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+
+def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:
+    """Rolling-hash document fingerprint: min crc32 over token
+    `window`-shingles (a 1-perm winnowing sketch); deterministic."""
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in batch["text"].astype(str):
+            toks = t.split()
+            if len(toks) < window:
+                out.append(zlib.crc32(" ".join(toks).encode()))
+            else:
+                out.append(
+                    min(
+                        zlib.crc32(" ".join(toks[i : i + window]).encode())
+                        for i in range(len(toks) - window + 1)
+                    )
+                )
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "fingerprint": pd.array(out, dtype="int64")}
+        )
+
+    return docs.map_batches(fp, batch_format="pandas", batch_size=4096)
+
+
+def token_count_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Aggregate: total tokens per `lang` column — partial count per batch,
+    then a small groupby(lang) shuffle (pre-aggregation pattern)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        n = text.str.split(TOKEN_RE, regex=True).map(len)
+        g = pd.DataFrame({"lang": batch["lang"], "n": n}).groupby("lang", as_index=False).sum()
+        return g
+
+    partials = docs.map_batches(partial, batch_format="pandas", batch_size=8192)
+    out = partials.groupby("lang").sum("n")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["lang", "total_tokens"])
+
+    return out.map_batches(rename, batch_format="pyarrow")

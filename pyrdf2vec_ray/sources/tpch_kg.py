@@ -1,0 +1,72 @@
+"""Derive a KG edge list from the TPC-H-ish relational tables.
+
+Stand-in for the reference's "RDF file → triples" source (kg.py:142-164)
+over the driver-provided parquet: each foreign-key relation becomes a
+(subj, pred, obj) triple with compact IRIs ("customer:42").  Reads prune
+to the key columns only; construction is vectorized Arrow string
+concatenation; global dedup reuses the construction pipeline's
+groupby(subj, pred, obj) shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from pyrdf2vec_ray.pipelines.construct import dedup_triples
+from pyrdf2vec_ray.schemas import TRIPLES
+
+
+def _triple_batch(prefix_s: str, sk, pred: str, prefix_o: str, ok) -> pa.Table:
+    subj = pc.binary_join_element_wise(
+        pa.scalar(prefix_s), pc.cast(sk, pa.string()), ""
+    )
+    obj = pc.binary_join_element_wise(
+        pa.scalar(prefix_o), pc.cast(ok, pa.string()), ""
+    )
+    pred_arr = pa.array([pred] * len(subj), pa.string())
+    return pa.Table.from_arrays([subj, pred_arr, obj], schema=TRIPLES)
+
+
+RELATIONS = [
+    # table, subj prefix/key, predicate, obj prefix/key
+    ("customer", "customer:", "c_custkey", "in_nation", "nation:", "c_nationkey"),
+    ("supplier", "supplier:", "s_suppkey", "in_nation", "nation:", "s_nationkey"),
+    ("nation", "nation:", "n_nationkey", "in_region", "region:", "n_regionkey"),
+    ("orders", "order:", "o_orderkey", "placed_by", "customer:", "o_custkey"),
+    ("lineitem", "order:", "l_orderkey", "contains", "part:", "l_partkey"),
+    ("lineitem", "part:", "l_partkey", "supplied_by", "supplier:", "l_suppkey"),
+]
+
+# the equivalent ANSI-SQL CTE for DuckDB oracles (UNION dedups)
+TRIPLES_CTE = """
+triples AS (
+  SELECT 'customer:' || c_custkey AS subj, 'in_nation' AS pred,
+         'nation:' || c_nationkey AS obj FROM customer
+  UNION
+  SELECT 'supplier:' || s_suppkey, 'in_nation', 'nation:' || s_nationkey FROM supplier
+  UNION
+  SELECT 'nation:' || n_nationkey, 'in_region', 'region:' || n_regionkey FROM nation
+  UNION
+  SELECT 'order:' || o_orderkey, 'placed_by', 'customer:' || o_custkey FROM orders
+  UNION
+  SELECT 'order:' || l_orderkey, 'contains', 'part:' || l_partkey FROM lineitem
+  UNION
+  SELECT 'part:' || l_partkey, 'supplied_by', 'supplier:' || l_suppkey FROM lineitem
+)
+"""
+
+
+def tpch_triples(sf_dir: str) -> ray.data.Dataset:
+    parts = []
+    for table, ps, sk, pred, po, ok in RELATIONS:
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[sk, ok])
+
+        def to_triples(batch: pa.Table, ps=ps, sk=sk, pred=pred, po=po, ok=ok):
+            return _triple_batch(ps, batch[sk], pred, po, batch[ok])
+
+        parts.append(ds.map_batches(to_triples, batch_format="pyarrow"))
+    unioned = parts[0].union(*parts[1:])
+    return dedup_triples(unioned)

@@ -1,0 +1,159 @@
+"""Training-data-pipeline operators: planted-case tests for dedup,
+similarity, text analysis, windows, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pyrdf2vec_ray import synth
+from pyrdf2vec_ray.ops.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash,
+)
+from pyrdf2vec_ray.ops.events import sessionize, tumbling_window
+from pyrdf2vec_ray.ops.multimodal import MediaDecoder, media_features, media_spans
+from pyrdf2vec_ray.ops.similarity import knn_bruteforce, knn_ivf
+from pyrdf2vec_ray.ops.text import lang_id, quality_scores, text_stats
+from pyrdf2vec_ray.util import to_table
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "to the old mill by the river where it sleeps all day long"
+)
+
+
+def docs_ds():
+    texts = [BASE, BASE, BASE.replace("lazy", "sleepy"), "completely different words here",
+             "der hund und die katze sind nicht da", ""]
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(texts), pa.string())})
+    )
+
+
+def test_exact_dedup_keeps_min_doc_id():
+    out = to_table(exact_dedup(docs_ds())).to_pandas().sort_values("doc_id")
+    # doc 1 (identical to doc 0) is dropped
+    assert set(out["doc_id"]) == {0, 2, 3, 4, 5}
+
+
+def test_minhash_finds_planted_neardup():
+    pairs = minhash_dedup_pairs(docs_ds(), threshold=0.5).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got          # exact dup
+    assert (0, 2) in got or (1, 2) in got   # one-word-changed near dup
+    assert all(a not in (3, 4, 5) and b not in (3, 4, 5) for a, b in got)
+
+
+def test_simhash_close_for_neardups():
+    out = to_table(simhash(docs_ds())).to_pandas().set_index("doc_id")["simhash"]
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+    assert ham(out[0], out[1]) == 0
+    assert ham(out[0], out[2]) < 12
+    assert ham(out[0], out[3]) > 20
+
+
+def test_embedding_neardup_planted():
+    v = np.random.RandomState(0).randn(20, 8).astype(np.float32)
+    v[7] = v[3] * 1.001  # planted near-duplicate
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(20), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in v],
+                                        pa.list_(pa.float32()))})
+    )
+    pairs = embedding_neardup_pairs(ds, threshold=0.99).to_pandas()
+    assert (3, 7) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_knn_bruteforce_self_is_top1():
+    v = np.random.RandomState(1).randn(50, 8).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in v],
+                                        pa.list_(pa.float32()))})
+    )
+    out = knn_bruteforce(ds, v[:3], np.arange(3), k=3).to_pandas()
+    for q in range(3):
+        g = out[out["query_id"] == q].sort_values("cos", ascending=False)
+        assert g.iloc[0]["neighbor_id"] == q  # self similarity 1.0
+
+
+def test_knn_ivf_mostly_agrees_with_bruteforce():
+    v = np.random.RandomState(2).randn(200, 16).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in v],
+                                        pa.list_(pa.float32()))})
+    )
+    bf = knn_bruteforce(ds, v[:5], np.arange(5), k=5).to_pandas()
+    ivf = knn_ivf(ds, v[:5], np.arange(5), k=5, n_centroids=8, nprobe=4).to_pandas()
+    recall = 0
+    for q in range(5):
+        a = set(bf[bf["query_id"] == q]["neighbor_id"])
+        b = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        recall += len(a & b) / len(a)
+    assert recall / 5 >= 0.5  # approximate, but must find self + close items
+
+
+def test_text_stats_and_quality():
+    st = to_table(text_stats(docs_ds())).to_pandas().set_index("doc_id")
+    assert st.loc[3, "n_tokens"] == 4
+    assert st.loc[3, "n_chars"] == len("completely different words here")
+    q = to_table(quality_scores(docs_ds())).to_pandas().set_index("doc_id")
+    assert q.loc[0, "stopword_ratio"] > q.loc[4, "stopword_ratio"]
+
+
+def test_lang_id_heuristic():
+    out = to_table(lang_id(docs_ds())).to_pandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[4, "lang_pred"] == "de"
+    assert out.loc[5, "lang_pred"] == "und"
+
+
+def test_tumbling_window_counts():
+    ts = pd.to_datetime(
+        ["2024-01-01 10:05", "2024-01-01 10:55", "2024-01-01 11:05",
+         "2024-01-01 10:30"]
+    )
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"user_id": [1, 1, 1, 2], "ts": ts,
+                      "value": [1.0, 2.0, 3.0, 4.0]})
+    )
+    out = to_table(tumbling_window(ds, freq="h")).to_pandas()
+    row = out[(out["user_id"] == 1)
+              & (out["window_start"] == pd.Timestamp("2024-01-01 10:00"))]
+    assert int(row["n_events"].iloc[0]) == 2
+    assert float(row["sum_value"].iloc[0]) == 3.0
+
+
+def test_sessionize_gap():
+    ts = pd.to_datetime(
+        ["2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 12:00"]
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"user_id": [1, 1, 1], "ts": ts}))
+    out = to_table(sessionize(ds, gap_minutes=30)).to_pandas()
+    assert len(out) == 2
+    assert sorted(out["n_events"]) == [1, 2]
+
+
+def test_media_pipeline_fake_and_strict():
+    docs_t = synth.make_documents_batch(list(range(40)), seed=4, n_entities=10)
+    ds = ray.data.from_arrow(docs_t)
+    spans = to_table(media_spans(ds)).to_pandas()
+    assert set(spans["kind"]) <= {"image", "audio", "video"}
+    assert (spans["media_ref"].str.startswith("media://")).all()
+    feats = to_table(media_features(ds, dim=8)).to_pandas()
+    assert len(feats) == len(spans)
+    assert all(len(f) == 8 for f in feats["feature"])
+    # determinism of the fake codec
+    d = MediaDecoder(dim=8)
+    assert np.array_equal(d._decode("media://x/1", "image"),
+                          d._decode("media://x/1", "image"))
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(dim=8, mode="strict")._decode("media://x/1", "image")
