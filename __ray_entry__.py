@@ -82,33 +82,31 @@ def q_kg_triples(sf_dir: str):
 
 
 def q_kg_out_degree(sf_dir: str):
+    from pyrdf2vec_ray.shuffle import bucket_count
     from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
 
-    deg = tpch_triples(sf_dir).groupby("subj").count()
-    return _rename(deg, {"count()": "out_deg"})
+    return bucket_count(tpch_triples(sf_dir), ["subj"], "out_deg")
 
 
 def q_sampler_objfreq(sf_dir: str):
+    from pyrdf2vec_ray.shuffle import bucket_count
     from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
 
-    deg = tpch_triples(sf_dir).groupby("obj").count()
-    return _rename(deg, {"count()": "in_deg"})
+    return bucket_count(tpch_triples(sf_dir), ["obj"], "in_deg")
 
 
 def q_sampler_predfreq(sf_dir: str):
+    from pyrdf2vec_ray.shuffle import bucket_count
     from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
 
-    return _rename(
-        tpch_triples(sf_dir).groupby("pred").count(), {"count()": "n"}
-    )
+    return bucket_count(tpch_triples(sf_dir), ["pred"], "n")
 
 
 def q_sampler_objpredfreq(sf_dir: str):
+    from pyrdf2vec_ray.shuffle import bucket_count
     from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
 
-    return _rename(
-        tpch_triples(sf_dir).groupby(["pred", "obj"]).count(), {"count()": "n"}
-    )
+    return bucket_count(tpch_triples(sf_dir), ["pred", "obj"], "n")
 
 
 def q_bfs_walks_customers(sf_dir: str):

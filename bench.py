@@ -50,7 +50,12 @@ def run_benchmarks() -> dict:
 
     import pyarrow.parquet as pq
 
-    n_docs = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    # the driver documents table stays small; scale the interleaved-spans
+    # construction corpus off lineitem (the true sf driver) so the flagship
+    # stage is actually stressed
+    n_docs_table = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    n_li = pq.ParquetFile(f"{SF_DIR}/lineitem.parquet").metadata.num_rows
+    n_docs = max(n_docs_table, n_li // 10)
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
 
@@ -70,8 +75,18 @@ def run_benchmarks() -> dict:
         for i in range(n_entities)
     }
 
+    # materialize the synthetic corpus to parquet ONCE (untimed, cached
+    # across runs — deterministic) so the timed stage measures the real
+    # pipeline read → extract → link → dedup, not input generation
+    docs_path = f"/tmp/graft_bench/docs_n{n_docs}_e{n_entities}"
+    if not os.path.isdir(docs_path):
+        synth.synth_documents(n_docs, seed=42, n_entities=n_entities).write_parquet(
+            docs_path + ".tmp"
+        )
+        os.replace(docs_path + ".tmp", docs_path)
+
     def bench_construct():
-        docs = synth.synth_documents(n_docs, seed=42, n_entities=n_entities)
+        docs = ray.data.read_parquet(docs_path)
         return construct_kg(docs, cands).count()
 
     n_triples_docs = timed("construct_docs_kg", bench_construct)

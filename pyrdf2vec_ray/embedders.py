@@ -97,6 +97,10 @@ class SGNS:
     # -- training ------------------------------------------------------------
 
     def train(self, corpus: list[list[str]]):
+        """Mini-batched SGNS: (center, context) pairs are generated per
+        sentence with gensim-style reduced windows, buffered to ~16k pairs,
+        and applied as one vectorized scatter-add update per buffer.  Fixed
+        iteration order + seeded RNG → bit-deterministic."""
         if not corpus or not self.counts:
             return
         sents = [
@@ -108,45 +112,71 @@ class SGNS:
         rng = np.random.RandomState(self.seed + 1)
         total_steps = max(1, self.epochs * len(sents))
         step = 0
-        W, C = self.W, self.C
         k = self.negative
+        buf_c: list[np.ndarray] = []
+        buf_x: list[np.ndarray] = []
+        buf_lr: list[np.ndarray] = []
+        buffered = 0
+
+        def flush():
+            nonlocal buffered
+            if not buffered:
+                return
+            centers = np.concatenate(buf_c)
+            ctxs = np.concatenate(buf_x)
+            lrs = np.concatenate(buf_lr)
+            negs = neg_table[
+                rng.randint(0, len(neg_table), size=len(ctxs) * k)
+            ].reshape(len(ctxs), k)
+            self._chunk_update(centers, ctxs, negs, lrs)
+            buf_c.clear(), buf_x.clear(), buf_lr.clear()
+            buffered = 0
+
         for _ in range(self.epochs):
             for ids in sents:
-                lr = max(
-                    self.min_alpha,
-                    self.alpha * (1 - step / total_steps),
-                )
+                lr = max(self.min_alpha, self.alpha * (1 - step / total_steps))
                 step += 1
                 n = len(ids)
                 if n < 2:
                     continue
                 reduced = rng.randint(0, self.window, size=n)
+                w = self.window - reduced                      # per-token window
+                # vectorized pair expansion for this sentence
+                cs, xs = [], []
                 for i in range(n):
-                    w = self.window - reduced[i]
-                    lo, hi = max(0, i - w), min(n, i + w + 1)
-                    center = ids[i]
-                    ctxs = np.concatenate([ids[lo:i], ids[i + 1 : hi]])
-                    if len(ctxs) == 0:
+                    lo, hi = max(0, i - w[i]), min(n, i + w[i] + 1)
+                    m = hi - lo - 1
+                    if m <= 0:
                         continue
-                    negs = neg_table[
-                        rng.randint(0, len(neg_table), size=len(ctxs) * k)
-                    ].reshape(len(ctxs), k)
-                    self._pair_update(W, C, center, ctxs, negs, lr)
+                    cs.append(np.full(m, ids[i]))
+                    xs.append(np.concatenate([ids[lo:i], ids[i + 1 : hi]]))
+                if not cs:
+                    continue
+                c_arr = np.concatenate(cs)
+                buf_c.append(c_arr)
+                buf_x.append(np.concatenate(xs))
+                buf_lr.append(np.full(len(c_arr), lr, dtype=np.float32))
+                buffered += len(c_arr)
+                if buffered >= 16384:
+                    flush()
+        flush()
 
-    def _pair_update(self, W, C, center, ctxs, negs, lr):
-        v = W[center]                                   # (d,)
-        # positive
-        pos_c = C[ctxs]                                 # (m, d)
-        pos_s = 1.0 / (1.0 + np.exp(-pos_c @ v))        # (m,)
-        g_pos = (1.0 - pos_s)[:, None] * lr             # (m, 1)
-        # negative
-        neg_c = C[negs]                                 # (m, k, d)
-        neg_s = 1.0 / (1.0 + np.exp(-(neg_c @ v)))      # (m, k)
-        g_neg = (-neg_s)[:, :, None] * lr               # (m, k, 1)
-        grad_v = (g_pos * pos_c).sum(0) + (g_neg * neg_c).sum((0, 1))
+    def _chunk_update(self, centers, ctxs, negs, lrs):
+        W, C = self.W, self.C
+        d = self.vector_size
+        v = W[centers]                                   # (P, d)
+        pos = C[ctxs]                                    # (P, d)
+        s = 1.0 / (1.0 + np.exp(-np.einsum("pd,pd->p", v, pos)))
+        g_pos = ((1.0 - s) * lrs)[:, None]               # (P, 1)
+        neg = C[negs]                                    # (P, k, d)
+        sn = 1.0 / (1.0 + np.exp(-np.einsum("pd,pkd->pk", v, neg)))
+        g_neg = -sn * lrs[:, None]                       # (P, k)
+        grad_v = g_pos * pos + np.einsum("pk,pkd->pd", g_neg, neg)
+        np.add.at(W, centers, grad_v)
         np.add.at(C, ctxs, g_pos * v)
-        np.add.at(C, negs.ravel(), (g_neg * v).reshape(-1, len(v)))
-        W[center] += grad_v
+        np.add.at(
+            C, negs.reshape(-1), (g_neg[:, :, None] * v[:, None, :]).reshape(-1, d)
+        )
 
     def __contains__(self, token: str) -> bool:
         return token in self.key_to_index

@@ -33,17 +33,20 @@ def add_text_hash(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """Keep the smallest doc_id per identical text: hash → groupby(hash) →
-    first.  One shuffle on the content hash."""
+    """Keep the smallest doc_id per identical text: content hash → ONE
+    int-bucket shuffle → vectorized per-bucket min (shuffle.bucket_apply;
+    avoids the sort-based string groupby)."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
     hashed = add_text_hash(docs)
-    kept = hashed.groupby("text_hash").min("doc_id")
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["text_hash", "doc_id"]).select(
-            ["doc_id", "text_hash"]
-        )
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text_hash", as_index=False)["doc_id"].min()
+        return out[["doc_id", "text_hash"]]
 
-    return kept.map_batches(rename, batch_format="pyarrow")
+    return bucket_apply(
+        hashed, ["text_hash"], per_bucket, num_buckets=16, batch_format="pandas"
+    )
 
 
 # ---- shingles + minhash --------------------------------------------------
@@ -94,36 +97,43 @@ def minhash_lsh_candidates(
     Returns (doc_a, doc_b) candidate pairs (doc_a < doc_b)."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        band_ids, band_hashes, doc_ids = [], [], []
+        band_hashes, doc_ids = [], []
         for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
             sig = np.asarray(sig, dtype=np.uint64)
             for bi in range(bands):
                 chunk = sig[bi * rows : (bi + 1) * rows]
-                band_ids.append(bi)
-                band_hashes.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
+                # band index baked into the hash → ONE int64 shuffle key
+                h = hashlib.md5(bytes([bi]) + chunk.tobytes()).digest()[:8]
+                band_hashes.append(int.from_bytes(h, "little", signed=True))
                 doc_ids.append(doc_id)
-        return pd.DataFrame(
-            {"band": band_ids, "band_hash": band_hashes, "doc_id": doc_ids}
-        )
+        return pd.DataFrame({"band_hash": band_hashes, "doc_id": doc_ids})
+
+    from pyrdf2vec_ray.shuffle import bucket_apply
 
     rows_ds = sigs.map_batches(explode, batch_format="pandas", batch_size=1024)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].unique())
-        out_a, out_b = [], []
-        # buckets are tiny by construction; quadratic within-bucket is the
-        # standard LSH candidate step
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+    # one int-bucket shuffle co-locates every row of a band_hash; pairs are
+    # expanded vectorized within each bucket (self-merge of the duplicated
+    # hashes only) — no per-group tasks, no broadcast
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated("band_hash", keep=False)]
+        if len(dup) == 0:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64")})
+        m = dup.merge(dup, on="band_hash")
+        m = m[m["doc_id_x"] < m["doc_id_y"]][["doc_id_x", "doc_id_y"]]
+        m = m.drop_duplicates()
+        return m.rename(
+            columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"}
+        ).reset_index(drop=True)
 
-    cand = rows_ds.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    # distinct pairs (a doc pair can collide in several bands)
-    return cand.groupby(["doc_a", "doc_b"]).count().select_columns(["doc_a", "doc_b"])
+    cand = bucket_apply(
+        rows_ds, ["band_hash"], per_bucket, num_buckets=16,
+        batch_format="pandas",
+    ).to_pandas()
+    # a doc pair can collide via several band hashes in different buckets
+    pairs = cand.drop_duplicates().reset_index(drop=True)
+    return ray.data.from_pandas(pairs)
 
 
 def verify_jaccard(

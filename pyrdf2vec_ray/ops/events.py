@@ -20,23 +20,44 @@ def tumbling_window(
     window of `freq`; pre-aggregated inside map_batches before the
     groupby shuffle."""
 
+    # single int64 shuffle key (user_id, window-start-epoch-seconds) packed
+    # together: a one-key integer shuffle is far cheaper than an
+    # (int, timestamp) multi-key sort
+    M = 1 << 34  # epoch-second slots (covers ~year 2514); user_id < 2^29
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[["user_id", "ts", "value"]].copy()
-        batch["window_start"] = batch["ts"].dt.floor(freq)
+        # cast to seconds resolution first: raw int64 of a datetime column is
+        # ns or us depending on the source, which would corrupt the packing
+        slot = batch["ts"].dt.floor(freq).astype("datetime64[s]").astype("int64")
+        batch["wkey"] = batch["user_id"].astype("int64") * M + slot
         g = (
-            batch.groupby(["user_id", "window_start"], as_index=False)
+            batch.groupby("wkey", as_index=False)
             .agg(n_events=("value", "size"), sum_value=("value", "sum"))
         )
         return g
 
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
     partials = events.map_batches(partial, batch_format="pandas", batch_size=65536)
-    out = partials.groupby(["user_id", "window_start"]).sum(["n_events", "sum_value"])
+    out = bucket_agg(
+        partials, ["wkey"],
+        {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
+        pre=False,
+    )
 
-    def rename(batch: pa.Table) -> pa.Table:
-        m = {"sum(n_events)": "n_events", "sum(sum_value)": "sum_value"}
-        return batch.rename_columns([m.get(c, c) for c in batch.column_names])
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        wkey = batch["wkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": wkey // M,
+                "window_start": pd.to_datetime(wkey % M, unit="s"),
+                "n_events": batch["n_events"].astype("int64"),
+                "sum_value": batch["sum_value"].astype("float64"),
+            }
+        )
 
-    return out.map_batches(rename, batch_format="pyarrow")
+    return out.map_batches(finish, batch_format="pandas")
 
 
 def sessionize(

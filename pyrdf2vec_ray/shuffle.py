@@ -1,0 +1,136 @@
+"""Hash-bucket shuffle primitives.
+
+Ray Data's ``groupby(cols)`` aggregate is a global SORT by the key —
+expensive for wide string keys and pathological for many tiny blocks.
+The patterns here shuffle by a single derived int64 bucket instead
+(vectorized polars row-hash), then do the exact per-key work vectorized
+WITHIN each bucket (arrow/pandas kernels).  Semantics stay exact — the
+bucket only co-locates equal keys; nothing is approximated.
+
+Measured on sf0.1 triples dedup (1.36M rows, 8 CPUs): 60.9s sort-based
+groupby → 6.4s bucket-hash.
+
+``num_buckets`` sizing at scale: ≈ input_bytes / target_partition_bytes
+(128 MiB); each bucket must fit a worker's heap.  Hot single keys are
+fine for dedup/adjacency (a key's rows collapse to one output row), but
+callers with heavy per-key payloads must salt (see
+construct.materialize_adjacency's max_hops_per_row).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import polars as pl
+import pyarrow as pa
+
+import ray.data
+
+
+def add_bucket(
+    ds: ray.data.Dataset, key_cols: list[str], num_buckets: int
+) -> ray.data.Dataset:
+    def h(batch: pa.Table) -> pa.Table:
+        hashes = pl.from_arrow(batch.select(key_cols)).hash_rows(seed=42)
+        bucket = (hashes % num_buckets).cast(pl.Int64).to_arrow()
+        return batch.append_column("bucket", bucket.cast(pa.int64()))
+
+    return ds.map_batches(h, batch_format="pyarrow")
+
+
+def bucket_apply(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    bucket_fn: Callable,
+    num_buckets: int = 16,
+    batch_format: str = "pyarrow",
+    pre: Callable | None = None,
+) -> ray.data.Dataset:
+    """ONE int-bucket shuffle, then `bucket_fn(bucket_frame)` — the frame
+    holds ALL rows of every key hashed to that bucket (bucket col already
+    dropped), so per-key logic runs as a vectorized kernel per bucket, not
+    per-key Ray tasks.  `pre` is an optional per-batch combiner applied
+    before the shuffle."""
+    if pre is not None:
+        ds = ds.map_batches(pre, batch_format="pyarrow")
+
+    def per_bucket(g):
+        if batch_format == "pyarrow":
+            g = g.drop_columns(["bucket"])
+        else:
+            g = g.drop(columns=["bucket"])
+        return bucket_fn(g)
+
+    bucketed = add_bucket(ds, key_cols, num_buckets).repartition(num_buckets)
+    return bucketed.groupby("bucket").map_groups(
+        per_bucket, batch_format=batch_format
+    )
+
+
+def bucket_agg(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_buckets: int = 16,
+    pre: bool = True,
+) -> ray.data.Dataset:
+    """groupby(key_cols).agg via bucket shuffle — Ray's sort-based
+    aggregate degrades badly with many distinct keys (measured 52s for a
+    76k-group count of 80k rows; this path: <1s).  `aggs`: output_col →
+    (input_col, fn) with fn ∈ {"size","sum","min","max"}.  Per-batch
+    partial aggregation first (when `pre`, valid for these fns), then one
+    int-bucket shuffle + vectorized pandas groupby per bucket."""
+    first_aggs = dict(aggs)
+    work = ds
+    if pre:
+        # re-aggregate of partials: size → sum of partial sizes
+        def partial(batch, _aggs=first_aggs):
+            return batch.groupby(key_cols, as_index=False).agg(
+                **{out: (col, fn) for out, (col, fn) in _aggs.items()}
+            )
+
+        work = ds.map_batches(partial, batch_format="pandas")
+        final_aggs = {
+            out: (out, "sum" if fn == "size" else fn)
+            for out, (col, fn) in first_aggs.items()
+        }
+    else:
+        final_aggs = first_aggs
+
+    def per_bucket(g, _aggs=final_aggs):
+        return g.groupby(key_cols, as_index=False).agg(
+            **{out: (col, fn) for out, (col, fn) in _aggs.items()}
+        )
+
+    return bucket_apply(
+        work, key_cols, per_bucket, num_buckets=num_buckets,
+        batch_format="pandas",
+    )
+
+
+def bucket_count(
+    ds: ray.data.Dataset, key_cols: list[str], count_col: str = "n",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """groupby(key_cols).count() via the bucket shuffle."""
+    probe = key_cols[0]
+    return bucket_agg(
+        ds, key_cols, {count_col: (probe, "size")}, num_buckets=num_buckets
+    )
+
+
+def distinct(
+    ds: ray.data.Dataset, key_cols: list[str], num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Exact distinct rows over key_cols: local per-batch dedup (combiner)
+    → one int-key shuffle → vectorized per-bucket dedup."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.select(key_cols).group_by(key_cols).aggregate([])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return g.group_by(key_cols).aggregate([]).select(key_cols)
+
+    return bucket_apply(
+        ds, key_cols, per_bucket, num_buckets=num_buckets, pre=local
+    )

@@ -288,7 +288,13 @@ def ngram_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset
         return pa.table({"key": sorted(keys)})
 
     keys_ds = walks_ds.map_batches(partial_keys, batch_format="pyarrow")
-    distinct = sorted(keys_ds.unique("key"))
+    # per-batch distinct → driver union (ds.unique is a sort-based groupby
+    # that degrades with many distinct keys); the id map is broadcast state
+    # and must fit the driver anyway
+    distinct = sorted(
+        {k for b in keys_ds.iter_batches(batch_format="pyarrow")
+         for k in b["key"].to_pylist()}
+    )
     id_map = {tuple(k.split(SEP)): str(i) for i, k in enumerate(distinct)}
     map_ref = ray.put(id_map)
 
