@@ -76,8 +76,11 @@ class QualityScorer:
 
 
 def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
+    from pyrdf2vec_ray.util import default_concurrency
+
     return docs.map_batches(
-        QualityScorer, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+        QualityScorer, batch_format="pandas", batch_size=4096,
+        concurrency=default_concurrency(0.5),
     )
 
 
@@ -103,8 +106,11 @@ class LangId:
 
 
 def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
+    from pyrdf2vec_ray.util import default_concurrency
+
     return docs.map_batches(
-        LangId, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+        LangId, batch_format="pandas", batch_size=4096,
+        concurrency=default_concurrency(0.5),
     )
 
 

@@ -20,13 +20,15 @@ from pyrdf2vec_ray.stages.link import CandidateIndex, EntityLinker
 
 
 def extract_mentions(docs: ray.data.Dataset, pattern: str | None = None) -> ray.data.Dataset:
+    # stateless tasks on pre-started workers: pattern compilation is cheap
+    # and an actor pool would add seconds of spin-up latency per run
+    extractor = MentionExtractor(pattern)
     return docs.map_batches(
-        MentionExtractor,
-        fn_constructor_kwargs={"pattern": pattern},
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=(1, 8),
+        extractor, batch_format="pyarrow", batch_size=2048
     )
+
+
+_LINKER_CACHE: dict = {}
 
 
 def link_mentions(
@@ -35,17 +37,21 @@ def link_mentions(
     skip_predicates: frozenset[str] = frozenset(),
     min_score: float = 0.0,
 ) -> ray.data.Dataset:
-    return mentions.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={
-            "index": index,
-            "skip_predicates": skip_predicates,
-            "min_score": min_score,
-        },
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=(1, 8),
-    )
+    """Stateless-task form of the linker: the sharded index is broadcast
+    via the object store and materialized ONCE PER WORKER PROCESS (module
+    cache keyed by the shard refs), so tasks on warm workers pay a dict
+    lookup, not an actor spin-up.  The EntityLinker actor class remains
+    for linkers with heavyweight state (models)."""
+    key = tuple(str(r) for r in index.shard_refs)
+
+    def link(batch: pa.Table) -> pa.Table:
+        linker = _LINKER_CACHE.get(key)
+        if linker is None:
+            linker = EntityLinker(index, skip_predicates, min_score)
+            _LINKER_CACHE[key] = linker
+        return linker(batch)
+
+    return mentions.map_batches(link, batch_format="pyarrow", batch_size=8192)
 
 
 def dedup_triples(

@@ -22,8 +22,10 @@ MENTION_RE = re.compile(r"<([^<>]+)>\s+(\w+)\s+<([^<>]+)>")
 
 
 class MentionExtractor:
-    """Actor-pool stage: compile the pattern once per actor (__init__), scan
-    batches in __call__.  Usable as a plain function too (stateless)."""
+    """Mention scanner.  Stateless in practice (the compiled pattern is
+    cheap), so the pipeline runs it as plain map_batches TASKS on
+    pre-started Ray workers — an actor pool here would only add pool
+    spin-up latency.  The class form remains for heavier patterns."""
 
     def __init__(self, pattern: str | None = None):
         self.pattern = re.compile(pattern) if pattern else MENTION_RE

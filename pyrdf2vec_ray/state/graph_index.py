@@ -57,6 +57,10 @@ class GraphIndex:
         names, codes = np.unique(
             np.concatenate([subj, pred, obj]), return_inverse=True
         )
+        # fixed-width unicode, NOT object dtype: a U-array is one contiguous
+        # buffer, so ray.put/ray.get maps it zero-copy from the object store
+        # instead of re-pickling 100k+ Python strings into every walk actor
+        names = names.astype(np.str_)
         n = len(subj)
         s_id, p_id, o_id = codes[:n], codes[n : 2 * n], codes[2 * n :]
         nv = len(names)
@@ -110,16 +114,18 @@ class LocalGraph:
 
     def __init__(self, arrays: GraphArrays):
         self.a = arrays
-        self._name_to_id: dict[str, int] | None = None
 
     @property
     def num_vertices(self) -> int:
         return len(self.a.names)
 
     def name_to_id(self, name: str) -> int:
-        if self._name_to_id is None:
-            self._name_to_id = {n: i for i, n in enumerate(self.a.names)}
-        return self._name_to_id.get(name, -1)
+        # names is sorted (np.unique) → binary search; no per-actor dict
+        # materialization over the whole vocabulary
+        i = int(np.searchsorted(self.a.names, name))
+        if i < len(self.a.names) and self.a.names[i] == name:
+            return i
+        return -1
 
     def get_hops(self, vid: int, is_reverse: bool = False):
         """(pred_ids, other_ids) numpy views, sorted by (pred, other) —

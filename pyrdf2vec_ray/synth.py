@@ -117,6 +117,62 @@ def synth_documents(n_docs: int, seed: int = 42, n_entities: int = 50):
     )
 
 
+def synth_documents_fast(n_docs: int, seed: int = 42, n_entities: int = 50):
+    """Benchmark-scale generator: one RandomState per BATCH (vectorized
+    draws) instead of one per doc — ~10x faster, for corpora of millions.
+    Deterministic given a fixed block layout; use `synth_documents` when
+    per-doc closed-form expectations are needed (tests)."""
+    import ray.data
+
+    def build(batch: dict) -> pa.Table:
+        ids = batch["id"]
+        rng = np.random.RandomState((seed * 7_368_787 + int(ids[0])) % (2**31 - 1))
+        n = len(ids)
+        ks = rng.randint(1, 4, size=n)
+        total = int(ks.sum())
+        subj = (n_entities * rng.random_sample(total) ** 2).astype(np.int64)
+        pred = rng.randint(0, len(PREDICATES), size=total)
+        obj = rng.randint(0, n_entities, size=total)
+        obj = np.where(obj == subj, (obj + 1) % n_entities, obj)
+        sv = rng.randint(0, 3, size=total)
+        ov = rng.randint(0, 3, size=total)
+        media = rng.random_sample(total) < 0.3
+        mkind = rng.randint(0, len(MEDIA_KINDS), size=total)
+
+        doc_ids, all_spans = [], []
+        pos = 0
+        for i in range(n):
+            doc_idx = int(ids[i])
+            spans = []
+            offset = 0
+            for _ in range(ks[i]):
+                text = (
+                    f"<{_surface(entity_name(int(subj[pos])), int(sv[pos]))}> "
+                    f"{PREDICATES[pred[pos]]} "
+                    f"<{_surface(entity_name(int(obj[pos])), int(ov[pos]))}> ."
+                )
+                spans.append({"kind": "text", "text": text, "media_ref": "",
+                              "offset": offset})
+                offset += len(text) + 1
+                if media[pos]:
+                    kind = MEDIA_KINDS[int(mkind[pos])]
+                    spans.append({"kind": kind, "text": "",
+                                  "media_ref": f"media://{kind}/{doc_idx}/{offset}",
+                                  "offset": offset})
+                    offset += 1
+                pos += 1
+            doc_ids.append(f"doc-{doc_idx:08d}")
+            all_spans.append(spans)
+        return pa.Table.from_pydict(
+            {"doc_id": doc_ids, "spans": all_spans}, schema=DOCUMENTS
+        )
+
+    n_blocks = max(1, min(n_docs // 2000, 512))
+    return ray.data.range(n_docs, override_num_blocks=n_blocks).map_batches(
+        build, batch_format="numpy", batch_size=8192
+    )
+
+
 def expected_triples(n_docs: int, seed: int = 42, n_entities: int = 50) -> pa.Table:
     """Closed-form UNIQUE (subj, pred, obj) IRIs the construction pipeline
     must emit for `synth_documents(n_docs, seed, n_entities)` (triples dedup

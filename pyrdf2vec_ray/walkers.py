@@ -143,6 +143,9 @@ class WalkExtractor:
         )
 
 
+_EXTRACTOR_CACHE: dict = {}
+
+
 def assert_exists(gi: GraphIndex, entities: list[str]) -> None:
     """Existence check (kg.is_exist, kg.py:352-375; raise semantics
     rdf2vec.py:166-172)."""
@@ -158,11 +161,15 @@ def extract_walks(
     gi: GraphIndex,
     entities: list[str],
     spec: WalkerSpec,
-    concurrency: int | tuple = (1, 8),
-    batch_size: int = 64,
+    concurrency: int | tuple | None = None,
+    batch_size: int = 256,
     skip_verify: bool = False,
 ) -> ray.data.Dataset:
     """Entities → per-entity canonical walks Dataset."""
+    if concurrency is None:
+        from pyrdf2vec_ray.util import default_concurrency
+
+        concurrency = default_concurrency(0.5)
     if not skip_verify:
         assert_exists(gi, entities)
     g = gi.local()
@@ -181,19 +188,30 @@ def extract_walks(
     )
     n_blocks = max(1, min(len(entities) // max(1, batch_size), 64))
     ents_ds = ents_ds.repartition(n_blocks)
+    # stateless tasks + per-worker-process extractor cache (keyed by the
+    # broadcast refs): warm Ray workers skip both actor-pool spin-up and
+    # re-deserialization of the graph (zero-copy get); elastic scheduling
+    key = (str(graph_ref), str(entities_ref), str(sampler_ref),
+           str(labels_ref), str(community_ref), spec)
+    kwargs = {
+        "graph_ref": graph_ref,
+        "spec": spec,
+        "entities_ref": entities_ref,
+        "sampler_ref": sampler_ref,
+        "labels_ref": labels_ref,
+        "community_ref": community_ref,
+    }
+
+    def walk_batch(batch: pa.Table) -> pa.Table:
+        extractor = _EXTRACTOR_CACHE.get(key)
+        if extractor is None:
+            extractor = WalkExtractor(**kwargs)
+            _EXTRACTOR_CACHE.clear()   # one graph per worker at a time
+            _EXTRACTOR_CACHE[key] = extractor
+        return extractor(batch)
+
     ds = ents_ds.map_batches(
-        WalkExtractor,
-        fn_constructor_kwargs={
-            "graph_ref": graph_ref,
-            "spec": spec,
-            "entities_ref": entities_ref,
-            "sampler_ref": sampler_ref,
-            "labels_ref": labels_ref,
-            "community_ref": community_ref,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+        walk_batch, batch_format="pyarrow", batch_size=batch_size
     )
     if spec.strategy == "halk":
         ds = halk_post(ds, spec)
