@@ -322,6 +322,79 @@ def q_walks_wl_sample(sf_dir: str):
     return explode_walks(extract_walks(gi, entities, spec, batch_size=64))
 
 
+def _walker_query(sf_dir: str, spec, n: int = 100):
+    from pyrdf2vec_ray.walkers import explode_walks, extract_walks
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)[:n]
+    return explode_walks(extract_walks(gi, entities, spec, batch_size=64))
+
+
+def q_walks_anonymous(sf_dir: str):
+    from pyrdf2vec_ray.walkers import WalkerSpec
+
+    return _walker_query(sf_dir, WalkerSpec(strategy="anonymous", max_depth=2))
+
+
+def q_walks_split(sf_dir: str):
+    from pyrdf2vec_ray.walkers import WalkerSpec
+
+    return _walker_query(sf_dir, WalkerSpec(strategy="split", max_depth=2))
+
+
+def q_walks_halk(sf_dir: str):
+    from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)[:100]
+    spec = WalkerSpec(strategy="halk", max_depth=2, freq_thresholds=(0.01,))
+    walks = extract_walks(gi, entities, spec, batch_size=64)
+
+    import pyarrow as _pa
+
+    def explode(batch: _pa.Table) -> _pa.Table:
+        ents, ths, ws = [], [], []
+        for e, th, walks_ in zip(
+            batch["entity"].to_pylist(),
+            batch["threshold"].to_pylist(),
+            batch["walks"].to_pylist(),
+        ):
+            for w in walks_:
+                ents.append(e)
+                ths.append(th)
+                ws.append(w)
+        return _pa.table(
+            {"entity": _pa.array(ents, _pa.string()),
+             "threshold": _pa.array(ths, _pa.float64()),
+             "walk": _pa.array(ws, _pa.list_(_pa.string()))}
+        )
+
+    return walks.map_batches(explode, batch_format="pyarrow")
+
+
+def q_rdf2vec_embeddings(sf_dir: str):
+    """End-to-end flagship: KG → walks → Word2Vec → per-entity vectors."""
+    import pyarrow as _pa
+
+    from pyrdf2vec_ray.embedders import Word2Vec
+    from pyrdf2vec_ray.pipelines.rdf2vec import RDF2VecTransformer
+    from pyrdf2vec_ray.walkers import WalkerSpec
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)[:100]
+    t = RDF2VecTransformer(
+        embedder=Word2Vec(vector_size=32, epochs=2, seed=7),
+        walkers=[WalkerSpec(strategy="random", max_depth=2, max_walks=8,
+                            random_state=7)],
+    )
+    emb, _ = t.fit_transform(gi, entities)
+    return _pa.table(
+        {"entity": _pa.array(entities, _pa.string()),
+         "vector": _pa.array([v.tolist() for v in emb],
+                             _pa.list_(_pa.float32()))}
+    )
+
+
 def q_walks_dfs_sampled(sf_dir: str):
     from pyrdf2vec_ray.samplers import SamplerSpec
     from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
@@ -375,6 +448,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "walks_wl_sample": q_walks_wl_sample,
         "walks_dfs_sampled": q_walks_dfs_sampled,
+        "walks_anonymous": q_walks_anonymous,
+        "walks_split": q_walks_split,
+        "walks_halk": q_walks_halk,
+        "rdf2vec_embeddings": q_rdf2vec_embeddings,
     }
 
 

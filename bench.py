@@ -207,6 +207,13 @@ def run_benchmarks() -> dict:
     return result
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def run_scaling() -> dict:
     def run_once(ncpu: int) -> dict:
         # the scaling job is the north_rule flagship: docs→KG construction +
@@ -219,7 +226,7 @@ def run_scaling() -> dict:
             # dominates fixed session costs; the graph-walk stages have
             # MULT-independent input and would only add Amdahl dilution
             BENCH_ONLY=os.environ.get("BENCH_ONLY", "construct_docs_kg"),
-            BENCH_MULT=os.environ.get("BENCH_MULT", "8"),
+            BENCH_MULT=os.environ.get("BENCH_MULT", "32"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -233,6 +240,23 @@ def run_scaling() -> dict:
     # multi-tenant with ±3x wall-time noise, so each leg runs BENCH_REPEAT
     # times and the MIN (the standard noise-robust wall-clock estimator)
     # is used.
+    def machine_ceiling(lo: int, hi: int) -> float:
+        """Control: embarrassingly-parallel numpy-free compute via
+        mp.Pool at both leg sizes.  On this multi-tenant SMT host even
+        perfect code caps well below 1.0; the pipeline's efficiency is
+        meaningful relative to this ceiling (a real N vs 4N NODE cluster
+        adds independent CPUs/bandwidth per node instead)."""
+        import multiprocessing as mp
+
+        def leg(procs, total=96_000_000):
+            tic = time.perf_counter()
+            with mp.Pool(procs) as p:
+                p.map(_burn, [total // procs] * procs)
+            return time.perf_counter() - tic
+
+        t_lo, t_hi = leg(lo), leg(hi)
+        return round((t_lo / t_hi) / (hi / lo), 3)
+
     lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
     hi = int(os.environ.get("BENCH_SCALE_HI", "16"))
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
@@ -242,8 +266,11 @@ def run_scaling() -> dict:
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    ceiling = machine_ceiling(lo, hi)
     return {
         "metric": "scaling efficiency (same input, fresh sessions, min over repeats)",
+        "machine_parallel_ceiling": ceiling,
+        "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
         f"all_sec_{lo}": [r["value"] for r in runs_lo],

@@ -1,0 +1,65 @@
+"""N-Triples source + SPARQL connector parity (reference
+tests/test_connectors.py:29-99, graphs tests for file load)."""
+
+import numpy as np
+
+from pyrdf2vec_ray.connectors import SPARQLConnector, res2hops
+from pyrdf2vec_ray.sources.ntriples import parse_ntriples_lines, read_ntriples
+from pyrdf2vec_ray.util import to_table
+
+NT = """# comment
+<http://a> <http://p> <http://b> .
+<http://a> <http://p> "0.42" .
+<http://a> <http://q> "hello world"@en .
+<http://a> <http://p> <http://b> .
+bad line ignored
+"""
+
+
+def test_parse_ntriples_lines():
+    triples = parse_ntriples_lines(NT.splitlines())
+    assert ("http://a", "http://p", "http://b") in triples
+    assert ("http://a", "http://p", "0.42") in triples
+    assert ("http://a", "http://q", "hello world") in triples
+    assert len(triples) == 4  # dup kept at parse level
+
+
+def test_read_ntriples_dedups_and_skips(tmp_path):
+    p = tmp_path / "g.nt"
+    p.write_text(NT)
+    ds = read_ntriples(str(p), skip_predicates=frozenset({"http://q"}))
+    t = to_table(ds)
+    got = set(zip(t["subj"].to_pylist(), t["pred"].to_pylist(), t["obj"].to_pylist()))
+    assert got == {
+        ("http://a", "http://p", "http://b"),
+        ("http://a", "http://p", "0.42"),
+    }
+
+
+def test_sparql_query_construction():
+    c = SPARQLConnector("http://example.org/sparql")
+    assert (
+        c.get_query("http://x#E")
+        == "SELECT ?p ?o WHERE { <http://x#E> ?p ?o . }"
+    )
+    q = c.get_query("http://x#E", ["http://x#p1", "http://x#p2"])
+    assert q == (
+        "SELECT ?o WHERE { <http://x#E> <http://x#p1> ?o1 . "
+        "?o1 <http://x#p2> ?o . }"
+    )
+
+
+def test_res2literals_goldens():
+    r2l = SPARQLConnector.res2literals
+    assert np.isnan(r2l([]))
+    assert r2l([{"o": {"value": "0.42"}}]) == 0.42
+    assert r2l([{"o": {"value": "x"}}]) == "x"
+    assert r2l([{"o": {"value": "1"}}, {"o": {"value": "y"}}]) == (1.0, "y")
+
+
+def test_res2hops_skip():
+    res = [
+        {"p": {"value": "http://p"}, "o": {"value": "http://b"}},
+        {"p": {"value": "http://skip"}, "o": {"value": "http://c"}},
+    ]
+    assert res2hops(res, frozenset({"http://skip"})) == [("http://p", "http://b")]
