@@ -17,11 +17,24 @@ def md5_token(name: str, md5_bytes: int) -> str:
     return str(md5(name.encode()).digest()[:md5_bytes])
 
 
-def map_random(walk: list[str], entities: frozenset, md5_bytes: int | None) -> tuple:
+def map_random(
+    walk: list[str], entities: frozenset, md5_bytes: int | None,
+    positional: bool = False,
+) -> tuple:
     """RandomWalker._map_vertex (random.py:142-163): entities of interest
-    and odd (predicate) positions keep the IRI; other even positions hash."""
+    and odd (predicate) positions keep the IRI; other even positions hash.
+
+    positional=True reproduces the older rule baked into the reference's
+    golden corpora (tests/embedders/test_word2vec.py:8-77): keep ONLY the
+    root position and predicates; hash every other even position even when
+    it is an entity of interest."""
     if md5_bytes is None:
         return tuple(walk)
+    if positional:
+        return tuple(
+            name if i == 0 or i % 2 == 1 else md5_token(name, md5_bytes)
+            for i, name in enumerate(walk)
+        )
     return tuple(
         name
         if name in entities or i % 2 == 1

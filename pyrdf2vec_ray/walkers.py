@@ -60,6 +60,7 @@ class WalkerSpec:
     wildcards: tuple | None = None
     freq_thresholds: tuple = (0.01,)
     hop_prob: float = 0.1
+    md5_positional: bool = False   # golden-corpus compat (canon.map_random)
 
     def __post_init__(self):
         if self.strategy not in STRATEGIES:
@@ -102,7 +103,9 @@ class WalkExtractor:
         out: set[tuple] = set()
         if s in ("random", "community", "halk"):
             for w in name_walks:
-                out.add(canon.map_random(w, self.entities, spec.md5_bytes))
+                out.add(canon.map_random(
+                    w, self.entities, spec.md5_bytes, spec.md5_positional
+                ))
         elif s == "anonymous":
             for w in name_walks:
                 out.add(canon.map_anonymous(w, root))
