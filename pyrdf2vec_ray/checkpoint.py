@@ -132,6 +132,37 @@ def read_run(root: str):
     return ray.data.read_parquet(sorted(files))
 
 
+def extract_walks_checkpointed(
+    root: str,
+    gi,
+    entities: list[str],
+    spec,
+    n_partitions: int = 8,
+) -> list[PartitionResult]:
+    """Checkpointed walk extraction: entity-range partitions, each written
+    to its own parquet dir + manifest entry (fingerprint = entity range +
+    walker spec), so a killed extraction resumes at the first incomplete
+    range.  Read back with `read_run(root)`."""
+    from pyrdf2vec_ray.walkers import explode_walks, extract_walks
+
+    step = (len(entities) + n_partitions - 1) // n_partitions
+    parts = []
+    for i in range(n_partitions):
+        lo, hi = i * step, min((i + 1) * step, len(entities))
+        if lo >= hi:
+            continue
+        parts.append((f"ents-{i:05d}", f"[{lo}:{hi}){spec}"))
+
+    def build(partition: str):
+        i = int(partition.split("-")[1])
+        lo, hi = i * step, min((i + 1) * step, len(entities))
+        return explode_walks(
+            extract_walks(gi, entities[lo:hi], spec, skip_verify=True)
+        )
+
+    return run_partitioned(root, parts, build)
+
+
 def construct_kg_checkpointed(
     root: str,
     n_docs: int,

@@ -66,6 +66,7 @@ class WalkCore:
         seed_mode: str = "per_entity",
         community: CommunityState | None = None,
         hop_prob: float = 0.1,
+        frontier_cap: int | None = None,
     ):
         self.g = g
         self.sampler = sampler
@@ -76,6 +77,12 @@ class WalkCore:
         self.seed_mode = seed_mode
         self.community = community
         self.hop_prob = hop_prob
+        # skew guard for scale runs: BFS frontiers are exponential in hub
+        # out-degree (README.rst:306-308 "hours, days"); when set, a
+        # frontier exceeding the cap is downsampled DETERMINISTICALLY
+        # (hash-ordered) to `frontier_cap` walks per level.  None (default)
+        # = exact exhaustive reference semantics.
+        self.frontier_cap = frontier_cap
 
     # -- BFS (random.py:50-81; community teleports community.py:140-185) ----
 
@@ -83,6 +90,12 @@ class WalkCore:
         walks: set[tuple[int, ...]] = {(vid,)}
         comm = self.community
         for _ in range(self.max_depth):
+            if self.frontier_cap is not None and len(walks) > self.frontier_cap:
+                walks = set(
+                    sorted(walks, key=lambda w: zlib.crc32(repr(w).encode()))[
+                        : self.frontier_cap
+                    ]
+                )
             for walk in list(walks):
                 tail = walk[0] if is_reverse else walk[-1]
                 preds, others = self.g.get_hops(tail, is_reverse)

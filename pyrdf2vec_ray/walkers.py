@@ -61,6 +61,7 @@ class WalkerSpec:
     freq_thresholds: tuple = (0.01,)
     hop_prob: float = 0.1
     md5_positional: bool = False   # golden-corpus compat (canon.map_random)
+    frontier_cap: int | None = None  # BFS skew guard (stages/walk.WalkCore)
 
     def __post_init__(self):
         if self.strategy not in STRATEGIES:
@@ -95,6 +96,7 @@ class WalkExtractor:
             spec.seed_mode,
             community=community,
             hop_prob=spec.hop_prob,
+            frontier_cap=spec.frontier_cap,
         )
 
     def _canonical(self, name_walks: list[list[str]], root: str) -> list[list[str]]:
