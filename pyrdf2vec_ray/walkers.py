@@ -62,6 +62,9 @@ class WalkerSpec:
     hop_prob: float = 0.1
     md5_positional: bool = False   # golden-corpus compat (canon.map_random)
     frontier_cap: int | None = None  # BFS skew guard (stages/walk.WalkCore)
+    # user hook (split.py:46-50): fn(walk: list[str], with_reverse) -> tuple
+    # applied per raw walk instead of canon.split_walk; must be picklable
+    func_split: object | None = None
 
     def __post_init__(self):
         if self.strategy not in STRATEGIES:
@@ -115,8 +118,9 @@ class WalkExtractor:
             for w in name_walks:
                 out |= canon.map_walklets(w, root, spec.with_reverse)
         elif s == "split":
+            fn = spec.func_split or canon.split_walk
             for w in name_walks:
-                out.add(canon.split_walk(w, spec.with_reverse))
+                out.add(fn(w, spec.with_reverse))
         elif s == "wl":
             for n in range(spec.wl_iterations + 1):
                 for w in name_walks:

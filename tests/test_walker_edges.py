@@ -87,3 +87,16 @@ def test_halk_rebuild_quirk_reproduced():
     out = canon.halk_rebuild([walk], rare_predicates=set(), with_reverse=False)
     # i sequence: 2('p1'),3('p2'),4('p3') → objs walk[2], walk[4], walk[4]
     assert out == [("E", "p1", "o1", "p2", "o2", "p3", "o2")]
+
+
+def test_func_split_user_hook():
+    gi = GraphIndex.from_table(synth.triples_table(synth.LOOP))
+
+    def my_split(walk, with_reverse):
+        return tuple(tok.rsplit("#", 1)[-1].upper() for tok in walk)
+
+    spec = WalkerSpec(strategy="split", max_depth=1, func_split=my_split)
+    out = run(gi, spec, [IRI + "Alice"])
+    for w in out[IRI + "Alice"]:
+        assert all(tok == tok.upper() for tok in w)
+        assert w[0] == "ALICE"
