@@ -51,7 +51,11 @@ def tumbling_window(
         return pd.DataFrame(
             {
                 "user_id": wkey // M,
-                "window_start": pd.to_datetime(wkey % M, unit="s"),
+                # us resolution: matches the parquet/DuckDB timestamp unit so
+                # value comparisons hash identically
+                "window_start": pd.to_datetime(wkey % M, unit="s").astype(
+                    "datetime64[us]"
+                ),
                 "n_events": batch["n_events"].astype("int64"),
                 "sum_value": batch["sum_value"].astype("float64"),
             }

@@ -60,12 +60,23 @@ triples AS (
 
 
 def tpch_triples(sf_dir: str) -> ray.data.Dataset:
-    parts = []
+    # one read per TABLE (lineitem feeds two relations — scan it once,
+    # emit both triple kinds from the same batch)
+    by_table: dict[str, list] = {}
     for table, ps, sk, pred, po, ok in RELATIONS:
-        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[sk, ok])
+        by_table.setdefault(table, []).append((ps, sk, pred, po, ok))
 
-        def to_triples(batch: pa.Table, ps=ps, sk=sk, pred=pred, po=po, ok=ok):
-            return _triple_batch(ps, batch[sk], pred, po, batch[ok])
+    parts = []
+    for table, rels in by_table.items():
+        cols = sorted({c for _, sk, _, _, ok in rels for c in (sk, ok)})
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+
+        def to_triples(batch: pa.Table, rels=rels):
+            tables = [
+                _triple_batch(ps, batch[sk], pred, po, batch[ok])
+                for ps, sk, pred, po, ok in rels
+            ]
+            return pa.concat_tables(tables)
 
         parts.append(ds.map_batches(to_triples, batch_format="pyarrow"))
     unioned = parts[0].union(*parts[1:])
