@@ -14,7 +14,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from pyrdf2vec_ray.schemas import ADJACENCY, HOP_STRUCT
+from pyrdf2vec_ray.schemas import HOP_STRUCT
 from pyrdf2vec_ray.stages.extract import MentionExtractor
 from pyrdf2vec_ray.stages.link import CandidateIndex, EntityLinker
 

@@ -123,3 +123,20 @@ def test_transformer_online_update(gi_loop):
     assert set(t._entities) == set(ENTITIES + [IRI + "Emma"])
     out = t.embedder.transform(ENTITIES + [IRI + "Emma"])
     assert len(out) == 4
+
+
+def test_multi_walker_corpus_union(gi_loop):
+    """rdf2vec.py:178-181: corpora of several walkers are concatenated in
+    walker order; the transformer trains on the union."""
+    t = RDF2VecTransformer(
+        embedder=Word2Vec(vector_size=8, epochs=1, seed=4),
+        walkers=[
+            WalkerSpec(strategy="random", max_depth=1, max_walks=None),
+            WalkerSpec(strategy="walklet", max_depth=1, max_walks=None),
+        ],
+    )
+    t.fit(gi_loop, ENTITIES)
+    # one stored corpus row per (walker, entity)
+    assert len(t._walks) == 2 * len(ENTITIES)
+    emb = t.embedder.transform(ENTITIES)
+    assert len(emb) == 3
