@@ -330,6 +330,16 @@ def _walker_query(sf_dir: str, spec, n: int = 100):
     return explode_walks(extract_walks(gi, entities, spec, batch_size=64))
 
 
+def q_walks_community(sf_dir: str):
+    from pyrdf2vec_ray.walkers import WalkerSpec
+
+    return _walker_query(
+        sf_dir,
+        WalkerSpec(strategy="community", max_depth=2, max_walks=5,
+                   random_state=11),
+    )
+
+
 def q_walks_anonymous(sf_dir: str):
     from pyrdf2vec_ray.walkers import WalkerSpec
 
@@ -448,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "walks_wl_sample": q_walks_wl_sample,
         "walks_dfs_sampled": q_walks_dfs_sampled,
+        "walks_community": q_walks_community,
         "walks_anonymous": q_walks_anonymous,
         "walks_split": q_walks_split,
         "walks_halk": q_walks_halk,

@@ -170,15 +170,11 @@ def extract_walks(
     gi: GraphIndex,
     entities: list[str],
     spec: WalkerSpec,
-    concurrency: int | tuple | None = None,
+    concurrency: int | tuple | None = None,   # unused: stateless tasks scale elastically
     batch_size: int = 256,
     skip_verify: bool = False,
 ) -> ray.data.Dataset:
     """Entities → per-entity canonical walks Dataset."""
-    if concurrency is None:
-        from pyrdf2vec_ray.util import default_concurrency
-
-        concurrency = default_concurrency(0.5)
     if not skip_verify:
         assert_exists(gi, entities)
     g = gi.local()

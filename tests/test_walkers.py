@@ -53,7 +53,7 @@ def test_bfs_dead_end_retention(graphs):
     assert set(walks) == {(IRI + "Emma", IRI + "knows", IRI + "Julio")}
 
 
-@pytest.mark.parametrize("depth", [0, 1, 2, 4, 6])
+@pytest.mark.parametrize("depth", [0, 1, 2, 4, 6, 8, 14])
 @pytest.mark.parametrize("max_walks", [None, 1, 3, 5])
 def test_walk_shape_invariants(graphs, depth, max_walks):
     gi_loop, gi_chain = graphs
