@@ -198,6 +198,17 @@ class Word2Vec:
         self._model.train(corpus)
         return self
 
+    def fit_dataset(self, walks_ds, is_update: bool = False) -> "Word2Vec":
+        """Train from an exploded walks Dataset (entity, walk): the corpus
+        streams off the object store into the trainer.  The vocabulary and
+        training run single-process for the determinism contract; for
+        throughput-scalable training over a Dataset use
+        `embedders_dist.DistributedWord2Vec` (parameter-server actors)."""
+        corpus = corpus_from_dataset(walks_ds)
+        self._model.build_vocab(corpus, update=is_update)
+        self._model.train(corpus)
+        return self
+
     def transform(self, entities: list[str]) -> list[np.ndarray]:
         if not all(e in self._model for e in entities):
             raise ValueError(

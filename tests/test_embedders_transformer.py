@@ -140,3 +140,20 @@ def test_multi_walker_corpus_union(gi_loop):
     assert len(t._walks) == 2 * len(ENTITIES)
     emb = t.embedder.transform(ENTITIES)
     assert len(emb) == 3
+
+
+def test_fit_dataset_matches_fit(gi_loop):
+    from pyrdf2vec_ray.walkers import explode_walks, extract_walks
+
+    spec = WalkerSpec(strategy="random", max_depth=2, max_walks=None,
+                      random_state=9)
+    ds = explode_walks(extract_walks(gi_loop, ENTITIES, spec))
+    w1 = Word2Vec(vector_size=8, epochs=2, seed=9).fit_dataset(ds)
+    # equivalent list-based fit over the same (sorted) corpus
+    from pyrdf2vec_ray.util import to_table
+
+    t = to_table(explode_walks(extract_walks(gi_loop, ENTITIES, spec)))
+    corpus = [[list(w) for w in t["walk"].to_pylist()]]
+    w2 = Word2Vec(vector_size=8, epochs=2, seed=9).fit(corpus)
+    for e in ENTITIES:
+        assert np.array_equal(w1.transform([e])[0], w2.transform([e])[0])

@@ -215,3 +215,19 @@ def test_unknown_entity_raises(graphs):
     gi_loop, _ = graphs
     with pytest.raises(ValueError, match="Knowledge Graph"):
         assert_exists(gi_loop, ["does", "not", "exist"])
+
+
+def test_with_reverse_exact_sets(graphs):
+    """Exact r_walk[:-1] + walk structure (random.py:134-139) on LOOP,
+    depth 1, no hashing: forward walks from Alice = {(A,k,B),(A,k,D)};
+    reverse walks = {(D,l,A)}; combined = {(D,l)+fwd}."""
+    gi_loop, _ = graphs
+    spec = WalkerSpec(strategy="random", max_depth=1, max_walks=None,
+                      with_reverse=True, md5_bytes=None)
+    A, B, D = IRI + "Alice", IRI + "Bob", IRI + "Dean"
+    k, l = IRI + "knows", IRI + "loves"
+    walks = set(run(gi_loop, spec, [A])[A])
+    assert walks == {
+        (D, l, A, k, B),
+        (D, l, A, k, D),
+    }
