@@ -63,3 +63,14 @@ def test_res2hops_skip():
         {"p": {"value": "http://skip"}, "o": {"value": "http://c"}},
     ]
     assert res2hops(res, frozenset({"http://skip"})) == [("http://p", "http://b")]
+
+
+def test_read_entities_csv_tsv(tmp_path):
+    from pyrdf2vec_ray.sources.graph_edit import read_entities
+
+    c = tmp_path / "e.csv"
+    c.write_text("entity,label\nhttp://x#A,1\nhttp://x#B,0\n")
+    assert read_entities(str(c)) == ["http://x#A", "http://x#B"]
+    t = tmp_path / "e.tsv"
+    t.write_text("entity\tlabel\nhttp://x#C\t1\n")
+    assert read_entities(str(t)) == ["http://x#C"]
