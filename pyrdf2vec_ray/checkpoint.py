@@ -140,18 +140,25 @@ def extract_walks_checkpointed(
     n_partitions: int = 8,
 ) -> list[PartitionResult]:
     """Checkpointed walk extraction: entity-range partitions, each written
-    to its own parquet dir + manifest entry (fingerprint = entity range +
-    walker spec), so a killed extraction resumes at the first incomplete
-    range.  Read back with `read_run(root)`."""
+    to its own parquet dir + manifest entry, so a killed extraction resumes
+    at the first incomplete range.  The fingerprint covers the ACTUAL
+    inputs — a content hash of the entity slice, the graph's structural
+    fingerprint, and the walker spec — so resuming into the same root
+    after the entity list or KG changed rebuilds instead of silently
+    reusing stale partitions.  Read back with `read_run(root)`."""
+    import hashlib
+
     from pyrdf2vec_ray.walkers import explode_walks, extract_walks
 
+    gfp = gi.fingerprint()
     step = (len(entities) + n_partitions - 1) // n_partitions
     parts = []
     for i in range(n_partitions):
         lo, hi = i * step, min((i + 1) * step, len(entities))
         if lo >= hi:
             continue
-        parts.append((f"ents-{i:05d}", f"[{lo}:{hi}){spec}"))
+        ents_h = hashlib.md5("\x00".join(entities[lo:hi]).encode()).hexdigest()[:16]
+        parts.append((f"ents-{i:05d}", f"[{lo}:{hi}){ents_h}|{gfp}|{spec}"))
 
     def build(partition: str):
         i = int(partition.split("-")[1])
@@ -176,14 +183,24 @@ def construct_kg_checkpointed(
     (per-partition dedup; the global dedup happens when reading the run
     with `read_run(...).groupby(subj,pred,obj)`, or is a no-op when
     partitions are disjoint doc ranges and downstream tolerates dups)."""
+    import hashlib
+
     from pyrdf2vec_ray import synth
     from pyrdf2vec_ray.pipelines.construct import construct_kg
 
+    # the candidate dictionary is an input too: a changed candidate set
+    # must invalidate completed partitions
+    cand_h = hashlib.md5(
+        "\x00".join(f"{k}\x01{v}" for k, v in sorted(candidates.items())).encode()
+    ).hexdigest()[:16]
     step = (n_docs + n_partitions - 1) // n_partitions
     parts = []
     for i in range(n_partitions):
         lo, hi = i * step, min((i + 1) * step, n_docs)
-        parts.append((f"part-{i:05d}", f"docs[{lo}:{hi})seed={seed}ent={n_entities}"))
+        parts.append(
+            (f"part-{i:05d}",
+             f"docs[{lo}:{hi})seed={seed}ent={n_entities}cand={cand_h}")
+        )
 
     def build(partition: str):
         i = int(partition.split("-")[1])

@@ -67,7 +67,12 @@ class SGNS:
 
     def build_vocab(self, corpus: list[list[str]], update: bool = False):
         if not update:
+            # a non-update build starts a FRESH model: discard any trained
+            # matrices so a second fit() doesn't map the new vocabulary onto
+            # stale vectors (gensim, which the reference wraps, re-inits
+            # weights on build_vocab(update=False) too)
             self.key_to_index, self.counts = {}, []
+            self.W, self.C = None, None
         for sent in corpus:
             for tok in sent:
                 idx = self.key_to_index.get(tok)

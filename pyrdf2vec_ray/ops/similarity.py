@@ -44,12 +44,16 @@ def knn_bruteforce(
         v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
         sims = q @ v.T                                   # (nq, nb)
         kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows_q, rows_n, rows_s = [], [], []
         for qi in range(len(q)):
+            # argpartition alone keeps an ARBITRARY subset when cosine ties
+            # straddle the k boundary (duplicate vectors); a full
+            # (-cos, neighbor_id) lexsort is exact and matches the SQL
+            # oracle's row_number tie-break
+            order = np.lexsort((ids, -sims[qi]))[:kk]
             rows_q.extend([qi] * kk)
-            rows_n.extend(ids[top[qi]])
-            rows_s.extend(sims[qi, top[qi]])
+            rows_n.extend(ids[order])
+            rows_s.extend(sims[qi, order])
         return pd.DataFrame(
             {"qi": rows_q, "neighbor_id": rows_n, "cos": rows_s}
         )

@@ -11,6 +11,8 @@ are routed by key hash; on one node every linker holds all shards.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -32,11 +34,19 @@ class CandidateIndex:
         self.num_shards = num_shards
 
     @staticmethod
+    def shard_of(key: str, num_shards: int) -> int:
+        """Stable shard routing: crc32, NOT builtin hash() — Python string
+        hashing is PYTHONHASHSEED-salted per process, so hash()-based
+        routing would send lookups from a different process to the wrong
+        shard actor."""
+        return zlib.crc32(key.encode()) % num_shards
+
+    @staticmethod
     def build(candidates: dict[str, str], num_shards: int = 8) -> "CandidateIndex":
         """candidates: normalized surface key → canonical IRI."""
         shards: list[dict[str, str]] = [{} for _ in range(num_shards)]
         for key, iri in candidates.items():
-            shards[hash(key) % num_shards][key] = iri
+            shards[CandidateIndex.shard_of(key, num_shards)][key] = iri
         return CandidateIndex([ray.put(s) for s in shards], num_shards)
 
     def load(self) -> dict[str, str]:

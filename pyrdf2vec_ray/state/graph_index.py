@@ -98,6 +98,19 @@ class GraphIndex:
 
         return GraphIndex.from_table(to_table(triples_ds))
 
+    def fingerprint(self) -> str:
+        """Cheap content identity of the graph (edge structure + vocab):
+        used by checkpoint manifests so a resume against a DIFFERENT graph
+        invalidates completed partitions instead of silently reusing them."""
+        import zlib
+
+        a = self.arrays
+        h = zlib.crc32(a.fwd_pred.tobytes())
+        h = zlib.crc32(a.fwd_obj.tobytes(), h)
+        h = zlib.crc32(a.fwd_indptr.tobytes(), h)
+        h = zlib.crc32(a.names.tobytes(), h)
+        return f"g{len(a.names)}e{len(a.fwd_pred)}x{h:08x}"
+
     # -- broadcast -----------------------------------------------------------
 
     def broadcast(self):

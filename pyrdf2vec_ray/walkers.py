@@ -254,8 +254,15 @@ def halk_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset:
         .sum("n")
     )
     stats_t = stats.to_pandas()
+    if len(stats_t) == 0 or "pred" not in stats_t.columns:
+        # empty corpus (e.g. empty entity list): empty HALK dataset, not
+        # an IndexError
+        return ray.data.from_arrow(HALK_SCHEMA.empty_table())
     col = "sum(n)" if "sum(n)" in stats_t.columns else "n"
-    total = int(stats_t.loc[stats_t["pred"] == "\x00TOTAL\x00", col].iloc[0])
+    total_rows = stats_t.loc[stats_t["pred"] == "\x00TOTAL\x00", col]
+    if len(total_rows) == 0 or int(total_rows.sum()) == 0:
+        return ray.data.from_arrow(HALK_SCHEMA.empty_table())
+    total = int(total_rows.sum())
     freqs = {
         r["pred"]: r[col] / total
         for _, r in stats_t.iterrows()
