@@ -179,6 +179,96 @@ def q_literals_region_chain(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def q_walks_reverse(sf_dir: str):
+    """with_reverse combiner (G4, random.py:134-139): depth-1 BFS both
+    directions from every customer; each output walk is the cartesian
+    r_walk[:-1] + walk.  Customers without orders keep the bare forward
+    walk (the reverse dead-end root survives as `(root,)`).  Exploded to
+    (entity, walk-as-string) so mixed walk lengths share one column."""
+    from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)
+    spec = WalkerSpec(strategy="random", max_depth=1, max_walks=None,
+                      with_reverse=True, md5_bytes=None)
+    walks = extract_walks(gi, entities, spec, batch_size=256)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ents, ws = [], []
+        for e, walks_ in zip(batch["entity"].to_pylist(),
+                             batch["walks"].to_pylist()):
+            for w in walks_:
+                ents.append(e)
+                ws.append(" ".join(w))
+        return pa.table({"entity": pa.array(ents, pa.string()),
+                         "walk": pa.array(ws, pa.string())})
+
+    return walks.map_batches(explode, batch_format="pyarrow")
+
+
+def q_walks_ngram(sf_dir: str):
+    """NGramWalker (W4, ngram.py:60-113): depth-2 customer walks with the
+    token at even index >= grams replaced by the deterministic id of the
+    trailing 3-gram (two-phase global assignment, lexicographic ids)."""
+    from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)
+    spec = WalkerSpec(strategy="ngram", max_depth=2, max_walks=None, grams=3)
+    walks = extract_walks(gi, entities, spec, batch_size=256)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cols = {"e0": [], "p1": [], "e1": [], "p2": [], "g4": []}
+        for ws in batch["walks"].to_pylist():
+            for w in ws:
+                for name, tok in zip(("e0", "p1", "e1", "p2", "g4"), w):
+                    cols[name].append(tok)
+        return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+
+    return walks.map_batches(explode, batch_format="pyarrow")
+
+
+def q_walks_wide_sampled(sf_dir: str):
+    """WideSampler-weighted DFS (A6, samplers/wide.py:50-96)."""
+    from pyrdf2vec_ray.samplers import SamplerSpec
+    from pyrdf2vec_ray.walkers import WalkerSpec
+
+    return _walker_query(
+        sf_dir,
+        WalkerSpec(strategy="random", max_depth=3, max_walks=6,
+                   random_state=21, sampler=SamplerSpec(kind="wide")),
+        n=200,
+    )
+
+
+def q_fasttext_embeddings(sf_dir: str):
+    """FastText variant (A12, embedders/fasttext.py): SGNS + '#'-fragment
+    ngram buckets; includes one OOV entity resolved via bucket vectors."""
+    import pyarrow as _pa
+
+    from pyrdf2vec_ray.embedders import FastText
+    from pyrdf2vec_ray.pipelines.rdf2vec import RDF2VecTransformer
+    from pyrdf2vec_ray.walkers import WalkerSpec
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)[:100]
+    t = RDF2VecTransformer(
+        embedder=FastText(vector_size=24, epochs=2, seed=9, bucket=100_000),
+        walkers=[WalkerSpec(strategy="random", max_depth=2, max_walks=6,
+                            random_state=9)],
+    )
+    t.fit(gi, entities)
+    # transform the fitted entities plus an out-of-vocabulary IRI (the
+    # FastText-specific path: mean of its ngram-bucket vectors)
+    probe = entities + ["http://example.org#customer_oov"]
+    vecs = t.embedder.transform(probe)
+    return _pa.table(
+        {"entity": _pa.array(probe, _pa.string()),
+         "vector": _pa.array([v.tolist() for v in vecs],
+                             _pa.list_(_pa.float32()))}
+    )
+
+
 def q_doc_exact_dedup(sf_dir: str):
     from pyrdf2vec_ray.ops.dedup import exact_dedup
 
@@ -438,6 +528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampler_predfreq": q_sampler_predfreq,
         "sampler_objpredfreq": q_sampler_objpredfreq,
         "bfs_walks_customers": q_bfs_walks_customers,
+        "walks_reverse": q_walks_reverse,
+        "walks_ngram": q_walks_ngram,
         "walklets_customers": q_walklets_customers,
         "literals_region_chain": q_literals_region_chain,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -458,6 +550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "walks_wl_sample": q_walks_wl_sample,
         "walks_dfs_sampled": q_walks_dfs_sampled,
+        "walks_wide_sampled": q_walks_wide_sampled,
+        "fasttext_embeddings": q_fasttext_embeddings,
         "walks_community": q_walks_community,
         "walks_anonymous": q_walks_anonymous,
         "walks_split": q_walks_split,
@@ -502,6 +596,31 @@ def oracle_sql() -> dict[str, str]:
                    'in_region' AS p2,
                    'region:' || n_regionkey AS e2
             FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "walks_reverse": """
+            SELECT 'customer:' || c_custkey AS entity,
+                   CASE WHEN o_orderkey IS NULL
+                     THEN 'customer:' || c_custkey || ' in_nation nation:' || c_nationkey
+                     ELSE 'order:' || o_orderkey || ' placed_by customer:' || c_custkey
+                          || ' in_nation nation:' || c_nationkey
+                   END AS walk
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        """,
+        "walks_ngram": """
+            WITH walks AS (
+              SELECT 'customer:' || c_custkey AS e0, 'in_nation' AS p1,
+                     'nation:' || c_nationkey AS e1, 'in_region' AS p2,
+                     'region:' || n_regionkey AS e2
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), ids AS (
+              SELECT e1, p2, e2,
+                     CAST(dense_rank() OVER (
+                       ORDER BY e1 || chr(31) || p2 || chr(31) || e2
+                     ) - 1 AS VARCHAR) AS g4
+              FROM (SELECT DISTINCT e1, p2, e2 FROM walks)
+            )
+            SELECT w.e0, w.p1, w.e1, w.p2, i.g4
+            FROM walks w JOIN ids i ON w.e1 = i.e1 AND w.p2 = i.p2 AND w.e2 = i.e2
         """,
         "walklets_customers": """
             SELECT 'customer:' || c_custkey AS w0, 'in_nation' AS w1 FROM customer
