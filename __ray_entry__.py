@@ -362,12 +362,35 @@ def q_minhash_neardup(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup over the embeddings table UNION a
+    deterministically perturbed copy of every 10th vector (ids offset by
+    10M): the planted pairs make the query falsifiable — a recall
+    regression in the LSH tables shows up as a row-count drop (the raw
+    table alone has no pairs above 0.95 at this sf)."""
     import ray.data
 
     from pyrdf2vec_ray.ops.dedup import embedding_neardup_pairs
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, threshold=0.95)
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 10 == 0
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in
+             batch["embedding"].to_pylist()]
+        )[keep]
+        # deterministic tiny rotation-free noise: cos stays > 0.999
+        noise = np.sin(np.arange(vecs.shape[1]) + ids[keep][:, None]) * 1e-3
+        out = vecs + noise.astype(np.float32)
+        return pa.table(
+            {"vec_id": pa.array(ids[keep] + 10_000_000, pa.int64()),
+             "embedding": pa.array([list(map(float, r)) for r in out],
+                                   pa.list_(pa.float32()))}
+        )
+
+    planted = emb.map_batches(perturb, batch_format="pyarrow")
+    return embedding_neardup_pairs(emb.union(planted), threshold=0.95)
 
 
 def q_knn_ivf(sf_dir: str):

@@ -172,7 +172,7 @@ def run_benchmarks() -> dict:
         docs = ray.data.read_parquet(
             f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
         )
-        return minhash_dedup_pairs(docs, threshold=0.8).num_rows
+        return minhash_dedup_pairs(docs, threshold=0.8).count()
 
     timed("minhash_dedup", bench_minhash)
 

@@ -130,10 +130,26 @@ def minhash_lsh_candidates(
     cand = bucket_apply(
         rows_ds, ["band_hash"], per_bucket, num_buckets=16,
         batch_format="pandas",
-    ).to_pandas()
-    # a doc pair can collide via several band hashes in different buckets
-    pairs = cand.drop_duplicates().reset_index(drop=True)
-    return ray.data.from_pandas(pairs)
+    )
+    # a doc pair can collide via several band hashes in different buckets:
+    # dedup as a dataset-level distinct (no driver collect — the candidate
+    # set is unbounded at scale)
+    from pyrdf2vec_ray.shuffle import distinct
+
+    return distinct(cand, ["doc_a", "doc_b"])
+
+
+# pair_key packing: doc ids must fit 31 bits so (doc_a, doc_b) packs into
+# one non-negative int64 shuffle key
+_PAIR_SHIFT = 31
+
+
+def _pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    if len(a) and (a.max() >= (1 << _PAIR_SHIFT) or b.max() >= (1 << _PAIR_SHIFT)):
+        raise ValueError("doc ids must be < 2^31 for pair packing")
+    return (a << _PAIR_SHIFT) | b
 
 
 def verify_jaccard(
@@ -141,47 +157,103 @@ def verify_jaccard(
     pairs: ray.data.Dataset,
     k: int = 5,
     threshold: float = 0.8,
-) -> pa.Table:
-    """n-gram Jaccard verification of candidate pairs.  The candidate set
-    is small (LSH output); texts for it are fetched via a broadcast of the
-    candidate id set, then verified vectorized on the driver."""
-    import ray
+) -> ray.data.Dataset:
+    """n-gram Jaccard verification of candidate pairs, fully distributed:
+    the pair set and the per-doc shingle sets are co-partitioned by doc id
+    (one bucket shuffle = a hash join), then each pair's two shingle sets
+    meet under a second shuffle keyed by the packed pair id.  Nothing is
+    collected to the driver — at 100 TB the candidate set alone can exceed
+    driver memory, so both the pair list and the texts stay Datasets."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
 
-    pair_t = pairs.to_pandas()
-    if len(pair_t) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    wanted = set(pair_t["doc_a"]) | set(pair_t["doc_b"])
-    wanted_ref = ray.put(wanted)
+    # side P: one row per (pair, member doc)
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        key = _pack_pairs(a, b)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([a, b]).astype(np.int64)),
+             "pair_key": pa.array(np.concatenate([key, key]).astype(np.int64))}
+        )
 
-    def grab(batch: pd.DataFrame) -> pd.DataFrame:
-        w = ray.get(wanted_ref)
-        return batch[batch["doc_id"].isin(w)][["doc_id", "text"]]
+    p_side = pairs.map_batches(explode_pairs, batch_format="pyarrow")
 
-    texts = docs.map_batches(grab, batch_format="pandas").to_pandas()
-    by_id = dict(zip(texts["doc_id"], texts["text"]))
-    out_a, out_b, jac = [], [], []
-    for a_id, b_id in zip(pair_t["doc_a"], pair_t["doc_b"]):
-        sa = set(_shingle_hashes(str(by_id.get(a_id, "")), k).tolist())
-        sb = set(_shingle_hashes(str(by_id.get(b_id, "")), k).tolist())
-        j = len(sa & sb) / max(1, len(sa | sb))
-        if j >= threshold:
-            out_a.append(a_id)
-            out_b.append(b_id)
-            jac.append(j)
-    return pa.table(
-        {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()),
-         "jaccard": pa.array(jac, pa.float64())}
+    # side D: per-doc shingle hash sets (sorted unique, vectorized numpy)
+    def doc_shingles(batch: pd.DataFrame) -> pd.DataFrame:
+        # shingle sets travel as raw int64 bytes: a plain Arrow binary
+        # column survives union/shuffle (tensor-extension columns do not
+        # unify with empty/null batches)
+        sh = [
+            np.unique(_shingle_hashes(str(t), k)).astype(np.int64).tobytes()
+            for t in batch["text"].astype(str)
+        ]
+        return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                             "sh": sh})
+
+    d_side = docs.map_batches(doc_shingles, batch_format="pandas",
+                              batch_size=2048)
+
+    # hash join on doc_id: union both sides, co-partition, merge per bucket
+    def tag(side):
+        def fn(batch: pd.DataFrame, side=side) -> pd.DataFrame:
+            batch = batch.copy()
+            if side == "p":
+                # empty bytes, not None: both sides must carry the same
+                # Arrow binary type through the union
+                batch["sh"] = b"\x00"
+            else:
+                batch["pair_key"] = np.int64(-1)
+            batch["side"] = side
+            return batch[["doc_id", "pair_key", "sh", "side"]]
+
+        return fn
+
+    tagged = p_side.map_batches(tag("p"), batch_format="pandas").union(
+        d_side.map_batches(tag("d"), batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pr = g[g["side"] == "p"][["doc_id", "pair_key"]]
+        dd = g[g["side"] == "d"][["doc_id", "sh"]]
+        m = pr.merge(dd, on="doc_id", how="inner")
+        return m[["pair_key", "sh"]]
+
+    joined = bucket_apply(
+        tagged, ["doc_id"], join_bucket, num_buckets=16, batch_format="pandas"
+    )
+
+    # second shuffle: both members of a pair land in one bucket; verify
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, jac = [], [], []
+        for key, grp in g.groupby("pair_key"):
+            if len(grp) != 2:
+                continue  # a member doc was missing from `docs`
+            sa, sb = (np.frombuffer(x, dtype=np.int64) for x in grp["sh"])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / max(1, union)
+            if j >= threshold:
+                out_a.append(int(key) >> _PAIR_SHIFT)
+                out_b.append(int(key) & ((1 << _PAIR_SHIFT) - 1))
+                jac.append(j)
+        return pd.DataFrame(
+            {"doc_a": pd.array(out_a, dtype="int64"),
+             "doc_b": pd.array(out_b, dtype="int64"),
+             "jaccard": pd.array(jac, dtype="float64")}
+        )
+
+    return bucket_apply(
+        joined, ["pair_key"], verify_bucket, num_buckets=16,
+        batch_format="pandas",
     )
 
 
 def minhash_dedup_pairs(
     docs: ray.data.Dataset, threshold: float = 0.8,
     num_perm: int = 64, bands: int = 16, rows: int = 4, k: int = 5,
-) -> pa.Table:
+) -> ray.data.Dataset:
     """Full near-dup pipeline: shingle → minhash → LSH buckets → verified
-    (doc_a, doc_b, jaccard) pairs."""
+    (doc_a, doc_b, jaccard) pairs, end-to-end as Datasets."""
     docs = docs.materialize()   # consumed twice (signatures + verification)
     sigs = minhash_signatures(docs, num_perm=num_perm, k=k)
     cand = minhash_lsh_candidates(sigs, bands=bands, rows=rows)
@@ -219,44 +291,72 @@ def simhash(docs: ray.data.Dataset, bits: int = 64) -> ray.data.Dataset:
 
 def embedding_neardup_pairs(
     emb: ray.data.Dataset, threshold: float = 0.95, id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> pa.Table:
-    """Near-duplicate detection on an embedding column: LSH-style random
-    hyperplane bucketing (map_batches) → within-bucket exact cosine.
-    Returns (id_a, id_b, cos) pairs above threshold."""
+    vec_col: str = "embedding", num_tables: int = 2, num_planes: int = 12,
+) -> ray.data.Dataset:
+    """Near-duplicate detection on an embedding column: `num_tables`
+    independent random-hyperplane LSH tables (multi-table probing bounds
+    the single-table recall loss — a near-dup pair is missed only if a
+    hyperplane separates it in EVERY table), within-bucket exact cosine,
+    then a dataset-level distinct over the surviving pairs.  Returns a
+    (id_a, id_b, cos) Dataset — no driver collect; the pair set is
+    unbounded at corpus scale."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
     def bucket(batch: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(batch[vec_col].to_numpy())
-        # seed-fixed hyperplanes: identical in every task, no broadcast needed
-        planes = np.random.RandomState(11).randn(vecs.shape[1], 12)
-        signs = (vecs @ planes) > 0
-        keys = (signs.astype(np.uint32) @ (1 << np.arange(12, dtype=np.uint32))).astype("int64")
-        return pd.DataFrame({id_col: batch[id_col], "bucket": keys,
-                             vec_col: list(vecs)})
+        ids, keys, vs = [], [], []
+        for t in range(num_tables):
+            # seed-fixed hyperplanes per table: identical in every task, no
+            # broadcast needed
+            planes = np.random.RandomState(11 + t).randn(vecs.shape[1], num_planes)
+            signs = (vecs @ planes) > 0
+            k = signs.astype(np.int64) @ (1 << np.arange(num_planes, dtype=np.int64))
+            keys.append(k + (t << num_planes))   # table id baked into the key
+            ids.append(batch[id_col].to_numpy())
+            vs.extend(list(vecs))
+        return pd.DataFrame({id_col: np.concatenate(ids),
+                             "bkey": np.concatenate(keys), vec_col: vs})
 
     bucketed = emb.map_batches(bucket, batch_format="pandas", batch_size=4096)
 
-    def within(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        v = np.stack(group[vec_col].to_numpy()).astype(np.float64)
-        norm = np.linalg.norm(v, axis=1, keepdims=True)
-        norm[norm == 0] = 1
-        vn = v / norm
-        sims = vn @ vn.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        mask = sims[ia, ib] >= threshold
-        return pd.DataFrame(
-            {"id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
-             "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
-             "cos": sims[ia, ib][mask]}
-        )
+    def within_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, group in g.groupby("bkey"):
+            if len(group) < 2:
+                continue
+            ids = group[id_col].to_numpy()
+            v = np.stack(group[vec_col].to_numpy()).astype(np.float64)
+            norm = np.linalg.norm(v, axis=1, keepdims=True)
+            norm[norm == 0] = 1
+            vn = v / norm
+            sims = vn @ vn.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            mask = sims[ia, ib] >= threshold
+            if mask.any():
+                outs.append(pd.DataFrame(
+                    {"id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
+                     "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
+                     "cos": sims[ia, ib][mask]}
+                ))
+        if not outs:
+            return pd.DataFrame(
+                {"id_a": pd.array([], dtype="int64"),
+                 "id_b": pd.array([], dtype="int64"),
+                 "cos": pd.array([], dtype="float64")}
+            )
+        return pd.concat(outs, ignore_index=True)
 
-    pairs = bucketed.groupby("bucket").map_groups(within, batch_format="pandas")
-    t = pairs.to_pandas()
-    empty = pa.table(
-        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-         "cos": pa.array([], pa.float64())}
+    pairs = bucket_apply(
+        bucketed, ["bkey"], within_bucket, num_buckets=16,
+        batch_format="pandas",
     )
-    if len(t) == 0 or "id_a" not in t.columns:
-        return empty
-    t = t.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
-    return pa.Table.from_pandas(t.reset_index(drop=True), preserve_index=False)
+
+    # the same pair surfaces from several tables: keep one row per pair
+    # (min over identical cos values), still as a Dataset
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_a", "id_b"], as_index=False)["cos"].min()
+
+    return bucket_apply(
+        pairs, ["id_a", "id_b"], dedup_bucket, num_buckets=16,
+        batch_format="pandas",
+    )

@@ -157,3 +157,26 @@ def test_media_pipeline_fake_and_strict():
                           d._decode("media://x/1", "image"))
     with pytest.raises(NotImplementedError):
         MediaDecoder(dim=8, mode="strict")._decode("media://x/1", "image")
+
+
+def test_embedding_neardup_multitable_recall():
+    # 50 base vectors + a perturbed copy of each (cos > 0.999): with two
+    # LSH tables the planted pairs must be found at high recall, and the
+    # result is a Dataset (no driver-side pair materialization)
+    rng = np.random.RandomState(5)
+    v = rng.randn(50, 16).astype(np.float32)
+    ids = list(range(50)) + [100 + i for i in range(50)]
+    vecs = np.concatenate([v, v + rng.randn(50, 16).astype(np.float32) * 1e-3])
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in vecs],
+                                        pa.list_(pa.float32()))})
+    )
+    out = embedding_neardup_pairs(ds, threshold=0.999)
+    assert isinstance(out, ray.data.Dataset)
+    got = set(zip(*[out.to_pandas()[c] for c in ("id_a", "id_b")]))
+    planted = {(i, 100 + i) for i in range(50)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9
+    # no duplicate pair rows despite multi-table probing
+    assert len(got) == out.count()
