@@ -44,16 +44,33 @@ def _customer_entities(sf_dir: str) -> list[str]:
     return [f"customer:{k}" for k in keys]
 
 
-_GI_CACHE: dict[str, Any] = {}
+_GI_CACHE: dict[tuple, Any] = {}
 
 
-def _graph_index(sf_dir: str):
+def _graph_index(sf_dir: str, sharded: bool = False):
+    """Graph over the relational KG: broadcast CSR by default; the
+    hash-sharded parquet-backed index (no driver-side triples
+    materialization, state/sharded_graph.py) when ``sharded=True`` —
+    walk output is identical across the two backends (pinned by
+    tests/test_sharded_graph.py)."""
     from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
-    from pyrdf2vec_ray.state.graph_index import GraphIndex
 
-    if sf_dir not in _GI_CACHE:
-        _GI_CACHE[sf_dir] = GraphIndex.from_dataset(tpch_triples(sf_dir))
-    return _GI_CACHE[sf_dir]
+    key = (sf_dir, sharded)
+    if key not in _GI_CACHE:
+        if sharded:
+            import tempfile
+
+            from pyrdf2vec_ray.state.sharded_graph import ShardedGraphIndex
+
+            _GI_CACHE[key] = ShardedGraphIndex.build(
+                tpch_triples(sf_dir), num_shards=8,
+                scratch_dir=tempfile.mkdtemp(prefix="graft_shards_"),
+            )
+        else:
+            from pyrdf2vec_ray.state.graph_index import GraphIndex
+
+            _GI_CACHE[key] = GraphIndex.from_dataset(tpch_triples(sf_dir))
+    return _GI_CACHE[key]
 
 
 def _docs(sf_dir: str):
@@ -113,10 +130,11 @@ def q_bfs_walks_customers(sf_dir: str):
     """BFS depth-2 walks (no md5) from every customer — the reference's
     RandomWalker(max_depth=2, max_walks=None, md5_bytes=None) on the
     relational KG; every walk here reaches full depth, so the oracle is a
-    two-join SQL path query."""
+    two-join SQL path query.  Runs on the SHARDED index — the scale path
+    with no driver-side graph materialization."""
     from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)
     spec = WalkerSpec(strategy="random", max_depth=2, max_walks=None, md5_bytes=None)
     walks = extract_walks(gi, entities, spec, batch_size=256)
@@ -519,10 +537,12 @@ def q_rdf2vec_embeddings(sf_dir: str):
 
 
 def q_walks_dfs_sampled(sf_dir: str):
+    """PageRank-sampled DFS on the SHARDED index (name-keyed sampler
+    stats fitted from the parquet-backed triples Dataset)."""
     from pyrdf2vec_ray.samplers import SamplerSpec
     from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)[:200]
     spec = WalkerSpec(
         strategy="random", max_depth=3, max_walks=8, random_state=42,

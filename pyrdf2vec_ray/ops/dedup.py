@@ -264,23 +264,40 @@ def minhash_dedup_pairs(
 
 
 def simhash(docs: ray.data.Dataset, bits: int = 64) -> ray.data.Dataset:
-    """64-bit SimHash over whitespace tokens (md5-derived token hashes)."""
+    """64-bit SimHash over whitespace tokens (md5-derived token hashes).
+    Vectorized: tokens of the whole batch are flattened once, md5 runs
+    only per DISTINCT token, and the per-doc ±1 bit accumulation is one
+    scatter-add over a (docs × bits) matrix — no per-token Python loop
+    in the hot path."""
 
     shifts = np.arange(bits, dtype=np.uint64)
 
     def sh(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for t in batch["text"].astype(str):
-            acc = np.zeros(bits, dtype=np.int64)
-            for tok in t.split():
-                h = np.uint64(int.from_bytes(
-                    hashlib.md5(tok.encode()).digest()[:8], "little"
-                ))
-                bitsv = (h >> shifts) & np.uint64(1)
-                acc += np.where(bitsv == 1, 1, -1)
-            val = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << shifts))
-            out.append(val - (1 << 63))   # shift into signed int64 range
-        return pd.DataFrame({"doc_id": batch["doc_id"],
+        texts = batch["text"].astype(str).tolist()
+        tok_lists = [t.split() for t in texts]
+        counts = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+        n = len(texts)
+        acc = np.zeros((n, bits), dtype=np.int64)
+        if counts.sum():
+            all_toks = np.concatenate(
+                [np.asarray(ts, dtype=object) for ts in tok_lists if ts]
+            )
+            doc_idx = np.repeat(np.arange(n), counts)
+            uniq, inv = np.unique(all_toks.astype(str), return_inverse=True)
+            hvals = np.fromiter(
+                (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "little")
+                 for u in uniq),
+                dtype=np.uint64, count=len(uniq),
+            )
+            sign = (
+                ((hvals[:, None] >> shifts[None, :]) & np.uint64(1))
+                .astype(np.int64) * 2 - 1
+            )
+            np.add.at(acc, doc_idx, sign[inv])
+        vals = (acc > 0).astype(np.uint64) @ (np.uint64(1) << shifts)
+        # shift into signed int64 range (v - 2^63 == top-bit XOR, viewed)
+        out = (vals ^ np.uint64(1 << 63)).view(np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"].reset_index(drop=True),
                              "simhash": pd.array(out, dtype="int64")})
 
     return docs.map_batches(sh, batch_format="pandas", batch_size=2048)

@@ -47,29 +47,43 @@ def text_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(stats, batch_format="pandas", batch_size=8192)
 
 
+def _doc_words(text: pd.Series) -> pd.Series:
+    """All word tokens of every doc in ONE vectorized extractall pass
+    (C regex engine), indexed by (doc position, match).  Shared by the
+    quality and language-ID stages — replaces their per-row Python
+    loops (the text stages dominate compute at corpus scale)."""
+    lower = text.reset_index(drop=True).str.lower()
+    return lower.str.extractall(r"([a-z']+)")[0]
+
+
 class QualityScorer:
     """Quality heuristics: word ratio, stopword ratio, mean word length,
     uppercase ratio.  Actor state = compiled regex + stopword set."""
 
     def __init__(self):
-        self.word_re = WORD_RE
         self.stop = LANG_PROFILES["en"]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].astype(str)
-        words = text.map(lambda t: self.word_re.findall(t.lower()))
-        n_words = words.map(len)
-        stop_hits = words.map(lambda ws: sum(w in self.stop for w in ws))
-        mean_len = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
-        n_chars = text.str.len().clip(lower=1)
+        words = _doc_words(text)
+        grp0 = words.groupby(level=0)
+        idx = pd.RangeIndex(len(text))
+        n_words = grp0.size().reindex(idx, fill_value=0)
+        stop_hits = (
+            words.isin(self.stop).groupby(level=0).sum().reindex(idx, fill_value=0)
+        )
+        mean_len = (
+            words.str.len().groupby(level=0).mean().reindex(idx, fill_value=0.0)
+        )
+        n_chars = text.reset_index(drop=True).str.len().clip(lower=1)
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"],
+                "doc_id": batch["doc_id"].reset_index(drop=True),
                 "n_words": n_words.astype("int64"),
                 "stopword_ratio": (stop_hits / n_words.clip(lower=1)).astype("float64"),
-                "mean_word_len": mean_len,
+                "mean_word_len": mean_len.astype("float64"),
                 "alpha_ratio": (
-                    text.str.count(r"[A-Za-z]") / n_chars
+                    text.reset_index(drop=True).str.count(r"[A-Za-z]") / n_chars
                 ).astype("float64"),
             }
         )
@@ -86,23 +100,32 @@ def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 class LangId:
     """Stopword-profile language ID (n-gram heuristic): argmax of per-
-    language stopword hit counts; 'und' (undetermined) when nothing hits."""
+    language stopword hit counts; 'und' (undetermined) when nothing hits.
+    Vectorized: one extractall pass, one isin + grouped sum per language
+    profile (ties keep the first language in sorted order, like the
+    original per-row scan)."""
 
     def __init__(self):
-        self.word_re = WORD_RE
         self.profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        langs = []
-        for t in batch["text"].astype(str):
-            ws = self.word_re.findall(t.lower())
-            best, best_hits = "und", 0
-            for lang in sorted(self.profiles):
-                hits = sum(w in self.profiles[lang] for w in ws)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs.append(best)
-        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": langs})
+        text = batch["text"].astype(str)
+        words = _doc_words(text)
+        idx = pd.RangeIndex(len(text))
+        hits = pd.DataFrame(
+            {
+                lang: words.isin(self.profiles[lang])
+                .groupby(level=0)
+                .sum()
+                .reindex(idx, fill_value=0)
+                for lang in sorted(self.profiles)
+            }
+        )
+        best = hits.idxmax(axis=1).where(hits.max(axis=1) > 0, "und")
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].reset_index(drop=True),
+             "lang_pred": best.astype(str)}
+        )
 
 
 def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:

@@ -67,7 +67,13 @@ class WalkCore:
         community: CommunityState | None = None,
         hop_prob: float = 0.1,
         frontier_cap: int | None = None,
+        key_cast=int,
     ):
+        # vertex keys are OPAQUE: int ids over the broadcast CSR
+        # (key_cast=int) or names over the sharded backend (key_cast=str).
+        # Hop order and sampler weights are identical either way, so the
+        # produced walks match bit-for-bit across backends.
+        self.kc = key_cast
         self.g = g
         self.sampler = sampler
         self.max_depth = max_depth
@@ -102,16 +108,17 @@ class WalkCore:
                 n = len(preds)
                 if n:
                     walks.remove(walk)
+                    kc = self.kc
                     if is_reverse:
                         for j in range(n):
-                            walks.add((int(others[j]), int(preds[j])) + walk)
+                            walks.add((kc(others[j]), kc(preds[j])) + walk)
                             if comm is not None:
-                                self._bfs_teleport(walks, walk, int(others[j]), rng, True)
+                                self._bfs_teleport(walks, walk, kc(others[j]), rng, True)
                     else:
                         for j in range(n):
-                            walks.add(walk + (int(preds[j]), int(others[j])))
+                            walks.add(walk + (kc(preds[j]), kc(others[j])))
                             if comm is not None:
-                                self._bfs_teleport(walks, walk, int(others[j]), rng, False)
+                                self._bfs_teleport(walks, walk, kc(others[j]), rng, False)
         return list(walks)
 
     def _bfs_teleport(self, walks, walk, other, rng, is_reverse):
@@ -131,19 +138,20 @@ class WalkCore:
         tail = walk[0] if is_reverse else walk[-1]
         preds, others = self.g.get_hops(tail, is_reverse)
         depth = len(walk)
+        kc = self.kc
         cand = [
-            (int(preds[j]), int(others[j]))
+            (kc(preds[j]), kc(others[j]))
             for j in range(len(preds))
-            if ((int(preds[j]), int(others[j])), depth) not in visited
+            if ((kc(preds[j]), kc(others[j])), depth) not in visited
         ]
         if not cand:
             if len(walk) > 2:
                 po = (walk[1], walk[0]) if is_reverse else (walk[-2], walk[-1])
                 visited.add((po, len(walk) - 2))
             return None
-        cp = np.fromiter((c[0] for c in cand), np.int64, len(cand))
-        co = np.fromiter((c[1] for c in cand), np.int64, len(cand))
-        keep, probs = self.sampler.hop_probabilities(cp, co)
+        keep, probs = self.sampler.hop_probabilities(
+            [c[0] for c in cand], [c[1] for c in cand]
+        )
         if len(probs) == 0:
             return None
         pos = int(keep[rng_factory().choice(len(probs), p=probs)])

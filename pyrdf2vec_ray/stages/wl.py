@@ -25,6 +25,22 @@ from pyrdf2vec_ray.functions.canon import md5_token
 from pyrdf2vec_ray.state.graph_index import LocalGraph
 
 
+def _hash_distinct(strings: np.ndarray, md5_bytes: int | None) -> np.ndarray:
+    """Hash each string, calling md5 only once per DISTINCT value: WL
+    labels converge fast, so distinct labels << vertices/edges — this is
+    what makes the relabeling vectorized rather than a per-vertex loop.
+
+    pd.factorize (hash-based, object dtype) — NOT np.unique over a
+    fixed-width string array: hub vertices produce suffix strings of
+    100s of KB, and U-dtype pads every row to the longest one."""
+    codes, uniq = pd.factorize(strings, sort=False)
+    if md5_bytes:
+        hashed = np.array([md5_token(u, md5_bytes) for u in uniq], dtype=object)
+    else:
+        hashed = np.asarray(uniq, dtype=object)
+    return hashed[codes]
+
+
 def wl_labels(
     g: LocalGraph, wl_iterations: int, md5_bytes: int | None = 8
 ) -> dict[str, list[str]]:
@@ -33,9 +49,6 @@ def wl_labels(
     nv = g.num_vertices
     names = a.names
 
-    def H(x: str) -> str:
-        return md5_token(x, md5_bytes) if md5_bytes else str(x)
-
     subj_per_edge = np.repeat(np.arange(nv), np.diff(a.fwd_indptr))
     obj_per_edge = a.fwd_obj.astype(np.int64)
 
@@ -43,8 +56,6 @@ def wl_labels(
     pin_labels = names[a.fwd_pred.astype(np.int64)].astype(object)  # L_n(pinst)
 
     history: list[np.ndarray] = [ent_labels.copy()]
-    has_parent = np.zeros(nv, dtype=bool)
-    has_parent[obj_per_edge] = True
 
     for _ in range(wl_iterations):
         # entity suffix: sorted distinct pinst labels of incoming triples
@@ -58,16 +69,10 @@ def wl_labels(
         suffix_full = np.full(nv, "", dtype=object)
         suffix_full[suffix.index.to_numpy()] = suffix.to_numpy()
 
-        new_ent = np.array(
-            [H(f"{ent_labels[v]}-{suffix_full[v]}") for v in range(nv)],
-            dtype=object,
-        )
-        new_pin = np.array(
-            [
-                H(f"{pin_labels[e]}-{ent_labels[subj_per_edge[e]]}")
-                for e in range(len(pin_labels))
-            ],
-            dtype=object,
+        # vectorized concat (C-level object add) + distinct-only hashing
+        new_ent = _hash_distinct(ent_labels + "-" + suffix_full, md5_bytes)
+        new_pin = _hash_distinct(
+            pin_labels + "-" + ent_labels[subj_per_edge], md5_bytes
         )
         ent_labels, pin_labels = new_ent, new_pin
         history.append(ent_labels.copy())

@@ -76,17 +76,33 @@ class WalkerSpec:
 
 
 class WalkExtractor:
-    """map_batches actor: holds the broadcast graph + fitted state, walks a
-    batch of root entities per call."""
+    """map_batches actor: holds the graph backend + fitted state, walks a
+    batch of root entities per call.
 
-    def __init__(self, graph_ref, spec: WalkerSpec, entities_ref,
-                 sampler_ref, labels_ref=None, community_ref=None):
+    Backends: ``graph_ref`` → zero-copy broadcast CSR (int vertex ids);
+    ``shard_refs=(fwd, rev)`` → hash-sharded per-name routing
+    (state/sharded_graph.py) — walks are identical either way."""
+
+    def __init__(self, spec: WalkerSpec, entities_ref,
+                 sampler_ref, graph_ref=None, shard_refs=None,
+                 labels_ref=None, community_ref=None):
         from pyrdf2vec_ray.state.graph_index import LocalGraph
+        from pyrdf2vec_ray.state.sharded_graph import ShardedLocalGraph
 
-        self.g = LocalGraph(ray.get(graph_ref))
+        self.sharded = shard_refs is not None
+        if self.sharded:
+            fwd_refs, rev_refs = shard_refs
+            self.g = ShardedLocalGraph(
+                [ray.get(r) for r in fwd_refs],
+                [ray.get(r) for r in rev_refs],
+            )
+            key_cast = str
+        else:
+            self.g = LocalGraph(ray.get(graph_ref))
+            key_cast = int
         self.spec = spec
         self.entities: frozenset = ray.get(entities_ref)
-        fitted: FittedSampler = ray.get(sampler_ref)
+        fitted = ray.get(sampler_ref)
         self.labels = ray.get(labels_ref) if labels_ref is not None else None
         community = ray.get(community_ref) if community_ref is not None else None
         self.core = WalkCore(
@@ -100,6 +116,7 @@ class WalkExtractor:
             community=community,
             hop_prob=spec.hop_prob,
             frontier_cap=spec.frontier_cap,
+            key_cast=key_cast,
         )
 
     def _canonical(self, name_walks: list[list[str]], root: str) -> list[list[str]]:
@@ -135,16 +152,24 @@ class WalkExtractor:
         return [list(t) for t in sorted(out)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        names = self.g.a.names
         ents, walk_lists = [], []
         for entity in batch["entity"].to_pylist():
-            vid = self.g.name_to_id(entity)
-            if vid < 0:
-                raise ValueError(
-                    f"The entity {entity!r} is not in the Knowledge Graph."
-                )
-            id_walks = self.core.extract_walks(vid, entity)
-            name_walks = [[str(names[i]) for i in w] for w in id_walks]
+            if self.sharded:
+                if not self.g.contains_one(entity):
+                    raise ValueError(
+                        f"The entity {entity!r} is not in the Knowledge Graph."
+                    )
+                key_walks = self.core.extract_walks(entity, entity)
+                name_walks = [[str(t) for t in w] for w in key_walks]
+            else:
+                vid = self.g.name_to_id(entity)
+                if vid < 0:
+                    raise ValueError(
+                        f"The entity {entity!r} is not in the Knowledge Graph."
+                    )
+                names = self.g.a.names
+                id_walks = self.core.extract_walks(vid, entity)
+                name_walks = [[str(names[i]) for i in w] for w in id_walks]
             ents.append(entity)
             walk_lists.append(self._canonical(name_walks, entity))
         return pa.Table.from_pydict(
@@ -167,26 +192,52 @@ def assert_exists(gi: GraphIndex, entities: list[str]) -> None:
 
 
 def extract_walks(
-    gi: GraphIndex,
+    gi,
     entities: list[str],
     spec: WalkerSpec,
     concurrency: int | tuple | None = None,   # unused: stateless tasks scale elastically
     batch_size: int = 256,
     skip_verify: bool = False,
 ) -> ray.data.Dataset:
-    """Entities → per-entity canonical walks Dataset."""
-    if not skip_verify:
-        assert_exists(gi, entities)
-    g = gi.local()
-    graph_ref = gi.broadcast()
-    entities_ref = ray.put(frozenset(entities))
-    sampler_ref = ray.put(FittedSampler.fit(spec.sampler, g))
+    """Entities → per-entity canonical walks Dataset.
+
+    ``gi`` is either a broadcast ``GraphIndex`` or a
+    ``ShardedGraphIndex`` (state/sharded_graph.py — no driver-side graph
+    materialization; existence is then checked inside the walk tasks,
+    raising the same message).  Walk output is identical across the two
+    backends."""
+    from pyrdf2vec_ray.state.sharded_graph import ShardedGraphIndex
+
+    sharded = isinstance(gi, ShardedGraphIndex)
     labels_ref = None
     community_ref = None
-    if spec.strategy == "wl":
-        labels_ref = ray.put(wl_labels(g, spec.wl_iterations, spec.md5_bytes))
-    if spec.strategy == "community":
-        community_ref = ray.put(detect_communities(g))
+    if sharded:
+        if spec.strategy in ("wl", "community"):
+            raise NotImplementedError(
+                f"strategy {spec.strategy!r} needs global graph state "
+                "(WL labels / community partition); use the broadcast "
+                "GraphIndex for it"
+            )
+        from pyrdf2vec_ray.samplers import NameFittedSampler
+
+        graph_ref = None
+        shard_refs = (gi.fwd_refs, gi.rev_refs)
+        entities_ref = ray.put(frozenset(entities))
+        sampler_ref = ray.put(
+            NameFittedSampler.fit(spec.sampler, gi.triples_dataset())
+        )
+    else:
+        if not skip_verify:
+            assert_exists(gi, entities)
+        g = gi.local()
+        graph_ref = gi.broadcast()
+        shard_refs = None
+        entities_ref = ray.put(frozenset(entities))
+        sampler_ref = ray.put(FittedSampler.fit(spec.sampler, g))
+        if spec.strategy == "wl":
+            labels_ref = ray.put(wl_labels(g, spec.wl_iterations, spec.md5_bytes))
+        if spec.strategy == "community":
+            community_ref = ray.put(detect_communities(g))
 
     ents_ds = ray.data.from_arrow(
         pa.table({"entity": pa.array(entities, pa.string())})
@@ -196,10 +247,11 @@ def extract_walks(
     # stateless tasks + per-worker-process extractor cache (keyed by the
     # broadcast refs): warm Ray workers skip both actor-pool spin-up and
     # re-deserialization of the graph (zero-copy get); elastic scheduling
-    key = (str(graph_ref), str(entities_ref), str(sampler_ref),
-           str(labels_ref), str(community_ref), spec)
+    key = (str(graph_ref), str(shard_refs), str(entities_ref),
+           str(sampler_ref), str(labels_ref), str(community_ref), spec)
     kwargs = {
         "graph_ref": graph_ref,
+        "shard_refs": shard_refs,
         "spec": spec,
         "entities_ref": entities_ref,
         "sampler_ref": sampler_ref,

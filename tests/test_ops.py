@@ -180,3 +180,39 @@ def test_embedding_neardup_multitable_recall():
     assert recall >= 0.9
     # no duplicate pair rows despite multi-table probing
     assert len(got) == out.count()
+
+
+def test_lang_quality_vectorized_match_naive():
+    """The vectorized extractall formulations must reproduce the naive
+    per-row semantics exactly (wordlist regex, tie handling, empties)."""
+    import re
+
+    from pyrdf2vec_ray.ops.text import LANG_PROFILES, LangId, QualityScorer
+
+    word_re = re.compile(r"[a-zA-Z']+")
+    texts = [
+        "The quick brown fox and the lazy dog", "", "    ", "123 456 !!",
+        "der hund und die katze", "le chat et la vie est belle",
+        "el que la es THE THE the", "o'neill's DOG", "und der the le el",
+        "a " * 50 + "zzz",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    q = QualityScorer()(df.copy())
+    for i, t in enumerate(texts):
+        ws = word_re.findall(t.lower())
+        assert q["n_words"][i] == len(ws)
+        exp_stop = sum(w in LANG_PROFILES["en"] for w in ws)
+        assert q["stopword_ratio"][i] == exp_stop / max(1, len(ws))
+        exp_mean = float(np.mean([len(w) for w in ws])) if ws else 0.0
+        assert abs(q["mean_word_len"][i] - exp_mean) < 1e-12
+
+    lang = LangId()(df.copy())
+    for i, t in enumerate(texts):
+        ws = word_re.findall(t.lower())
+        best, best_hits = "und", 0
+        for lg in sorted(LANG_PROFILES):
+            hits = sum(w in LANG_PROFILES[lg] for w in ws)
+            if hits > best_hits:
+                best, best_hits = lg, hits
+        assert lang["lang_pred"][i] == best, (i, t)

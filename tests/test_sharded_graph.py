@@ -1,0 +1,148 @@
+"""Sharded graph index: built from a Dataset with NO driver-side
+materialization, and walk-for-walk identical to the broadcast CSR."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from pyrdf2vec_ray import synth
+from pyrdf2vec_ray.samplers import SamplerSpec
+from pyrdf2vec_ray.state.graph_index import GraphIndex
+from pyrdf2vec_ray.state.sharded_graph import ShardedGraphIndex
+from pyrdf2vec_ray.util import to_table
+from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
+
+IRI = synth.IRI_PREFIX
+
+
+def _walk_sets(gi, entities, spec):
+    t = to_table(extract_walks(gi, entities, spec, batch_size=4))
+    out = {}
+    for e, walks in zip(t["entity"].to_pylist(), t["walks"].to_pylist()):
+        out.setdefault(e, set()).update(tuple(w) for w in walks)
+    return out
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    """(broadcast, sharded) indexes over the same synthetic graph —
+    LONG_CHAIN plus a denser deterministic block so sampling has real
+    branching."""
+    triples = synth.LONG_CHAIN + synth.LOOP + [
+        (synth.entity_iri(i), IRI + f"p{i % 3}", synth.entity_iri((i * 7 + 1) % 40))
+        for i in range(120)
+    ]
+    table = synth.triples_table(triples)
+    bc = GraphIndex.from_table(table)
+    ds = ray.data.from_arrow(table)
+    sh = ShardedGraphIndex.build(
+        ds, num_shards=4,
+        scratch_dir=str(tmp_path_factory.mktemp("shards")),
+    )
+    return bc, sh
+
+
+def test_build_without_driver_materialization(tmp_path, monkeypatch):
+    """The build path must never collect the triples Dataset to the
+    driver (the round-1 scale-killer: GraphIndex.from_dataset →
+    util.to_table)."""
+    import pyrdf2vec_ray.state.graph_index as gim
+    import pyrdf2vec_ray.util as util
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side materialization of the triples")
+
+    monkeypatch.setattr(util, "to_table", boom)
+    monkeypatch.setattr(gim.GraphIndex, "from_dataset", staticmethod(boom))
+    ds = ray.data.from_arrow(synth.triples_table(synth.LONG_CHAIN))
+    sh = ShardedGraphIndex.build(ds, num_shards=3, scratch_dir=str(tmp_path))
+    g = sh.local()
+    preds, objs = g.get_hops(IRI + "Alice")
+    assert {str(o) for o in objs} == {IRI + "Bob", IRI + "Dean"}
+
+
+def test_contains_routing(pair):
+    _, sh = pair
+    g = sh.local()
+    names = [IRI + "Alice", IRI + "Julio", synth.entity_iri(0), IRI + "Nope",
+             IRI + "knows"]
+    got = g.contains(names)
+    # Julio exists only as an object; 'knows' is predicate-only (not an
+    # entity); routing hits exactly the owning shard per direction
+    assert got.tolist() == [True, True, True, False, False]
+
+
+def test_bfs_walks_identical(pair):
+    bc, sh = pair
+    ents = [IRI + "Alice", IRI + "Emma", synth.entity_iri(3)]
+    for md5_bytes in (None, 8):
+        for with_reverse in (False, True):
+            spec = WalkerSpec(strategy="random", max_depth=2, max_walks=None,
+                              md5_bytes=md5_bytes, with_reverse=with_reverse)
+            assert _walk_sets(bc, ents, spec) == _walk_sets(sh, ents, spec)
+
+
+@pytest.mark.parametrize("kind,inverse,split", [
+    ("uniform", False, False),
+    ("objfreq", False, False),
+    ("objfreq", True, True),
+    ("predfreq", False, False),
+    ("objpredfreq", False, False),
+    ("wide", False, False),
+    ("pagerank", False, False),
+])
+def test_dfs_sampled_walks_identical(pair, kind, inverse, split):
+    """Same RNG stream + same candidate order + bit-equal weights →
+    identical sampled walks on both backends."""
+    bc, sh = pair
+    ents = [synth.entity_iri(i) for i in (0, 3, 5, 8)]
+    spec = WalkerSpec(
+        strategy="random", max_depth=3, max_walks=6, random_state=17,
+        sampler=SamplerSpec(kind=kind, inverse=inverse, split=split),
+    )
+    assert _walk_sets(bc, ents, spec) == _walk_sets(sh, ents, spec)
+
+
+def test_other_strategies_identical(pair):
+    bc, sh = pair
+    ents = [IRI + "Alice", synth.entity_iri(3)]
+    for strategy in ("anonymous", "walklet", "split", "halk", "ngram"):
+        spec = WalkerSpec(strategy=strategy, max_depth=2, max_walks=None)
+        assert _walk_sets(bc, ents, spec) == _walk_sets(sh, ents, spec), strategy
+
+
+def test_missing_entity_raises_in_worker(pair):
+    _, sh = pair
+    spec = WalkerSpec(strategy="random", max_depth=1, max_walks=None)
+    with pytest.raises(Exception, match="not in the Knowledge Graph"):
+        to_table(extract_walks(sh, [IRI + "Ghost"], spec, batch_size=2))
+
+
+def test_wl_community_need_broadcast(pair):
+    _, sh = pair
+    for strategy in ("wl", "community"):
+        with pytest.raises(NotImplementedError):
+            extract_walks(sh, [IRI + "Alice"],
+                          WalkerSpec(strategy=strategy, max_depth=1))
+
+
+def test_name_sampler_weights_match_broadcast(pair):
+    """NameFittedSampler lookups equal FittedSampler values for the same
+    hop candidates (integer counts and the shared pagerank core)."""
+    from pyrdf2vec_ray.samplers import FittedSampler, NameFittedSampler
+
+    bc, sh = pair
+    g = bc.local()
+    vid = g.name_to_id(synth.entity_iri(3))
+    preds, objs = g.get_hops(vid)
+    names = g.a.names
+    pred_names = [str(names[p]) for p in preds]
+    obj_names = [str(names[o]) for o in objs]
+    for kind in ("objfreq", "predfreq", "objpredfreq", "wide", "pagerank"):
+        spec = SamplerSpec(kind=kind)
+        f_b = FittedSampler.fit(spec, g)
+        f_n = NameFittedSampler.fit(spec, sh.triples_dataset())
+        kb, pb = f_b.hop_probabilities(list(preds), list(objs))
+        kn, pn = f_n.hop_probabilities(pred_names, obj_names)
+        assert kb.tolist() == kn.tolist()
+        np.testing.assert_array_equal(pb, pn)
