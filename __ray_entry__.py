@@ -140,15 +140,13 @@ def q_bfs_walks_customers(sf_dir: str):
     walks = extract_walks(gi, entities, spec, batch_size=256)
 
     def explode(batch: pa.Table) -> pa.Table:
-        cols = {f"e0": [], "p1": [], "e1": [], "p2": [], "e2": []}
-        for ws in batch["walks"].to_pylist():
-            for w in ws:
-                cols["e0"].append(w[0])
-                cols["p1"].append(w[1])
-                cols["e1"].append(w[2])
-                cols["p2"].append(w[3])
-                cols["e2"].append(w[4])
-        return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(batch["walks"].combine_chunks())  # list<string>
+        return pa.table(
+            {name: pc.list_element(flat, i)
+             for i, name in enumerate(("e0", "p1", "e1", "p2", "e2"))}
+        )
 
     return walks.map_batches(explode, batch_format="pyarrow")
 

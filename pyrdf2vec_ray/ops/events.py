@@ -67,23 +67,32 @@ def tumbling_window(
 def sessionize(
     events: ray.data.Dataset, gap_minutes: int = 30
 ) -> ray.data.Dataset:
-    """Session windows per user: sort by ts within the user group, break a
-    session when the gap exceeds `gap_minutes` (groupby(key).map_groups —
-    the documented partitioning assumption: one user's events fit one
-    group)."""
+    """Session windows per user: break a session when the within-user gap
+    exceeds `gap_minutes`.  ONE int-bucket shuffle on user_id
+    (shuffle.bucket_apply — Ray's sort-based groupby degrades with many
+    group keys), then every user in the bucket is sessionized in a single
+    vectorized pass: sort by (user, ts), a diff + boundary cumsum labels
+    sessions across the whole bucket frame.  Partitioning assumption
+    (documented): one user's events fit one bucket task's heap."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = (g["ts"].diff() > gap).cumsum()
-        agg = g.groupby(new_session).agg(
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        boundary = g["user_id"].ne(g["user_id"].shift()) | (g["ts"].diff() > gap)
+        sid = boundary.cumsum()
+        agg = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("ts", "size"),
         )
-        agg["user_id"] = g["user_id"].iloc[0]
         return agg.reset_index(drop=True)[
             ["user_id", "session_start", "session_end", "n_events"]
         ]
 
-    return events.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return bucket_apply(
+        events, ["user_id"], sessions_bucket, num_buckets=16,
+        batch_format="pandas",
+    )

@@ -42,22 +42,32 @@ def add_walks(
     return dedup_triples(graph.union(from_triples(kept)))
 
 
+_RM_CACHE: dict = {}
+
+
 def remove_edges(
     graph: ray.data.Dataset, remove: list[tuple[str, str, str]]
 ) -> ray.data.Dataset:
     """kg.remove_edge (kg.py:377-397) as a broadcast anti-join: the removal
-    set is small → filter each batch vectorized, no shuffle."""
+    set is small → filter each batch vectorized, no shuffle.  The removal
+    pa.array is built once per worker process (module cache keyed by the
+    broadcast ref), not re-materialized per batch."""
     import ray
 
-    rm = {f"{s}\x1f{p}\x1f{o}" for s, p, o in remove}
+    rm = sorted(f"{s}\x1f{p}\x1f{o}" for s, p, o in remove)
     rm_ref = ray.put(rm)
+    ckey = str(rm_ref)
 
     def drop(batch: pa.Table) -> pa.Table:
+        arr = _RM_CACHE.get(ckey)
+        if arr is None:
+            arr = pa.array(ray.get(rm_ref), pa.string())
+            _RM_CACHE.clear()
+            _RM_CACHE[ckey] = arr
         keys = pc.binary_join_element_wise(
             batch["subj"], batch["pred"], batch["obj"], "\x1f"
         )
-        mask = pc.invert(pc.is_in(keys, pa.array(list(ray.get(rm_ref)))))
-        return batch.filter(mask)
+        return batch.filter(pc.invert(pc.is_in(keys, arr)))
 
     return graph.map_batches(drop, batch_format="pyarrow")
 

@@ -380,8 +380,15 @@ def ngram_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset
     id_map = {tuple(k.split(SEP)): str(i) for i, k in enumerate(distinct)}
     map_ref = ray.put(id_map)
 
+    ckey = str(map_ref)
+
     def rewrite(batch: pa.Table) -> pa.Table:
-        nmap = dict(ray.get(map_ref))
+        # worker-process cache: the id map is deserialized once per worker,
+        # not copied on every batch (same pattern as the extractor cache)
+        nmap = _EXTRACTOR_CACHE.get(ckey)
+        if nmap is None:
+            nmap = dict(ray.get(map_ref))
+            _EXTRACTOR_CACHE[ckey] = nmap
         ents, outs = [], []
         for entity, walks in zip(
             batch["entity"].to_pylist(), batch["walks"].to_pylist()
@@ -400,19 +407,16 @@ def ngram_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset
 
 
 def explode_walks(walks_ds: ray.data.Dataset) -> ray.data.Dataset:
-    """(entity, walks) → (entity, walk) corpus rows."""
+    """(entity, walks) → (entity, walk) corpus rows — zero-copy Arrow
+    list kernels (list_parent_indices + flatten), no Python row loop."""
+    import pyarrow.compute as pc
 
     def explode(batch: pa.Table) -> pa.Table:
-        ents, ws = [], []
-        for entity, walks in zip(
-            batch["entity"].to_pylist(), batch["walks"].to_pylist()
-        ):
-            for w in walks:
-                ents.append(entity)
-                ws.append(w)
-        return pa.Table.from_pydict(
-            {"entity": pa.array(ents, pa.string()),
-             "walk": pa.array(ws, pa.list_(pa.string()))}
+        walks = batch["walks"].combine_chunks()
+        parent = pc.list_parent_indices(walks)
+        return pa.table(
+            {"entity": pc.take(batch["entity"].combine_chunks(), parent),
+             "walk": pc.list_flatten(walks)}
         )
 
     return walks_ds.map_batches(explode, batch_format="pyarrow")
