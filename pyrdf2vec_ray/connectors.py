@@ -62,3 +62,164 @@ def res2hops(res, skip_predicates: frozenset[str] = frozenset()) -> list[tuple[s
         if pred not in skip_predicates:
             hops.append((pred, value["o"]["value"]))
     return hops
+
+
+# ---- live fetch path (injectable transport) --------------------------------
+
+import time as _time
+
+
+class TTLCache:
+    """Minimal (maxsize, ttl) query cache with FIFO eviction — the
+    reference wraps cachetools.TTLCache(1024, 1200) around every fetch
+    (connectors.py:36-41, kg.py:107-112); cachetools is not available
+    here so the same contract is implemented inline."""
+
+    def __init__(self, maxsize: int = 1024, ttl: float = 1200.0):
+        self.maxsize = maxsize
+        self.ttl = ttl
+        self._data: dict = {}
+
+    def get(self, key):
+        hit = self._data.get(key)
+        if hit is None:
+            return None
+        value, t = hit
+        if _time.monotonic() - t > self.ttl:
+            del self._data[key]
+            return None
+        return value
+
+    def put(self, key, value):
+        if len(self._data) >= self.maxsize:
+            self._data.pop(next(iter(self._data)))
+        self._data[key] = (value, _time.monotonic())
+
+
+class FetchingSPARQLConnector(SPARQLConnector):
+    """SPARQLConnector with a pluggable transport: ``fetch_fn(endpoint,
+    query) -> bindings list`` (the parsed ``results.bindings`` of the
+    SPARQL JSON protocol).  A live deployment injects an HTTP client; the
+    test suite injects ``FakeSPARQLEndpoint``.  Responses are TTL-cached
+    per connector instance (= per actor), like the reference's sync path
+    (connectors.py:103-134)."""
+
+    def __init__(self, endpoint: str, fetch_fn=None, cache: TTLCache | None = None):
+        super().__init__(endpoint)
+        self.fetch_fn = fetch_fn
+        self.cache = cache if cache is not None else TTLCache()
+        self.n_transport_calls = 0
+
+    def fetch(self, query: str):
+        hit = self.cache.get(query)
+        if hit is not None:
+            return hit
+        if self.fetch_fn is None:
+            raise NotImplementedError(
+                "no transport injected (this environment has no network)"
+            )
+        self.n_transport_calls += 1
+        res = self.fetch_fn(self.endpoint, query)
+        self.cache.put(query, res)
+        return res
+
+    def afetch(self, queries: list[str]):
+        """Bundled fetch (reference connectors.py:89-101 asyncio.gather):
+        without aiohttp the bundling degrades to a sequential loop over
+        the cache-aware sync fetch — same results, same cache state."""
+        return [self.fetch(q) for q in queries]
+
+
+class FakeSPARQLEndpoint:
+    """In-process SPARQL endpoint over a triples list: answers exactly
+    the query strings ``SPARQLConnector.get_query`` builds (hop queries
+    and literal chain queries), in the SPARQL JSON bindings shape."""
+
+    def __init__(self, triples: list[tuple[str, str, str]]):
+        from collections import defaultdict
+
+        self.fwd = defaultdict(list)
+        for s, p, o in triples:
+            self.fwd[s].append((p, o))
+
+    def __call__(self, endpoint: str, query: str) -> list[dict]:
+        import re as _re
+
+        iris = _re.findall(r"<([^>]+)>", query)
+        root = iris[0]
+        if query.startswith("SELECT ?p"):  # hop query: all (p, o) of root
+            return [
+                {"p": {"value": p}, "o": {"value": o}}
+                for p, o in self.fwd.get(root, [])
+            ]
+        # literal chain query: remaining IRIs are the fixed predicates
+        frontier = [root]
+        for pred in iris[1:]:
+            frontier = [
+                o for node in frontier for (p, o) in self.fwd.get(node, [])
+                if p == pred
+            ]
+        return [{"o": {"value": o}} for o in frontier]
+
+
+class HopFetcher:
+    """map_batches actor (SURVEY.md S2: ``map_batches(FetcherActor,
+    concurrency=N)``): one connector (session + TTL cache) per actor,
+    built once in ``__init__``; each batch of entities becomes hop
+    queries, responses parse through res2hops into triple rows."""
+
+    def __init__(self, endpoint: str, fetch_fn,
+                 skip_predicates: frozenset[str] = frozenset()):
+        self.connector = FetchingSPARQLConnector(endpoint, fetch_fn)
+        self.skip = skip_predicates
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        subs, preds, objs = [], [], []
+        entities = batch["entity"].to_pylist()
+        for entity, res in zip(
+            entities,
+            self.connector.afetch(
+                [self.connector.get_query(e) for e in entities]
+            ),
+        ):
+            for p, o in res2hops(res, self.skip):
+                subs.append(entity)
+                preds.append(p)
+                objs.append(o)
+        return pa.table(
+            {"subj": pa.array(subs, pa.string()),
+             "pred": pa.array(preds, pa.string()),
+             "obj": pa.array(objs, pa.string())}
+        )
+
+
+def fetch_hops_dataset(
+    entities: list[str],
+    endpoint: str,
+    fetch_fn,
+    skip_predicates: frozenset[str] = frozenset(),
+    concurrency: int | tuple = (1, 4),
+    batch_size: int = 64,
+):
+    """Entities → remote hop triples Dataset via the fetcher actor pool
+    (the reference's remote KG mode, kg.py:218-239 + _fill_hops
+    kg.py:428-443, re-expressed as a streaming stage)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"entity": pa.array(entities, pa.string())})
+    )
+    return ds.map_batches(
+        HopFetcher,
+        fn_constructor_kwargs={
+            "endpoint": endpoint, "fetch_fn": fetch_fn,
+            "skip_predicates": skip_predicates,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -74,3 +74,55 @@ def test_read_entities_csv_tsv(tmp_path):
     t = tmp_path / "e.tsv"
     t.write_text("entity\tlabel\nhttp://x#C\t1\n")
     assert read_entities(str(t)) == ["http://x#C"]
+
+
+def test_fetch_hops_dataset_fake_endpoint():
+    """Live fetch path with an injected in-process endpoint: the actor
+    pool streams entities into hop queries and parses responses to the
+    same triples the local graph holds (reference remote mode,
+    kg.py:218-239)."""
+    from pyrdf2vec_ray import synth
+    from pyrdf2vec_ray.connectors import FakeSPARQLEndpoint, fetch_hops_dataset
+    from pyrdf2vec_ray.util import to_table
+
+    fake = FakeSPARQLEndpoint(synth.LOOP)
+    ents = [synth.IRI_PREFIX + n for n in ("Alice", "Bob", "Dean")]
+    t = to_table(
+        fetch_hops_dataset(ents, "http://fake/sparql", fake, concurrency=(1, 2))
+    )
+    got = set(zip(t["subj"].to_pylist(), t["pred"].to_pylist(), t["obj"].to_pylist()))
+    assert got == set(synth.LOOP)
+
+
+def test_fetch_skip_predicates_and_cache():
+    from pyrdf2vec_ray import synth
+    from pyrdf2vec_ray.connectors import (
+        FakeSPARQLEndpoint,
+        FetchingSPARQLConnector,
+        res2hops,
+    )
+
+    fake = FakeSPARQLEndpoint(synth.LOOP)
+    c = FetchingSPARQLConnector("http://fake/sparql", fake)
+    q = c.get_query(synth.IRI_PREFIX + "Alice")
+    r1 = c.fetch(q)
+    r2 = c.fetch(q)
+    assert r1 == r2
+    assert c.n_transport_calls == 1          # second hit served by TTL cache
+    hops = res2hops(r1, frozenset([synth.IRI_PREFIX + "knows"]))
+    assert hops == []                         # skip filter (kg.py:489-490)
+
+
+def test_fake_endpoint_literal_chain():
+    from pyrdf2vec_ray import synth
+    from pyrdf2vec_ray.connectors import FakeSPARQLEndpoint, SPARQLConnector
+
+    fake = FakeSPARQLEndpoint(synth.LONG_CHAIN)
+    c = SPARQLConnector("e")
+    q = c.get_query(
+        synth.IRI_PREFIX + "Alice",
+        [synth.IRI_PREFIX + "knows", synth.IRI_PREFIX + "knows"],
+    )
+    res = fake("e", q)
+    vals = sorted(b["o"]["value"] for b in res)
+    assert vals == [synth.IRI_PREFIX + "Mathilde"]
