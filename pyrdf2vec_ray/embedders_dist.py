@@ -1,19 +1,38 @@
-"""Distributed Word2Vec: data-parallel SGNS over walk-corpus shards
+"""Distributed Word2Vec on vocab-sharded parameter-server actors
 (north_star: "fits Word2Vec skip-gram embeddings on parameter-server
 actors").
 
-Topology: the vocabulary is a Ray Data grouped count over the exploded
-walks Dataset (SURVEY.md A11); the corpus is sharded across N trainer
-actors; each epoch every actor runs vectorized SGNS over its shard
-starting from the current global weights and ships back its delta; the
-driver (acting as the parameter server) averages deltas and
-re-broadcasts — synchronous federated SGD.  Deterministic: fixed shard
-assignment (round-robin by sentence index) + per-actor fixed seeds +
-deterministic averaging order.  Bit-identical to nothing (like gensim
-workers>1); quality-equivalent, throughput-scalable.
+Topology (the round-1 version was driver-averaged synchronous SGD with
+the FULL corpus on the driver and FULL W/C matrices shipped to every
+actor every epoch — neither survives corpus- or vocab-scale):
+
+- **Vocabulary** is a grouped count over the exploded walks Dataset
+  (SURVEY.md A11, one bucket shuffle); the sorted token array + counts
+  are the only vocab-scale driver state (= the model's key index, which
+  any embedder API must hold anyway).
+- **Parameters** live on ``num_ps`` ParamShard actors, each owning a
+  contiguous row range of W and C.  No actor ever holds the full
+  matrices.
+- **Corpus** is split block-wise across ``num_workers`` trainer actors
+  (``Dataset.split`` — object-store refs, never a driver list).  Each
+  trainer tokenizes its shard once (searchsorted against the broadcast
+  vocab) in its own heap.
+- **Epoch** = trainers precompute their (deterministic, seeded) window
+  and negative draws, PULL only the parameter rows they will touch from
+  the owning shards, run vectorized SGNS locally, and return SPARSE
+  per-shard deltas; the driver forwards the delta refs (no driver
+  deserialization) and every shard applies them in fixed trainer order,
+  scaled 1/num_workers.  Synchronous + ordered ⇒ runs are deterministic
+  for a fixed (seed, num_workers, num_ps) — bit-parity with the
+  single-actor trainer is NOT a goal (the reference has the same caveat
+  for gensim workers>1, README.rst:466-498).
+
+Documented ceiling: a trainer's per-epoch draw buffers are
+O(shard_tokens × window × (2 + negative)) int64 — chunk epochs for
+shards past ~10M tokens.
 
 For bit-reproducible vectors use the single-actor `embedders.Word2Vec`
-(the reference's workers=1 contract, README.rst:466-498).
+(the reference's workers=1 contract).
 """
 
 from __future__ import annotations
@@ -26,32 +45,102 @@ from pyrdf2vec_ray.embedders import SGNS
 
 
 @ray.remote
-class SGNSShardTrainer:
-    def __init__(self, shard: list[list[int]], vocab_size: int, cfg: dict, seed: int):
-        self.sents = [np.asarray(s, dtype=np.int64) for s in shard if len(s) > 0]
+class ParamShard:
+    """Owns rows [lo, hi) of W and C."""
+
+    def __init__(self, lo: int, hi: int, dim: int, seed: int):
+        rng = np.random.RandomState(seed)
+        self.lo = lo
+        self.W = (rng.rand(hi - lo, dim).astype(np.float32) - 0.5) / dim
+        self.C = np.zeros((hi - lo, dim), dtype=np.float32)
+
+    def pull(self, global_ids: np.ndarray):
+        ids = np.asarray(global_ids, dtype=np.int64) - self.lo
+        return self.W[ids], self.C[ids]
+
+    def apply(self, shard_idx: int, delta_refs: list, scale: float):
+        """Apply every trainer's sparse delta for THIS shard, in trainer
+        order (deterministic), averaged across trainers.  ``delta_refs``
+        are ObjectRefs — the driver forwards them unresolved, so delta
+        payloads move worker→shard through the object store only."""
+        for ref in delta_refs:
+            d = ray.get(ref)
+            if d is None:
+                continue
+            per = d["ids"].get(shard_idx)
+            if per is None:
+                continue
+            gids, dW, dC = per
+            lids = np.asarray(gids, dtype=np.int64) - self.lo
+            np.add.at(self.W, lids, dW * scale)
+            np.add.at(self.C, lids, dC * scale)
+        return True
+
+    def rows(self, global_ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(global_ids, dtype=np.int64) - self.lo
+        return self.W[ids]
+
+    def write_parquet(self, path: str, names: np.ndarray) -> int:
+        """Resumable per-shard embeddings sink: this shard's rows only."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {"entity": pa.array([str(n) for n in names], pa.string()),
+             "vector": pa.array([r.tolist() for r in self.W],
+                                pa.list_(pa.float32()))}
+        )
+        pq.write_table(t, path)
+        return len(names)
+
+
+def _shard_bounds(vocab_size: int, num_ps: int) -> list[tuple[int, int]]:
+    step = (vocab_size + num_ps - 1) // num_ps
+    return [(i * step, min((i + 1) * step, vocab_size)) for i in range(num_ps)]
+
+
+@ray.remote
+class PSTrainer:
+    """One corpus shard; pulls touched rows per epoch, pushes sparse
+    deltas."""
+
+    def __init__(self, vocab, cfg: dict, seed: int, bounds: list):
+        # the driver passes an ObjectRef; Ray resolves top-level args, so
+        # the sorted U-array arrives zero-copy from the object store
+        self.vocab: np.ndarray = vocab
         self.cfg = cfg
         self.seed = seed
-        self.vocab_size = vocab_size
+        self.bounds = bounds
+        self.sents: list[np.ndarray] = []
         self.neg_table = None
 
-    def set_neg_table(self, table: np.ndarray):
+    def add_sentences(self, walks: list[list[str]]):
+        for w in walks:
+            if len(w) > 1:
+                ids = np.searchsorted(self.vocab, np.asarray(w, dtype=self.vocab.dtype))
+                self.sents.append(ids.astype(np.int64))
+        return len(self.sents)
+
+    def add_dataset_split(self, split_ds):
+        for batch in split_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 14):
+            self.add_sentences(batch["walk"].to_pylist())
+        return len(self.sents)
+
+    def set_neg_table(self, table):
         self.neg_table = table
 
-    def train_epoch(self, W: np.ndarray, C: np.ndarray, lr: float, epoch: int):
-        """One local pass; returns (delta_W, delta_C)."""
-        model = SGNS(**self.cfg)
-        model.W = W.copy()
-        model.C = C.copy()
+    def _epoch_draws(self, epoch: int):
+        """Deterministic per-epoch randomness: reduced windows → (center,
+        context) pairs, then negatives — all up front so the set of
+        touched rows is known before any pull."""
+        cfg = SGNS(**self.cfg)
         rng = np.random.RandomState(self.seed + epoch)
-        k = model.negative
-        window = model.window
+        window, k = cfg.window, cfg.negative
+        cs, xs = [], []
         for ids in self.sents:
             n = len(ids)
-            if n < 2:
-                continue
             reduced = rng.randint(0, window, size=n)
             w = window - reduced
-            cs, xs = [], []
             for i in range(n):
                 lo, hi = max(0, i - w[i]), min(n, i + w[i] + 1)
                 m = hi - lo - 1
@@ -59,61 +148,239 @@ class SGNSShardTrainer:
                     continue
                 cs.append(np.full(m, ids[i]))
                 xs.append(np.concatenate([ids[lo:i], ids[i + 1 : hi]]))
-            if not cs:
-                continue
-            centers = np.concatenate(cs)
-            ctxs = np.concatenate(xs)
-            negs = self.neg_table[
-                rng.randint(0, len(self.neg_table), size=len(ctxs) * k)
-            ].reshape(len(ctxs), k)
+        if not cs:
+            return None
+        centers = np.concatenate(cs)
+        ctxs = np.concatenate(xs)
+        negs = self.neg_table[
+            rng.randint(0, len(self.neg_table), size=len(ctxs) * k)
+        ].reshape(len(ctxs), k)
+        return centers, ctxs, negs
+
+    def train_epoch(self, epoch: int, lr: float, ps_handles: list):
+        draws = self._epoch_draws(epoch)
+        if draws is None:
+            return None
+        centers, ctxs, negs = draws
+        used = np.unique(np.concatenate([centers, ctxs, negs.ravel()]))
+
+        # pull only the touched rows, from the owning shards, in parallel
+        by_shard = []
+        for s, (lo, hi) in enumerate(self.bounds):
+            ids_s = used[(used >= lo) & (used < hi)]
+            by_shard.append(ids_s)
+        pulls = ray.get([
+            ps_handles[s].pull.remote(ids_s)
+            for s, ids_s in enumerate(by_shard)
+        ])
+        dim = self.cfg.get("vector_size", 100)
+        W_local = np.zeros((len(used), dim), dtype=np.float32)
+        C_local = np.zeros((len(used), dim), dtype=np.float32)
+        offset = 0
+        for (ids_s, (Ws, Cs)) in zip(by_shard, pulls):
+            W_local[offset : offset + len(ids_s)] = Ws
+            C_local[offset : offset + len(ids_s)] = Cs
+            offset += len(ids_s)
+        # `used` is sorted and by_shard concatenation preserves that order
+        W0, C0 = W_local.copy(), C_local.copy()
+
+        # remap global ids → local compact ids and run the shared math
+        model = SGNS(**self.cfg)
+        model.W, model.C = W_local, C_local
+        c_l = np.searchsorted(used, centers)
+        x_l = np.searchsorted(used, ctxs)
+        n_l = np.searchsorted(used, negs.ravel()).reshape(negs.shape)
+        B = 16384
+        for i in range(0, len(c_l), B):
+            sl = slice(i, i + B)
             model._chunk_update(
-                centers, ctxs, negs, np.full(len(centers), lr, np.float32)
+                c_l[sl], x_l[sl], n_l[sl],
+                np.full(min(B, len(c_l) - i), lr, np.float32),
             )
-        return model.W - W, model.C - C
+
+        dW, dC = model.W - W0, model.C - C0
+        out = {"ids": {}}
+        offset = 0
+        for s, ids_s in enumerate(by_shard):
+            sl = slice(offset, offset + len(ids_s))
+            if len(ids_s):
+                out["ids"][s] = (ids_s, dW[sl], dC[sl])
+            offset += len(ids_s)
+        return out
 
 
 class DistributedWord2Vec:
-    """API-compatible with embedders.Word2Vec; trains on N shard actors."""
+    """API-compatible with embedders.Word2Vec; trains on trainer actors
+    against vocab-sharded parameter servers."""
 
-    def __init__(self, num_workers: int = 4, **kwargs):
+    def __init__(self, num_workers: int = 4, num_ps: int = 2, **kwargs):
         self.num_workers = num_workers
+        self.num_ps = num_ps
         self.kwargs = {"min_count": 0, **kwargs}
-        self._model = SGNS(**self.kwargs)
+        self._cfg = SGNS(**self.kwargs)
+        self.vocab: np.ndarray | None = None      # sorted token array
+        self.counts: np.ndarray | None = None
+        self._vectors: dict[str, np.ndarray] = {}
+        self._ps: list | None = None
 
-    def fit(self, walks, is_update: bool = False) -> "DistributedWord2Vec":
-        corpus = [list(w) for ew in walks for w in ew]
-        m = self._model
-        m.build_vocab(corpus, update=is_update)
-        id_corpus = [
-            [m.key_to_index[t] for t in s] for s in corpus if len(s) > 0
-        ]
-        shards = [id_corpus[i :: self.num_workers] for i in range(self.num_workers)]
-        neg_table = m._neg_table()
-        trainers = [
-            SGNSShardTrainer.remote(sh, len(m.counts), self.kwargs, seed=1000 + i)
-            for i, sh in enumerate(shards)
-        ]
-        ray.get([t.set_neg_table.remote(neg_table) for t in trainers])
-        total = max(1, m.epochs)
-        for epoch in range(total):
-            lr = max(m.min_alpha, m.alpha * (1 - epoch / total))
-            W_ref, C_ref = ray.put(m.W), ray.put(m.C)
-            deltas = ray.get(
-                [t.train_epoch.remote(W_ref, C_ref, lr, epoch) for t in trainers]
+    # -- vocab ---------------------------------------------------------------
+
+    def _vocab_from_sentences(self, sentences: list[list[str]]):
+        toks = np.concatenate(
+            [np.asarray(s, dtype=object) for s in sentences if s]
+        ) if sentences else np.array([], dtype=object)
+        uniq, cnt = np.unique(toks.astype(str), return_counts=True)
+        self.vocab = uniq.astype(np.str_)
+        self.counts = cnt.astype(np.float64)
+
+    def _vocab_from_dataset(self, walks_ds):
+        """Distributed token count (one bucket shuffle), vocab-scale
+        collect only."""
+        import pyarrow as pa
+
+        from pyrdf2vec_ray.shuffle import bucket_count
+        from pyrdf2vec_ray.util import to_table
+
+        def tokens(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({"token": pc.list_flatten(batch["walk"].combine_chunks())})
+
+        t = to_table(
+            bucket_count(
+                walks_ds.map_batches(tokens, batch_format="pyarrow"),
+                ["token"], "n",
             )
-            # synchronous parameter-server step: average worker deltas in
-            # fixed actor order (deterministic)
-            for dW, dC in deltas:
-                m.W += dW / self.num_workers
-                m.C += dC / self.num_workers
+        )
+        names = np.asarray(t["token"].to_numpy(zero_copy_only=False)).astype(np.str_)
+        cnt = t["n"].to_numpy().astype(np.float64)
+        order = np.argsort(names)
+        self.vocab, self.counts = names[order], cnt[order]
+
+    def _neg_table(self, size: int = 1 << 20) -> np.ndarray:
+        p = self.counts ** 0.75
+        p /= p.sum()
+        return np.random.RandomState(self._cfg.seed).choice(
+            len(p), size=size, p=p
+        ).astype(np.int64)
+
+    # -- training ------------------------------------------------------------
+
+    def _train(self, feed_trainers):
+        cfg = self._cfg
+        dim = cfg.vector_size
+        bounds = _shard_bounds(len(self.vocab), self.num_ps)
+        ps = [
+            ParamShard.remote(lo, hi, dim, seed=cfg.seed + 7000 + i)
+            for i, (lo, hi) in enumerate(bounds)
+        ]
+        vocab_ref = ray.put(self.vocab)
+        trainers = [
+            PSTrainer.remote(vocab_ref, self.kwargs, seed=cfg.seed + 1000 + i,
+                             bounds=bounds)
+            for i in range(self.num_workers)
+        ]
+        feed_trainers(trainers)
+        neg_ref = ray.put(self._neg_table())
+        ray.get([t.set_neg_table.remote(neg_ref) for t in trainers])
+
+        total = max(1, cfg.epochs)
+        scale = 1.0 / self.num_workers
+        for epoch in range(total):
+            lr = max(cfg.min_alpha, cfg.alpha * (1 - epoch / total))
+            delta_refs = [
+                t.train_epoch.remote(epoch, lr, ps) for t in trainers
+            ]
+            # barrier BEFORE apply (fetch_local=False: deltas stay in the
+            # object store).  apply blocks its PS actor on the delta refs,
+            # and trainers block on pulls from the PS actors — applying
+            # before all trainers finished would deadlock the two pools.
+            ray.wait(delta_refs, num_returns=len(delta_refs),
+                     fetch_local=False)
+            # forward the REFS to every shard (nested refs stay unresolved
+            # — the driver never deserializes a delta)
+            ray.get([
+                p.apply.remote(s, delta_refs, scale) for s, p in enumerate(ps)
+            ])
         for t in trainers:
             ray.kill(t)
+        self._ps = ps
+        self._bounds = bounds
+
+    def fit(self, walks, is_update: bool = False) -> "DistributedWord2Vec":
+        """List-of-walks API (reference embedder contract)."""
+        sentences = [list(w) for ew in walks for w in ew]
+        self._vocab_from_sentences(sentences)
+
+        def feed(trainers):
+            shards = [sentences[i :: self.num_workers]
+                      for i in range(self.num_workers)]
+            ray.get([
+                t.add_sentences.remote(sh) for t, sh in zip(trainers, shards)
+            ])
+
+        self._train(feed)
         return self
 
+    def fit_dataset(self, walks_ds, is_update: bool = False) -> "DistributedWord2Vec":
+        """Dataset API: the corpus never lands on the driver — vocab by
+        grouped count, block splits feed the trainers directly."""
+        self._vocab_from_dataset(walks_ds)
+        splits = walks_ds.split(self.num_workers, equal=True)
+
+        def feed(trainers):
+            ray.get([
+                t.add_dataset_split.remote(sp)
+                for t, sp in zip(trainers, splits)
+            ])
+
+        self._train(feed)
+        return self
+
+    # -- output --------------------------------------------------------------
+
+    def _pull_vectors(self, entities: list[str]) -> list[np.ndarray]:
+        ids = np.searchsorted(self.vocab, np.asarray(entities, dtype=self.vocab.dtype))
+        out: dict[int, np.ndarray] = {}
+        per_shard: dict[int, list[int]] = {}
+        for gid in ids:
+            s = next(
+                i for i, (lo, hi) in enumerate(self._bounds) if lo <= gid < hi
+            )
+            per_shard.setdefault(s, []).append(int(gid))
+        rows = ray.get([
+            self._ps[s].rows.remote(np.asarray(gids))
+            for s, gids in per_shard.items()
+        ])
+        for (s, gids), mat in zip(per_shard.items(), rows):
+            for gid, row in zip(gids, mat):
+                out[gid] = row
+        return [out[int(g)] for g in ids]
+
+    def __contains__(self, token: str) -> bool:
+        i = int(np.searchsorted(self.vocab, token))
+        return i < len(self.vocab) and self.vocab[i] == token
+
     def transform(self, entities: list[str]) -> list[np.ndarray]:
-        if not all(e in self._model for e in entities):
+        if self.vocab is None or not all(e in self for e in entities):
             raise ValueError(
                 "The entities must have been provided to fit() first "
                 "before they can be transformed into a numerical vector."
             )
-        return [self._model.get_vector(e) for e in entities]
+        return self._pull_vectors(entities)
+
+    def write_parquet(self, out_dir: str) -> int:
+        """Per-shard embeddings sink: each ParamShard writes its own rows
+        (no driver collect); returns total rows written."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        futures = []
+        for s, ((lo, hi), p) in enumerate(zip(self._bounds, self._ps)):
+            futures.append(
+                p.write_parquet.remote(
+                    os.path.join(out_dir, f"shard-{s:04d}.parquet"),
+                    self.vocab[lo:hi],
+                )
+            )
+        return int(sum(ray.get(futures)))

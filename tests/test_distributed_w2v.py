@@ -34,3 +34,34 @@ def test_distributed_in_transformer():
     )
     emb, _ = t.fit_transform(gi, entities)
     assert len(emb) == 3 and emb[0].shape == (8,)
+
+
+def test_fit_dataset_and_parquet_sink(tmp_path):
+    """Scale paths: corpus from a walks Dataset (never a driver list),
+    per-shard parquet sink with no driver collect."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    walks = [w for ew in CORPUS for w in ew]
+    ds = ray.data.from_arrow(
+        pa.table({"entity": pa.array([w[0] for w in walks], pa.string()),
+                  "walk": pa.array(walks, pa.list_(pa.string()))})
+    )
+    m = DistributedWord2Vec(num_workers=2, num_ps=2, vector_size=8,
+                            epochs=2, seed=11).fit_dataset(ds)
+    vecs = m.transform(["a", "b", "c"])
+    assert vecs[0].shape == (8,)
+    n = m.write_parquet(str(tmp_path / "emb"))
+    t = pq.read_table(str(tmp_path / "emb"))
+    assert t.num_rows == n == 6  # vocab a b c p q r
+    by_name = dict(zip(t["entity"].to_pylist(), t["vector"].to_pylist()))
+    assert np.allclose(by_name["a"], vecs[0])
+
+
+def test_transform_unknown_raises():
+    import pytest
+
+    m = DistributedWord2Vec(num_workers=2, vector_size=8, epochs=1, seed=2).fit(CORPUS)
+    with pytest.raises(ValueError, match="provided to fit"):
+        m.transform(["zz_unknown"])
