@@ -691,6 +691,63 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY user_id, date_trunc('hour', ts)
         """,
+        "doc_lang_id": """
+            WITH h AS (
+              SELECT doc_id,
+                len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                    t -> t IN ('der','die','und','das','ist','nicht','ein','mit','von','zu'))) AS de,
+                len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                    t -> t IN ('the','and','of','to','a','in','is','it','that','was'))) AS en,
+                len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                    t -> t IN ('el','la','de','que','los','una','es','por','con','para'))) AS es,
+                len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                    t -> t IN ('le','la','et','les','des','un','une','est','que','pour'))) AS fr
+              FROM documents
+            )
+            SELECT doc_id, CASE
+              WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de'
+              WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+              WHEN es >= fr AND es > 0 THEN 'es'
+              WHEN fr > 0 THEN 'fr'
+              ELSE 'und' END AS lang_pred
+            FROM h
+        """,
+        "doc_quality": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z'']+') AS words
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(len(words) AS BIGINT) AS n_words,
+              len(list_filter(words, t -> t IN
+                  ('the','and','of','to','a','in','is','it','that','was')))
+                / CAST(GREATEST(len(words), 1) AS DOUBLE) AS stopword_ratio,
+              CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE list_avg(list_transform(words, t -> CAST(len(t) AS DOUBLE)))
+              END AS mean_word_len,
+              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / GREATEST(length(text), 1) AS alpha_ratio
+            FROM w
+        """,
+        "events_sessions": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
         "knn_bruteforce": """
             SELECT query_id, neighbor_id FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

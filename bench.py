@@ -158,6 +158,15 @@ def run_benchmarks() -> dict:
 
     timed("dfs_walks", bench_dfs)
 
+    # 4b. WL relabeling fit over the full relational graph (A9):
+    # wl_iterations=4 — the distinct-label factorize formulation
+    def bench_wl():
+        from pyrdf2vec_ray.stages.wl import wl_labels
+
+        return len(wl_labels(gi.local(), 4, 8))
+
+    timed("wl_relabel", bench_wl)
+
     # 5. text analysis over documents
     def bench_text():
         docs = ray.data.read_parquet(

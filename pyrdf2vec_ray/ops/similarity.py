@@ -86,12 +86,19 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 13,
+    sample_size: int = 4096,
 ) -> pa.Table:
     """IVF approximate top-k: sample-fit centroids once (driver, on a
     limited sample), bucket vectors by nearest centroid (one shuffle),
-    search only the nprobe closest buckets per query."""
+    search only the nprobe closest buckets per query.
+
+    Centroids fit on the FIRST `sample_size` rows (`limit()`), which is
+    cheap but biased when the corpus is ordered/clustered on disk — for
+    skewed corpora raise `sample_size` or pre-`random_shuffle` the
+    sample source; recall degrades silently otherwise (documented
+    trade-off; the exact `knn_bruteforce` is the oracle either way)."""
     sample = np.stack(
-        emb.limit(4096).to_pandas()[vec_col].to_numpy()
+        emb.limit(sample_size).to_pandas()[vec_col].to_numpy()
     ).astype(np.float64)
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]

@@ -35,7 +35,12 @@ def _hash_distinct(strings: np.ndarray, md5_bytes: int | None) -> np.ndarray:
     100s of KB, and U-dtype pads every row to the longest one."""
     codes, uniq = pd.factorize(strings, sort=False)
     if md5_bytes:
-        hashed = np.array([md5_token(u, md5_bytes) for u in uniq], dtype=object)
+        from hashlib import md5 as _md5
+
+        hashed = np.fromiter(
+            (str(_md5(u.encode()).digest()[:md5_bytes]) for u in uniq),
+            dtype=object, count=len(uniq),
+        )
     else:
         hashed = np.asarray(uniq, dtype=object)
     return hashed[codes]
@@ -58,16 +63,24 @@ def wl_labels(
     history: list[np.ndarray] = [ent_labels.copy()]
 
     for _ in range(wl_iterations):
-        # entity suffix: sorted distinct pinst labels of incoming triples
-        df = pd.DataFrame({"obj": obj_per_edge, "lab": pin_labels})
-        suffix = (
-            df.drop_duplicates()
-            .sort_values(["obj", "lab"])
-            .groupby("obj")["lab"]
-            .agg("-".join)
-        )
+        # entity suffix: sorted distinct pinst labels of incoming triples.
+        # factorize(sort=True) assigns label codes in lexicographic order,
+        # so one int64 unique over (obj * L + code) yields the per-object
+        # DISTINCT labels already sorted — no pandas lexsort/groupby pass.
+        lab_codes, lab_uniq = pd.factorize(pin_labels, sort=True)
+        L = max(1, len(lab_uniq))
+        # packing bound: nv * L must fit int64 (nv≈2e5, L≈2e6 at sf0.1 →
+        # 4e11; revisit packing for graphs past ~1e9 distinct labels)
+        key = obj_per_edge * L + lab_codes
+        uk = np.unique(key)
+        objs_u = uk // L
+        labs_u = uk % L
+        starts = np.flatnonzero(np.r_[True, objs_u[1:] != objs_u[:-1]])
+        ends = np.r_[starts[1:], len(uk)]
+        lab_uniq_obj = np.asarray(lab_uniq, dtype=object)
         suffix_full = np.full(nv, "", dtype=object)
-        suffix_full[suffix.index.to_numpy()] = suffix.to_numpy()
+        for s, e in zip(starts, ends):
+            suffix_full[objs_u[s]] = "-".join(lab_uniq_obj[labs_u[s:e]])
 
         # vectorized concat (C-level object add) + distinct-only hashing
         new_ent = _hash_distinct(ent_labels + "-" + suffix_full, md5_bytes)

@@ -267,8 +267,15 @@ def extract_walks(
             _EXTRACTOR_CACHE[key] = extractor
         return extractor(batch)
 
+    # concurrency mirrors the reference's walker n_jobs surface
+    # (walker.py:106-108): None → elastic task scheduling; an int caps
+    # the concurrent walk tasks so co-running stages keep their share of
+    # the cluster ((min, max) actor-pool tuples take the max — the walk
+    # UDF is a cached plain function, not an actor class)
+    cap = max(concurrency) if isinstance(concurrency, tuple) else concurrency
     ds = ents_ds.map_batches(
-        walk_batch, batch_format="pyarrow", batch_size=batch_size
+        walk_batch, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=cap,
     )
     if spec.strategy == "halk":
         ds = halk_post(ds, spec)
