@@ -175,10 +175,11 @@ def q_walklets_customers(sf_dir: str):
 
 def q_literals_region_chain(sf_dir: str):
     """Literal chain customer -in_nation-> nation -in_region-> region
-    (get_pliterals, kg.py:330-350), exploded to (entity, value)."""
+    (get_pliterals, kg.py:330-350), exploded to (entity, value).  Runs on
+    the SHARDED index (name-routed chain hops)."""
     from pyrdf2vec_ray.literals import literals_dataset
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)
     ds = literals_dataset(gi, entities, [["in_nation", "in_region"]])
 
@@ -295,6 +296,12 @@ def q_doc_text_stats(sf_dir: str):
     from pyrdf2vec_ray.ops.text import text_stats
 
     return text_stats(_docs(sf_dir))
+
+
+def q_doc_tokens_bpe(sf_dir: str):
+    from pyrdf2vec_ray.ops.text import token_count_bpe
+
+    return token_count_bpe(_docs(sf_dir))
 
 
 def q_tokens_by_lang(sf_dir: str):
@@ -575,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "literals_region_chain": q_literals_region_chain,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
+        "doc_tokens_bpe": q_doc_tokens_bpe,
         "tokens_by_lang": q_tokens_by_lang,
         "events_hourly": q_events_hourly,
         "knn_bruteforce": q_knn_bruteforce,
@@ -680,6 +688,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_stats": r"""
             SELECT doc_id, length(text) AS n_chars,
                    len(regexp_split_to_array(text, '\s+')) AS n_tokens
+            FROM documents
+        """,
+        "doc_tokens_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'
+                   )) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "tokens_by_lang": r"""

@@ -39,6 +39,23 @@ def pliterals(g: LocalGraph, entity: str, chain: list[str]) -> list[str]:
     return [str(names[v]) for v in sorted(frontier)]
 
 
+def pliterals_names(g, entity: str, chain: list[str]) -> list[str]:
+    """get_pliterals over the name-keyed sharded backend
+    (state/sharded_graph.ShardedLocalGraph): each chain hop routes every
+    frontier name to its owning forward shard — no global id space, no
+    driver-side graph."""
+    frontier = {entity}
+    for pred in chain:
+        new: set[str] = set()
+        for node in frontier:
+            preds, objs = g.get_hops(node)
+            new.update(
+                str(o) for p, o in zip(preds, objs) if str(p) == pred
+            )
+        frontier = new
+    return sorted(frontier)
+
+
 def cast_literals(entity_literals: list[list[str]]):
     """kg._cast_literals (kg.py:399-426): [] → NaN; try-float; tuples."""
     out = []
@@ -59,41 +76,64 @@ def cast_literals(entity_literals: list[list[str]]):
     return out
 
 
-def get_literals(gi: GraphIndex, entities: list[str], chains: list[list[str]]):
+def get_literals(gi, entities: list[str], chains: list[list[str]]):
     """Driver-convenience form returning the reference's ragged matrix
-    (one row per entity, one cell per chain)."""
+    (one row per entity, one cell per chain).  Accepts either graph
+    backend."""
+    from pyrdf2vec_ray.state.sharded_graph import ShardedGraphIndex
+
     if len(chains) == 0:
         return []
     g = gi.local()
+    plit = pliterals_names if isinstance(gi, ShardedGraphIndex) else pliterals
     return [
-        cast_literals([pliterals(g, e, chain) for chain in chains])
+        cast_literals([plit(g, e, chain) for chain in chains])
         for e in entities
     ]
 
 
 class LiteralExtractor:
-    def __init__(self, graph_ref, chains: list[list[str]]):
-        self.g = LocalGraph(ray.get(graph_ref))
+    def __init__(self, chains: list[list[str]], graph_ref=None, shard_refs=None):
+        if shard_refs is not None:
+            from pyrdf2vec_ray.state.sharded_graph import ShardedLocalGraph
+
+            fwd_refs, rev_refs = shard_refs
+            self.g = ShardedLocalGraph(
+                [ray.get(r) for r in fwd_refs],
+                [ray.get(r) for r in rev_refs],
+            )
+            self._plit = pliterals_names
+        else:
+            self.g = LocalGraph(ray.get(graph_ref))
+            self._plit = pliterals
         self.chains = chains
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ents, vals = [], []
         for e in batch["entity"].to_pylist():
             ents.append(e)
-            vals.append([pliterals(self.g, e, chain) for chain in self.chains])
+            vals.append([self._plit(self.g, e, chain) for chain in self.chains])
         return pa.Table.from_pydict(
             {"entity": ents, "values": vals}, schema=LITERALS
         )
 
 
 def literals_dataset(
-    gi: GraphIndex, entities: list[str], chains: list[list[str]],
+    gi, entities: list[str], chains: list[list[str]],
     concurrency=(1, 4), batch_size: int = 256,
 ) -> ray.data.Dataset:
+    """``gi``: broadcast GraphIndex OR ShardedGraphIndex — identical
+    output either way (chain traversal order is name-sorted in both)."""
+    from pyrdf2vec_ray.state.sharded_graph import ShardedGraphIndex
+
+    if isinstance(gi, ShardedGraphIndex):
+        kwargs = {"chains": chains, "shard_refs": (gi.fwd_refs, gi.rev_refs)}
+    else:
+        kwargs = {"chains": chains, "graph_ref": gi.broadcast()}
     ds = ray.data.from_arrow(pa.table({"entity": pa.array(entities, pa.string())}))
     return ds.map_batches(
         LiteralExtractor,
-        fn_constructor_kwargs={"graph_ref": gi.broadcast(), "chains": chains},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -161,6 +161,33 @@ def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:
     return docs.map_batches(fp, batch_format="pandas", batch_size=4096)
 
 
+# BPE-style pre-tokenizer (the GPT-2 pattern's ASCII core: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs).
+# Deliberately avoids lookaheads so the same pattern runs under both
+# Python re and RE2 (the DuckDB oracle's engine).
+BPE_RE = re.compile(r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+")
+
+
+def token_count_bpe(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_bpe_tokens): subword-style token counts via the BPE
+    pre-tokenizer regex — the unit LLM training-data budgets are
+    measured in, vs the whitespace counts of text_stats.  One vectorized
+    str.count pass (C regex)."""
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].reset_index(drop=True),
+                "n_bpe_tokens": text.reset_index(drop=True)
+                .str.count(BPE_RE)
+                .astype("int64"),
+            }
+        )
+
+    return docs.map_batches(count, batch_format="pandas", batch_size=8192)
+
+
 def token_count_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Aggregate: total tokens per `lang` column — partial count per batch,
     then a small groupby(lang) shuffle (pre-aggregation pattern)."""

@@ -216,3 +216,20 @@ def test_lang_quality_vectorized_match_naive():
             if hits > best_hits:
                 best, best_hits = lg, hits
         assert lang["lang_pred"][i] == best, (i, t)
+
+
+def test_bpe_token_count():
+    from pyrdf2vec_ray.ops.text import BPE_RE, token_count_bpe
+
+    texts = ["I'll say don't, 42 times!", "", "hello world"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    out = to_table(token_count_bpe(ds)).to_pandas().sort_values("doc_id")
+    import re
+    assert out["n_bpe_tokens"].tolist() == [
+        len(BPE_RE.findall(t)) for t in texts
+    ]
+    # contraction suffixes split like a BPE pre-tokenizer
+    assert BPE_RE.findall("I'll don't") == ["I", "'ll", " don", "'t"]

@@ -146,3 +146,15 @@ def test_name_sampler_weights_match_broadcast(pair):
         kn, pn = f_n.hop_probabilities(pred_names, obj_names)
         assert kb.tolist() == kn.tolist()
         np.testing.assert_array_equal(pb, pn)
+
+
+def test_literals_identical_across_backends(pair):
+    from pyrdf2vec_ray.literals import get_literals, literals_dataset
+
+    bc, sh = pair
+    ents = [IRI + "Alice", IRI + "Bob"]
+    chains = [[IRI + "knows"], [IRI + "knows", IRI + "knows"]]
+    assert get_literals(bc, ents, chains) == get_literals(sh, ents, chains)
+    t_b = to_table(literals_dataset(bc, ents, chains, concurrency=1))
+    t_s = to_table(literals_dataset(sh, ents, chains, concurrency=1))
+    assert t_b.to_pylist() == t_s.to_pylist()
