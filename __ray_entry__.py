@@ -541,6 +541,34 @@ def q_rdf2vec_embeddings(sf_dir: str):
     )
 
 
+def q_rdf2vec_scale_path(sf_dir: str):
+    """The complete 100-TB-shaped pipeline, end to end with NO driver
+    materialization of graph or corpus: hash-sharded parquet-backed
+    graph (state/sharded_graph.py) → walk extraction Dataset →
+    vocab-sharded parameter-server Word2Vec (fit_dataset: corpus via
+    Dataset.split, sparse row pulls/pushes) → per-entity vectors pulled
+    from the parameter shards.  Rows-only (distributed SGD is not
+    SQL-expressible); determinism pinned by pytest."""
+    import pyarrow as _pa
+
+    from pyrdf2vec_ray.embedders_dist import DistributedWord2Vec
+    from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
+
+    gi = _graph_index(sf_dir, sharded=True)
+    entities = _customer_entities(sf_dir)[:200]
+    spec = WalkerSpec(strategy="random", max_depth=2, max_walks=6,
+                      random_state=13)
+    walks = explode_walks(extract_walks(gi, entities, spec, batch_size=64))
+    m = DistributedWord2Vec(num_workers=2, num_ps=2, vector_size=16,
+                            epochs=2, seed=13).fit_dataset(walks)
+    vecs = m.transform(entities)
+    return _pa.table(
+        {"entity": _pa.array(entities, _pa.string()),
+         "vector": _pa.array([v.tolist() for v in vecs],
+                             _pa.list_(_pa.float32()))}
+    )
+
+
 def q_walks_dfs_sampled(sf_dir: str):
     """PageRank-sampled DFS on the SHARDED index (name-keyed sampler
     stats fitted from the parquet-backed triples Dataset)."""
@@ -606,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walks_split": q_walks_split,
         "walks_halk": q_walks_halk,
         "rdf2vec_embeddings": q_rdf2vec_embeddings,
+        "rdf2vec_scale_path": q_rdf2vec_scale_path,
     }
 
 

@@ -1,13 +1,17 @@
 """Community detection for CommunityWalker (reference community.py:99-138).
 
-The reference runs python-louvain's ``best_partition`` on the undirected
-entity graph (edge per hop).  Louvain is global and multi-level — not
-shuffle-friendly; per SURVEY.md A10 the scale substitute is label
-propagation, which is what runs here: deterministic synchronous-ish LPA
-(sorted node order, most-common neighbor label, ties → smallest).  The
-walker's teleport semantics (hop_prob jumps to a random community
-member) are unchanged; only the partition algorithm differs, which the
-reference tests never pin (they assert walk-shape invariants only).
+The reference runs python-louvain's ``best_partition(resolution)`` on
+the undirected entity graph (one edge per hop).  ``method="louvain"``
+(default) is a from-scratch multi-level modularity-greedy Louvain with
+DETERMINISTIC node order and tie-breaking — python-louvain itself
+randomizes node order per run, so exact partition parity is impossible
+even against the reference; the reference tests pin walk-shape
+invariants only, which hold under any partition.
+
+``method="lpa"`` keeps the label-propagation substitute: Louvain's
+aggregation levels are inherently sequential/global, while LPA is k
+sweeps of (node, neighbor-label) grouped counts — the formulation that
+distributes as iterative bucket shuffles at web scale (SURVEY.md A10).
 """
 
 from __future__ import annotations
@@ -18,21 +22,149 @@ from pyrdf2vec_ray.stages.walk import CommunityState
 from pyrdf2vec_ray.state.graph_index import LocalGraph
 
 
-def detect_communities(
-    g: LocalGraph, max_sweeps: int = 20, resolution: float = 1.0
-) -> CommunityState:
+def _entity_edges(g: LocalGraph):
+    """Unique undirected entity-entity edges (weight 1 each)."""
     a = g.a
     nv = g.num_vertices
     src = np.repeat(np.arange(nv), np.diff(a.fwd_indptr)).astype(np.int64)
     dst = a.fwd_obj.astype(np.int64)
-    # undirected unique edges among entities
     lo = np.minimum(src, dst)
     hi = np.maximum(src, dst)
     pair = np.unique(lo * nv + hi)
-    u = (pair // nv).astype(np.int64)
-    v = (pair % nv).astype(np.int64)
+    return (pair // nv).astype(np.int64), (pair % nv).astype(np.int64)
 
-    # adjacency lists (symmetric)
+
+def _csr_sym(n: int, u: np.ndarray, v: np.ndarray, w: np.ndarray):
+    """Symmetric weighted adjacency CSR (self-loops kept once)."""
+    not_self = u != v
+    uu = np.concatenate([u, v[not_self]])
+    vv = np.concatenate([v, u[not_self]])
+    ww = np.concatenate([w, w[not_self]])
+    order = np.argsort(uu, kind="stable")
+    uu, vv, ww = uu[order], vv[order], ww[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, uu + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, vv, ww.astype(np.float64)
+
+
+def _one_level(indptr, nbr, w, resolution: float):
+    """Louvain local-move phase over one graph level; deterministic:
+    nodes in index order, candidate communities in sorted order, strict
+    improvement required."""
+    n = len(indptr) - 1
+    # k[i] = weighted degree (self-loop weight counts twice)
+    k = np.zeros(n)
+    self_w = np.zeros(n)
+    for i in range(n):
+        sl = slice(indptr[i], indptr[i + 1])
+        k[i] = w[sl].sum()
+        selfmask = nbr[sl] == i
+        self_w[i] = w[sl][selfmask].sum()
+        k[i] += self_w[i]  # count self-loop twice
+    m2 = k.sum()
+    if m2 == 0:
+        return np.arange(n), False
+    comm = np.arange(n)
+    comm_tot = k.copy()
+    moved_any = False
+    for _ in range(50):
+        moved = False
+        for node in range(n):
+            c_old = comm[node]
+            links: dict[int, float] = {}
+            for e in range(indptr[node], indptr[node + 1]):
+                j = nbr[e]
+                if j == node:
+                    continue
+                c = comm[j]
+                links[c] = links.get(c, 0.0) + w[e]
+            comm_tot[c_old] -= k[node]
+            best_c = c_old
+            best_gain = links.get(c_old, 0.0) - resolution * comm_tot[c_old] * k[node] / m2
+            for c in sorted(links):
+                if c == c_old:
+                    continue
+                gain = links[c] - resolution * comm_tot[c] * k[node] / m2
+                if gain > best_gain + 1e-12:
+                    best_gain = gain
+                    best_c = c
+            comm_tot[best_c] += k[node]
+            if best_c != c_old:
+                comm[node] = best_c
+                moved = True
+                moved_any = True
+        if not moved:
+            break
+    return comm, moved_any
+
+
+def _aggregate(comm, u, v, w):
+    """Collapse communities into super-nodes; sum parallel edge weights."""
+    uniq, inv = np.unique(comm, return_inverse=True)
+    cu, cv = inv[u], inv[v]
+    lo = np.minimum(cu, cv)
+    hi = np.maximum(cu, cv)
+    n2 = len(uniq)
+    key = lo * n2 + hi
+    order = np.argsort(key, kind="stable")
+    key_s, w_s = key[order], w[order]
+    bounds = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+    sums = np.add.reduceat(w_s, bounds)
+    uk = key_s[bounds]
+    return inv, (uk // n2), (uk % n2), sums, n2
+
+
+def louvain_labels(
+    u: np.ndarray, v: np.ndarray, n: int,
+    resolution: float = 1.0, max_levels: int = 10,
+) -> np.ndarray:
+    """Deterministic Louvain over unique undirected edges → community id
+    per node (ids are arbitrary but stable)."""
+    w = np.ones(len(u), dtype=np.float64)
+    mapping = np.arange(n)
+    cur_u, cur_v, cur_n = u, v, n
+    for _ in range(max_levels):
+        indptr, nbr, ww = _csr_sym(cur_n, cur_u, cur_v, w)
+        comm, moved = _one_level(indptr, nbr, ww, resolution)
+        inv, cur_u, cur_v, w, n2 = _aggregate(comm, cur_u, cur_v, w)
+        # inv: current node -> compacted community id = its super-node at
+        # the next level; compose into the original-node mapping
+        mapping = inv[mapping]
+        if not moved or n2 == cur_n:
+            cur_n = n2
+            break
+        cur_n = n2
+    return mapping
+
+
+def detect_communities(
+    g: LocalGraph, max_sweeps: int = 20, resolution: float = 1.0,
+    method: str = "louvain",
+) -> CommunityState:
+    a = g.a
+    nv = g.num_vertices
+    u, v = _entity_edges(g)
+    active = np.flatnonzero(a.is_entity)
+
+    if method == "louvain":
+        labels = louvain_labels(u, v, nv, resolution=resolution)
+    elif method == "lpa":
+        labels = _lpa_labels(u, v, nv, active, max_sweeps)
+    else:
+        raise ValueError(f"unknown community method {method!r}")
+
+    community_of = np.full(nv, -1, dtype=np.int32)
+    uniq, inv = np.unique(labels[active], return_inverse=True)
+    community_of[active] = inv.astype(np.int32)
+    members = [active[inv == c] for c in range(len(uniq))]
+    return CommunityState(community_of=community_of, members=members)
+
+
+def _lpa_labels(u, v, nv, active, max_sweeps):
+    """Deterministic label propagation (sorted order, most-common
+    neighbor label, ties → smallest) — the shuffle-friendly scale
+    substitute."""
     deg = np.zeros(nv, dtype=np.int64)
     np.add.at(deg, u, 1)
     np.add.at(deg, v, 1)
@@ -46,7 +178,6 @@ def detect_communities(
             cursor[x[i]] += 1
 
     labels = np.arange(nv, dtype=np.int64)
-    active = np.flatnonzero(a.is_entity)
     for _ in range(max_sweeps):
         changed = False
         for node in active:
@@ -60,9 +191,4 @@ def detect_communities(
                 changed = True
         if not changed:
             break
-
-    community_of = np.full(nv, -1, dtype=np.int32)
-    uniq, inv = np.unique(labels[active], return_inverse=True)
-    community_of[active] = inv.astype(np.int32)
-    members = [active[inv == c] for c in range(len(uniq))]
-    return CommunityState(community_of=community_of, members=members)
+    return labels
