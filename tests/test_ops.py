@@ -233,3 +233,33 @@ def test_bpe_token_count():
     ]
     # contraction suffixes split like a BPE pre-tokenizer
     assert BPE_RE.findall("I'll don't") == ["I", "'ll", " don", "'t"]
+
+
+def test_knn_ivf_recall_vs_bruteforce():
+    from pyrdf2vec_ray.ops.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.RandomState(3)
+    # clustered corpus so IVF centroids are meaningful
+    centers = rng.randn(8, 16) * 4
+    vecs = np.concatenate([c + rng.randn(40, 16) * 0.3 for c in centers])
+    ids = np.arange(len(vecs))
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float32()))})
+    ).repartition(4)
+    q = vecs[:6]
+    qids = ids[:6]
+    exact = knn_bruteforce(ds, q, qids, k=5).to_pandas()
+    approx = knn_ivf(ds, q, qids, k=5, n_centroids=8, nprobe=3).to_pandas()
+    # top-1 must be the query itself in both (self-similarity 1.0)
+    for qid in qids:
+        assert exact[exact.query_id == qid].iloc[0]["neighbor_id"] == qid
+        assert approx[approx.query_id == qid].iloc[0]["neighbor_id"] == qid
+    # recall@5 of the probed search vs exact
+    hits = 0
+    for qid in qids:
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        hits += len(e & a)
+    assert hits / (5 * len(qids)) >= 0.8
