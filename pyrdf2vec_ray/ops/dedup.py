@@ -45,7 +45,7 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
         return out[["doc_id", "text_hash"]]
 
     return bucket_apply(
-        hashed, ["text_hash"], per_bucket, num_buckets=16, batch_format="pandas"
+        hashed, ["text_hash"], per_bucket, num_buckets=None, batch_format="pandas"
     )
 
 
@@ -128,7 +128,7 @@ def minhash_lsh_candidates(
         ).reset_index(drop=True)
 
     cand = bucket_apply(
-        rows_ds, ["band_hash"], per_bucket, num_buckets=16,
+        rows_ds, ["band_hash"], per_bucket, num_buckets=None,
         batch_format="pandas",
     )
     # a doc pair can collide via several band hashes in different buckets:
@@ -219,7 +219,7 @@ def verify_jaccard(
         return m[["pair_key", "sh"]]
 
     joined = bucket_apply(
-        tagged, ["doc_id"], join_bucket, num_buckets=16, batch_format="pandas"
+        tagged, ["doc_id"], join_bucket, num_buckets=None, batch_format="pandas"
     )
 
     # second shuffle: both members of a pair land in one bucket; verify
@@ -243,7 +243,7 @@ def verify_jaccard(
         )
 
     return bucket_apply(
-        joined, ["pair_key"], verify_bucket, num_buckets=16,
+        joined, ["pair_key"], verify_bucket, num_buckets=None,
         batch_format="pandas",
     )
 
@@ -364,7 +364,7 @@ def embedding_neardup_pairs(
         return pd.concat(outs, ignore_index=True)
 
     pairs = bucket_apply(
-        bucketed, ["bkey"], within_bucket, num_buckets=16,
+        bucketed, ["bkey"], within_bucket, num_buckets=None,
         batch_format="pandas",
     )
 
@@ -374,6 +374,6 @@ def embedding_neardup_pairs(
         return g.groupby(["id_a", "id_b"], as_index=False)["cos"].min()
 
     return bucket_apply(
-        pairs, ["id_a", "id_b"], dedup_bucket, num_buckets=16,
+        pairs, ["id_a", "id_b"], dedup_bucket, num_buckets=None,
         batch_format="pandas",
     )

@@ -93,6 +93,6 @@ def sessionize(
         ]
 
     return bucket_apply(
-        events, ["user_id"], sessions_bucket, num_buckets=16,
+        events, ["user_id"], sessions_bucket, num_buckets=None,
         batch_format="pandas",
     )

@@ -47,7 +47,7 @@ def bfs_walks_join(
     triples: ray.data.Dataset,
     entities: list[str],
     max_depth: int,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """→ Dataset (entity, walk: list<string>) of unique BFS walks.
 

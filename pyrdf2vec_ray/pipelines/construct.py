@@ -55,7 +55,7 @@ def link_mentions(
 
 
 def dedup_triples(
-    linked: ray.data.Dataset, num_buckets: int = 16
+    linked: ray.data.Dataset, num_buckets: int | None = None
 ) -> ray.data.Dataset:
     """Global exact dedup of (subj, pred, obj) — the reference's set-valued
     adjacency semantics (kg.py:177-178): per-batch combiner, then ONE
@@ -121,7 +121,7 @@ def materialize_adjacency(
             }
         )
 
-    return bucket_apply(triples, ["subj"], bucket_rows, num_buckets=16)
+    return bucket_apply(triples, ["subj"], bucket_rows, num_buckets=None)
 
 
 def construct_kg(

@@ -27,6 +27,18 @@ import pyarrow as pa
 import ray.data
 
 
+def default_num_buckets(lo: int = 16) -> int:
+    """Bucket count tied to the session's CPU count (capped per-bucket
+    work is the reduce phase's parallelism; a fixed 16 flattens the
+    N->4N curve).  At real data scale the caller should instead size by
+    input_bytes / target_partition_bytes — see the module docstring."""
+    import ray
+
+    if ray.is_initialized():
+        return max(lo, int(ray.cluster_resources().get("CPU", lo)))
+    return lo
+
+
 def add_bucket(
     ds: ray.data.Dataset, key_cols: list[str], num_buckets: int
 ) -> ray.data.Dataset:
@@ -42,7 +54,7 @@ def bucket_apply(
     ds: ray.data.Dataset,
     key_cols: list[str],
     bucket_fn: Callable,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     batch_format: str = "pyarrow",
     pre: Callable | None = None,
 ) -> ray.data.Dataset:
@@ -51,6 +63,8 @@ def bucket_apply(
     dropped), so per-key logic runs as a vectorized kernel per bucket, not
     per-key Ray tasks.  `pre` is an optional per-batch combiner applied
     before the shuffle."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     if pre is not None:
         ds = ds.map_batches(pre, batch_format="pyarrow")
 
@@ -71,7 +85,7 @@ def bucket_agg(
     ds: ray.data.Dataset,
     key_cols: list[str],
     aggs: dict[str, tuple[str, str]],
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     pre: bool = True,
 ) -> ray.data.Dataset:
     """groupby(key_cols).agg via bucket shuffle — Ray's sort-based
@@ -110,7 +124,7 @@ def bucket_agg(
 
 def bucket_count(
     ds: ray.data.Dataset, key_cols: list[str], count_col: str = "n",
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """groupby(key_cols).count() via the bucket shuffle."""
     probe = key_cols[0]
@@ -120,7 +134,7 @@ def bucket_count(
 
 
 def distinct(
-    ds: ray.data.Dataset, key_cols: list[str], num_buckets: int = 16
+    ds: ray.data.Dataset, key_cols: list[str], num_buckets: int | None = None
 ) -> ray.data.Dataset:
     """Exact distinct rows over key_cols: local per-batch dedup (combiner)
     → one int-key shuffle → vectorized per-bucket dedup."""
