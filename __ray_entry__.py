@@ -126,6 +126,16 @@ def q_sampler_objpredfreq(sf_dir: str):
     return bucket_count(tpch_triples(sf_dir), ["pred", "obj"], "n")
 
 
+def q_vertex_stats(sf_dir: str):
+    """The fitted-sampler state as one queryable table (SURVEY §2.4);
+    the SQL-expressible columns only (pagerank/community are iterative —
+    pinned by pytest instead)."""
+    from pyrdf2vec_ray.stats import vertex_stats
+
+    ds = vertex_stats(_graph_index(sf_dir))
+    return ds.select_columns(["name", "in_deg", "out_deg", "pred_count"])
+
+
 def q_bfs_walks_customers(sf_dir: str):
     """BFS depth-2 walks (no md5) from every customer — the reference's
     RandomWalker(max_depth=2, max_walks=None, md5_bytes=None) on the
@@ -438,6 +448,25 @@ def q_media_features(sf_dir: str):
     return media_features(docs)
 
 
+def q_media_resized(sf_dir: str):
+    from pyrdf2vec_ray.ops.multimodal import resize_images
+
+    docs, _ = _synth_docs(sf_dir)
+    out = resize_images(docs, width=16, height=16)
+    # drop the binary pixel column for the driver's hash (bytes payload);
+    # shape metadata is the checkable surface
+    return out.select_columns(["doc_id", "media_ref", "width", "height"])
+
+
+def q_media_frames(sf_dir: str):
+    from pyrdf2vec_ray.ops.multimodal import sample_frames
+
+    docs, _ = _synth_docs(sf_dir)
+    return sample_frames(docs, stride=20).select_columns(
+        ["doc_id", "media_ref", "frame_idx"]
+    )
+
+
 def q_events_sessions(sf_dir: str):
     import ray.data
 
@@ -603,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampler_objfreq": q_sampler_objfreq,
         "sampler_predfreq": q_sampler_predfreq,
         "sampler_objpredfreq": q_sampler_objpredfreq,
+        "vertex_stats": q_vertex_stats,
         "bfs_walks_customers": q_bfs_walks_customers,
         "walks_reverse": q_walks_reverse,
         "walks_ngram": q_walks_ngram,
@@ -624,6 +654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "knn_ivf": q_knn_ivf,
         "media_features": q_media_features,
+        "media_resized": q_media_resized,
+        "media_frames": q_media_frames,
         "events_sessions": q_events_sessions,
         "walks_wl_sample": q_walks_wl_sample,
         "walks_dfs_sampled": q_walks_dfs_sampled,
@@ -667,6 +699,24 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
         "sampler_objpredfreq": _TRIPLES_CTE
         + "SELECT pred, obj, count(*) AS n FROM triples GROUP BY pred, obj",
+        "vertex_stats": _TRIPLES_CTE + """
+            , names AS (
+              SELECT subj AS name FROM triples
+              UNION SELECT pred FROM triples
+              UNION SELECT obj FROM triples
+            ),
+            o AS (SELECT subj AS name, count(*) AS n FROM triples GROUP BY subj),
+            i AS (SELECT obj AS name, count(*) AS n FROM triples GROUP BY obj),
+            p AS (SELECT pred AS name, count(*) AS n FROM triples GROUP BY pred)
+            SELECT names.name,
+                   CAST(COALESCE(i.n, 0) AS BIGINT) AS in_deg,
+                   CAST(COALESCE(o.n, 0) AS BIGINT) AS out_deg,
+                   CAST(COALESCE(p.n, 0) AS BIGINT) AS pred_count
+            FROM names
+            LEFT JOIN o ON names.name = o.name
+            LEFT JOIN i ON names.name = i.name
+            LEFT JOIN p ON names.name = p.name
+        """,
         "bfs_walks_customers": """
             SELECT 'customer:' || c_custkey AS e0,
                    'in_nation' AS p1,

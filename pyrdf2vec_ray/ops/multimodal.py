@@ -103,3 +103,153 @@ def media_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("pixels", pa.binary()),   # row-major uint8 grayscale
+    ]
+)
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+class ImageResizer:
+    """Actor-pool resize stage (task brief: decode / feature-extract /
+    RESIZE / frame-sample).  The decode is the stubbed codec (a
+    deterministic pseudo-image derived from the ref hash in ``fake``
+    mode; ``strict`` raises where PIL plugs in); the RESIZE math is real
+    vectorized numpy (nearest-neighbor index grid) and the output is a
+    compact binary pixel column — the memory-aware layout real image
+    payloads need (small batches, binary buffers, no Python pixel
+    lists)."""
+
+    def __init__(self, width: int = 32, height: int = 32, mode: str = "fake"):
+        self.w = width
+        self.h = height
+        self.mode = mode
+
+    def _decode_image(self, media_ref: str) -> np.ndarray:
+        if self.mode == "strict":
+            raise NotImplementedError(
+                "no image codec in this environment; plug PIL/cv2 into "
+                "ImageResizer._decode_image"
+            )
+        h = hashlib.sha256(media_ref.encode()).digest()
+        src_h = 40 + h[0] % 60
+        src_w = 40 + h[1] % 60
+        seed = int.from_bytes(h[2:6], "little")
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(src_h, src_w), dtype=np.uint8)
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        ys = (np.arange(self.h) * img.shape[0] // self.h)
+        xs = (np.arange(self.w) * img.shape[1] // self.w)
+        return img[np.ix_(ys, xs)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pixels = [
+            self._resize(self._decode_image(ref)).tobytes()
+            for ref in batch["media_ref"].to_pylist()
+        ]
+        n = len(pixels)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "media_ref": batch["media_ref"],
+                "kind": batch["kind"],
+                "width": pa.array([self.w] * n, pa.int32()),
+                "height": pa.array([self.h] * n, pa.int32()),
+                "pixels": pa.array(pixels, pa.binary()),
+            },
+            schema=IMAGE_SCHEMA,
+        )
+
+
+def resize_images(
+    docs: ray.data.Dataset, width: int = 32, height: int = 32,
+    mode: str = "fake", concurrency=(1, 4), batch_size: int = 256,
+) -> ray.data.Dataset:
+    """documents → resized image-span pixel buffers (image spans only)."""
+    spans = media_spans(docs)
+    images = spans.filter(expr="kind == 'image'")
+    return images.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"width": width, "height": height, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video spans: the stub
+    container reports a deterministic frame count per ref; every
+    ``stride``-th frame decodes (stub) to a feature vector.  flat_map
+    shape: one input span → many frame rows."""
+
+    def __init__(self, stride: int = 10, dim: int = 16, mode: str = "fake"):
+        self.stride = stride
+        self.dim = dim
+        self.mode = mode
+
+    def _frame_count(self, media_ref: str) -> int:
+        if self.mode == "strict":
+            raise NotImplementedError(
+                "no video demuxer in this environment; plug ffmpeg into "
+                "FrameSampler._frame_count/_decode_frame"
+            )
+        h = hashlib.sha256(media_ref.encode()).digest()
+        return 30 + h[3] % 200
+
+    def _decode_frame(self, media_ref: str, idx: int) -> np.ndarray:
+        h = hashlib.sha256(f"{media_ref}#{idx}".encode()).digest()
+        raw = np.frombuffer((h * ((self.dim * 4) // len(h) + 1))[: self.dim * 4],
+                            dtype=np.uint32)
+        return (raw % 1000).astype(np.float32) / 1000.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, refs, idxs, feats = [], [], [], []
+        for doc_id, ref in zip(
+            batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist()
+        ):
+            for idx in range(0, self._frame_count(ref), self.stride):
+                doc_ids.append(doc_id)
+                refs.append(ref)
+                idxs.append(idx)
+                feats.append(self._decode_frame(ref, idx).tolist())
+        return pa.Table.from_pydict(
+            {"doc_id": doc_ids, "media_ref": refs,
+             "frame_idx": pa.array(idxs, pa.int32()),
+             "feature": pa.array(feats, pa.list_(pa.float32()))},
+            schema=FRAME_SCHEMA,
+        )
+
+
+def sample_frames(
+    docs: ray.data.Dataset, stride: int = 10, dim: int = 16,
+    mode: str = "fake", concurrency=(1, 4), batch_size: int = 128,
+) -> ray.data.Dataset:
+    """documents → sampled per-frame features for video spans (small
+    batches: each input row fans out to many frames, and real video
+    payloads are the largest objects in the pipeline)."""
+    videos = media_spans(docs).filter(expr="kind == 'video'")
+    return videos.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": stride, "dim": dim, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

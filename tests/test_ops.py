@@ -263,3 +263,42 @@ def test_knn_ivf_recall_vs_bruteforce():
         a = set(approx[approx.query_id == qid]["neighbor_id"])
         hits += len(e & a)
     assert hits / (5 * len(qids)) >= 0.8
+
+
+def test_multimodal_resize_and_frames():
+    from pyrdf2vec_ray import synth
+    from pyrdf2vec_ray.ops.multimodal import resize_images, sample_frames
+
+    docs = synth.synth_documents(300, seed=5, n_entities=30)
+    imgs = to_table(resize_images(docs, width=16, height=12, concurrency=1))
+    assert imgs.num_rows > 0
+    assert set(imgs["kind"].to_pylist()) == {"image"}
+    # binary pixel buffers have exactly width*height uint8 bytes
+    assert all(len(p) == 16 * 12 for p in imgs["pixels"].to_pylist())
+    # deterministic across runs
+    imgs2 = to_table(resize_images(docs, width=16, height=12, concurrency=1))
+    assert imgs.sort_by("media_ref").equals(imgs2.sort_by("media_ref"))
+
+    frames = to_table(sample_frames(docs, stride=25, dim=8, concurrency=1))
+    assert frames.num_rows > 0
+    df = frames.to_pandas()
+    # one video span fans out to multiple sampled frames, stride-spaced
+    per_ref = df.groupby("media_ref")["frame_idx"].apply(list)
+    assert any(len(v) > 1 for v in per_ref)
+    for idxs in per_ref:
+        assert idxs == sorted(idxs)
+        assert all(i % 25 == 0 for i in idxs)
+    assert all(len(f) == 8 for f in df["feature"])
+
+
+def test_multimodal_strict_mode_raises():
+    import pytest
+
+    from pyrdf2vec_ray import synth
+    from pyrdf2vec_ray.ops.multimodal import resize_images, sample_frames
+
+    docs = synth.synth_documents(50, seed=5, n_entities=10)
+    with pytest.raises(Exception, match="NotImplementedError|codec|demuxer"):
+        to_table(resize_images(docs, mode="strict", concurrency=1))
+    with pytest.raises(Exception, match="NotImplementedError|demuxer|codec"):
+        to_table(sample_frames(docs, mode="strict", concurrency=1))
