@@ -103,13 +103,18 @@ class ShardedGraphIndex:
 
             return fn
 
-        # two shuffle-by-write passes; the driver never holds the triples
+        # two shuffle-by-write passes; the driver never holds the triples.
+        # The reverse pass reads the forward parquet back instead of
+        # re-executing the (possibly expensive — dedup shuffle etc.)
+        # upstream pipeline a second time.
+        import ray.data
+
         fwd_dir = f"{root}/fwd"
         rev_dir = f"{root}/rev"
         triples_ds.map_batches(
             add_shard("subj"), batch_format="pyarrow"
         ).write_parquet(fwd_dir, partition_cols=["shard"])
-        triples_ds.map_batches(
+        ray.data.read_parquet(fwd_dir, columns=TRIPLE_COLS).map_batches(
             add_shard("obj"), batch_format="pyarrow"
         ).write_parquet(rev_dir, partition_cols=["shard"])
 
