@@ -103,3 +103,50 @@ def test_minhash_similarity_monotone(a, b):
     assert 0.0 <= sim <= 1.0
     if a == b:
         assert sim == 1.0
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=2, max_size=12
+    ),
+    threshold=st.sampled_from([0.3, 0.6, 0.9]),
+)
+@settings(max_examples=8, deadline=None)
+def test_distributed_jaccard_equals_naive(texts, threshold):
+    """The bucketed pair⋈shingles verification must equal a naive local
+    Jaccard over every candidate pair."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from pyrdf2vec_ray.ops.dedup import _shingle_hashes, verify_jaccard
+    from pyrdf2vec_ray.util import to_table
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    pairs = list(itertools.combinations(range(len(texts)), 2))
+    pairs_ds = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                  "doc_b": pa.array([b for _, b in pairs], pa.int64())})
+    )
+    got = to_table(verify_jaccard(docs, pairs_ds, k=2, threshold=threshold))
+    if got.num_rows == 0 or "doc_a" not in got.column_names:
+        got_map = {}
+    else:
+        got_map = {
+            (a, b): j for a, b, j in zip(
+                got["doc_a"].to_pylist(), got["doc_b"].to_pylist(),
+                got["jaccard"].to_pylist(),
+            )
+        }
+    for a, b in pairs:
+        sa = set(_shingle_hashes(texts[a], 2).tolist())
+        sb = set(_shingle_hashes(texts[b], 2).tolist())
+        j = len(sa & sb) / max(1, len(sa | sb))
+        if j >= threshold:
+            assert abs(got_map[(a, b)] - j) < 1e-12, (a, b)
+        else:
+            assert (a, b) not in got_map
