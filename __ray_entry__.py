@@ -506,9 +506,28 @@ def q_walks_community(sf_dir: str):
 
 
 def q_walks_anonymous(sf_dir: str):
-    from pyrdf2vec_ray.walkers import WalkerSpec
+    """AnonymousWalker (W2, anonymous.py:38-60): every customer's single
+    depth-2 walk relabels non-root vertices to their first-occurrence
+    index — SQL-expressible because the relational path is all-distinct.
+    Walk emitted as a space-joined string for the oracle compare."""
+    from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
 
-    return _walker_query(sf_dir, WalkerSpec(strategy="anonymous", max_depth=2))
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)[:100]
+    spec = WalkerSpec(strategy="anonymous", max_depth=2)
+    walks = extract_walks(gi, entities, spec, batch_size=64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ents, ws = [], []
+        for e, walks_ in zip(batch["entity"].to_pylist(),
+                             batch["walks"].to_pylist()):
+            for w in walks_:
+                ents.append(e)
+                ws.append(" ".join(w))
+        return pa.table({"entity": pa.array(ents, pa.string()),
+                         "walk": pa.array(ws, pa.string())})
+
+    return walks.map_batches(explode, batch_format="pyarrow")
 
 
 def q_walks_split(sf_dir: str):
@@ -823,6 +842,14 @@ def oracle_sql() -> dict[str, str]:
               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                 / GREATEST(length(text), 1) AS alpha_ratio
             FROM w
+        """,
+        "walks_anonymous": """
+            SELECT 'customer:' || c_custkey AS entity,
+                   'customer:' || c_custkey || ' 1 2 3 4' AS walk
+            FROM customer
+            WHERE c_custkey IN (
+              SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100
+            )
         """,
         "events_sessions": """
             WITH d AS (
