@@ -53,24 +53,25 @@ def _one_level(indptr, nbr, w, resolution: float):
     nodes in index order, candidate communities in sorted order, strict
     improvement required."""
     n = len(indptr) - 1
-    # k[i] = weighted degree (self-loop weight counts twice)
-    k = np.zeros(n)
-    self_w = np.zeros(n)
-    for i in range(n):
-        sl = slice(indptr[i], indptr[i + 1])
-        k[i] = w[sl].sum()
-        selfmask = nbr[sl] == i
-        self_w[i] = w[sl][selfmask].sum()
-        k[i] += self_w[i]  # count self-loop twice
+    # k[i] = weighted degree (self-loop weight counts twice) — segment
+    # sums via the cumsum trick, no per-node Python loop
+    csum = np.concatenate([[0.0], np.cumsum(w)])
+    k = csum[indptr[1:]] - csum[indptr[:-1]]
+    row_of_edge = np.repeat(np.arange(n), np.diff(indptr))
+    wself = np.where(nbr == row_of_edge, w, 0.0)
+    csum_s = np.concatenate([[0.0], np.cumsum(wself)])
+    self_w = csum_s[indptr[1:]] - csum_s[indptr[:-1]]
+    k = k + self_w  # count self-loops twice
     m2 = k.sum()
     if m2 == 0:
         return np.arange(n), False
     comm = np.arange(n)
     comm_tot = k.copy()
     moved_any = False
+    movable = np.flatnonzero(np.diff(indptr) > 0)  # isolated nodes never move
     for _ in range(50):
         moved = False
-        for node in range(n):
+        for node in movable:
             c_old = comm[node]
             links: dict[int, float] = {}
             for e in range(indptr[node], indptr[node + 1]):
@@ -192,3 +193,58 @@ def _lpa_labels(u, v, nv, active, max_sweeps):
         if not changed:
             break
     return labels
+
+
+class _NameCommunityMap:
+    """dict-backed ``community_of`` with the array contract WalkCore
+    expects: missing names → -1."""
+
+    def __init__(self, mapping: dict):
+        self._m = mapping
+
+    def __getitem__(self, name) -> int:
+        return self._m.get(name, -1)
+
+
+def detect_communities_from_dataset(
+    triples_ds, resolution: float = 1.0, method: str = "louvain",
+    max_sweeps: int = 20,
+) -> CommunityState:
+    """Community state fitted from the triples Dataset (the sharded-
+    backend form): distinct entity→entity edges come from one bucket
+    shuffle; the collected pair list is edge-scale ids (16 bytes/edge —
+    the same documented global-algorithm collect as the pagerank fit),
+    and the resulting partition is the broadcast fitted state.
+
+    Identical partition, compact community ids, and member ORDER as the
+    broadcast ``detect_communities`` (entity order is name-sorted in
+    both), so community-teleport walks match across backends."""
+    from pyrdf2vec_ray.shuffle import distinct
+    from pyrdf2vec_ray.util import to_table
+
+    pairs = to_table(distinct(triples_ds, ["subj", "obj"]))
+    src = np.asarray(pairs["subj"].to_numpy(zero_copy_only=False))
+    dst = np.asarray(pairs["obj"].to_numpy(zero_copy_only=False))
+    ents = np.unique(np.concatenate([src, dst])).astype(np.str_)
+    n = len(ents)
+    u = np.searchsorted(ents, src.astype(np.str_)).astype(np.int64)
+    v = np.searchsorted(ents, dst.astype(np.str_)).astype(np.int64)
+    # collapse to unique undirected edges like _entity_edges
+    lo = np.minimum(u, v)
+    hi = np.maximum(u, v)
+    pair = np.unique(lo * n + hi)
+    u, v = (pair // n).astype(np.int64), (pair % n).astype(np.int64)
+
+    if method == "louvain":
+        labels = louvain_labels(u, v, n, resolution=resolution)
+    elif method == "lpa":
+        labels = _lpa_labels(u, v, n, np.arange(n), max_sweeps)
+    else:
+        raise ValueError(f"unknown community method {method!r}")
+
+    uniq, inv = np.unique(labels, return_inverse=True)
+    mapping = {str(name): int(c) for name, c in zip(ents, inv)}
+    members = [ents[inv == c] for c in range(len(uniq))]
+    return CommunityState(
+        community_of=_NameCommunityMap(mapping), members=members
+    )

@@ -126,7 +126,7 @@ class WalkCore:
         c = comm.community_of[other]
         if c >= 0 and rng.random_sample() < self.hop_prob:
             m = comm.members[c]
-            pick = int(m[rng.randint(0, len(m))])
+            pick = self.kc(m[rng.randint(0, len(m))])
             # reference appends the community member WITHOUT a predicate
             # (community.py:163-185) — faithful, including the broken
             # alternation that creates
@@ -184,7 +184,7 @@ class WalkCore:
                     c = comm.community_of[o]
                     if c >= 0 and comm_rng.random_sample() < self.hop_prob:
                         m = comm.members[c]
-                        o = int(m[comm_rng.randint(0, len(m))])
+                        o = self.kc(m[comm_rng.randint(0, len(m))])
                 sub = (o, p) + sub if is_reverse else sub + (p, o)
                 d = len(sub) - 1
             walks.append(sub)

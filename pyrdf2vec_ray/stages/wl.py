@@ -94,3 +94,104 @@ def wl_labels(
     return {
         str(names[v]): [str(h[v]) for h in history] for v in entity_ids
     }
+
+
+def wl_labels_from_dataset(
+    triples_ds, wl_iterations: int, md5_bytes: int | None = 8,
+    num_buckets: int | None = None,
+) -> dict[str, list[str]]:
+    """WL labels computed from the triples DATASET — the SURVEY A9
+    join-rounds formulation backing the sharded graph (no CSR, the
+    per-triple state NEVER lands on the driver).
+
+    Per iteration, from the previous round's state (T = Dataset of
+    per-triple (subj, obj, pin-label); E = entity-label table,
+    vocabulary-scale, broadcast):
+      1. suffix(obj) = sorted-distinct pin labels concat — one bucket
+         shuffle of (obj, pin) + a vocabulary-scale collect (it becomes
+         part of the next E, which is broadcast state by definition);
+      2. T' = map_batches: pin ← H(pin + "-" + E[subj]) via the
+         broadcast E (a lookup join, no shuffle);
+      3. E' = H(E + "-" + suffix) driver-side (vocabulary-scale).
+
+    The returned name → [label_0..k] map is byte-identical to
+    ``wl_labels`` over the broadcast CSR (pinned by tests)."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from pyrdf2vec_ray.shuffle import bucket_apply, bucket_count
+    from pyrdf2vec_ray.util import to_table
+
+    # E_0: all entity names label themselves (distinct subj ∪ obj —
+    # a grouped-count shuffle; the collected table is vocabulary-scale)
+    def names_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"name": pa.concat_arrays([
+            batch["subj"].combine_chunks().cast(pa.string()),
+            batch["obj"].combine_chunks().cast(pa.string()),
+        ])})
+
+    names_t = to_table(bucket_count(
+        triples_ds.map_batches(names_batch, batch_format="pyarrow"),
+        ["name"], "n", num_buckets=num_buckets,
+    ))
+    ent_names = np.sort(
+        np.asarray(names_t["name"].to_numpy(zero_copy_only=False))
+    ).astype(np.str_)
+
+    def lookup(series_vals: np.ndarray, queries: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(ent_names, queries)
+        return series_vals[idx]
+
+    ent_lab = ent_names.astype(object).copy()
+    history = [ent_lab.copy()]
+
+    # T_0: per-triple pin label = predicate name
+    T = triples_ds.map_batches(
+        lambda b: pa.table({"subj": b["subj"], "obj": b["obj"],
+                            "pin": b["pred"]}),
+        batch_format="pyarrow",
+    )
+
+    for _ in range(wl_iterations):
+        # 1. suffix per obj: one bucket shuffle, vectorized per bucket
+        def suffix_bucket(g):
+            g = g[["obj", "pin"]].drop_duplicates().sort_values(["obj", "pin"])
+            return (g.groupby("obj", as_index=False)["pin"].agg("-".join)
+                     .rename(columns={"pin": "suffix"}))
+
+        suf = to_table(bucket_apply(
+            T, ["obj"], suffix_bucket, num_buckets=num_buckets,
+            batch_format="pandas",
+        ))
+        suffix = np.full(len(ent_names), "", dtype=object)
+        pos = np.searchsorted(
+            ent_names, np.asarray(suf["obj"].to_numpy(zero_copy_only=False))
+        )
+        suffix[pos] = np.asarray(suf["suffix"].to_numpy(zero_copy_only=False))
+
+        # 2. pin update via the broadcast entity labels (lookup join)
+        lab_ref = ray.put((ent_names, ent_lab))
+
+        def update_pin(batch: pd.DataFrame) -> pd.DataFrame:
+            names, labs = ray.get(lab_ref)
+            subj_lab = labs[np.searchsorted(names, batch["subj"].to_numpy())]
+            batch = batch.copy()
+            batch["pin"] = _hash_distinct(
+                batch["pin"].to_numpy(dtype=object) + "-" + subj_lab, md5_bytes
+            )
+            return batch
+
+        T = T.map_batches(update_pin, batch_format="pandas").materialize()
+
+        # 3. new entity labels (vocabulary-scale, driver-side)
+        ent_lab = _hash_distinct(ent_lab + "-" + suffix, md5_bytes)
+        history.append(ent_lab.copy())
+
+    return {
+        str(name): [str(h[i]) for h in history]
+        for i, name in enumerate(ent_names)
+    }

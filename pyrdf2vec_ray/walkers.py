@@ -212,12 +212,6 @@ def extract_walks(
     labels_ref = None
     community_ref = None
     if sharded:
-        if spec.strategy in ("wl", "community"):
-            raise NotImplementedError(
-                f"strategy {spec.strategy!r} needs global graph state "
-                "(WL labels / community partition); use the broadcast "
-                "GraphIndex for it"
-            )
         from pyrdf2vec_ray.samplers import NameFittedSampler
 
         graph_ref = None
@@ -226,6 +220,22 @@ def extract_walks(
         sampler_ref = ray.put(
             NameFittedSampler.fit(spec.sampler, gi.triples_dataset())
         )
+        # graph-global fits from the parquet-backed triples Dataset —
+        # identical fitted state to the broadcast-CSR forms
+        if spec.strategy == "wl":
+            from pyrdf2vec_ray.stages.wl import wl_labels_from_dataset
+
+            labels_ref = ray.put(wl_labels_from_dataset(
+                gi.triples_dataset(), spec.wl_iterations, spec.md5_bytes
+            ))
+        if spec.strategy == "community":
+            from pyrdf2vec_ray.stages.community import (
+                detect_communities_from_dataset,
+            )
+
+            community_ref = ray.put(
+                detect_communities_from_dataset(gi.triples_dataset())
+            )
     else:
         if not skip_verify:
             assert_exists(gi, entities)

@@ -118,12 +118,43 @@ def test_missing_entity_raises_in_worker(pair):
         to_table(extract_walks(sh, [IRI + "Ghost"], spec, batch_size=2))
 
 
-def test_wl_community_need_broadcast(pair):
-    _, sh = pair
-    for strategy in ("wl", "community"):
-        with pytest.raises(NotImplementedError):
-            extract_walks(sh, [IRI + "Alice"],
-                          WalkerSpec(strategy=strategy, max_depth=1))
+def test_wl_walks_identical(pair):
+    """WL labels from the parquet-backed Dataset are byte-identical to
+    the CSR fit, so WL walks match across backends."""
+    bc, sh = pair
+    ents = [IRI + "Alice", synth.entity_iri(3)]
+    spec = WalkerSpec(strategy="wl", max_depth=2, max_walks=None,
+                      wl_iterations=2)
+    assert _walk_sets(bc, ents, spec) == _walk_sets(sh, ents, spec)
+
+
+def test_community_walks_identical(pair):
+    """Louvain from the distinct-edge Dataset produces the same compact
+    partition, ids and member order as the broadcast fit — teleporting
+    walks match across backends."""
+    bc, sh = pair
+    ents = [synth.entity_iri(i) for i in (0, 3, 5)]
+    spec = WalkerSpec(strategy="community", max_depth=2, max_walks=5,
+                      random_state=11)
+    assert _walk_sets(bc, ents, spec) == _walk_sets(sh, ents, spec)
+
+
+def test_community_partition_identical(pair):
+    from pyrdf2vec_ray.stages.community import (
+        detect_communities,
+        detect_communities_from_dataset,
+    )
+
+    bc, sh = pair
+    cs_b = detect_communities(bc.local())
+    cs_n = detect_communities_from_dataset(sh.triples_dataset())
+    names = bc.local().a.names
+    ents = np.flatnonzero(bc.local().a.is_entity)
+    for vid in ents:
+        assert cs_b.community_of[vid] == cs_n.community_of[str(names[vid])]
+    assert len(cs_b.members) == len(cs_n.members)
+    for mb, mn in zip(cs_b.members, cs_n.members):
+        assert [str(names[v]) for v in mb] == [str(x) for x in mn]
 
 
 def test_name_sampler_weights_match_broadcast(pair):
