@@ -42,13 +42,17 @@ class MentionExtractor:
 
         doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False))
         text_strs = texts.to_numpy(zero_copy_only=False)
+        # span_idx is the span's position WITHIN its document (offsets
+        # subtract out the batch-flat position), so the mentions table is
+        # independent of batch boundaries
+        offsets = spans.offsets.to_numpy(zero_copy_only=False)
 
         out_doc, out_span, out_s, out_p, out_o = [], [], [], [], []
         pat = self.pattern
         for i in np.flatnonzero(is_text):
             for (s, p, o) in pat.findall(text_strs[i]):
                 out_doc.append(doc_ids[parent[i]])
-                out_span.append(i)
+                out_span.append(int(i - offsets[parent[i]]))
                 out_s.append(s)
                 out_p.append(p)
                 out_o.append(o)

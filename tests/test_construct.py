@@ -117,3 +117,26 @@ def test_adjacency_hot_key_salting():
     assert len(rows) == 3
     assert sorted(r["part"] for r in rows) == [0, 1, 2]
     assert sum(len(r["out"]) for r in rows) == 10
+
+
+def test_span_idx_is_per_document():
+    """span_idx must be the span's position within ITS document,
+    independent of batch boundaries."""
+    from pyrdf2vec_ray import synth
+    from pyrdf2vec_ray.pipelines.construct import extract_mentions
+    from pyrdf2vec_ray.util import to_table
+
+    docs = synth.synth_documents(60, seed=3, n_entities=20)
+    one = to_table(extract_mentions(docs.repartition(1)))
+    many = to_table(extract_mentions(docs.repartition(6)))
+    key = ["doc_id", "span_idx", "surface_subj", "surface_pred", "surface_obj"]
+    a = sorted(zip(*[one[c].to_pylist() for c in key]))
+    b = sorted(zip(*[many[c].to_pylist() for c in key]))
+    assert a == b
+    # span indexes restart per document
+    import pandas as pd
+    df = one.to_pandas()
+    assert (df.groupby("doc_id")["span_idx"].min() >= 0).all()
+    n_spans = {d: len(s) for d, s in
+               zip(*[to_table(docs)[c].to_pylist() for c in ("doc_id", "spans")])}
+    assert all(r["span_idx"] < n_spans[r["doc_id"]] for _, r in df.iterrows())
