@@ -364,6 +364,32 @@ def q_construct_triples(sf_dir: str):
     return construct_kg(docs, cands)
 
 
+def q_construct_checkpointed(sf_dir: str):
+    """Resumable construction (north_rule): doc-range partitions each
+    write atomically with a manifest entry; the second invocation below
+    proves resume (all partitions skipped, zero recompute) and the
+    result is the partitioned parquet read back as one Dataset."""
+    import tempfile
+
+    from pyrdf2vec_ray import synth
+    from pyrdf2vec_ray.checkpoint import construct_kg_checkpointed, read_run
+
+    _, n = _synth_docs(sf_dir)
+    n_entities = max(20, n // 50)
+    cands = {
+        synth.entity_name(i).casefold(): synth.entity_iri(i)
+        for i in range(n_entities)
+    }
+    root = tempfile.mkdtemp(prefix="graft_ckpt_")
+    r1 = construct_kg_checkpointed(root, n, cands, n_partitions=4,
+                                   n_entities=n_entities)
+    assert not any(p.skipped for p in r1)
+    r2 = construct_kg_checkpointed(root, n, cands, n_partitions=4,
+                                   n_entities=n_entities)
+    assert all(p.skipped for p in r2), "resume must skip completed partitions"
+    return read_run(root)
+
+
 def q_doc_lang_id(sf_dir: str):
     from pyrdf2vec_ray.ops.text import lang_id
 
@@ -665,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": q_knn_bruteforce,
         # rows-only (non-SQL-expressible)
         "construct_triples": q_construct_triples,
+        "construct_checkpointed": q_construct_checkpointed,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "doc_simhash": q_doc_simhash,
