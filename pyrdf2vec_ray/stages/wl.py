@@ -25,6 +25,15 @@ from pyrdf2vec_ray.functions.canon import md5_token
 from pyrdf2vec_ray.state.graph_index import LocalGraph
 
 
+def _hash_chunk(strings: np.ndarray, md5_bytes: int) -> np.ndarray:
+    from hashlib import md5 as _md5
+
+    return np.fromiter(
+        (str(_md5(u.encode()).digest()[:md5_bytes]) for u in strings),
+        dtype=object, count=len(strings),
+    )
+
+
 def _hash_distinct(strings: np.ndarray, md5_bytes: int | None) -> np.ndarray:
     """Hash each string, calling md5 only once per DISTINCT value: WL
     labels converge fast, so distinct labels << vertices/edges — this is
@@ -32,15 +41,14 @@ def _hash_distinct(strings: np.ndarray, md5_bytes: int | None) -> np.ndarray:
 
     pd.factorize (hash-based, object dtype) — NOT np.unique over a
     fixed-width string array: hub vertices produce suffix strings of
-    100s of KB, and U-dtype pads every row to the longest one."""
+    100s of KB, and U-dtype pads every row to the longest one.
+
+    (A Ray-task-parallel chunked variant was A/B-measured at parity —
+    shipping the object-string arrays costs what the parallel md5 saves
+    on one node — so the hashing stays inline.)"""
     codes, uniq = pd.factorize(strings, sort=False)
     if md5_bytes:
-        from hashlib import md5 as _md5
-
-        hashed = np.fromiter(
-            (str(_md5(u.encode()).digest()[:md5_bytes]) for u in uniq),
-            dtype=object, count=len(uniq),
-        )
+        hashed = _hash_chunk(uniq, md5_bytes)
     else:
         hashed = np.asarray(uniq, dtype=object)
     return hashed[codes]
