@@ -73,10 +73,14 @@ def _graph_index(sf_dir: str, sharded: bool = False):
     return _GI_CACHE[key]
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns: tuple = ("doc_id", "text")):
+    """documents read pruned to the needed columns — the table also
+    carries lang/source/n_chars, which most text ops never touch."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=list(columns)
+    )
 
 
 def _synth_docs(sf_dir: str):
@@ -317,7 +321,7 @@ def q_doc_tokens_bpe(sf_dir: str):
 def q_tokens_by_lang(sf_dir: str):
     from pyrdf2vec_ray.ops.text import token_count_by_lang
 
-    return token_count_by_lang(_docs(sf_dir))
+    return token_count_by_lang(_docs(sf_dir, ("doc_id", "text", "lang")))
 
 
 def q_events_hourly(sf_dir: str):
