@@ -271,10 +271,15 @@ class NameFittedSampler:
             pairs = to_table(distinct(triples_ds, ["subj", "obj"]))
             src = np.asarray(pairs["subj"].to_numpy(zero_copy_only=False))
             dst = np.asarray(pairs["obj"].to_numpy(zero_copy_only=False))
-            ents = np.unique(np.concatenate([src, dst])).astype(np.str_)
+            # factorize(sort=True), not np.unique: comparison-sorting
+            # millions of object strings is ~30x slower (measured)
+            import pandas as _pd
+
+            codes, uniq = _pd.factorize(np.concatenate([src, dst]), sort=True)
+            ents = np.asarray(uniq).astype(np.str_)
             n = len(ents)
-            s_id = np.searchsorted(ents, src.astype(np.str_))
-            d_id = np.searchsorted(ents, dst.astype(np.str_))
+            s_id = codes[: len(src)].astype(np.int64)
+            d_id = codes[len(src):].astype(np.int64)
             pair_key = np.unique(s_id.astype(np.int64) * n + d_id.astype(np.int64))
             fs.node_keys = ents
             fs.node_w = _pagerank_from_pairs(

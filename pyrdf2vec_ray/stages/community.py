@@ -225,10 +225,15 @@ def detect_communities_from_dataset(
     pairs = to_table(distinct(triples_ds, ["subj", "obj"]))
     src = np.asarray(pairs["subj"].to_numpy(zero_copy_only=False))
     dst = np.asarray(pairs["obj"].to_numpy(zero_copy_only=False))
-    ents = np.unique(np.concatenate([src, dst])).astype(np.str_)
+    # factorize(sort=True), not np.unique: comparison-sorting object
+    # strings is ~30x slower (measured at sf0.1)
+    import pandas as pd
+
+    codes, uniq = pd.factorize(np.concatenate([src, dst]), sort=True)
+    ents = np.asarray(uniq).astype(np.str_)
     n = len(ents)
-    u = np.searchsorted(ents, src.astype(np.str_)).astype(np.int64)
-    v = np.searchsorted(ents, dst.astype(np.str_)).astype(np.int64)
+    u = codes[: len(src)].astype(np.int64)
+    v = codes[len(src):].astype(np.int64)
     # collapse to unique undirected edges like _entity_edges
     lo = np.minimum(u, v)
     hi = np.maximum(u, v)

@@ -50,13 +50,19 @@ class GraphIndex:
 
     @staticmethod
     def from_table(triples: pa.Table) -> "GraphIndex":
+        import pandas as pd
+
         subj = np.asarray(triples["subj"].to_numpy(zero_copy_only=False))
         pred = np.asarray(triples["pred"].to_numpy(zero_copy_only=False))
         obj = np.asarray(triples["obj"].to_numpy(zero_copy_only=False))
 
-        names, codes = np.unique(
-            np.concatenate([subj, pred, obj]), return_inverse=True
+        # hash-based factorize, NOT np.unique: sorting 4M object strings
+        # by comparison took 29 s at sf0.1 vs 1 s for factorize(sort=True)
+        # — identical sorted names and codes (measured equal)
+        codes, uniq = pd.factorize(
+            np.concatenate([subj, pred, obj]), sort=True
         )
+        names = np.asarray(uniq)
         # fixed-width unicode, NOT object dtype: a U-array is one contiguous
         # buffer, so ray.put/ray.get maps it zero-copy from the object store
         # instead of re-pickling 100k+ Python strings into every walk actor
