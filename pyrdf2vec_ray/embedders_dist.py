@@ -229,8 +229,11 @@ class DistributedWord2Vec:
         toks = np.concatenate(
             [np.asarray(s, dtype=object) for s in sentences if s]
         ) if sentences else np.array([], dtype=object)
-        uniq, cnt = np.unique(toks.astype(str), return_counts=True)
-        self.vocab = uniq.astype(np.str_)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(toks, sort=True)
+        cnt = np.bincount(codes, minlength=len(uniq)) if len(uniq) else np.array([])
+        self.vocab = np.asarray(uniq).astype(np.str_)
         self.counts = cnt.astype(np.float64)
 
     def _vocab_from_dataset(self, walks_ds):

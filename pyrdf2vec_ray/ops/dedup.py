@@ -286,7 +286,9 @@ def simhash(docs: ray.data.Dataset, bits: int = 64) -> ray.data.Dataset:
                 [np.asarray(ts, dtype=object) for ts in tok_lists if ts]
             )
             doc_idx = np.repeat(np.arange(n), counts)
-            uniq, inv = np.unique(all_toks.astype(str), return_inverse=True)
+            # hash-based factorize: np.unique would comparison-sort and
+            # U-pad the token strings
+            inv, uniq = pd.factorize(all_toks, sort=False)
             hvals = np.fromiter(
                 (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "little")
                  for u in uniq),

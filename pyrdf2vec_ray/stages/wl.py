@@ -146,9 +146,10 @@ def wl_labels_from_dataset(
         triples_ds.map_batches(names_batch, batch_format="pyarrow"),
         ["name"], "n", num_buckets=num_buckets,
     ))
-    ent_names = np.sort(
-        np.asarray(names_t["name"].to_numpy(zero_copy_only=False))
-    ).astype(np.str_)
+    _, _uniq = pd.factorize(
+        np.asarray(names_t["name"].to_numpy(zero_copy_only=False)), sort=True
+    )
+    ent_names = np.asarray(_uniq).astype(np.str_)
 
     def lookup(series_vals: np.ndarray, queries: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(ent_names, queries)
