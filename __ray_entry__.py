@@ -561,17 +561,44 @@ def q_walks_anonymous(sf_dir: str):
 
 
 def q_walks_split(sf_dir: str):
-    from pyrdf2vec_ray.walkers import WalkerSpec
+    """SplitWalker (W7/M5, split.py:53-125) on the depth-2 customer walk:
+    predicates keep their snake_case token, objects split into
+    (word, key) with numeric keys as-is; the order-preserving dedup
+    drops a trailing region key equal to the nation key — all
+    reproducible as SQL string construction."""
+    from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
 
-    return _walker_query(sf_dir, WalkerSpec(strategy="split", max_depth=2))
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)[:100]
+    spec = WalkerSpec(strategy="split", max_depth=2)
+    walks = extract_walks(gi, entities, spec, batch_size=64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ents, ws = [], []
+        for e, walks_ in zip(batch["entity"].to_pylist(),
+                             batch["walks"].to_pylist()):
+            for w in walks_:
+                ents.append(e)
+                ws.append(" ".join(w))
+        return pa.table({"entity": pa.array(ents, pa.string()),
+                         "walk": pa.array(ws, pa.string())})
+
+    return walks.map_batches(explode, batch_format="pyarrow")
 
 
 def q_walks_halk(sf_dir: str):
+    """HALK frequency filter (A8/W6, halk.py:118-176) with two
+    thresholds over the depth-2 customer corpus: at 0.01 both predicates
+    are frequent (every walk keeps them); at 1.5 everything is rare, so
+    each walk collapses to the bare root — which makes the rare-set
+    filter itself falsifiable by the SQL oracle (md5 disabled so tokens
+    stay raw IRIs)."""
     from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
 
     gi = _graph_index(sf_dir)
     entities = _customer_entities(sf_dir)[:100]
-    spec = WalkerSpec(strategy="halk", max_depth=2, freq_thresholds=(0.01,))
+    spec = WalkerSpec(strategy="halk", max_depth=2, md5_bytes=None,
+                      freq_thresholds=(0.01, 1.5))
     walks = extract_walks(gi, entities, spec, batch_size=64)
 
     import pyarrow as _pa
@@ -586,11 +613,11 @@ def q_walks_halk(sf_dir: str):
             for w in walks_:
                 ents.append(e)
                 ths.append(th)
-                ws.append(w)
+                ws.append(" ".join(w))
         return _pa.table(
             {"entity": _pa.array(ents, _pa.string()),
              "threshold": _pa.array(ths, _pa.float64()),
-             "walk": _pa.array(ws, _pa.list_(_pa.string()))}
+             "walk": _pa.array(ws, _pa.string())}
         )
 
     return walks.map_batches(explode, batch_format="pyarrow")
@@ -873,6 +900,34 @@ def oracle_sql() -> dict[str, str]:
               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                 / GREATEST(length(text), 1) AS alpha_ratio
             FROM w
+        """,
+        "walks_halk": """
+            WITH c100 AS (
+              SELECT c_custkey, c_nationkey FROM customer
+              WHERE c_custkey IN (
+                SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100
+              )
+            )
+            SELECT 'customer:' || c_custkey AS entity, 0.01 AS threshold,
+                   'customer:' || c_custkey || ' in_nation nation:' || c_nationkey
+                   || ' in_region region:' || n_regionkey AS walk
+            FROM c100 JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT 'customer:' || c_custkey, 1.5,
+                   'customer:' || c_custkey
+            FROM c100
+        """,
+        "walks_split": """
+            SELECT 'customer:' || c_custkey AS entity,
+                   CASE WHEN c_nationkey = n_regionkey
+                     THEN 'in_nation nation ' || c_nationkey || ' in_region region'
+                     ELSE 'in_nation nation ' || c_nationkey
+                          || ' in_region region ' || n_regionkey
+                   END AS walk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey IN (
+              SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100
+            )
         """,
         "walks_anonymous": """
             SELECT 'customer:' || c_custkey AS entity,
