@@ -509,12 +509,32 @@ def q_events_sessions(sf_dir: str):
 
 
 def q_walks_wl_sample(sf_dir: str):
-    from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
+    """WLWalker (A9/W5, weisfeiler_lehman.py:155-193) with one iteration
+    and md5 disabled: label_1 of an entity is its name + '-' + the
+    sorted distinct incoming predicate labels, which on the relational
+    path is 'nation:x-in_nation' / 'region:y-in_region' — exactly
+    constructible in SQL, so the WL relabeling chain is value-checked
+    (deeper iterations only differ by the md5 wrapper, pinned by
+    pytest parity tests)."""
+    from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
 
     gi = _graph_index(sf_dir)
     entities = _customer_entities(sf_dir)[:100]
-    spec = WalkerSpec(strategy="wl", max_depth=2, max_walks=None, wl_iterations=2)
-    return explode_walks(extract_walks(gi, entities, spec, batch_size=64))
+    spec = WalkerSpec(strategy="wl", max_depth=2, max_walks=None,
+                      wl_iterations=1, md5_bytes=None)
+    walks = extract_walks(gi, entities, spec, batch_size=64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ents, ws = [], []
+        for e, walks_ in zip(batch["entity"].to_pylist(),
+                             batch["walks"].to_pylist()):
+            for w in walks_:
+                ents.append(e)
+                ws.append(" ".join(w))
+        return pa.table({"entity": pa.array(ents, pa.string()),
+                         "walk": pa.array(ws, pa.string())})
+
+    return walks.map_batches(explode, batch_format="pyarrow")
 
 
 def _walker_query(sf_dir: str, spec, n: int = 100):
@@ -674,6 +694,53 @@ def q_rdf2vec_scale_path(sf_dir: str):
     )
 
 
+def _joined_walks(gi, entities, spec, batch_size=64):
+    from pyrdf2vec_ray.walkers import extract_walks
+
+    walks = extract_walks(gi, entities, spec, batch_size=batch_size)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ents, ws = [], []
+        for e, walks_ in zip(batch["entity"].to_pylist(),
+                             batch["walks"].to_pylist()):
+            for w in walks_:
+                ents.append(e)
+                ws.append(" ".join(w))
+        return pa.table({"entity": pa.array(ents, pa.string()),
+                         "walk": pa.array(ws, pa.string())})
+
+    return walks.map_batches(explode, batch_format="pyarrow")
+
+
+def q_walks_dfs_exhausted(sf_dir: str):
+    """DFS with the visited-set semantics exactly pinned (G3,
+    random.py:83-118 + sampler.py:138-180): depth 1 from each customer
+    with max_walks=2 — the first walk takes the only hop and marks it
+    visited; the second finds no unvisited candidate and emits the bare
+    root.  Deterministic regardless of sampler RNG, so SQL-checkable."""
+    from pyrdf2vec_ray.walkers import WalkerSpec
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)[:100]
+    spec = WalkerSpec(strategy="random", max_depth=1, max_walks=2,
+                      md5_bytes=None, random_state=5)
+    return _joined_walks(gi, entities, spec)
+
+
+def q_walks_community_noteleport(sf_dir: str):
+    """CommunityWalker with hop_prob=0 (W8, community.py:140-185): the
+    Louvain fit runs and the walker plumbing is exercised, but with no
+    teleports the output is the deterministic BFS path — value-checked;
+    the stochastic teleporting variant stays rows-only."""
+    from pyrdf2vec_ray.walkers import WalkerSpec
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)[:100]
+    spec = WalkerSpec(strategy="community", max_depth=2, max_walks=None,
+                      md5_bytes=None, hop_prob=0.0, random_state=5)
+    return _joined_walks(gi, entities, spec)
+
+
 def q_walks_dfs_sampled(sf_dir: str):
     """PageRank-sampled DFS on the SHARDED index (name-keyed sampler
     stats fitted from the parquet-backed triples Dataset)."""
@@ -736,6 +803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "walks_wl_sample": q_walks_wl_sample,
         "walks_dfs_sampled": q_walks_dfs_sampled,
+        "walks_dfs_exhausted": q_walks_dfs_exhausted,
+        "walks_community_noteleport": q_walks_community_noteleport,
         "walks_wide_sampled": q_walks_wide_sampled,
         "fasttext_embeddings": q_fasttext_embeddings,
         "walks_community": q_walks_community,
@@ -900,6 +969,50 @@ def oracle_sql() -> dict[str, str]:
               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                 / GREATEST(length(text), 1) AS alpha_ratio
             FROM w
+        """,
+        "walks_dfs_exhausted": """
+            WITH c100 AS (
+              SELECT c_custkey, c_nationkey FROM customer
+              WHERE c_custkey IN (
+                SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100
+              )
+            )
+            SELECT 'customer:' || c_custkey AS entity,
+                   'customer:' || c_custkey || ' in_nation nation:' || c_nationkey AS walk
+            FROM c100
+            UNION ALL
+            SELECT 'customer:' || c_custkey, 'customer:' || c_custkey
+            FROM c100
+        """,
+        "walks_community_noteleport": """
+            SELECT 'customer:' || c_custkey AS entity,
+                   'customer:' || c_custkey || ' in_nation nation:' || c_nationkey
+                   || ' in_region region:' || n_regionkey AS walk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey IN (
+              SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100
+            )
+        """,
+        "walks_wl_sample": """
+            WITH c100 AS (
+              SELECT c_custkey, c_nationkey FROM customer
+              WHERE c_custkey IN (
+                SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100
+              )
+            ), j AS (
+              SELECT c_custkey, c_nationkey, n_regionkey
+              FROM c100 JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT 'customer:' || c_custkey AS entity,
+                   'customer:' || c_custkey || ' in_nation nation:' || c_nationkey
+                   || ' in_region region:' || n_regionkey AS walk
+            FROM j
+            UNION ALL
+            SELECT 'customer:' || c_custkey,
+                   'customer:' || c_custkey
+                   || ' in_nation nation:' || c_nationkey || '-in_nation'
+                   || ' in_region region:' || n_regionkey || '-in_region'
+            FROM j
         """,
         "walks_halk": """
             WITH c100 AS (
