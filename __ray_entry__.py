@@ -471,6 +471,24 @@ def q_knn_ivf(sf_dir: str):
     )
 
 
+def q_knn_ivf_exhaustive(sf_dir: str):
+    """IVF with nprobe = n_centroids: every bucket is searched, so the
+    approximate index must reproduce the exact brute-force top-k — the
+    same SQL oracle as knn_bruteforce value-checks the whole IVF
+    pipeline (centroid fit, bucket routing, per-bucket search, merge)."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.similarity import knn_ivf
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    out = knn_ivf(
+        emb, np.stack(qdf["embedding"].to_numpy()), qdf["vec_id"].to_numpy(),
+        k=5, n_centroids=8, nprobe=8,
+    )
+    return out.select(["query_id", "neighbor_id"])
+
+
 def q_media_features(sf_dir: str):
     from pyrdf2vec_ray.ops.multimodal import media_features
 
@@ -797,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": q_minhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
         "media_features": q_media_features,
         "media_resized": q_media_resized,
         "media_frames": q_media_frames,
@@ -1067,6 +1086,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "knn_ivf_exhaustive": """
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                e.vec_id ASC
+                     ) AS rn
+              FROM embeddings q CROSS JOIN embeddings e
+              WHERE q.vec_id < 5
+            ) WHERE rn <= 5
         """,
         "knn_bruteforce": """
             SELECT query_id, neighbor_id FROM (
