@@ -189,3 +189,24 @@ def test_literals_identical_across_backends(pair):
     t_b = to_table(literals_dataset(bc, ents, chains, concurrency=1))
     t_s = to_table(literals_dataset(sh, ents, chains, concurrency=1))
     assert t_b.to_pylist() == t_s.to_pylist()
+
+
+@pytest.mark.parametrize("depth", [0, 2, 6])
+@pytest.mark.parametrize("max_walks", [None, 3])
+def test_sharded_walk_shape_invariants(pair, depth, max_walks):
+    """Reference walk-shape invariants (tests/walkers/*) hold on the
+    sharded backend too: length bound, root position, count bound."""
+    _, sh = pair
+    ents = [IRI + "Alice", synth.entity_iri(5)]
+    spec = WalkerSpec(strategy="random", max_depth=depth,
+                      max_walks=max_walks, random_state=7)
+    out = _walk_sets(sh, ents, spec)
+    for e, walks in out.items():
+        assert walks, e
+        for w in walks:
+            assert len(w) <= 2 * depth + 1
+            assert len(w) % 2 == 1
+        if max_walks is not None:
+            assert len(walks) <= max_walks
+        # root present at position 0 for every non-hashed walk
+        assert all(w[0] == e for w in walks)
