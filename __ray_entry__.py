@@ -934,6 +934,57 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_split_to_array(text, '\s+')) AS n_tokens
             FROM documents
         """,
+        "doc_simhash": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x != '')) AS tok
+              FROM documents
+            ),
+            th AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+              FROM toks
+            ),
+            bitvotes AS (
+              SELECT doc_id, b.b AS b,
+                     SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM th CROSS JOIN (
+                SELECT unnest(generate_series(0, 63)) AS b
+              ) b
+              GROUP BY doc_id, b.b
+            ),
+            vals AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN s > 0
+                         THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                         ELSE 0 END) AS v
+              FROM bitvotes GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(v.v, 0) - 9223372036854775808 AS BIGINT)
+                     AS simhash
+            FROM documents d LEFT JOIN vals v ON d.doc_id = v.doc_id
+        """,
+        "doc_fingerprint": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x != '') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE WHEN len(toks) < 8
+                THEN CAST(concat('0x',
+                       substr(md5(array_to_string(toks, ' ')), 1, 15)) AS BIGINT)
+                ELSE list_min([
+                  CAST(concat('0x',
+                    substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT)
+                  for i in generate_series(1, len(toks) - 7)
+                ])
+              END AS fingerprint
+            FROM t
+        """,
         "doc_tokens_bpe": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,

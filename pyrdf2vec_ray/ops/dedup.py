@@ -267,7 +267,9 @@ def minhash_dedup_pairs(
 
 
 def simhash(docs: ray.data.Dataset, bits: int = 64) -> ray.data.Dataset:
-    """64-bit SimHash over whitespace tokens (md5-derived token hashes).
+    """64-bit SimHash over whitespace tokens (md5-derived token hashes:
+    the first 16 hex digits as an unsigned 64-bit int, computable
+    identically in SQL so the sketch is oracle-checkable).
     Vectorized: tokens of the whole batch are flattened once, md5 runs
     only per DISTINCT token, and the per-doc ±1 bit accumulation is one
     scatter-add over a (docs × bits) matrix — no per-token Python loop
@@ -290,7 +292,7 @@ def simhash(docs: ray.data.Dataset, bits: int = 64) -> ray.data.Dataset:
             # U-pad the token strings
             inv, uniq = pd.factorize(all_toks, sort=False)
             hvals = np.fromiter(
-                (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "little")
+                (int(hashlib.md5(u.encode()).hexdigest()[:16], 16)
                  for u in uniq),
                 dtype=np.uint64, count=len(uniq),
             )

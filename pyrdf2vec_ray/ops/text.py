@@ -137,19 +137,26 @@ def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:
-    """Rolling-hash document fingerprint: min crc32 over token
-    `window`-shingles (a 1-perm winnowing sketch); deterministic."""
+    """Rolling-hash document fingerprint: min over the md5-derived hash
+    of every token `window`-shingle (a 1-perm winnowing sketch);
+    deterministic.  The hash is the first 15 hex digits of md5 as an
+    integer — computable identically in ANSI SQL (DuckDB md5 + substr),
+    so the sketch is oracle-checkable end to end."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
         out = []
         for t in batch["text"].astype(str):
             toks = t.split()
             if len(toks) < window:
-                out.append(zlib.crc32(" ".join(toks).encode()))
+                out.append(h(" ".join(toks)))
             else:
                 out.append(
                     min(
-                        zlib.crc32(" ".join(toks[i : i + window]).encode())
+                        h(" ".join(toks[i : i + window]))
                         for i in range(len(toks) - window + 1)
                     )
                 )
