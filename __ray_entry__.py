@@ -424,6 +424,31 @@ def q_minhash_neardup(sf_dir: str):
     return minhash_dedup_pairs(_docs(sf_dir), threshold=0.8)
 
 
+def q_minhash_exact_planted(sf_dir: str):
+    """MinHash+LSH with planted exact duplicates (every 20th doc copied
+    under doc_id+1M) at threshold 1.0: identical texts give identical
+    signatures, so LSH recall is certain and the verified output must be
+    EXACTLY the planted pair set — value-checked by SQL; a recall or
+    verification regression drops rows.  The stochastic 0.8-threshold
+    pipeline stays rows-only (approximate by design)."""
+    import pyarrow.compute as pc
+
+    from pyrdf2vec_ray.ops.dedup import minhash_dedup_pairs
+
+    docs = _docs(sf_dir)
+
+    def dup(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % 20 == 0))
+        return pa.table({
+            "doc_id": pc.add(t["doc_id"], 1_000_000),
+            "text": t["text"],
+        })
+
+    planted = docs.union(docs.map_batches(dup, batch_format="pyarrow"))
+    return minhash_dedup_pairs(planted, threshold=1.0)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup over the embeddings table UNION a
     deterministically perturbed copy of every 10th vector (ids offset by
@@ -813,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_neardup": q_minhash_neardup,
+        "minhash_exact_planted": q_minhash_exact_planted,
         "embedding_neardup": q_embedding_neardup,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
@@ -933,6 +959,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars,
                    len(regexp_split_to_array(text, '\s+')) AS n_tokens
             FROM documents
+        """,
+        "minhash_exact_planted": """
+            SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+                   1.0 AS jaccard
+            FROM documents WHERE doc_id % 20 = 0
         """,
         "doc_simhash": r"""
             WITH toks AS (
