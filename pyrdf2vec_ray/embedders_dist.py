@@ -80,6 +80,28 @@ class ParamShard:
         ids = np.asarray(global_ids, dtype=np.int64) - self.lo
         return self.W[ids]
 
+    def warm_init(self, old_ps: list, old_bounds: list, old_vocab: np.ndarray,
+                  my_vocab: np.ndarray) -> int:
+        """Online-update warm start (reference word2vec.py:37-52
+        ``build_vocab(update=True)`` keeps trained rows): overwrite this
+        shard's rows for tokens that existed in the previous model by
+        pulling them from the OLD shard actors — parameters move
+        shard→shard through the object store, never via the driver."""
+        my_vocab = np.asarray(my_vocab)
+        idx = np.searchsorted(old_vocab, my_vocab.astype(old_vocab.dtype))
+        idx_cl = np.clip(idx, 0, max(0, len(old_vocab) - 1))
+        hit = (idx < len(old_vocab)) & (old_vocab[idx_cl] == my_vocab)
+        gids = idx_cl[hit].astype(np.int64)
+        local_rows = np.nonzero(hit)[0]
+        for s, (lo, hi) in enumerate(old_bounds):
+            m = (gids >= lo) & (gids < hi)
+            if not m.any():
+                continue
+            Ws, Cs = ray.get(old_ps[s].pull.remote(gids[m]))
+            self.W[local_rows[m]] = Ws
+            self.C[local_rows[m]] = Cs
+        return int(hit.sum())
+
     def write_parquet(self, path: str, names: np.ndarray) -> int:
         """Resumable per-shard embeddings sink: this shard's rows only."""
         import pyarrow as pa
@@ -267,9 +289,27 @@ class DistributedWord2Vec:
             len(p), size=size, p=p
         ).astype(np.int64)
 
+    # -- online update (is_update=True) --------------------------------------
+
+    def _warm_state(self):
+        """Snapshot of the fitted model for an incremental re-fit, or
+        None when nothing was trained yet (first fit)."""
+        if self._ps is None or self.vocab is None:
+            return None
+        return (self._ps, self._bounds, self.vocab, self.counts)
+
+    def _merge_vocab(self, old_vocab: np.ndarray, old_counts: np.ndarray):
+        """build_vocab(update=True) semantics: union the token sets, sum
+        occurrence counts on overlap (reference word2vec.py:37-52)."""
+        merged = np.union1d(old_vocab, self.vocab).astype(np.str_)
+        counts = np.zeros(len(merged), dtype=np.float64)
+        counts[np.searchsorted(merged, old_vocab.astype(merged.dtype))] += old_counts
+        counts[np.searchsorted(merged, self.vocab.astype(merged.dtype))] += self.counts
+        self.vocab, self.counts = merged, counts
+
     # -- training ------------------------------------------------------------
 
-    def _train(self, feed_trainers):
+    def _train(self, feed_trainers, warm=None):
         cfg = self._cfg
         dim = cfg.vector_size
         bounds = _shard_bounds(len(self.vocab), self.num_ps)
@@ -277,6 +317,16 @@ class DistributedWord2Vec:
             ParamShard.remote(lo, hi, dim, seed=cfg.seed + 7000 + i)
             for i, (lo, hi) in enumerate(bounds)
         ]
+        if warm is not None:
+            old_ps, old_bounds, old_vocab, _ = warm
+            old_vocab_ref = ray.put(old_vocab)
+            ray.get([
+                p.warm_init.remote(old_ps, old_bounds, old_vocab_ref,
+                                   self.vocab[lo:hi])
+                for p, (lo, hi) in zip(ps, bounds)
+            ])
+            for p in old_ps:
+                ray.kill(p)
         vocab_ref = ray.put(self.vocab)
         trainers = [
             PSTrainer.remote(vocab_ref, self.kwargs, seed=cfg.seed + 1000 + i,
@@ -311,9 +361,14 @@ class DistributedWord2Vec:
         self._bounds = bounds
 
     def fit(self, walks, is_update: bool = False) -> "DistributedWord2Vec":
-        """List-of-walks API (reference embedder contract)."""
+        """List-of-walks API (reference embedder contract).  With
+        ``is_update=True`` after a prior fit, old vocabulary rows
+        warm-start the new shards (reference word2vec.py:37-52)."""
+        warm = self._warm_state() if is_update else None
         sentences = [list(w) for ew in walks for w in ew]
         self._vocab_from_sentences(sentences)
+        if warm is not None:
+            self._merge_vocab(warm[2], warm[3])
 
         def feed(trainers):
             shards = [sentences[i :: self.num_workers]
@@ -322,14 +377,19 @@ class DistributedWord2Vec:
                 t.add_sentences.remote(sh) for t, sh in zip(trainers, shards)
             ])
 
-        self._train(feed)
+        self._train(feed, warm=warm)
         return self
 
     def fit_dataset(self, walks_ds, is_update: bool = False) -> "DistributedWord2Vec":
         """Dataset API: the corpus never lands on the driver — vocab by
         grouped count, block splits feed the trainers directly."""
+        warm = self._warm_state() if is_update else None
         self._vocab_from_dataset(walks_ds)
-        splits = walks_ds.split(self.num_workers, equal=True)
+        if warm is not None:
+            self._merge_vocab(warm[2], warm[3])
+        # equal=True would silently DROP rows when the corpus size is not
+        # divisible by num_workers; trainers tolerate uneven shards.
+        splits = walks_ds.split(self.num_workers, equal=False)
 
         def feed(trainers):
             ray.get([
@@ -337,7 +397,7 @@ class DistributedWord2Vec:
                 for t, sp in zip(trainers, splits)
             ])
 
-        self._train(feed)
+        self._train(feed, warm=warm)
         return self
 
     # -- output --------------------------------------------------------------

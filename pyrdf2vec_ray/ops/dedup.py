@@ -93,23 +93,43 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: ray.data.Dataset, bands: int = 16, rows: int = 4
+    sigs: ray.data.Dataset, bands: int = 16, rows: int = 4,
+    distinct_pairs: bool = True,
 ) -> ray.data.Dataset:
     """Explode signatures to (band, band_hash, doc_id) rows, bucket by
     groupby — docs sharing any band bucket are candidate near-dups.
-    Returns (doc_a, doc_b) candidate pairs (doc_a < doc_b)."""
+    Returns (doc_a, doc_b) candidate pairs (doc_a < doc_b).
+
+    ``distinct_pairs=False`` skips the dataset-level pair distinct (one
+    whole shuffle round): a pair colliding in several bands surfaces
+    more than once, which downstream ``verify_jaccard`` dedups for free
+    inside its doc_id-bucketed join."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        band_hashes, doc_ids = [], []
-        for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
-            sig = np.asarray(sig, dtype=np.uint64)
-            for bi in range(bands):
-                chunk = sig[bi * rows : (bi + 1) * rows]
-                # band index baked into the hash → ONE int64 shuffle key
-                h = hashlib.md5(bytes([bi]) + chunk.tobytes()).digest()[:8]
-                band_hashes.append(int.from_bytes(h, "little", signed=True))
-                doc_ids.append(doc_id)
-        return pd.DataFrame({"band_hash": band_hashes, "doc_id": doc_ids})
+        # vectorized band keys: stack the signature matrix, reshape to
+        # (docs×bands, rows), fold the row values + band index with an
+        # FNV/splitmix-style integer mix — the band hash only needs to
+        # be a stable partition key, not md5 (no per-doc/per-band loop)
+        sig = np.stack(batch["sig"].to_numpy()).astype(np.uint64)
+        n = sig.shape[0]
+        bandmat = sig[:, : bands * rows].reshape(n * bands, rows)
+        h = np.full(n * bands, 0xCBF29CE484222325, dtype=np.uint64)
+        fnv = np.uint64(0x100000001B3)
+        for c in range(rows):
+            h ^= bandmat[:, c]
+            h *= fnv
+        h ^= np.tile(np.arange(bands, dtype=np.uint64), n)
+        h *= fnv
+        # splitmix64 finalizer so nearby values spread across buckets
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        return pd.DataFrame(
+            {"band_hash": h.view(np.int64),
+             "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands)}
+        )
 
     from pyrdf2vec_ray.shuffle import bucket_apply
 
@@ -134,6 +154,8 @@ def minhash_lsh_candidates(
         rows_ds, ["band_hash"], per_bucket, num_buckets=None,
         batch_format="pandas",
     )
+    if not distinct_pairs:
+        return cand
     # a doc pair can collide via several band hashes in different buckets:
     # dedup as a dataset-level distinct (no driver collect — the candidate
     # set is unbounded at scale)
@@ -216,7 +238,11 @@ def verify_jaccard(
     )
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        pr = g[g["side"] == "p"][["doc_id", "pair_key"]]
+        # drop_duplicates absorbs repeated candidates (a pair surfacing
+        # from several LSH bands): all copies of (doc, pair) co-locate
+        # here, so each pair leaves with exactly two joined rows — this
+        # is what lets the candidate stage skip its own distinct shuffle
+        pr = g[g["side"] == "p"][["doc_id", "pair_key"]].drop_duplicates()
         dd = g[g["side"] == "d"][["doc_id", "sh"]]
         m = pr.merge(dd, on="doc_id", how="inner")
         return m[["pair_key", "sh"]]
@@ -256,10 +282,13 @@ def minhash_dedup_pairs(
     num_perm: int = 64, bands: int = 16, rows: int = 4, k: int = 5,
 ) -> ray.data.Dataset:
     """Full near-dup pipeline: shingle → minhash → LSH buckets → verified
-    (doc_a, doc_b, jaccard) pairs, end-to-end as Datasets."""
+    (doc_a, doc_b, jaccard) pairs, end-to-end as Datasets.  The pair
+    distinct is fused into the verify join (distinct_pairs=False): one
+    fewer all-to-all round on the headline path."""
     docs = docs.materialize()   # consumed twice (signatures + verification)
     sigs = minhash_signatures(docs, num_perm=num_perm, k=k)
-    cand = minhash_lsh_candidates(sigs, bands=bands, rows=rows)
+    cand = minhash_lsh_candidates(sigs, bands=bands, rows=rows,
+                                  distinct_pairs=False)
     return verify_jaccard(docs, cand, k=k, threshold=threshold)
 
 
@@ -273,7 +302,13 @@ def simhash(docs: ray.data.Dataset, bits: int = 64) -> ray.data.Dataset:
     Vectorized: tokens of the whole batch are flattened once, md5 runs
     only per DISTINCT token, and the per-doc ±1 bit accumulation is one
     scatter-add over a (docs × bits) matrix — no per-token Python loop
-    in the hot path."""
+    in the hot path.
+
+    SKETCH FORMAT v2 (since round 2): token hashing changed from a
+    little-endian md5 digest to the big-endian md5 hex prefix with no
+    schema/name change — simhashes persisted by earlier runs do NOT
+    compare equal to newly computed ones; recompute stored sketches
+    rather than mixing them."""
 
     shifts = np.arange(bits, dtype=np.uint64)
 

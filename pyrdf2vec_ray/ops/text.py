@@ -141,27 +141,69 @@ def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:
     of every token `window`-shingle (a 1-perm winnowing sketch);
     deterministic.  The hash is the first 15 hex digits of md5 as an
     integer — computable identically in ANSI SQL (DuckDB md5 + substr),
-    so the sketch is oracle-checkable end to end."""
-    import hashlib
+    so the sketch is oracle-checkable end to end.
 
-    def h(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    SKETCH FORMAT v2 (since round 2): the hash derivation changed from
+    crc32 / little-endian-md5 to the big-endian md5 hex prefix above
+    with NO schema or column-name change — fingerprints persisted by
+    earlier runs do NOT compare equal to newly computed ones; recompute
+    stored sketches rather than mixing them.
+
+    Vectorized like ``simhash``: shingle strings are assembled with
+    `window-1` object-array adds over the exploded token array (no
+    per-shingle Python loop), md5 runs ONCE per distinct shingle
+    (pd.factorize), and the per-doc min is one np.minimum.reduceat."""
+    import hashlib
+    from itertools import chain
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for t in batch["text"].astype(str):
-            toks = t.split()
-            if len(toks) < window:
-                out.append(h(" ".join(toks)))
-            else:
-                out.append(
-                    min(
-                        h(" ".join(toks[i : i + window]))
-                        for i in range(len(toks) - window + 1)
-                    )
-                )
+        text = batch["text"].astype(str).reset_index(drop=True)
+        tok = text.str.split()
+        lens = tok.map(len).to_numpy(dtype=np.int64)
+        toks = np.array(list(chain.from_iterable(tok)), dtype=object)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+
+        # docs with >= window tokens: sliding shingles, grouped arange
+        long_mask = lens >= window
+        counts = np.where(long_mask, lens - window + 1, 0)
+        total = int(counts.sum())
+        if total:
+            grp_prev = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            starts = np.repeat(offsets[:-1], counts) + (
+                np.arange(total) - np.repeat(grp_prev, counts)
+            )
+            sh = toks[starts]
+            for j in range(1, window):
+                sh = sh + " "
+                sh = sh + toks[starts + j]
+        else:
+            sh = np.array([], dtype=object)
+
+        # short docs: one shingle = the whole-doc join (rare path)
+        short_idx = np.nonzero(~long_mask)[0]
+        short_sh = np.array(
+            [" ".join(toks[offsets[d] : offsets[d + 1]].tolist())
+             for d in short_idx],
+            dtype=object,
+        )
+        all_sh = np.concatenate([sh, short_sh]) if len(short_sh) else sh
+
+        codes, uniq = pd.factorize(all_sh)
+        uh = np.fromiter(
+            (int(hashlib.md5(u.encode()).hexdigest()[:15], 16) for u in uniq),
+            dtype=np.int64, count=len(uniq),
+        )
+        hv = uh[codes] if len(all_sh) else np.array([], dtype=np.int64)
+
+        out = np.empty(len(lens), dtype=np.int64)
+        if total:
+            seg = np.concatenate([[0], np.cumsum(counts[long_mask])[:-1]])
+            out[long_mask] = np.minimum.reduceat(hv[:total], seg)
+        out[short_idx] = hv[total:]
         return pd.DataFrame(
-            {"doc_id": batch["doc_id"], "fingerprint": pd.array(out, dtype="int64")}
+            {"doc_id": batch["doc_id"].reset_index(drop=True),
+             "fingerprint": out}
         )
 
     return docs.map_batches(fp, batch_format="pandas", batch_size=4096)

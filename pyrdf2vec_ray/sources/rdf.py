@@ -61,20 +61,49 @@ _TOKEN_RE = re.compile(
 )
 
 
+_ESCAPE_RE = re.compile(r"\\(?:u([0-9a-fA-F]{4})|U([0-9a-fA-F]{8})|(.))")
+_ECHAR = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+          '"': '"', "'": "'", "\\": "\\"}
+
+
 def _unescape(s: str) -> str:
-    try:
-        return s.encode().decode("unicode_escape")
-    except Exception:
+    # Decode ONLY Turtle escape sequences (ECHAR + \uXXXX/\UXXXXXXXX).
+    # A whole-string encode().decode('unicode_escape') round-trip would
+    # latin-1-mangle every non-ASCII codepoint ('café' -> 'cafÃ©').
+    if "\\" not in s:
         return s
+
+    def repl(m: re.Match) -> str:
+        if m.group(1) is not None:
+            return chr(int(m.group(1), 16))
+        if m.group(2) is not None:
+            return chr(int(m.group(2), 16))
+        c = m.group(3)
+        return _ECHAR.get(c, c)
+
+    return _ESCAPE_RE.sub(repl, s)
 
 
 class _TurtleParser:
     def __init__(self, text: str):
-        self.tokens = [
-            (m.lastgroup, m.group())
-            for m in _TOKEN_RE.finditer(text)
-            if m.lastgroup != "comment"
-        ]
+        # Tokenize, then split statement-terminating '.'s glued onto
+        # pname/number tokens ('ex:s ex:p ex:o.' / 'ex:p 42.'): Turtle's
+        # PN_LOCAL may contain but not END with '.', and '42.' is the
+        # integer 42 followed by punctuation (DECIMAL needs digits after
+        # the dot).
+        toks: list[tuple[str, str]] = []
+        for m in _TOKEN_RE.finditer(text):
+            kind, val = m.lastgroup, m.group()
+            if kind == "comment":
+                continue
+            if kind in ("pname", "number") and val.endswith("."):
+                stripped = val.rstrip(".")
+                if stripped:
+                    toks.append((kind, stripped))
+                    toks.extend([("punct", ".")] * (len(val) - len(stripped)))
+                    continue
+            toks.append((kind, val))
+        self.tokens = toks
         self.pos = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""
@@ -112,7 +141,7 @@ class _TurtleParser:
             ns = self.prefixes.get(p)
             if ns is None:
                 raise ValueError(f"Turtle parse error: unknown prefix {p!r}")
-            # a trailing '.' is statement punctuation, not part of the name
+            # trailing '.'s were already split off in the tokenizer
             return ns + local
         raise ValueError(f"Turtle parse error: unexpected token {raw!r}")
 
@@ -137,7 +166,6 @@ class _TurtleParser:
                 return RDF_TYPE
             if val in ("true", "false"):
                 return val
-            # strip statement-terminating dot glued to a pname (rare)
             return self._pname(val)
         if kind == "number":
             return val
