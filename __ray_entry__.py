@@ -272,6 +272,74 @@ def q_walks_wide_sampled(sf_dir: str):
     )
 
 
+def q_walks_wide_exhausted(sf_dir: str):
+    """WideSampler value-checked (A6, samplers/wide.py:50-96): depth-1
+    DFS from customers has exactly ONE candidate hop, so wide-sampled
+    selection is RNG-independent — walk 1 takes the hop and marks it
+    visited, walk 2 exhausts and emits the bare root (same construction
+    as walks_dfs_exhausted).  The query still runs the full WideSampler
+    fit (neighbor/degree counts joined into hop weights) and the weight
+    normalization path, all of which must produce a valid singleton
+    distribution for the output to match."""
+    from pyrdf2vec_ray.samplers import SamplerSpec
+    from pyrdf2vec_ray.walkers import WalkerSpec
+
+    gi = _graph_index(sf_dir)
+    entities = _customer_entities(sf_dir)[:100]
+    spec = WalkerSpec(strategy="random", max_depth=1, max_walks=2,
+                      md5_bytes=None, random_state=5,
+                      sampler=SamplerSpec(kind="wide"))
+    return _joined_walks(gi, entities, spec)
+
+
+def q_fasttext_buckets(sf_dir: str):
+    """FastText subword machinery value-checked (A12, reference
+    fasttext.py:177-214): emits (token, ngram, bucket) with bucket =
+    FNV-1a(ngram) % B through the library's ft_ngram_hashes path, over
+    short tokens derived from the nation table.  FNV-1a is deliberately
+    UNMASKED (like the reference), so the hash of an L-byte token needs
+    32+24·L bits — 3-byte tokens keep it inside DuckDB's HUGEINT, which
+    reproduces it bit-for-bit via list_reduce.  Also asserts the OOV
+    identity in-query (fasttext.py:130-156): a fitted model's OOV
+    vector equals the mean of its ngram-bucket vectors."""
+    from pyrdf2vec_ray.embedders import FastText, compute_ngrams_bytes
+
+    import ray.data
+
+    B = 99991
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    tokens = sorted(
+        {str(n).lower()[:3] for n in nat["n_name"]}
+        | {f"n{k}" for k in nat["n_nationkey"]}
+    )
+    ft = FastText(vector_size=8, epochs=1, seed=3, bucket=B)
+    rows = []
+    for t in tokens:
+        ngrams = [n.decode() for n in compute_ngrams_bytes(t)]
+        for ng, h in zip(ngrams, ft.ft_ngram_hashes(t)):
+            rows.append((t, ng, h))
+
+    # in-query OOV assertion: fit on the tokens, probe an IRI whose '#'
+    # fragment is in-vocab — its vector must equal the mean of the
+    # bucket vectors its ngrams hash to
+    ft.fit([[list(tokens)]])
+    probe = f"http://example.org#{tokens[0]}"
+    vec = ft.get_vector(probe)
+    hits = [ft._bucket_vecs[h] for h in ft.ft_ngram_hashes(probe)
+            if h in ft._bucket_vecs]
+    expect = np.mean(hits, axis=0)
+    assert hits and np.allclose(vec, expect), "OOV != mean of bucket vecs"
+
+    t, ng, b = zip(*rows)
+    return pa.table(
+        {"token": pa.array(t, pa.string()),
+         "ngram": pa.array(ng, pa.string()),
+         "bucket": pa.array(b, pa.int64())}
+    )
+
+
 def q_fasttext_embeddings(sf_dir: str):
     """FastText variant (A12, embedders/fasttext.py): SGNS + '#'-fragment
     ngram buckets; includes one OOV entity resolved via bucket vectors."""
@@ -851,6 +919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walks_dfs_exhausted": q_walks_dfs_exhausted,
         "walks_community_noteleport": q_walks_community_noteleport,
         "walks_wide_sampled": q_walks_wide_sampled,
+        "walks_wide_exhausted": q_walks_wide_exhausted,
+        "fasttext_buckets": q_fasttext_buckets,
         "fasttext_embeddings": q_fasttext_embeddings,
         "walks_community": q_walks_community,
         "walks_anonymous": q_walks_anonymous,
@@ -1084,6 +1154,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'customer:' || c_custkey, 'customer:' || c_custkey
             FROM c100
+        """,
+        "walks_wide_exhausted": """
+            WITH c100 AS (
+              SELECT c_custkey, c_nationkey FROM customer
+              WHERE c_custkey IN (
+                SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100
+              )
+            )
+            SELECT 'customer:' || c_custkey AS entity,
+                   'customer:' || c_custkey || ' in_nation nation:' || c_nationkey AS walk
+            FROM c100
+            UNION ALL
+            SELECT 'customer:' || c_custkey, 'customer:' || c_custkey
+            FROM c100
+        """,
+        "fasttext_buckets": """
+            WITH toks AS (
+              SELECT DISTINCT substr(lower(n_name), 1, 3) AS token FROM nation
+              UNION
+              SELECT DISTINCT 'n' || n_nationkey FROM nation
+            )
+            SELECT token, token AS ngram,
+              CAST(list_reduce(
+                 list_prepend(CAST(2166136261 AS HUGEINT),
+                              list_transform(string_split(token, ''),
+                                             c -> CAST(unicode(c) AS HUGEINT))),
+                 (h, b) -> xor(h, b) * 16777619
+              ) % 99991 AS BIGINT) AS bucket
+            FROM toks
         """,
         "walks_community_noteleport": """
             SELECT 'customer:' || c_custkey AS entity,

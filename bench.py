@@ -71,12 +71,24 @@ def run_benchmarks() -> dict:
         q for q in os.environ.get("BENCH_ONLY", "").split(",") if q
     } or None
 
+    # the host is shared-tenant with ±70% wall-clock noise (BASELINE.md):
+    # one sample per stage cannot tell noise from regression, so every
+    # stage runs BENCH_STAGE_REPEAT times and reports the MIN (the
+    # standard noise-robust wall-clock estimator); all samples are kept
+    # in the JSON under "samples" so the spread itself is inspectable
+    repeat = max(1, int(os.environ.get("BENCH_STAGE_REPEAT", "3")))
+    samples: dict[str, list[float]] = {}
+
     def timed(name, fn):
         if only is not None and name not in only:
             return 0
-        tic = time.perf_counter()
-        out = fn()
-        queries[name] = round(time.perf_counter() - tic, 3)
+        times, out = [], None
+        for _ in range(repeat):
+            tic = time.perf_counter()
+            out = fn()
+            times.append(round(time.perf_counter() - tic, 3))
+        queries[name] = min(times)
+        samples[name] = times
         return out
 
     # warm the session: page cache, Ray worker pool, and the pipeline's
@@ -202,6 +214,8 @@ def run_benchmarks() -> dict:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "samples": samples,
+        "stage_repeat": repeat,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "rows": {
@@ -236,6 +250,9 @@ def run_scaling() -> dict:
             # MULT-independent input and would only add Amdahl dilution
             BENCH_ONLY=os.environ.get("BENCH_ONLY", "construct_docs_kg"),
             BENCH_MULT=os.environ.get("BENCH_MULT", "32"),
+            # outer min-over-fresh-sessions already derisks noise here;
+            # 2 in-session repeats per leg bound total scaling runtime
+            BENCH_STAGE_REPEAT=os.environ.get("BENCH_STAGE_REPEAT", "2"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
