@@ -168,7 +168,7 @@ def q_bfs_walks_customers(sf_dir: str):
 def q_walklets_customers(sf_dir: str):
     from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)
     spec = WalkerSpec(strategy="walklet", max_depth=1, max_walks=None)
     walks = extract_walks(gi, entities, spec, batch_size=256)
@@ -218,7 +218,7 @@ def q_walks_reverse(sf_dir: str):
     (entity, walk-as-string) so mixed walk lengths share one column."""
     from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)
     spec = WalkerSpec(strategy="random", max_depth=1, max_walks=None,
                       with_reverse=True, md5_bytes=None)
@@ -243,7 +243,7 @@ def q_walks_ngram(sf_dir: str):
     trailing 3-gram (two-phase global assignment, lexicographic ids)."""
     from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)
     spec = WalkerSpec(strategy="ngram", max_depth=2, max_walks=None, grams=3)
     walks = extract_walks(gi, entities, spec, batch_size=256)
@@ -284,7 +284,7 @@ def q_walks_wide_exhausted(sf_dir: str):
     from pyrdf2vec_ray.samplers import SamplerSpec
     from pyrdf2vec_ray.walkers import WalkerSpec
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)[:100]
     spec = WalkerSpec(strategy="random", max_depth=1, max_walks=2,
                       md5_bytes=None, random_state=5,
@@ -349,7 +349,7 @@ def q_fasttext_embeddings(sf_dir: str):
     from pyrdf2vec_ray.pipelines.rdf2vec import RDF2VecTransformer
     from pyrdf2vec_ray.walkers import WalkerSpec
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)[:100]
     t = RDF2VecTransformer(
         embedder=FastText(vector_size=24, epochs=2, seed=9, bucket=100_000),
@@ -629,7 +629,7 @@ def q_walks_wl_sample(sf_dir: str):
     pytest parity tests)."""
     from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)[:100]
     spec = WalkerSpec(strategy="wl", max_depth=2, max_walks=None,
                       wl_iterations=1, md5_bytes=None)
@@ -651,7 +651,7 @@ def q_walks_wl_sample(sf_dir: str):
 def _walker_query(sf_dir: str, spec, n: int = 100):
     from pyrdf2vec_ray.walkers import explode_walks, extract_walks
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)[:n]
     return explode_walks(extract_walks(gi, entities, spec, batch_size=64))
 
@@ -673,7 +673,7 @@ def q_walks_anonymous(sf_dir: str):
     Walk emitted as a space-joined string for the oracle compare."""
     from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)[:100]
     spec = WalkerSpec(strategy="anonymous", max_depth=2)
     walks = extract_walks(gi, entities, spec, batch_size=64)
@@ -699,7 +699,7 @@ def q_walks_split(sf_dir: str):
     reproducible as SQL string construction."""
     from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)[:100]
     spec = WalkerSpec(strategy="split", max_depth=2)
     walks = extract_walks(gi, entities, spec, batch_size=64)
@@ -726,7 +726,7 @@ def q_walks_halk(sf_dir: str):
     stay raw IRIs)."""
     from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)[:100]
     spec = WalkerSpec(strategy="halk", max_depth=2, md5_bytes=None,
                       freq_thresholds=(0.01, 1.5))
@@ -762,7 +762,7 @@ def q_rdf2vec_embeddings(sf_dir: str):
     from pyrdf2vec_ray.pipelines.rdf2vec import RDF2VecTransformer
     from pyrdf2vec_ray.walkers import WalkerSpec
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)[:100]
     t = RDF2VecTransformer(
         embedder=Word2Vec(vector_size=32, epochs=2, seed=7),
@@ -831,7 +831,7 @@ def q_walks_dfs_exhausted(sf_dir: str):
     root.  Deterministic regardless of sampler RNG, so SQL-checkable."""
     from pyrdf2vec_ray.walkers import WalkerSpec
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)[:100]
     spec = WalkerSpec(strategy="random", max_depth=1, max_walks=2,
                       md5_bytes=None, random_state=5)
@@ -845,7 +845,7 @@ def q_walks_community_noteleport(sf_dir: str):
     the stochastic teleporting variant stays rows-only."""
     from pyrdf2vec_ray.walkers import WalkerSpec
 
-    gi = _graph_index(sf_dir)
+    gi = _graph_index(sf_dir, sharded=True)
     entities = _customer_entities(sf_dir)[:100]
     spec = WalkerSpec(strategy="community", max_depth=2, max_walks=None,
                       md5_bytes=None, hop_prob=0.0, random_state=5)

@@ -163,35 +163,47 @@ def detect_communities(
 
 
 def _lpa_labels(u, v, nv, active, max_sweeps):
-    """Deterministic label propagation (sorted order, most-common
-    neighbor label, ties → smallest) — the shuffle-friendly scale
-    substitute."""
-    deg = np.zeros(nv, dtype=np.int64)
-    np.add.at(deg, u, 1)
-    np.add.at(deg, v, 1)
-    indptr = np.zeros(nv + 1, dtype=np.int64)
-    np.cumsum(deg, out=indptr[1:])
-    nbr = np.zeros(indptr[-1], dtype=np.int64)
-    cursor = indptr[:-1].copy()
-    for x, y in ((u, v), (v, u)):
-        for i in range(len(x)):
-            nbr[cursor[x[i]]] = y[i]
-            cursor[x[i]] += 1
-
+    """Deterministic label propagation, fully vectorized — the shuffle-
+    friendly scale substitute (SURVEY.md A10).  Each SYNCHRONOUS sweep
+    computes every node's most common neighbor label (ties → smallest)
+    from the previous sweep's labels via one sort + reduceat passes —
+    exactly the grouped-count shape that distributes as an iterative
+    bucket shuffle, with no O(E) or O(V) Python loop.  Synchronous
+    sweeps can 2-cycle on bipartite structure; a detected cycle breaks
+    deterministically by taking the elementwise min of the two
+    oscillating states.  (``active`` is implicit: only edge endpoints
+    ever update, and edges connect entity nodes only.)"""
+    del active
+    src = np.concatenate([u, v]).astype(np.int64)
+    dst = np.concatenate([v, u]).astype(np.int64)
     labels = np.arange(nv, dtype=np.int64)
+    if len(src) == 0:
+        return labels
+    prev = None
     for _ in range(max_sweeps):
-        changed = False
-        for node in active:
-            neigh = nbr[indptr[node] : indptr[node + 1]]
-            if len(neigh) == 0:
-                continue
-            cand, counts = np.unique(labels[neigh], return_counts=True)
-            best = cand[counts == counts.max()].min()
-            if best != labels[node]:
-                labels[node] = best
-                changed = True
-        if not changed:
+        # packed (node, neighbor-label) key; nv^2 must fit int64
+        ks = np.sort(src * nv + labels[dst])
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        counts = np.diff(np.r_[bounds, len(ks)])
+        grp_src = ks[bounds] // nv
+        grp_lab = ks[bounds] % nv
+        seg_starts = np.flatnonzero(np.r_[True, grp_src[1:] != grp_src[:-1]])
+        seg_len = np.diff(np.r_[seg_starts, len(grp_src)])
+        seg_id = np.repeat(np.arange(len(seg_starts)), seg_len)
+        maxc = np.maximum.reduceat(counts, seg_starts)
+        # groups are (node, label)-sorted, so the FIRST count==max per
+        # node segment is the smallest label among the modes
+        pos = np.flatnonzero(counts == maxc[seg_id])
+        first = pos[np.unique(seg_id[pos], return_index=True)[1]]
+        new = labels.copy()
+        new[grp_src[seg_starts]] = grp_lab[first]
+        if np.array_equal(new, labels):
             break
+        if prev is not None and np.array_equal(new, prev):
+            labels = np.minimum(new, labels)
+            break
+        prev = labels
+        labels = new
     return labels
 
 

@@ -77,3 +77,54 @@ def test_distributed_w2v_dataset_split_keeps_all_rows():
                             epochs=1, seed=1)
     m.fit_dataset(ds)
     assert set(m.vocab.tolist()) == {"a", "b", "c"}
+
+
+def _lpa_reference(u, v, nv, max_sweeps=20):
+    """Straightforward per-node loop with the SAME synchronous semantics
+    as the vectorized _lpa_labels (mode of previous-sweep neighbor
+    labels, ties -> smallest; 2-cycles break by elementwise min)."""
+    import numpy as np
+
+    nbrs = [[] for _ in range(nv)]
+    for a, b in zip(u, v):
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    labels = np.arange(nv, dtype=np.int64)
+    prev = None
+    for _ in range(max_sweeps):
+        new = labels.copy()
+        for node in range(nv):
+            if not nbrs[node]:
+                continue
+            cand, counts = np.unique(labels[np.array(nbrs[node])],
+                                     return_counts=True)
+            new[node] = cand[counts == counts.max()].min()
+        if np.array_equal(new, labels):
+            break
+        if prev is not None and np.array_equal(new, prev):
+            labels = np.minimum(new, labels)
+            break
+        prev = labels
+        labels = new
+    return labels
+
+
+def test_lpa_vectorized_matches_loop_reference():
+    from pyrdf2vec_ray.stages.community import _lpa_labels
+
+    rng = np.random.RandomState(5)
+    for nv, ne in [(10, 14), (60, 100), (200, 500)]:
+        u = rng.randint(0, nv, size=ne).astype(np.int64)
+        v = rng.randint(0, nv, size=ne).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        got = _lpa_labels(u, v, nv, np.arange(nv), 20)
+        want = _lpa_reference(u, v, nv, 20)
+        assert np.array_equal(got, want)
+    # bipartite 2-cycle case: star + path structures oscillate under
+    # synchronous sweeps; the min-break must make it deterministic
+    u = np.array([0, 1, 2, 3], dtype=np.int64)
+    v = np.array([4, 4, 5, 5], dtype=np.int64)
+    got = _lpa_labels(u, v, 6, np.arange(6), 20)
+    want = _lpa_reference(u, v, 6, 20)
+    assert np.array_equal(got, want)
