@@ -137,6 +137,12 @@ class SGNS:
             buf_c.clear(), buf_x.clear(), buf_lr.clear()
             buffered = 0
 
+        # window expansion is one (n × 2·window) offset-grid mask per
+        # sentence — pairs come out in the same (center asc, offset asc)
+        # order a nested loop would produce, with no per-position loop
+        offs = np.concatenate(
+            [np.arange(-self.window, 0), np.arange(1, self.window + 1)]
+        )
         for _ in range(self.epochs):
             for ids in sents:
                 lr = max(self.min_alpha, self.alpha * (1 - step / total_steps))
@@ -146,22 +152,20 @@ class SGNS:
                     continue
                 reduced = rng.randint(0, self.window, size=n)
                 w = self.window - reduced                      # per-token window
-                # vectorized pair expansion for this sentence
-                cs, xs = [], []
-                for i in range(n):
-                    lo, hi = max(0, i - w[i]), min(n, i + w[i] + 1)
-                    m = hi - lo - 1
-                    if m <= 0:
-                        continue
-                    cs.append(np.full(m, ids[i]))
-                    xs.append(np.concatenate([ids[lo:i], ids[i + 1 : hi]]))
-                if not cs:
+                grid = np.arange(n)[:, None] + offs[None, :]
+                valid = (
+                    (np.abs(offs)[None, :] <= w[:, None])
+                    & (grid >= 0) & (grid < n)
+                )
+                m_per = valid.sum(1)
+                total_m = int(m_per.sum())
+                if not total_m:
                     continue
-                c_arr = np.concatenate(cs)
+                c_arr = np.repeat(ids, m_per)
                 buf_c.append(c_arr)
-                buf_x.append(np.concatenate(xs))
-                buf_lr.append(np.full(len(c_arr), lr, dtype=np.float32))
-                buffered += len(c_arr)
+                buf_x.append(ids[grid[valid]])
+                buf_lr.append(np.full(total_m, lr, dtype=np.float32))
+                buffered += total_m
                 if buffered >= 16384:
                     flush()
         flush()

@@ -27,9 +27,10 @@ actor every epoch — neither survives corpus- or vocab-scale):
   single-actor trainer is NOT a goal (the reference has the same caveat
   for gensim workers>1, README.rst:466-498).
 
-Documented ceiling: a trainer's per-epoch draw buffers are
-O(shard_tokens × window × (2 + negative)) int64 — chunk epochs for
-shards past ~10M tokens.
+Per-epoch window expansion is vectorized over the concatenated corpus
+in ~1M-token chunks (no per-sentence Python loop); the draw buffers are
+O(pairs × (2 + negative)) int64 for the epoch — for shards whose PAIR
+set outgrows the heap, chunk epochs by sentence range.
 
 For bit-reproducible vectors use the single-actor `embedders.Word2Vec`
 (the reference's workers=1 contract).
@@ -135,12 +136,14 @@ class PSTrainer:
         self.bounds = bounds
         self.sents: list[np.ndarray] = []
         self.neg_table = None
+        self._flat = None  # cached concatenated corpus (built lazily)
 
     def add_sentences(self, walks: list[list[str]]):
         for w in walks:
             if len(w) > 1:
                 ids = np.searchsorted(self.vocab, np.asarray(w, dtype=self.vocab.dtype))
                 self.sents.append(ids.astype(np.int64))
+        self._flat = None
         return len(self.sents)
 
     def add_dataset_split(self, split_ds):
@@ -154,26 +157,49 @@ class PSTrainer:
     def _epoch_draws(self, epoch: int):
         """Deterministic per-epoch randomness: reduced windows → (center,
         context) pairs, then negatives — all up front so the set of
-        touched rows is known before any pull."""
+        touched rows is known before any pull.
+
+        The expansion is fully vectorized over the CONCATENATED corpus
+        (one offset-grid mask per ~1M-token chunk instead of a Python
+        loop per sentence) — this was the trainer's documented
+        throughput ceiling.  The chunking bounds the (tokens × 2·window)
+        intermediate, so shards well past 10M tokens stream through a
+        fixed-size working set.  Pair order and RNG consumption are
+        identical to the per-sentence formulation (RandomState.randint
+        advances per value, so one size-T draw equals the concatenated
+        per-sentence draws)."""
         cfg = SGNS(**self.cfg)
         rng = np.random.RandomState(self.seed + epoch)
         window, k = cfg.window, cfg.negative
-        cs, xs = [], []
-        for ids in self.sents:
-            n = len(ids)
-            reduced = rng.randint(0, window, size=n)
-            w = window - reduced
-            for i in range(n):
-                lo, hi = max(0, i - w[i]), min(n, i + w[i] + 1)
-                m = hi - lo - 1
-                if m <= 0:
-                    continue
-                cs.append(np.full(m, ids[i]))
-                xs.append(np.concatenate([ids[lo:i], ids[i + 1 : hi]]))
-        if not cs:
+        if not self.sents:
             return None
+        if self._flat is None:
+            lens = np.array([len(s) for s in self.sents], dtype=np.int64)
+            starts = np.r_[0, np.cumsum(lens)[:-1]]
+            self._flat = np.concatenate(self.sents)
+            self._pos = np.arange(len(self._flat)) - np.repeat(starts, lens)
+            self._slen = np.repeat(lens, lens)
+        flat, pos, slen = self._flat, self._pos, self._slen
+        T = len(flat)
+        reduced = rng.randint(0, window, size=T)
+        w = window - reduced
+        offs = np.concatenate([np.arange(-window, 0), np.arange(1, window + 1)])
+        cs, xs = [], []
+        CH = 1 << 20
+        for lo in range(0, T, CH):
+            hi = min(T, lo + CH)
+            grid = pos[lo:hi, None] + offs[None, :]
+            valid = (
+                (np.abs(offs)[None, :] <= w[lo:hi, None])
+                & (grid >= 0) & (grid < slen[lo:hi, None])
+            )
+            m_per = valid.sum(1)
+            cs.append(np.repeat(flat[lo:hi], m_per))
+            xs.append(flat[(np.arange(lo, hi)[:, None] + offs[None, :])[valid]])
         centers = np.concatenate(cs)
         ctxs = np.concatenate(xs)
+        if len(ctxs) == 0:
+            return None
         negs = self.neg_table[
             rng.randint(0, len(self.neg_table), size=len(ctxs) * k)
         ].reshape(len(ctxs), k)

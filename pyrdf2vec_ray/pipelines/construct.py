@@ -101,25 +101,42 @@ def materialize_adjacency(
         )
         hop_lists = pa.ListArray.from_arrays(pl_c.offsets, structs)
 
+        # the assembled ListArray IS the output for every subject under
+        # the cap — emit it zero-copy and loop only over the (rare)
+        # hot-key subjects that need salt-splitting
+        import numpy as np
+
+        hop_lists = hop_lists.cast(pa.list_(HOP_STRUCT))
+        lens = np.diff(hop_lists.offsets.to_numpy())
+        subj_arr = agg["subj"].combine_chunks()
+        over = np.flatnonzero(lens > max_hops_per_row)
+        if len(over) == 0:
+            return pa.table(
+                {"subj": subj_arr,
+                 "part": pa.array(np.zeros(len(subjs), dtype=np.int32)),
+                 "out": hop_lists}
+            )
+        under = np.flatnonzero(lens <= max_hops_per_row)
+        t_under = pa.table(
+            {"subj": subj_arr.take(pa.array(under)),
+             "part": pa.array(np.zeros(len(under), dtype=np.int32)),
+             "out": hop_lists.take(pa.array(under))}
+        )
         rows_subj, rows_part, rows_out = [], [], []
-        for i, subj in enumerate(subjs):
-            hops = hop_lists[i].as_py()
-            if len(hops) <= max_hops_per_row:
-                rows_subj.append(subj)
-                rows_part.append(0)
-                rows_out.append(hops)
-            else:  # hot-key salt split (SURVEY.md §7 "very wide records")
-                for part, lo in enumerate(range(0, len(hops), max_hops_per_row)):
-                    rows_subj.append(subj)
-                    rows_part.append(part)
-                    rows_out.append(hops[lo : lo + max_hops_per_row])
-        return pa.Table.from_pydict(
+        for i in over:  # hot-key salt split (SURVEY.md §7 "very wide records")
+            hops = hop_lists[int(i)].as_py()
+            for part, lo in enumerate(range(0, len(hops), max_hops_per_row)):
+                rows_subj.append(subjs[int(i)])
+                rows_part.append(part)
+                rows_out.append(hops[lo : lo + max_hops_per_row])
+        t_over = pa.Table.from_pydict(
             {
                 "subj": pa.array(rows_subj, pa.string()),
                 "part": pa.array(rows_part, pa.int32()),
                 "out": pa.array(rows_out, pa.list_(HOP_STRUCT)),
             }
         )
+        return pa.concat_tables([t_under, t_over]).combine_chunks()
 
     return bucket_apply(triples, ["subj"], bucket_rows, num_buckets=None)
 
