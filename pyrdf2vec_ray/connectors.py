@@ -123,11 +123,61 @@ class FetchingSPARQLConnector(SPARQLConnector):
         self.cache.put(query, res)
         return res
 
-    def afetch(self, queries: list[str]):
-        """Bundled fetch (reference connectors.py:89-101 asyncio.gather):
-        without aiohttp the bundling degrades to a sequential loop over
-        the cache-aware sync fetch — same results, same cache state."""
-        return [self.fetch(q) for q in queries]
+    def afetch(self, queries: list[str], max_concurrency: int = 16):
+        """Bundled fetch (reference connectors.py:89-101
+        ``asyncio.gather``): cache misses are fetched CONCURRENTLY —
+        via ``asyncio.gather`` when the injected transport is a
+        coroutine function, else via a bounded thread pool (the
+        aiohttp stand-in; SPARQL fetches are network-bound, so threads
+        give the same wall-clock bundling).  Each distinct query is
+        fetched once (single flight) and cached; results return in
+        query order with the same cache state as sequential fetches."""
+        results: dict[str, object] = {}
+        misses: list[str] = []
+        seen: set[str] = set()
+        for q in queries:
+            if q in seen:
+                continue
+            seen.add(q)
+            hit = self.cache.get(q)
+            if hit is not None:
+                results[q] = hit
+            else:
+                misses.append(q)
+        if misses:
+            if self.fetch_fn is None:
+                raise NotImplementedError(
+                    "no transport injected (this environment has no network)"
+                )
+            import inspect
+
+            self.n_transport_calls += len(misses)
+            if inspect.iscoroutinefunction(self.fetch_fn):
+                import asyncio
+
+                async def run():
+                    sem = asyncio.Semaphore(max_concurrency)
+
+                    async def one(q):
+                        async with sem:
+                            return await self.fetch_fn(self.endpoint, q)
+
+                    return await asyncio.gather(*(one(q) for q in misses))
+
+                fetched = asyncio.run(run())
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(len(misses), max_concurrency)
+                ) as pool:
+                    fetched = list(pool.map(
+                        lambda q: self.fetch_fn(self.endpoint, q), misses
+                    ))
+            for q, res in zip(misses, fetched):
+                self.cache.put(q, res)
+                results[q] = res
+        return [results[q] for q in queries]
 
 
 class FakeSPARQLEndpoint:

@@ -63,3 +63,24 @@ def read_artifact(out_dir: str, name: str) -> ray.data.Dataset:
         manifest = json.load(f)
     rel = manifest["tables"][name]["path"]
     return ray.data.read_parquet(os.path.join(out_dir, rel))
+
+
+def write_table(ds: ray.data.Dataset, path: str, fmt: str = "parquet") -> None:
+    """Format-dispatching sink (SURVEY §1.3 names Lance AND parquet).
+    ``fmt="lance"`` uses Ray's Lance writer when the ``lance`` package
+    is importable; this container does not ship it, so the Lance branch
+    is import-gated with a clear error rather than stubbed silently."""
+    if fmt == "parquet":
+        ds.write_parquet(path)
+        return
+    if fmt == "lance":
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "Lance output needs the 'lance' package (not installed in "
+                "this environment); use fmt='parquet' or install pylance"
+            ) from e
+        ds.write_lance(path)
+        return
+    raise ValueError(f"unknown sink format {fmt!r} (parquet|lance)")

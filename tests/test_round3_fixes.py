@@ -128,3 +128,63 @@ def test_lpa_vectorized_matches_loop_reference():
     got = _lpa_labels(u, v, 6, np.arange(6), 20)
     want = _lpa_reference(u, v, 6, 20)
     assert np.array_equal(got, want)
+
+
+def test_afetch_bundles_concurrently_sync_transport():
+    import time
+
+    from pyrdf2vec_ray.connectors import FetchingSPARQLConnector
+
+    calls = []
+
+    def slow_fetch(endpoint, query):
+        calls.append(query)
+        time.sleep(0.15)
+        return [{"o": {"value": query[-3:]}}]
+
+    c = FetchingSPARQLConnector("http://x", slow_fetch)
+    queries = [f"SELECT ?o WHERE {{ q{i:03d} }}" for i in range(12)]
+    t0 = time.perf_counter()
+    res = c.afetch(queries + queries[:3])  # 3 repeats -> single flight
+    wall = time.perf_counter() - t0
+    assert len(res) == 15
+    assert res[0] == res[12]
+    assert len(calls) == 12 == c.n_transport_calls
+    # sequential would be >= 12 * 0.15 = 1.8 s; bundled must be far under
+    assert wall < 1.0, wall
+    # second bundle: all cache hits, zero transport calls
+    assert c.afetch(queries) == res[:12]
+    assert c.n_transport_calls == 12
+
+
+def test_afetch_bundles_async_transport():
+    import asyncio
+    import time
+
+    from pyrdf2vec_ray.connectors import FetchingSPARQLConnector
+
+    async def slow_afetch(endpoint, query):
+        await asyncio.sleep(0.15)
+        return [{"o": {"value": query}}]
+
+    c = FetchingSPARQLConnector("http://x", slow_afetch)
+    t0 = time.perf_counter()
+    res = c.afetch([f"q{i}" for i in range(12)])
+    wall = time.perf_counter() - t0
+    assert len(res) == 12 and res[3][0]["o"]["value"] == "q3"
+    assert wall < 1.0, wall
+
+
+def test_lance_sink_gate(tmp_path):
+    import pytest
+    import ray.data
+
+    from pyrdf2vec_ray.sinks import write_table
+
+    ds = ray.data.range(10)
+    write_table(ds, str(tmp_path / "t"), fmt="parquet")
+    assert ray.data.read_parquet(str(tmp_path / "t")).count() == 10
+    with pytest.raises(ImportError, match="lance"):
+        write_table(ds, str(tmp_path / "t2"), fmt="lance")
+    with pytest.raises(ValueError, match="unknown sink format"):
+        write_table(ds, str(tmp_path / "t3"), fmt="csvx")
