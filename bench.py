@@ -128,7 +128,10 @@ def run_benchmarks() -> dict:
         return construct_kg(docs, cands).count()
 
     n_triples_docs = timed("construct_docs_kg", bench_construct)
-    extras["construct_docs_per_sec"] = round(n_docs / queries["construct_docs_kg"], 1)
+    if "construct_docs_kg" in queries:
+        extras["construct_docs_per_sec"] = round(
+            n_docs / queries["construct_docs_kg"], 1
+        )
 
     # 2. relational KG build (read → vectorized triples → dedup shuffle)
     triples_ds = None
@@ -169,6 +172,54 @@ def run_benchmarks() -> dict:
         ).count()
 
     timed("dfs_walks", bench_dfs)
+
+    # 4a. distributed Word2Vec (PS actors) on the BFS walk corpus:
+    # measures end-to-end training throughput (vocab shuffle + corpus
+    # split + vectorized window expansion + sharded SGNS epochs)
+    def bench_w2v():
+        import pyarrow as _pa
+
+        from pyrdf2vec_ray.embedders_dist import DistributedWord2Vec
+        from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
+
+        spec = WalkerSpec(strategy="random", max_depth=2, max_walks=None)
+        raw = extract_walks(gi, entities, spec, batch_size=512,
+                            concurrency=(1, 8))
+
+        def explode_lists(batch: _pa.Table) -> _pa.Table:
+            import pyarrow.compute as _pc
+
+            w = batch["walks"].combine_chunks()
+            flat = _pc.list_flatten(w)  # list<string> walks
+            ents = _pc.list_parent_indices(w)
+            return _pa.table(
+                {"entity": batch["entity"].combine_chunks().take(ents),
+                 "walk": flat}
+            )
+
+        corpus = raw.map_batches(explode_lists, batch_format="pyarrow") \
+                    .materialize()
+        n_tokens = int(corpus.map_batches(
+            lambda b: _pa.table({"n": [sum(
+                len(x) for x in b["walk"].to_pylist())]}),
+            batch_format="pyarrow",
+        ).sum("n"))
+        # replicate to ~300k tokens so training compute dominates the
+        # fixed actor/vocab costs; tokens/s is reported train-only
+        rep = max(1, 150_000 // max(1, n_tokens))
+        if rep > 1:
+            corpus = corpus.union(*[corpus] * (rep - 1)).materialize()
+        epochs = 2
+        m = DistributedWord2Vec(num_workers=8, num_ps=4, vector_size=64,
+                                epochs=epochs, seed=7)
+        tic = time.perf_counter()
+        m.fit_dataset(corpus)
+        extras["w2v_train_tokens_per_sec"] = round(
+            n_tokens * rep * epochs / (time.perf_counter() - tic), 1
+        )
+        return n_tokens * rep * epochs
+
+    timed("w2v_train", bench_w2v)
 
     # 4b. WL relabeling fit over the full relational graph (A9):
     # wl_iterations=4 — the distinct-label factorize formulation
