@@ -188,3 +188,35 @@ def test_lance_sink_gate(tmp_path):
         write_table(ds, str(tmp_path / "t2"), fmt="lance")
     with pytest.raises(ValueError, match="unknown sink format"):
         write_table(ds, str(tmp_path / "t3"), fmt="csvx")
+
+
+def test_minhash_candidate_distinct_fusion_equivalent():
+    """Skipping the candidate-pair distinct (distinct_pairs=False) must
+    not change the verified pair set: duplicates from multiple LSH bands
+    are absorbed inside verify_jaccard's doc_id-bucketed join."""
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.dedup import (
+        minhash_lsh_candidates, minhash_signatures, verify_jaccard,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before the night ends",
+        "ray data streams blocks through the object store with backpressure",
+    ]
+    rows = []
+    for i in range(60):
+        t = base[i % 3] + f" filler {i % 5} tail"
+        rows.append({"doc_id": i, "text": t})
+    docs = ray.data.from_items(rows).materialize()
+    sigs = minhash_signatures(docs)
+
+    def pairs_of(cand):
+        out = verify_jaccard(docs, cand, threshold=0.5).to_pandas()
+        return set(map(tuple, out[["doc_a", "doc_b"]].itertuples(index=False)))
+
+    with_distinct = pairs_of(minhash_lsh_candidates(sigs, distinct_pairs=True))
+    fused = pairs_of(minhash_lsh_candidates(sigs, distinct_pairs=False))
+    assert with_distinct == fused and len(fused) > 0
