@@ -210,7 +210,7 @@ def run_benchmarks() -> dict:
         if rep > 1:
             corpus = corpus.union(*[corpus] * (rep - 1)).materialize()
         epochs = 2
-        m = DistributedWord2Vec(num_workers=8, num_ps=4, vector_size=64,
+        m = DistributedWord2Vec(num_workers=4, num_ps=2, vector_size=64,
                                 epochs=epochs, seed=7)
         tic = time.perf_counter()
         m.fit_dataset(corpus)
