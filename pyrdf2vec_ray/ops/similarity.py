@@ -89,17 +89,30 @@ def knn_ivf(
     sample_size: int = 4096,
 ) -> pa.Table:
     """IVF approximate top-k: sample-fit centroids once (driver, on a
-    limited sample), bucket vectors by nearest centroid (one shuffle),
-    search only the nprobe closest buckets per query.
+    corpus-wide sample), bucket vectors by nearest centroid (one
+    shuffle), search only the nprobe closest buckets per query.
 
-    Centroids fit on the FIRST `sample_size` rows (`limit()`), which is
-    cheap but biased when the corpus is ordered/clustered on disk — for
-    skewed corpora raise `sample_size` or pre-`random_shuffle` the
-    sample source; recall degrades silently otherwise (documented
-    trade-off; the exact `knn_bruteforce` is the oracle either way)."""
-    sample = np.stack(
-        emb.limit(sample_size).to_pandas()[vec_col].to_numpy()
-    ).astype(np.float64)
+    The centroid sample is a deterministic hash-stride over the id
+    column (every row whose Knuth-hashed id falls in the stride), NOT
+    the first `sample_size` rows — `limit()` would bias the fit on
+    corpora that are ordered/clustered on disk and silently degrade
+    recall.  The exact `knn_bruteforce` is the oracle either way."""
+    n_total = emb.count()
+    stride = max(1, n_total // sample_size)
+    if stride == 1:
+        sample_src = emb.limit(sample_size).to_pandas()
+    else:
+        def pick(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch[id_col].to_numpy().astype(np.uint64)
+            keep = (ids * np.uint64(2654435761) & np.uint64(0xFFFFFFFF)) % stride == 0
+            return batch[keep]
+
+        sample_src = (
+            emb.map_batches(pick, batch_format="pandas", batch_size=8192)
+            .limit(sample_size)
+            .to_pandas()
+        )
+    sample = np.stack(sample_src[vec_col].to_numpy()).astype(np.float64)
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(5):  # a few Lloyd iterations on the sample
