@@ -150,3 +150,76 @@ def test_distributed_jaccard_equals_naive(texts, threshold):
             assert abs(got_map[(a, b)] - j) < 1e-12, (a, b)
         else:
             assert (a, b) not in got_map
+
+
+_iri_local = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+    min_size=1, max_size=10,
+)
+_lit_text = st.text(min_size=0, max_size=40).filter(
+    lambda s: "\r" not in s and all(ord(c) >= 32 or c in "\t\n" for c in s)
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_iri_local, _iri_local, _lit_text),
+                min_size=1, max_size=20))
+def test_turtle_literal_roundtrip(rows):
+    """Serialize (s, p, literal) triples to Turtle with escaped string
+    literals (incl. arbitrary unicode), parse back, compare exactly —
+    pins the escape decoder against the escape writer."""
+    from pyrdf2vec_ray.sources.rdf import parse_turtle
+
+    def esc(s: str) -> str:
+        return (s.replace("\\", "\\\\").replace('"', '\\"')
+                 .replace("\n", "\\n").replace("\t", "\\t"))
+
+    doc = "@prefix ex: <http://e/> .\n" + "\n".join(
+        f'ex:{s} ex:{p} "{esc(o)}" .' for s, p, o in rows
+    )
+    got = set(parse_turtle(doc))
+    want = {(f"http://e/{s}", f"http://e/{p}", o) for s, p, o in rows}
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=6), min_size=0, max_size=20),
+        min_size=1, max_size=8),
+    st.integers(min_value=2, max_value=6),
+)
+def test_fingerprint_batch_equals_naive(tok_docs, window):
+    """The vectorized fingerprint kernel must equal the obvious per-doc
+    min-over-shingle-hashes definition for any token layout (short docs,
+    empty docs, duplicate shingles)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.text import fingerprint
+
+    texts = [" ".join(toks) for toks in tok_docs]
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = []
+    for t in texts:
+        toks = t.split()
+        if len(toks) < window:
+            want.append(h(" ".join(toks)))
+        else:
+            want.append(min(h(" ".join(toks[i:i + window]))
+                            for i in range(len(toks) - window + 1)))
+
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}))
+    got = fingerprint(ds, window=window).to_pandas().sort_values("doc_id")
+    assert got["fingerprint"].tolist() == want
