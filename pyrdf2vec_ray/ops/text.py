@@ -8,7 +8,6 @@ state lives in an actor ``__init__`` so it compiles once per actor.
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd

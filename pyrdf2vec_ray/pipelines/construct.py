@@ -10,7 +10,6 @@ see SURVEY.md §4's shuffle inventory.
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 

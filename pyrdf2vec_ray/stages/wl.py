@@ -21,7 +21,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyrdf2vec_ray.functions.canon import md5_token
 from pyrdf2vec_ray.state.graph_index import LocalGraph
 
 
@@ -136,8 +135,6 @@ def wl_labels_from_dataset(
     # E_0: all entity names label themselves (distinct subj ∪ obj —
     # a grouped-count shuffle; the collected table is vocabulary-scale)
     def names_batch(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         return pa.table({"name": pa.concat_arrays([
             batch["subj"].combine_chunks().cast(pa.string()),
             batch["obj"].combine_chunks().cast(pa.string()),
