@@ -164,17 +164,27 @@ def minhash_lsh_candidates(
     return distinct(cand, ["doc_a", "doc_b"])
 
 
-# pair_key packing: doc ids must fit 31 bits so (doc_a, doc_b) packs into
-# one non-negative int64 shuffle key
-_PAIR_SHIFT = 31
+# pair_key packing: doc ids up to 2^32 pack into ONE int64 shuffle key
+# (32|32 via uint64, viewed signed — a negative key is a fine hash/group
+# key).  Corpora past 4.3B docs must remap ids densely first (a single
+# grouped factorize), documented rather than silently wrong.
+_PAIR_SHIFT = 32
+_PAIR_MASK = (1 << _PAIR_SHIFT) - 1
 
 
 def _pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    a = np.asarray(a, dtype=np.int64)
-    b = np.asarray(b, dtype=np.int64)
-    if len(a) and (a.max() >= (1 << _PAIR_SHIFT) or b.max() >= (1 << _PAIR_SHIFT)):
-        raise ValueError("doc ids must be < 2^31 for pair packing")
-    return (a << _PAIR_SHIFT) | b
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    if len(a) and (int(a.max()) >> _PAIR_SHIFT or int(b.max()) >> _PAIR_SHIFT):
+        raise ValueError(
+            "doc ids must be < 2^32 for pair packing; densify ids first"
+        )
+    return ((a << np.uint64(_PAIR_SHIFT)) | b).view(np.int64)
+
+
+def _unpack_pair(key: int) -> tuple[int, int]:
+    u = int(key) & 0xFFFFFFFFFFFFFFFF
+    return u >> _PAIR_SHIFT, u & _PAIR_MASK
 
 
 def verify_jaccard(
@@ -262,8 +272,9 @@ def verify_jaccard(
             union = len(sa) + len(sb) - inter
             j = inter / max(1, union)
             if j >= threshold:
-                out_a.append(int(key) >> _PAIR_SHIFT)
-                out_b.append(int(key) & ((1 << _PAIR_SHIFT) - 1))
+                da, db = _unpack_pair(key)
+                out_a.append(da)
+                out_b.append(db)
                 jac.append(j)
         return pd.DataFrame(
             {"doc_a": pd.array(out_a, dtype="int64"),

@@ -220,3 +220,18 @@ def test_minhash_candidate_distinct_fusion_equivalent():
     with_distinct = pairs_of(minhash_lsh_candidates(sigs, distinct_pairs=True))
     fused = pairs_of(minhash_lsh_candidates(sigs, distinct_pairs=False))
     assert with_distinct == fused and len(fused) > 0
+
+
+def test_pair_packing_roundtrip_32bit():
+    from pyrdf2vec_ray.ops.dedup import _pack_pairs, _unpack_pair
+
+    a = np.array([0, 1, 2**31, 2**32 - 1, 12345], dtype=np.int64)
+    b = np.array([2**32 - 1, 0, 2**31 + 7, 2**32 - 2, 54321], dtype=np.int64)
+    keys = _pack_pairs(a, b)
+    assert keys.dtype == np.int64
+    got = [_unpack_pair(k) for k in keys]
+    assert got == list(zip(a.tolist(), b.tolist()))
+    import pytest
+
+    with pytest.raises(ValueError, match="2\\^32"):
+        _pack_pairs(np.array([2**32]), np.array([0]))
