@@ -368,6 +368,54 @@ def q_fasttext_embeddings(sf_dir: str):
     )
 
 
+def q_construct_doc_mentions(sf_dir: str):
+    """Construction stage value-checked END-TO-END on the real documents
+    table (G7 linking + dedup; pipelines/construct.py): vectorized
+    word-boundary mention extraction over `text`, the real
+    broadcast-sharded EntityLinker (normalized-surface candidate lookup,
+    0.9 linked score; unlinkable doc subjects take the documented
+    IRI_PREFIX fallback at 0.1), and the real bucket-shuffle triple
+    dedup.  Every step is reproducible in SQL (padded `contains` +
+    constant candidate table), so extract→link→canonicalize→dedup gets
+    a DuckDB oracle — the construction path is no longer pinned only by
+    rows-only checks."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.pipelines.construct import dedup_triples, link_mentions
+    from pyrdf2vec_ray.stages.link import CandidateIndex
+
+    words = ["customer", "part", "order", "supplier", "query", "table"]
+    index = CandidateIndex.build({w: f"kind:{w}" for w in words})
+    docs = _docs(sf_dir)
+
+    def mentions(batch: pd.DataFrame) -> pd.DataFrame:
+        text = " " + batch["text"].astype(str) + " "
+        ids = batch["doc_id"].astype(str)
+        outs = []
+        for w in words:
+            m = text.str.contains(f" {w} ", regex=False)
+            if m.any():
+                outs.append(pd.DataFrame({
+                    "doc_id": ids[m],
+                    "span_idx": np.int32(0),
+                    "surface_subj": "doc_" + ids[m],
+                    "surface_pred": "mentions",
+                    "surface_obj": w,
+                }))
+        if not outs:
+            return pd.DataFrame({
+                "doc_id": pd.array([], dtype="str"),
+                "span_idx": pd.array([], dtype="int32"),
+                "surface_subj": pd.array([], dtype="str"),
+                "surface_pred": pd.array([], dtype="str"),
+                "surface_obj": pd.array([], dtype="str"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    ds = docs.map_batches(mentions, batch_format="pandas", batch_size=4096)
+    return dedup_triples(link_mentions(ds, index))
+
+
 def q_doc_exact_dedup(sf_dir: str):
     from pyrdf2vec_ray.ops.dedup import exact_dedup
 
@@ -892,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walks_ngram": q_walks_ngram,
         "walklets_customers": q_walklets_customers,
         "literals_region_chain": q_literals_region_chain,
+        "construct_doc_mentions": q_construct_doc_mentions,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
         "doc_tokens_bpe": q_doc_tokens_bpe,
@@ -1154,6 +1203,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'customer:' || c_custkey, 'customer:' || c_custkey
             FROM c100
+        """,
+        "construct_doc_mentions": """
+            SELECT DISTINCT 'http://pyRDF2Vec#doc_' || doc_id AS subj,
+                   'http://pyRDF2Vec#mentions' AS pred,
+                   'kind:' || w AS obj
+            FROM documents,
+                 (VALUES ('customer'),('part'),('order'),('supplier'),
+                         ('query'),('table')) words(w)
+            WHERE contains(' ' || text || ' ', ' ' || w || ' ')
         """,
         "walks_wide_exhausted": """
             WITH c100 AS (
