@@ -368,6 +368,42 @@ def q_fasttext_embeddings(sf_dir: str):
     )
 
 
+def q_w2v_vocab(sf_dir: str):
+    """Word2Vec vocabulary fit value-checked (A11, reference
+    word2vec.py:29-58 build_vocab): deterministic depth-1 BFS walks
+    from 200 customers feed the DISTRIBUTED vocab counter
+    (DistributedWord2Vec._vocab_from_dataset — exploded-token bucket
+    shuffle + sorted collect, the same path fit_dataset trains from);
+    the resulting (token, n) table is a plain SQL grouped count over
+    the walk definition."""
+    import pyarrow.compute as pc
+
+    from pyrdf2vec_ray.embedders_dist import DistributedWord2Vec
+    from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
+
+    gi = _graph_index(sf_dir, sharded=True)
+    entities = _customer_entities(sf_dir)[:200]
+    spec = WalkerSpec(strategy="random", max_depth=1, max_walks=None,
+                      md5_bytes=None)
+    raw = extract_walks(gi, entities, spec, batch_size=64)
+
+    def explode_lists(batch: pa.Table) -> pa.Table:
+        w = batch["walks"].combine_chunks()
+        return pa.table(
+            {"entity": batch["entity"].combine_chunks().take(
+                pc.list_parent_indices(w)),
+             "walk": pc.list_flatten(w)}
+        )
+
+    m = DistributedWord2Vec(num_workers=2, num_ps=2)
+    m._vocab_from_dataset(raw.map_batches(explode_lists,
+                                          batch_format="pyarrow"))
+    return pa.table(
+        {"token": pa.array([str(t) for t in m.vocab], pa.string()),
+         "n": pa.array(m.counts.astype(np.int64), pa.int64())}
+    )
+
+
 def q_construct_doc_mentions(sf_dir: str):
     """Construction stage value-checked END-TO-END on the real documents
     table (G7 linking + dedup; pipelines/construct.py): vectorized
@@ -940,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walks_ngram": q_walks_ngram,
         "walklets_customers": q_walklets_customers,
         "literals_region_chain": q_literals_region_chain,
+        "w2v_vocab": q_w2v_vocab,
         "construct_doc_mentions": q_construct_doc_mentions,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
@@ -1203,6 +1240,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'customer:' || c_custkey, 'customer:' || c_custkey
             FROM c100
+        """,
+        "w2v_vocab": """
+            WITH c AS (
+              SELECT c_custkey, c_nationkey FROM customer
+              WHERE c_custkey IN (
+                SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 200
+              )
+            ), toks AS (
+              SELECT 'customer:' || c_custkey AS token FROM c
+              UNION ALL SELECT 'in_nation' FROM c
+              UNION ALL SELECT 'nation:' || c_nationkey FROM c
+            )
+            SELECT token, count(*) AS n FROM toks GROUP BY token
         """,
         "construct_doc_mentions": """
             SELECT DISTINCT 'http://pyRDF2Vec#doc_' || doc_id AS subj,
