@@ -368,6 +368,41 @@ def q_fasttext_embeddings(sf_dir: str):
     )
 
 
+def q_pagerank_iter1(sf_dir: str):
+    """PageRank power-iteration step value-checked (A5, reference
+    samplers/pagerank.py:52-90 nx semantics): one iteration from the
+    uniform start over the distinct entity→entity edge list — the exact
+    building blocks the sampler fit runs (distinct-pair shuffle, sorted
+    factorize id mapping, dangling-mass redistribution) with the
+    iterative tail cut so the scores are closed-form in SQL.  Deeper
+    iterations only repeat this step (pinned by pytest bounds/parity
+    tests)."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.samplers import _pagerank_from_pairs
+    from pyrdf2vec_ray.shuffle import distinct
+    from pyrdf2vec_ray.util import to_table
+
+    triples = _graph_index(sf_dir, sharded=True).triples_dataset()
+    pairs = to_table(distinct(triples, ["subj", "obj"]))
+    src = np.asarray(pairs["subj"].to_numpy(zero_copy_only=False))
+    dst = np.asarray(pairs["obj"].to_numpy(zero_copy_only=False))
+    codes, uniq = pd.factorize(np.concatenate([src, dst]), sort=True)
+    ents = np.asarray(uniq).astype(np.str_)
+    n = len(ents)
+    s_id = codes[: len(src)].astype(np.int64)
+    d_id = codes[len(src):].astype(np.int64)
+    pair_key = np.unique(s_id * n + d_id)
+    pr = _pagerank_from_pairs(
+        (pair_key // n).astype(np.int64), (pair_key % n).astype(np.int64),
+        np.ones(n, dtype=bool), n, alpha=0.85, max_iter=1,
+    )
+    return pa.table(
+        {"name": pa.array([str(e) for e in ents], pa.string()),
+         "pagerank": pa.array(pr, pa.float64())}
+    )
+
+
 def q_w2v_vocab(sf_dir: str):
     """Word2Vec vocabulary fit value-checked (A11, reference
     word2vec.py:29-58 build_vocab): deterministic depth-1 BFS walks
@@ -976,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walks_ngram": q_walks_ngram,
         "walklets_customers": q_walklets_customers,
         "literals_region_chain": q_literals_region_chain,
+        "pagerank_iter1": q_pagerank_iter1,
         "w2v_vocab": q_w2v_vocab,
         "construct_doc_mentions": q_construct_doc_mentions,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -1240,6 +1276,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'customer:' || c_custkey, 'customer:' || c_custkey
             FROM c100
+        """,
+        "pagerank_iter1": _TRIPLES_CTE + """
+            , t AS (SELECT DISTINCT subj, obj FROM triples),
+            nodes AS (SELECT subj AS name FROM t UNION SELECT obj AS name FROM t),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            outdeg AS (SELECT subj, CAST(count(*) AS DOUBLE) AS od FROM t GROUP BY subj),
+            contrib AS (
+              SELECT t.obj AS name, sum(1.0 / ((SELECT n FROM nn) * o.od)) AS c
+              FROM t JOIN outdeg o ON t.subj = o.subj GROUP BY t.obj
+            ),
+            dang AS (
+              SELECT count(*) / (SELECT n FROM nn) AS dm
+              FROM nodes WHERE name NOT IN (SELECT subj FROM t)
+            )
+            SELECT nodes.name AS name,
+                   0.85 * coalesce(contrib.c, 0)
+                   + (0.85 * (SELECT dm FROM dang) + 0.15) / (SELECT n FROM nn)
+                     AS pagerank
+            FROM nodes LEFT JOIN contrib ON nodes.name = contrib.name
         """,
         "w2v_vocab": """
             WITH c AS (
