@@ -368,6 +368,38 @@ def q_fasttext_embeddings(sf_dir: str):
     )
 
 
+def q_lpa_sweep1(sf_dir: str):
+    """Label-propagation (A10's distributed-scale community substitute,
+    stages/community.py _lpa_labels) value-checked for one synchronous
+    sweep: initial labels are the distinct node ids (sorted-name ranks),
+    so every neighbor label count is 1 and the mode-tie rule picks the
+    SMALLEST label — i.e. the lexicographically smallest neighbor name,
+    closed-form in SQL.  (This KG has no bidirectional (a,b)/(b,a) edge
+    pairs, so no neighbor label is double-counted; deeper sweeps only
+    repeat the same grouped-mode step, pinned by the vectorized-vs-loop
+    pytest.)"""
+    import pandas as pd
+
+    from pyrdf2vec_ray.shuffle import distinct
+    from pyrdf2vec_ray.stages.community import _lpa_labels
+    from pyrdf2vec_ray.util import to_table
+
+    triples = _graph_index(sf_dir, sharded=True).triples_dataset()
+    pairs = to_table(distinct(triples, ["subj", "obj"]))
+    src = np.asarray(pairs["subj"].to_numpy(zero_copy_only=False))
+    dst = np.asarray(pairs["obj"].to_numpy(zero_copy_only=False))
+    codes, uniq = pd.factorize(np.concatenate([src, dst]), sort=True)
+    ents = np.asarray(uniq).astype(np.str_)
+    n = len(ents)
+    u = codes[: len(src)].astype(np.int64)
+    v = codes[len(src):].astype(np.int64)
+    labels = _lpa_labels(u, v, n, np.arange(n), max_sweeps=1)
+    return pa.table(
+        {"name": pa.array([str(e) for e in ents], pa.string()),
+         "label": pa.array([str(ents[i]) for i in labels], pa.string())}
+    )
+
+
 def q_pagerank_iter1(sf_dir: str):
     """PageRank power-iteration step value-checked (A5, reference
     samplers/pagerank.py:52-90 nx semantics): one iteration from the
@@ -1011,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walks_ngram": q_walks_ngram,
         "walklets_customers": q_walklets_customers,
         "literals_region_chain": q_literals_region_chain,
+        "lpa_sweep1": q_lpa_sweep1,
         "pagerank_iter1": q_pagerank_iter1,
         "w2v_vocab": q_w2v_vocab,
         "construct_doc_mentions": q_construct_doc_mentions,
@@ -1276,6 +1309,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'customer:' || c_custkey, 'customer:' || c_custkey
             FROM c100
+        """,
+        "lpa_sweep1": _TRIPLES_CTE + """
+            , t AS (SELECT DISTINCT subj, obj FROM triples),
+            e AS (SELECT subj AS a, obj AS b FROM t
+                  UNION ALL SELECT obj, subj FROM t)
+            SELECT a AS name, min(b) AS label FROM e GROUP BY a
         """,
         "pagerank_iter1": _TRIPLES_CTE + """
             , t AS (SELECT DISTINCT subj, obj FROM triples),
