@@ -668,6 +668,45 @@ def q_minhash_exact_planted(sf_dir: str):
     return minhash_dedup_pairs(planted, threshold=1.0)
 
 
+def q_embedding_exact_planted(sf_dir: str):
+    """Embedding-cosine near-dup VALUE-checked via planted exact
+    duplicates: every vec_id < 25 is copied verbatim at id+1,000,000 and
+    the real multi-table hyperplane-LSH + within-bucket cosine pipeline
+    (ops/dedup.embedding_neardup_pairs) runs at threshold 0.999999.
+    Identical vectors share every LSH bucket (same signs in every
+    table), so recall on the planted set must be exactly 1 — and random
+    embeddings produce no natural pairs at this threshold — making the
+    output the closed-form planted set, reproducible in SQL."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.dedup import embedding_neardup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def clone(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.less(batch["vec_id"], 25)
+        kept = batch.filter(keep)
+        return pa.table(
+            {"vec_id": pc.add(kept["vec_id"], 1_000_000),
+             "embedding": kept["embedding"]}
+        )
+
+    planted = emb.map_batches(clone, batch_format="pyarrow")
+    pairs = embedding_neardup_pairs(emb.union(planted), threshold=0.999999)
+
+    def round_cos(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("cos"), "cos",
+            pc.round(batch["cos"], 6),
+        )
+
+    return pairs.map_batches(round_cos, batch_format="pyarrow")
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup over the embeddings table UNION a
     deterministically perturbed copy of every 10th vector (ids offset by
@@ -1062,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_neardup": q_minhash_neardup,
         "minhash_exact_planted": q_minhash_exact_planted,
+        "embedding_exact_planted": q_embedding_exact_planted,
         "embedding_neardup": q_embedding_neardup,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
@@ -1309,6 +1349,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'customer:' || c_custkey, 'customer:' || c_custkey
             FROM c100
+        """,
+        "embedding_exact_planted": """
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos
+            FROM embeddings WHERE vec_id < 25
         """,
         "lpa_sweep1": _TRIPLES_CTE + """
             , t AS (SELECT DISTINCT subj, obj FROM triples),
