@@ -471,25 +471,14 @@ def q_w2v_vocab(sf_dir: str):
     )
 
 
-def q_construct_doc_mentions(sf_dir: str):
-    """Construction stage value-checked END-TO-END on the real documents
-    table (G7 linking + dedup; pipelines/construct.py): vectorized
-    word-boundary mention extraction over `text`, the real
-    broadcast-sharded EntityLinker (normalized-surface candidate lookup,
-    0.9 linked score; unlinkable doc subjects take the documented
-    IRI_PREFIX fallback at 0.1), and the real bucket-shuffle triple
-    dedup.  Every step is reproducible in SQL (padded `contains` +
-    constant candidate table), so extract→link→canonicalize→dedup gets
-    a DuckDB oracle — the construction path is no longer pinned only by
-    rows-only checks."""
+_MENTION_WORDS = ["customer", "part", "order", "supplier", "query", "table"]
+
+
+def _mention_batches(words: list[str]):
+    """Vectorized word-boundary mention extraction over `text`: one
+    padded str.contains pass per candidate word (docs are space-
+    separated tokens, so this is exact word matching)."""
     import pandas as pd
-
-    from pyrdf2vec_ray.pipelines.construct import dedup_triples, link_mentions
-    from pyrdf2vec_ray.stages.link import CandidateIndex
-
-    words = ["customer", "part", "order", "supplier", "query", "table"]
-    index = CandidateIndex.build({w: f"kind:{w}" for w in words})
-    docs = _docs(sf_dir)
 
     def mentions(batch: pd.DataFrame) -> pd.DataFrame:
         text = " " + batch["text"].astype(str) + " "
@@ -515,8 +504,87 @@ def q_construct_doc_mentions(sf_dir: str):
             })
         return pd.concat(outs, ignore_index=True)
 
-    ds = docs.map_batches(mentions, batch_format="pandas", batch_size=4096)
+    return mentions
+
+
+def q_construct_doc_mentions(sf_dir: str):
+    """Construction stage value-checked END-TO-END on the real documents
+    table (G7 linking + dedup; pipelines/construct.py): vectorized
+    word-boundary mention extraction over `text`, the real
+    broadcast-sharded EntityLinker (normalized-surface candidate lookup,
+    0.9 linked score; unlinkable doc subjects take the documented
+    IRI_PREFIX fallback at 0.1), and the real bucket-shuffle triple
+    dedup.  Every step is reproducible in SQL (padded `contains` +
+    constant candidate table), so extract→link→canonicalize→dedup gets
+    a DuckDB oracle — the construction path is no longer pinned only by
+    rows-only checks."""
+    from pyrdf2vec_ray.pipelines.construct import dedup_triples, link_mentions
+    from pyrdf2vec_ray.stages.link import CandidateIndex
+
+    index = CandidateIndex.build({w: f"kind:{w}" for w in _MENTION_WORDS})
+    ds = _docs(sf_dir).map_batches(
+        _mention_batches(_MENTION_WORDS), batch_format="pandas",
+        batch_size=4096,
+    )
     return dedup_triples(link_mentions(ds, index))
+
+
+def q_construct_mentions_checkpointed(sf_dir: str):
+    """Checkpoint/resume (K1) value-checked end-to-end: the word-
+    boundary mention construction runs PARTITIONED over doc_id ranges
+    through checkpoint.run_partitioned (atomic per-partition parquet +
+    manifest); a second run over the same root must skip every
+    partition (asserted in-query — zero recompute on resume), and the
+    read-back union matches the same SQL oracle as
+    construct_doc_mentions.  Per-partition dedup IS global dedup here:
+    every triple's subject is doc-range-local."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from pyrdf2vec_ray.checkpoint import read_run, run_partitioned
+    from pyrdf2vec_ray.pipelines.construct import dedup_triples, link_mentions
+    from pyrdf2vec_ray.stages.link import CandidateIndex
+
+    words = _MENTION_WORDS
+    index = CandidateIndex.build({w: f"kind:{w}" for w in words})
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_parts = 4
+    step = (n + n_parts - 1) // n_parts
+    parts = []
+    for i in range(n_parts):
+        lo, hi = i * step, min(n, (i + 1) * step)
+        fp = hashlib.md5(
+            f"{sf_dir}|{lo}|{hi}|{','.join(words)}|v1".encode()
+        ).hexdigest()
+        parts.append((f"docs_{lo:08d}_{hi:08d}", fp))
+
+    def build(partition: str):
+        lo, hi = (int(x) for x in partition.split("_")[1:])
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).filter(expr=f"doc_id >= {lo} and doc_id < {hi}")
+        ds = docs.map_batches(_mention_batches(words),
+                              batch_format="pandas", batch_size=4096)
+        return dedup_triples(link_mentions(ds, index))
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_ckpt_mentions_{zlib.crc32(sf_dir.encode()):08x}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    r1 = run_partitioned(root, parts, build)
+    assert not any(r.skipped for r in r1)
+    r2 = run_partitioned(root, parts, build)
+    assert all(r.skipped for r in r2), "resume recomputed a completed partition"
+    assert [r.rows for r in r1] == [r.rows for r in r2]
+    return read_run(root).select_columns(["subj", "pred", "obj"])
 
 
 def q_doc_exact_dedup(sf_dir: str):
@@ -1086,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_iter1": q_pagerank_iter1,
         "w2v_vocab": q_w2v_vocab,
         "construct_doc_mentions": q_construct_doc_mentions,
+        "construct_mentions_checkpointed": q_construct_mentions_checkpointed,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
         "doc_tokens_bpe": q_doc_tokens_bpe,
@@ -1393,6 +1462,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*) AS n FROM toks GROUP BY token
         """,
         "construct_doc_mentions": """
+            SELECT DISTINCT 'http://pyRDF2Vec#doc_' || doc_id AS subj,
+                   'http://pyRDF2Vec#mentions' AS pred,
+                   'kind:' || w AS obj
+            FROM documents,
+                 (VALUES ('customer'),('part'),('order'),('supplier'),
+                         ('query'),('table')) words(w)
+            WHERE contains(' ' || text || ' ', ' ' || w || ' ')
+        """,
+        "construct_mentions_checkpointed": """
             SELECT DISTINCT 'http://pyRDF2Vec#doc_' || doc_id AS subj,
                    'http://pyRDF2Vec#mentions' AS pred,
                    'kind:' || w AS obj
