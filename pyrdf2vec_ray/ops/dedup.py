@@ -291,12 +291,21 @@ def verify_jaccard(
 def minhash_dedup_pairs(
     docs: ray.data.Dataset, threshold: float = 0.8,
     num_perm: int = 64, bands: int = 16, rows: int = 4, k: int = 5,
+    materialize_input: bool = True,
 ) -> ray.data.Dataset:
     """Full near-dup pipeline: shingle → minhash → LSH buckets → verified
     (doc_a, doc_b, jaccard) pairs, end-to-end as Datasets.  The pair
     distinct is fused into the verify join (distinct_pairs=False): one
-    fewer all-to-all round on the headline path."""
-    docs = docs.materialize()   # consumed twice (signatures + verification)
+    fewer all-to-all round on the headline path.
+
+    ``materialize_input``: the docs Dataset is consumed twice
+    (signatures + verification).  Materializing wins at bench scale
+    (A/B at sf0.1: 3.9s vs 6.4s re-read) but PINS THE WHOLE CORPUS in
+    the object store — at 100 TB pass False so each consumer re-plans
+    the parquet read instead (spill-free; re-decode is cheaper than
+    corpus-scale spill)."""
+    if materialize_input:
+        docs = docs.materialize()
     sigs = minhash_signatures(docs, num_perm=num_perm, k=k)
     cand = minhash_lsh_candidates(sigs, bands=bands, rows=rows,
                                   distinct_pairs=False)
