@@ -314,6 +314,11 @@ def minhash_dedup_pairs(
 
 # ---- simhash -------------------------------------------------------------
 
+# worker-process token-hash cache: distinct tokens recur across batches
+# (Zipfian text), so md5 runs once per token per WORKER, not once per
+# token per batch; bounded, cleared wholesale past the cap
+_SIMHASH_TOKEN_CACHE: dict[str, int] = {}
+
 
 def simhash(docs: ray.data.Dataset, bits: int = 64) -> ray.data.Dataset:
     """64-bit SimHash over whitespace tokens (md5-derived token hashes:
@@ -333,6 +338,8 @@ def simhash(docs: ray.data.Dataset, bits: int = 64) -> ray.data.Dataset:
     shifts = np.arange(bits, dtype=np.uint64)
 
     def sh(batch: pd.DataFrame) -> pd.DataFrame:
+        token_cache = _SIMHASH_TOKEN_CACHE  # module-level: per WORKER
+        # PROCESS (a closure dict would reset per task deserialization)
         texts = batch["text"].astype(str).tolist()
         tok_lists = [t.split() for t in texts]
         counts = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
@@ -346,11 +353,16 @@ def simhash(docs: ray.data.Dataset, bits: int = 64) -> ray.data.Dataset:
             # hash-based factorize: np.unique would comparison-sort and
             # U-pad the token strings
             inv, uniq = pd.factorize(all_toks, sort=False)
-            hvals = np.fromiter(
-                (int(hashlib.md5(u.encode()).hexdigest()[:16], 16)
-                 for u in uniq),
-                dtype=np.uint64, count=len(uniq),
-            )
+            if len(token_cache) > 2_000_000:
+                token_cache.clear()
+            get = token_cache.get
+            hvals = np.empty(len(uniq), dtype=np.uint64)
+            for i, u in enumerate(uniq):
+                v = get(u)
+                if v is None:
+                    v = int(hashlib.md5(u.encode()).hexdigest()[:16], 16)
+                    token_cache[u] = v
+                hvals[i] = v
             sign = (
                 ((hvals[:, None] >> shifts[None, :]) & np.uint64(1))
                 .astype(np.int64) * 2 - 1
