@@ -736,6 +736,43 @@ def q_minhash_exact_planted(sf_dir: str):
     return minhash_dedup_pairs(planted, threshold=1.0)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Standalone n-gram Jaccard verification value-checked with GRADED
+    similarities (ops/dedup.verify_jaccard — the distributed pair⋈shingle
+    join + pair-keyed regroup): each doc i < 25 is paired with a copy
+    truncated by its last 10 tokens (id+100,000), giving jaccard values
+    strictly between 0 and 1 that the oracle reproduces with DuckDB list
+    kernels (string shingles vs our crc32-hashed shingles — identical
+    ratios absent intra-pair crc collisions, which the fixed data
+    doesn't have)."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.dedup import verify_jaccard
+
+    docs = _docs(sf_dir)
+
+    def truncate(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].astype(str).str.split()
+        # emit ARROW so the union with the parquet-backed side keeps one
+        # block type (mixed pandas/arrow blocks break the builder)
+        return pa.table(
+            {"doc_id": pa.array((batch["doc_id"] + 100_000).to_numpy(),
+                                pa.int64()),
+             "text": pa.array(
+                 [" ".join(t[: max(1, len(t) - 10)]) for t in toks],
+                 pa.string())}
+        )
+
+    trunc = docs.map_batches(truncate, batch_format="pandas")
+    pairs = ray.data.from_arrow(pa.table(
+        {"doc_a": pa.array(range(25), pa.int64()),
+         "doc_b": pa.array([i + 100_000 for i in range(25)], pa.int64())}
+    ))
+    return verify_jaccard(docs.union(trunc), pairs, k=5, threshold=0.0)
+
+
 def q_embedding_exact_planted(sf_dir: str):
     """Embedding-cosine near-dup VALUE-checked via planted exact
     duplicates: every vec_id < 25 is copied verbatim at id+1,000,000 and
@@ -1170,6 +1207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_neardup": q_minhash_neardup,
         "minhash_exact_planted": q_minhash_exact_planted,
+        "ngram_jaccard": q_ngram_jaccard,
         "embedding_exact_planted": q_embedding_exact_planted,
         "embedding_neardup": q_embedding_neardup,
         "knn_ivf": q_knn_ivf,
@@ -1418,6 +1456,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'customer:' || c_custkey, 'customer:' || c_custkey
             FROM c100
+        """,
+        "ngram_jaccard": """
+            WITH p AS (
+              SELECT CAST(i AS BIGINT) AS doc_a,
+                     CAST(i + 100000 AS BIGINT) AS doc_b
+              FROM range(25) t(i)
+            ),
+            alldocs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     array_to_string(
+                       string_split(text, ' ')[1:greatest(1, len(string_split(text, ' ')) - 10)],
+                       ' ')
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+                  list_distinct([array_to_string(string_split(text, ' ')[i:i+4], ' ')
+                                 for i in generate_series(1, len(string_split(text, ' ')) - 4)])
+                ELSE [text] END AS s
+              FROM alldocs
+            )
+            SELECT p.doc_a, p.doc_b,
+              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / greatest(1, len(list_distinct(list_concat(a.s, b.s)))) AS jaccard
+            FROM p JOIN sh a ON a.doc_id = p.doc_a
+                   JOIN sh b ON b.doc_id = p.doc_b
         """,
         "embedding_exact_planted": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos
