@@ -89,7 +89,6 @@ def materialize_adjacency(
         agg = g.group_by("subj", use_threads=False).aggregate(
             [("pred", "list"), ("obj", "list")]
         )
-        subjs = agg["subj"].to_pylist()
         pred_lists = agg["pred_list"]
         obj_lists = agg["obj_list"]
         # zip the parallel lists into list<struct<pred,obj>> reusing offsets
@@ -112,7 +111,7 @@ def materialize_adjacency(
         if len(over) == 0:
             return pa.table(
                 {"subj": subj_arr,
-                 "part": pa.array(np.zeros(len(subjs), dtype=np.int32)),
+                 "part": pa.array(np.zeros(len(lens), dtype=np.int32)),
                  "out": hop_lists}
             )
         under = np.flatnonzero(lens <= max_hops_per_row)
@@ -124,8 +123,9 @@ def materialize_adjacency(
         rows_subj, rows_part, rows_out = [], [], []
         for i in over:  # hot-key salt split (SURVEY.md §7 "very wide records")
             hops = hop_lists[int(i)].as_py()
+            subj_i = subj_arr[int(i)].as_py()
             for part, lo in enumerate(range(0, len(hops), max_hops_per_row)):
-                rows_subj.append(subjs[int(i)])
+                rows_subj.append(subj_i)
                 rows_part.append(part)
                 rows_out.append(hops[lo : lo + max_hops_per_row])
         t_over = pa.Table.from_pydict(
