@@ -306,16 +306,34 @@ def halk_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset:
     walks_ds = walks_ds.materialize()
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        total = 0
-        for walks in batch["walks"].to_pylist():
-            for walk in walks:
-                total += 1
-                for pred in set(walk[1::2]):
-                    counts[pred] = counts.get(pred, 0) + 1
-        preds = list(counts) + ["\x00TOTAL\x00"]
-        vals = list(counts.values()) + [total]
-        return pa.table({"pred": preds, "n": pa.array(vals, pa.int64())})
+        # vectorized over the whole batch: flatten the ragged walk lists
+        # once, mask odd (predicate) positions, distinct (walk, pred)
+        # pairs, grouped count — this pass scans the FULL corpus, so no
+        # per-walk/per-token Python loop
+        import pandas as _pd
+        import pyarrow.compute as pc
+
+        w = batch["walks"].combine_chunks()
+        walks_flat = pc.list_flatten(w)          # one entry per walk
+        total = len(walks_flat)
+        lens = pc.list_value_length(walks_flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = int(lens.sum())
+        if n_tok == 0:
+            return pa.table({"pred": ["\x00TOTAL\x00"],
+                             "n": pa.array([total], pa.int64())})
+        toks = pc.list_flatten(walks_flat)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(n_tok) - np.repeat(starts, lens)
+        odd = (pos & 1) == 1
+        wid = np.repeat(np.arange(total), lens)[odd]
+        preds = np.asarray(toks.to_numpy(zero_copy_only=False))[odd]
+        g = (_pd.DataFrame({"wid": wid, "pred": preds})
+             .drop_duplicates()
+             .groupby("pred", as_index=False).size())
+        return pa.table({
+            "pred": list(g["pred"]) + ["\x00TOTAL\x00"],
+            "n": pa.array(list(g["size"]) + [total], pa.int64()),
+        })
 
     stats = (
         walks_ds.map_batches(partial_counts, batch_format="pyarrow")
