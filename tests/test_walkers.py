@@ -231,3 +231,42 @@ def test_with_reverse_exact_sets(graphs):
         (D, l, A, k, B),
         (D, l, A, k, D),
     }
+
+
+def test_halk_post_single_token_walks(graphs):
+    """The vectorized stats pass must count predicate-free (single-token)
+    walks toward the walk total without emitting predicates: with 1 of 4
+    walks carrying pred 'p' (freq 0.25), th=0.5 collapses it and th=0.2
+    keeps it; the two root-only walks never grow hops."""
+    import pyarrow as pa
+
+    import ray
+
+    from pyrdf2vec_ray.walkers import HALK_SCHEMA, WalkerSpec, halk_post
+
+    rows = pa.Table.from_pydict(
+        {
+            "entity": ["e1", "e2"],
+            "walks": [
+                [["e1"], ["e1", "p", "x"]],
+                [["e2"], ["e2", "q", "y"]],
+            ],
+        },
+        schema=pa.schema([("entity", pa.string()),
+                          ("walks", pa.list_(pa.list_(pa.string())))]),
+    )
+    spec = WalkerSpec(strategy="halk", max_depth=1, max_walks=None,
+                      freq_thresholds=(0.2, 0.5), md5_bytes=None)
+    out = to_table(halk_post(ray.data.from_arrow(rows), spec))
+    assert out.schema.equals(HALK_SCHEMA)
+    got = {
+        (e, th): {tuple(w) for w in walks}
+        for e, th, walks in zip(out["entity"].to_pylist(),
+                                out["threshold"].to_pylist(),
+                                out["walks"].to_pylist())
+    }
+    # each pred appears in 1/4 walks = 0.25: kept at 0.2, rare at 0.5
+    assert got[("e1", 0.2)] == {("e1", "p", "x")}
+    assert got[("e2", 0.2)] == {("e2", "q", "y")}
+    assert got[("e1", 0.5)] == {("e1",)}
+    assert got[("e2", 0.5)] == {("e2",)}
