@@ -173,18 +173,24 @@ class SGNS:
     def _chunk_update(self, centers, ctxs, negs, lrs):
         W, C = self.W, self.C
         d = self.vector_size
+        k = negs.shape[1]
         v = W[centers]                                   # (P, d)
         pos = C[ctxs]                                    # (P, d)
-        s = 1.0 / (1.0 + np.exp(-np.einsum("pd,pd->p", v, pos)))
-        g_pos = ((1.0 - s) * lrs)[:, None]               # (P, 1)
-        neg = C[negs]                                    # (P, k, d)
-        sn = 1.0 / (1.0 + np.exp(-np.einsum("pd,pkd->pk", v, neg)))
+        # flat 1-D gathers/scatters for the negatives: a 2-D fancy index
+        # (C[negs]) and a strided (P,k,1)x(P,1,d) broadcast both take
+        # numpy's generic non-SIMD path — flatten first, bit-identical
+        negs_flat = negs.reshape(-1)
+        with np.errstate(over="ignore"):                 # exp overflow → σ=0 exactly
+            s = 1.0 / (1.0 + np.exp(-np.einsum("pd,pd->p", v, pos)))
+            g_pos = ((1.0 - s) * lrs)[:, None]           # (P, 1)
+            neg = C[negs_flat].reshape(len(centers), k, d)
+            sn = 1.0 / (1.0 + np.exp(-np.einsum("pd,pkd->pk", v, neg)))
         g_neg = -sn * lrs[:, None]                       # (P, k)
         grad_v = g_pos * pos + np.einsum("pk,pkd->pd", g_neg, neg)
         np.add.at(W, centers, grad_v)
         np.add.at(C, ctxs, g_pos * v)
         np.add.at(
-            C, negs.reshape(-1), (g_neg[:, :, None] * v[:, None, :]).reshape(-1, d)
+            C, negs_flat, g_neg.reshape(-1, 1) * np.repeat(v, k, axis=0)
         )
 
     def __contains__(self, token: str) -> bool:
