@@ -157,3 +157,47 @@ def test_fit_dataset_matches_fit(gi_loop):
     w2 = Word2Vec(vector_size=8, epochs=2, seed=9).fit(corpus)
     for e in ENTITIES:
         assert np.array_equal(w1.transform([e])[0], w2.transform([e])[0])
+
+
+def test_chunk_update_matches_naive_scatter():
+    """_chunk_update's flat-gather/vectorized form must match the
+    definitional per-pair update — gradients from the PRE-update
+    matrices, scatter-added in pair-occurrence order (np.add.at order) —
+    to float32 accumulation tolerance (einsum reorders the dot sums)."""
+    from pyrdf2vec_ray.embedders import SGNS
+
+    rng = np.random.RandomState(3)
+    V, d, P, k = 97, 8, 400, 5
+    m = SGNS(vector_size=d, seed=1)
+    m.W = (rng.rand(V, d).astype(np.float32) - 0.5) / d
+    m.C = rng.randn(V, d).astype(np.float32) * 0.01
+    centers = rng.randint(0, V, size=P).astype(np.int64)
+    ctxs = rng.randint(0, V, size=P).astype(np.int64)
+    negs = rng.randint(0, V, size=(P, k)).astype(np.int64)
+    lrs = np.full(P, 0.025, np.float32)
+
+    W0, C0 = m.W.copy(), m.C.copy()
+    m._chunk_update(centers, ctxs, negs, lrs)
+
+    # naive reference: same chunk semantics, scalar per-pair scatter
+    Wn, Cn = W0.copy(), C0.copy()
+    g_poss, g_negs, grad_vs = [], [], []
+    for p in range(P):
+        v = W0[centers[p]]
+        s = 1.0 / (1.0 + np.exp(-np.float32(v @ C0[ctxs[p]])))
+        g_pos = np.float32((1.0 - s) * lrs[p])
+        sn = 1.0 / (1.0 + np.exp(-(C0[negs[p]] @ v).astype(np.float32)))
+        g_neg = (-sn * lrs[p]).astype(np.float32)
+        grad_vs.append(g_pos * C0[ctxs[p]] + g_neg @ C0[negs[p]])
+        g_poss.append(g_pos * v)
+        g_negs.append(g_neg[:, None] * v[None, :])
+    for p in range(P):
+        Wn[centers[p]] += grad_vs[p]
+    for p in range(P):
+        Cn[ctxs[p]] += g_poss[p]
+    for p in range(P):
+        for j in range(k):
+            Cn[negs[p, j]] += g_negs[p][j]
+
+    np.testing.assert_allclose(m.W, Wn, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(m.C, Cn, rtol=0, atol=1e-6)
