@@ -199,10 +199,14 @@ def run_benchmarks() -> dict:
 
         corpus = raw.map_batches(explode_lists, batch_format="pyarrow") \
                     .materialize()
+        def count_tokens(b: _pa.Table) -> _pa.Table:
+            import pyarrow.compute as _pc
+
+            n = _pc.sum(_pc.list_value_length(b["walk"].combine_chunks()))
+            return _pa.table({"n": [int(n.as_py() or 0)]})
+
         n_tokens = int(corpus.map_batches(
-            lambda b: _pa.table({"n": [sum(
-                len(x) for x in b["walk"].to_pylist())]}),
-            batch_format="pyarrow",
+            count_tokens, batch_format="pyarrow",
         ).sum("n"))
         # replicate to ~300k tokens so training compute dominates the
         # fixed actor/vocab costs; tokens/s is reported train-only

@@ -210,7 +210,16 @@ class PSTrainer:
         if draws is None:
             return None
         centers, ctxs, negs = draws
-        used = np.unique(np.concatenate([centers, ctxs, negs.ravel()]))
+        # touched-row set + compact remap via O(N + V) flag/inverse
+        # tables instead of sort-based unique + 3 searchsorted passes —
+        # V-scale scratch is fine: the trainer already holds the full
+        # vocab string array, which dwarfs two int/bool vectors
+        V = len(self.vocab)
+        flag = np.zeros(V, dtype=bool)
+        flag[centers] = True
+        flag[ctxs] = True
+        flag[negs.ravel()] = True
+        used = np.flatnonzero(flag)
 
         # pull only the touched rows, from the owning shards, in parallel
         by_shard = []
@@ -235,9 +244,11 @@ class PSTrainer:
         # remap global ids → local compact ids and run the shared math
         model = SGNS(**self.cfg)
         model.W, model.C = W_local, C_local
-        c_l = np.searchsorted(used, centers)
-        x_l = np.searchsorted(used, ctxs)
-        n_l = np.searchsorted(used, negs.ravel()).reshape(negs.shape)
+        inv = np.empty(V, dtype=np.int64)
+        inv[used] = np.arange(len(used))
+        c_l = inv[centers]
+        x_l = inv[ctxs]
+        n_l = inv[negs.ravel()].reshape(negs.shape)
         B = 16384
         for i in range(0, len(c_l), B):
             sl = slice(i, i + B)
