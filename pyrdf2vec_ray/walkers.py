@@ -296,6 +296,40 @@ def extract_walks(
 
 # ---- corpus-global post-processing (barrier stages) ------------------------
 
+def halk_partial_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch HALK stats: for each predicate, the number of WALKS it
+    appears in (distinct per walk — halk.py:127-136 counts via a
+    per-walk set), plus the batch walk total under the reserved
+    "\\x00TOTAL\\x00" key.  Vectorized over the whole batch: flatten the
+    ragged walk lists once, mask odd (predicate) positions, distinct
+    (walk, pred) pairs, grouped count — this pass scans the FULL corpus,
+    so no per-walk/per-token Python loop."""
+    import pandas as _pd
+    import pyarrow.compute as pc
+
+    w = batch["walks"].combine_chunks()
+    walks_flat = pc.list_flatten(w)          # one entry per walk
+    total = len(walks_flat)
+    lens = pc.list_value_length(walks_flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tok = int(lens.sum())
+    if n_tok == 0:
+        return pa.table({"pred": ["\x00TOTAL\x00"],
+                         "n": pa.array([total], pa.int64())})
+    toks = pc.list_flatten(walks_flat)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = np.arange(n_tok) - np.repeat(starts, lens)
+    odd = (pos & 1) == 1
+    wid = np.repeat(np.arange(total), lens)[odd]
+    preds = np.asarray(toks.to_numpy(zero_copy_only=False))[odd]
+    g = (_pd.DataFrame({"wid": wid, "pred": preds})
+         .drop_duplicates()
+         .groupby("pred", as_index=False).size())
+    return pa.table({
+        "pred": list(g["pred"]) + ["\x00TOTAL\x00"],
+        "n": pa.array(list(g["size"]) + [total], pa.int64()),
+    })
+
+
 def halk_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset:
     """HALK frequency filter (halk.py:118-176, SURVEY.md A8): global
     per-predicate walk-frequency stats → broadcast rare sets → rebuild.
@@ -304,36 +338,7 @@ def halk_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset:
     # consumed twice (stats + rebuild): pin the extracted walks in the
     # object store instead of re-running the walk actors
     walks_ds = walks_ds.materialize()
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        # vectorized over the whole batch: flatten the ragged walk lists
-        # once, mask odd (predicate) positions, distinct (walk, pred)
-        # pairs, grouped count — this pass scans the FULL corpus, so no
-        # per-walk/per-token Python loop
-        import pandas as _pd
-        import pyarrow.compute as pc
-
-        w = batch["walks"].combine_chunks()
-        walks_flat = pc.list_flatten(w)          # one entry per walk
-        total = len(walks_flat)
-        lens = pc.list_value_length(walks_flat).to_numpy(zero_copy_only=False).astype(np.int64)
-        n_tok = int(lens.sum())
-        if n_tok == 0:
-            return pa.table({"pred": ["\x00TOTAL\x00"],
-                             "n": pa.array([total], pa.int64())})
-        toks = pc.list_flatten(walks_flat)
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        pos = np.arange(n_tok) - np.repeat(starts, lens)
-        odd = (pos & 1) == 1
-        wid = np.repeat(np.arange(total), lens)[odd]
-        preds = np.asarray(toks.to_numpy(zero_copy_only=False))[odd]
-        g = (_pd.DataFrame({"wid": wid, "pred": preds})
-             .drop_duplicates()
-             .groupby("pred", as_index=False).size())
-        return pa.table({
-            "pred": list(g["pred"]) + ["\x00TOTAL\x00"],
-            "n": pa.array(list(g["size"]) + [total], pa.int64()),
-        })
+    partial_counts = halk_partial_counts
 
     stats = (
         walks_ds.map_batches(partial_counts, batch_format="pyarrow")

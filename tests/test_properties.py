@@ -223,3 +223,44 @@ def test_fingerprint_batch_equals_naive(tok_docs, window):
          "text": pa.array(texts, pa.string())}))
     got = fingerprint(ds, window=window).to_pandas().sort_values("doc_id")
     assert got["fingerprint"].tolist() == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(  # per entity: a ragged list of odd-ish length walks
+        st.lists(
+            st.lists(name, min_size=1, max_size=7),
+            min_size=0, max_size=5,
+        ),
+        min_size=0, max_size=8,
+    )
+)
+def test_halk_partial_counts_matches_naive(entity_walks):
+    """The vectorized HALK stats kernel equals the definitional loop
+    (per-walk DISTINCT predicate counting, halk.py:127-136) on any
+    ragged corpus — empty batches, empty walk lists, single-token
+    walks, repeated predicates within a walk."""
+    import pyarrow as pa
+
+    from pyrdf2vec_ray.walkers import halk_partial_counts
+
+    batch = pa.table({
+        "entity": pa.array(
+            [f"e{i}" for i in range(len(entity_walks))], pa.string()
+        ),
+        "walks": pa.array(
+            entity_walks, pa.list_(pa.list_(pa.string()))
+        ),
+    })
+    counts: dict[str, int] = {}
+    total = 0
+    for walks in entity_walks:
+        for walk in walks:
+            total += 1
+            for pred in set(walk[1::2]):
+                counts[pred] = counts.get(pred, 0) + 1
+
+    got = halk_partial_counts(batch)
+    got_map = dict(zip(got["pred"].to_pylist(), got["n"].to_pylist()))
+    assert got_map.pop("\x00TOTAL\x00") == total
+    assert got_map == counts
