@@ -48,11 +48,12 @@ def _on_ray_driver() -> bool:
         return False
 
 
-def _hash_distinct(
+def _hash_distinct_codes(
     strings: np.ndarray, md5_bytes: int | None,
     parallel_threshold: int = 400_000,
-) -> np.ndarray:
-    """Hash each string, calling md5 only once per DISTINCT value: WL
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hashed distinct values, codes) such that hashed[codes] hashes
+    each input string, calling md5 only once per DISTINCT value: WL
     labels converge fast, so distinct labels << vertices/edges — this is
     what makes the relabeling vectorized rather than a per-vertex loop.
 
@@ -79,6 +80,15 @@ def _hash_distinct(
             hashed = _hash_chunk(uniq, md5_bytes)
     else:
         hashed = np.asarray(uniq, dtype=object)
+    return hashed, codes
+
+
+def _hash_distinct(
+    strings: np.ndarray, md5_bytes: int | None,
+    parallel_threshold: int = 400_000,
+) -> np.ndarray:
+    hashed, codes = _hash_distinct_codes(strings, md5_bytes,
+                                         parallel_threshold)
     return hashed[codes]
 
 
@@ -98,12 +108,33 @@ def wl_labels(
 
     history: list[np.ndarray] = [ent_labels.copy()]
 
+    pin_uniq = pin_codes = None  # carried from the previous _hash_distinct
     for _ in range(wl_iterations):
         # entity suffix: sorted distinct pinst labels of incoming triples.
         # factorize(sort=True) assigns label codes in lexicographic order,
         # so one int64 unique over (obj * L + code) yields the per-object
         # DISTINCT labels already sorted — no pandas lexsort/groupby pass.
-        lab_codes, lab_uniq = pd.factorize(pin_labels, sort=True)
+        #
+        # From iteration 2 on, the previous pin hashing pass already
+        # factorized this exact array — re-sorting its DISTINCT values
+        # (≤ distinct labels, often << edges) and rank-remapping the
+        # carried codes replaces a full edge-count factorize.  md5 labels
+        # are short ASCII reprs, so the sort runs on a fixed-width copy
+        # (C comparisons); identical order to the object sort.  Falls
+        # back to factorize if truncated-digest collisions made two code
+        # slots share one label (fresh factorize would merge them).
+        if pin_codes is not None:
+            sortable = pin_uniq.astype(np.str_) if md5_bytes else pin_uniq
+            order = np.argsort(sortable, kind="stable")
+            srt = pin_uniq[order]
+            if len(srt) > 1 and (srt[1:] == srt[:-1]).any():
+                pin_codes = None      # digest collision: merge via factorize
+            else:
+                rank = np.empty(len(order), dtype=np.int64)
+                rank[order] = np.arange(len(order))
+                lab_codes, lab_uniq = rank[pin_codes], srt
+        if pin_codes is None:
+            lab_codes, lab_uniq = pd.factorize(pin_labels, sort=True)
         L = max(1, len(lab_uniq))
         # packing bound: nv * L must fit int64 (nv≈2e5, L≈2e6 at sf0.1 →
         # 4e11; revisit packing for graphs past ~1e9 distinct labels)
@@ -120,10 +151,10 @@ def wl_labels(
 
         # vectorized concat (C-level object add) + distinct-only hashing
         new_ent = _hash_distinct(ent_labels + "-" + suffix_full, md5_bytes)
-        new_pin = _hash_distinct(
+        pin_uniq, pin_codes = _hash_distinct_codes(
             pin_labels + "-" + ent_labels[subj_per_edge], md5_bytes
         )
-        ent_labels, pin_labels = new_ent, new_pin
+        ent_labels, pin_labels = new_ent, pin_uniq[pin_codes]
         history.append(ent_labels.copy())
 
     entity_ids = np.flatnonzero(a.is_entity)
