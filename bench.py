@@ -213,11 +213,17 @@ def run_benchmarks() -> dict:
             count_tokens, batch_format="pyarrow",
         ).sum("n"))
         # replicate to ~300k tokens so training compute dominates the
-        # fixed actor/vocab costs
+        # fixed actor/vocab costs.  Replicate INSIDE map_batches (concat of
+        # rep copies per block): union-with-self would duplicate block
+        # ObjectRefs, which kills Ray Data's iter_batches prefetcher
+        # ("Wait requires a list of unique ray_waitables") in the trainers
         w2v_rep = max(1, 150_000 // max(1, w2v_n_tokens))
         if w2v_rep > 1:
-            w2v_corpus = w2v_corpus.union(
-                *[w2v_corpus] * (w2v_rep - 1)
+            def replicate(b: _pa.Table) -> _pa.Table:
+                return _pa.concat_tables([b] * w2v_rep)
+
+            w2v_corpus = w2v_corpus.map_batches(
+                replicate, batch_format="pyarrow",
             ).materialize()
 
     def bench_w2v():

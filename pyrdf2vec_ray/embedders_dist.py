@@ -206,10 +206,19 @@ class PSTrainer:
         return centers, ctxs, negs
 
     def train_epoch(self, epoch: int, lr: float, ps_handles: list):
+        import os as _os
+        import time as _time
+
+        _dbg = bool(_os.environ.get("W2V_DEBUG_TIMING"))
+        _t0 = _time.perf_counter()
         draws = self._epoch_draws(epoch)
         if draws is None:
             return None
         centers, ctxs, negs = draws
+        if _dbg:
+            print(f"[w2v e{epoch}] draws {_time.perf_counter() - _t0:.2f}s "
+                  f"pairs={len(ctxs)}")
+            _t0 = _time.perf_counter()
         # touched-row set + compact remap via O(N + V) flag/inverse
         # tables instead of sort-based unique + 3 searchsorted passes —
         # V-scale scratch is fine: the trainer already holds the full
@@ -240,6 +249,10 @@ class PSTrainer:
             offset += len(ids_s)
         # `used` is sorted and by_shard concatenation preserves that order
         W0, C0 = W_local.copy(), C_local.copy()
+        if _dbg:
+            print(f"[w2v e{epoch}] pull {_time.perf_counter() - _t0:.2f}s "
+                  f"touched={len(used)}")
+            _t0 = _time.perf_counter()
 
         # remap global ids → local compact ids and run the shared math
         model = SGNS(**self.cfg)
@@ -258,6 +271,8 @@ class PSTrainer:
             )
 
         dW, dC = model.W - W0, model.C - C0
+        if _dbg:
+            print(f"[w2v e{epoch}] sgns {_time.perf_counter() - _t0:.2f}s")
         out = {"ids": {}}
         offset = 0
         for s, ids_s in enumerate(by_shard):
