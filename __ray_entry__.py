@@ -773,6 +773,57 @@ def q_ngram_jaccard(sf_dir: str):
     return verify_jaccard(docs.union(trunc), pairs, k=5, threshold=0.0)
 
 
+def q_dedup_components(sf_dir: str):
+    """Near-dup clustering tail (ops/components.connected_components —
+    iterated neighbor-min + pointer-jump label propagation, 3 bucket
+    shuffles per round) VALUE-checked on planted truncation CHAINS:
+    each doc i < 25 gets copies truncated by 8/16/24 trailing tokens at
+    ids i+100k/i+200k/i+300k, paired consecutively — so every component
+    is a 4-node path whose min label (= i) must propagate across 3 hops,
+    exercising the multi-round convergence, not just a single sweep.
+    The pair set first runs through the distributed n-gram Jaccard
+    grader at threshold 0.0 (all pairs survive regardless of doc
+    length), making the CC input the engine's verified-pair schema.
+    The oracle is the closed-form component table."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.components import connected_components
+    from pyrdf2vec_ray.ops.dedup import verify_jaccard
+
+    docs = _docs(sf_dir)
+
+    def truncated(offset: int, cut: int):
+        def fn(batch: pd.DataFrame) -> pa.Table:
+            toks = batch["text"].astype(str).str.split()
+            return pa.table(
+                {"doc_id": pa.array(
+                    (batch["doc_id"] + offset).to_numpy(), pa.int64()),
+                 "text": pa.array(
+                     [" ".join(t[: max(1, len(t) - cut)]) for t in toks],
+                     pa.string())}
+            )
+        return fn
+
+    levels = [(100_000, 8), (200_000, 16), (300_000, 24)]
+    alldocs = docs
+    for off, cut in levels:
+        alldocs = alldocs.union(
+            docs.map_batches(truncated(off, cut), batch_format="pandas")
+        )
+
+    chain = [0] + [off for off, _ in levels]
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([i + lo for i in range(25)
+                           for lo in chain[:-1]], pa.int64()),
+        "doc_b": pa.array([i + hi for i in range(25)
+                           for hi in chain[1:]], pa.int64()),
+    }))
+    graded = verify_jaccard(alldocs, pairs, k=5, threshold=0.0)
+    return connected_components(graded)
+
+
 def q_embedding_exact_planted(sf_dir: str):
     """Embedding-cosine near-dup VALUE-checked via planted exact
     duplicates: every vec_id < 25 is copied verbatim at id+1,000,000 and
@@ -1208,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": q_minhash_neardup,
         "minhash_exact_planted": q_minhash_exact_planted,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "embedding_exact_planted": q_embedding_exact_planted,
         "embedding_neardup": q_embedding_neardup,
         "knn_ivf": q_knn_ivf,
@@ -1485,6 +1537,12 @@ def oracle_sql() -> dict[str, str]:
                 / greatest(1, len(list_distinct(list_concat(a.s, b.s)))) AS jaccard
             FROM p JOIN sh a ON a.doc_id = p.doc_a
                    JOIN sh b ON b.doc_id = p.doc_b
+        """,
+        "dedup_components": """
+            SELECT CAST(i + o AS BIGINT) AS node,
+                   CAST(i AS BIGINT) AS component
+            FROM range(25) t(i)
+            CROSS JOIN (VALUES (0), (100000), (200000), (300000)) v(o)
         """,
         "embedding_exact_planted": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos
