@@ -935,6 +935,117 @@ def q_media_features(sf_dir: str):
     return media_features(docs)
 
 
+def q_media_features_milli(sf_dir: str):
+    """Multimodal decode/feature stage VALUE-checked: planted docs with
+    closed-form media spans (image at i%2==0, audio at i%3==0, video at
+    i%5==0) run the real span-flatten + MediaDecoder actor-pool path
+    (ops/multimodal.media_features); the fake codec's feature k is
+    uint32-LE of sha256(media_ref) bytes [4k..4k+4) (digest repeated
+    past 32 bytes) mod 1000, over 1000 — emitted here as exact integer
+    milli-units so DuckDB's sha256 + hex arithmetic reproduces every
+    value bit-for-bit (floats would drift through float32)."""
+    import numpy as np
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.multimodal import media_features
+
+    n, dim = 40, 16
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int64())])
+    doc_ids, spans = [], []
+    for i in range(n):
+        s = [{"kind": "text", "text": "t", "media_ref": "", "offset": 0}]
+        for kind, mod in (("image", 2), ("audio", 3), ("video", 5)):
+            if i % mod == 0:
+                s.append({"kind": kind, "text": "",
+                          "media_ref": f"media://{kind}/{i}", "offset": 1})
+        doc_ids.append(f"doc_{i}")
+        spans.append(s)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "spans": pa.array(spans, pa.list_(span_t)),
+    }))
+
+    feats = media_features(docs, dim=dim)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = batch["feature"].combine_chunks()
+        flat = pc.list_flatten(f)
+        parent = pc.list_parent_indices(f)
+        milli = pc.cast(
+            pc.round(pc.multiply(pc.cast(flat, pa.float64()), 1000.0)),
+            pa.int64(),
+        )
+        k = pa.array(np.arange(len(flat), dtype=np.int64) % dim)
+        return pa.table({
+            "doc_id": pc.take(batch["doc_id"], parent),
+            "media_ref": pc.take(batch["media_ref"], parent),
+            "kind": pc.take(batch["kind"], parent),
+            "k": k,
+            "milli": milli,
+        })
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
+def q_media_frames_milli(sf_dir: str):
+    """Video frame-sampling VALUE-checked end to end: planted video
+    spans run the real flatten + FrameSampler actor-pool path
+    (ops/multimodal.sample_frames).  The stub demuxer's frame count is
+    30 + sha256(ref)[3] % 200 and every stride-th frame's feature is
+    the same sha256 milli scheme over "ref#idx" — both reproduced in
+    DuckDB (sha256 + hex arithmetic), so the fan-out shape AND the
+    per-frame values are oracle-checked."""
+    import numpy as np
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.multimodal import sample_frames
+
+    n, dim, stride = 40, 16, 20
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int64())])
+    doc_ids, spans = [], []
+    for i in range(0, n, 5):
+        doc_ids.append(f"doc_{i}")
+        spans.append([
+            {"kind": "text", "text": "t", "media_ref": "", "offset": 0},
+            {"kind": "video", "text": "",
+             "media_ref": f"media://video/{i}", "offset": 1},
+        ])
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "spans": pa.array(spans, pa.list_(span_t)),
+    }))
+
+    frames = sample_frames(docs, stride=stride, dim=dim)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = batch["feature"].combine_chunks()
+        flat = pc.list_flatten(f)
+        parent = pc.list_parent_indices(f)
+        milli = pc.cast(
+            pc.round(pc.multiply(pc.cast(flat, pa.float64()), 1000.0)),
+            pa.int64(),
+        )
+        k = pa.array(np.arange(len(flat), dtype=np.int64) % dim)
+        return pa.table({
+            "doc_id": pc.take(batch["doc_id"], parent),
+            "media_ref": pc.take(batch["media_ref"], parent),
+            "frame_idx": pc.take(
+                pc.cast(batch["frame_idx"], pa.int64()), parent),
+            "k": k,
+            "milli": milli,
+        })
+
+    return frames.map_batches(explode, batch_format="pyarrow")
+
+
 def q_media_resized(sf_dir: str):
     from pyrdf2vec_ray.ops.multimodal import resize_images
 
@@ -943,6 +1054,49 @@ def q_media_resized(sf_dir: str):
     # drop the binary pixel column for the driver's hash (bytes payload);
     # shape metadata is the checkable surface
     return out.select_columns(["doc_id", "media_ref", "width", "height"])
+
+
+def q_media_resized_dims(sf_dir: str):
+    """Image resize stage VALUE-checked on its deterministic surface:
+    planted image spans run the real flatten + ImageResizer actor-pool
+    path (ops/multimodal.resize_images); the stub codec's source dims
+    are 40 + sha256(ref)[0] % 60 by 40 + sha256(ref)[1] % 60, which the
+    oracle reproduces in SQL alongside the fixed target dims.  (Pixel
+    CONTENT comes from a numpy RandomState — pinned by pytest, not
+    SQL-expressible.)"""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.multimodal import resize_images
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int64())])
+    doc_ids, spans = [], []
+    for i in range(0, 40, 2):
+        doc_ids.append(f"doc_{i}")
+        spans.append([
+            {"kind": "text", "text": "t", "media_ref": "", "offset": 0},
+            {"kind": "image", "text": "",
+             "media_ref": f"media://image/{i}", "offset": 1},
+        ])
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "spans": pa.array(spans, pa.list_(span_t)),
+    }))
+    out = resize_images(docs, width=16, height=16)
+
+    def dims(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "width": pc.cast(batch["width"], pa.int64()),
+            "height": pc.cast(batch["height"], pa.int64()),
+            "src_width": pc.cast(batch["src_width"], pa.int64()),
+            "src_height": pc.cast(batch["src_height"], pa.int64()),
+        })
+
+    return out.map_batches(dims, batch_format="pyarrow")
 
 
 def q_media_frames(sf_dir: str):
@@ -1265,6 +1419,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
         "media_features": q_media_features,
+        "media_features_milli": q_media_features_milli,
+        "media_frames_milli": q_media_frames_milli,
+        "media_resized_dims": q_media_resized_dims,
         "media_resized": q_media_resized,
         "media_frames": q_media_frames,
         "events_sessions": q_events_sessions,
@@ -1537,6 +1694,88 @@ def oracle_sql() -> dict[str, str]:
                 / greatest(1, len(list_distinct(list_concat(a.s, b.s)))) AS jaccard
             FROM p JOIN sh a ON a.doc_id = p.doc_a
                    JOIN sh b ON b.doc_id = p.doc_b
+        """,
+        "media_features_milli": """
+            WITH kinds AS (
+              SELECT 'image' AS kind, 2 AS m
+              UNION ALL SELECT 'audio', 3
+              UNION ALL SELECT 'video', 5
+            ),
+            refs AS (
+              SELECT concat('doc_', i) AS doc_id, kind,
+                     concat('media://', kind, '/', i) AS media_ref
+              FROM range(40) t(i) JOIN kinds ON i % kinds.m = 0
+            ),
+            hx AS (
+              SELECT doc_id, kind, media_ref, sha256(media_ref) AS h
+              FROM refs
+            ),
+            pos AS (
+              SELECT doc_id, kind, media_ref, h, k, 8 * (k % 8) AS p
+              FROM hx CROSS JOIN range(16) t2(k)
+            )
+            SELECT doc_id, media_ref, kind, CAST(k AS BIGINT) AS k,
+              ((strpos('0123456789abcdef', substr(h, p+1, 1))-1)*16
+               + (strpos('0123456789abcdef', substr(h, p+2, 1))-1)
+               + ((strpos('0123456789abcdef', substr(h, p+3, 1))-1)*16
+                  + (strpos('0123456789abcdef', substr(h, p+4, 1))-1))*256
+               + ((strpos('0123456789abcdef', substr(h, p+5, 1))-1)*16
+                  + (strpos('0123456789abcdef', substr(h, p+6, 1))-1))*65536
+               + ((strpos('0123456789abcdef', substr(h, p+7, 1))-1)*16
+                  + (strpos('0123456789abcdef', substr(h, p+8, 1))-1))*16777216
+              ) % 1000 AS milli
+            FROM pos
+        """,
+        "media_resized_dims": """
+            WITH refs AS (
+              SELECT concat('doc_', i) AS doc_id,
+                     concat('media://image/', i) AS media_ref
+              FROM range(40) t(i) WHERE i % 2 = 0
+            )
+            SELECT doc_id, media_ref,
+              CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+              CAST(40 + ((strpos('0123456789abcdef', substr(sha256(media_ref), 3, 1))-1)*16
+                         + (strpos('0123456789abcdef', substr(sha256(media_ref), 4, 1))-1)) % 60
+                   AS BIGINT) AS src_width,
+              CAST(40 + ((strpos('0123456789abcdef', substr(sha256(media_ref), 1, 1))-1)*16
+                         + (strpos('0123456789abcdef', substr(sha256(media_ref), 2, 1))-1)) % 60
+                   AS BIGINT) AS src_height
+            FROM refs
+        """,
+        "media_frames_milli": """
+            WITH refs AS (
+              SELECT concat('doc_', i) AS doc_id,
+                     concat('media://video/', i) AS media_ref
+              FROM range(40) t(i) WHERE i % 5 = 0
+            ),
+            cnt AS (
+              SELECT doc_id, media_ref,
+                30 + ((strpos('0123456789abcdef', substr(sha256(media_ref), 7, 1))-1)*16
+                      + (strpos('0123456789abcdef', substr(sha256(media_ref), 8, 1))-1)) % 200
+                AS n
+              FROM refs
+            ),
+            frames AS (
+              SELECT doc_id, media_ref, CAST(f * 20 AS BIGINT) AS frame_idx,
+                     sha256(concat(media_ref, '#', f * 20)) AS h
+              FROM cnt CROSS JOIN range(12) t2(f)
+              WHERE f * 20 < n
+            ),
+            pos AS (
+              SELECT doc_id, media_ref, frame_idx, h, k, 8 * (k % 8) AS p
+              FROM frames CROSS JOIN range(16) t3(k)
+            )
+            SELECT doc_id, media_ref, frame_idx, CAST(k AS BIGINT) AS k,
+              ((strpos('0123456789abcdef', substr(h, p+1, 1))-1)*16
+               + (strpos('0123456789abcdef', substr(h, p+2, 1))-1)
+               + ((strpos('0123456789abcdef', substr(h, p+3, 1))-1)*16
+                  + (strpos('0123456789abcdef', substr(h, p+4, 1))-1))*256
+               + ((strpos('0123456789abcdef', substr(h, p+5, 1))-1)*16
+                  + (strpos('0123456789abcdef', substr(h, p+6, 1))-1))*65536
+               + ((strpos('0123456789abcdef', substr(h, p+7, 1))-1)*16
+                  + (strpos('0123456789abcdef', substr(h, p+8, 1))-1))*16777216
+              ) % 1000 AS milli
+            FROM pos
         """,
         "dedup_components": """
             SELECT CAST(i + o AS BIGINT) AS node,

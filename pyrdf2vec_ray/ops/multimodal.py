@@ -112,7 +112,9 @@ IMAGE_SCHEMA = pa.schema(
         ("kind", pa.string()),
         ("width", pa.int32()),
         ("height", pa.int32()),
-        ("pixels", pa.binary()),   # row-major uint8 grayscale
+        ("src_width", pa.int32()),   # decoded source dims — real image
+        ("src_height", pa.int32()),  # pipelines record provenance dims
+        ("pixels", pa.binary()),     # row-major uint8 grayscale
     ]
 )
 
@@ -160,10 +162,12 @@ class ImageResizer:
         return img[np.ix_(ys, xs)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        pixels = [
-            self._resize(self._decode_image(ref)).tobytes()
-            for ref in batch["media_ref"].to_pylist()
-        ]
+        pixels, src_ws, src_hs = [], [], []
+        for ref in batch["media_ref"].to_pylist():
+            img = self._decode_image(ref)
+            src_hs.append(img.shape[0])
+            src_ws.append(img.shape[1])
+            pixels.append(self._resize(img).tobytes())
         n = len(pixels)
         return pa.Table.from_pydict(
             {
@@ -172,6 +176,8 @@ class ImageResizer:
                 "kind": batch["kind"],
                 "width": pa.array([self.w] * n, pa.int32()),
                 "height": pa.array([self.h] * n, pa.int32()),
+                "src_width": pa.array(src_ws, pa.int32()),
+                "src_height": pa.array(src_hs, pa.int32()),
                 "pixels": pa.array(pixels, pa.binary()),
             },
             schema=IMAGE_SCHEMA,
