@@ -611,6 +611,16 @@ def q_tokens_by_lang(sf_dir: str):
     return token_count_by_lang(_docs(sf_dir, ("doc_id", "text", "lang")))
 
 
+def q_doc_tfidf(sf_dir: str):
+    """Corpus TF-IDF with per-doc top-5 terms (ops/text.tfidf_topk):
+    token-bucket shuffle computes df in place (no vocab broadcast),
+    doc-bucket shuffle picks the top k.  idf = ln(N/df); tie-break is
+    (tfidf rounded 6dp desc, token asc) in both engine and oracle."""
+    from pyrdf2vec_ray.ops.text import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir), k=5)
+
+
 def q_events_hourly(sf_dir: str):
     import ray.data
 
@@ -1400,6 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_stats": q_doc_text_stats,
         "doc_tokens_bpe": q_doc_tokens_bpe,
+        "doc_tfidf": q_doc_tfidf,
         "tokens_by_lang": q_tokens_by_lang,
         "events_hourly": q_events_hourly,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1535,6 +1546,32 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
             FROM documents GROUP BY md5(text)
+        """,
+        "doc_tfidf": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM toks GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token,
+                     CAST(tf.tf AS BIGINT) AS tf,
+                     CAST(df.df AS BIGINT) AS df,
+                     tf.tf * ln((SELECT n FROM n) / df.df) AS tfidf,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY round(tf.tf * ln((SELECT n FROM n) / df.df), 6)
+                                DESC, tf.token ASC
+                     ) AS rn
+              FROM tf JOIN df USING (token)
+            )
+            SELECT doc_id, token, tf, df, tfidf FROM scored WHERE rn <= 5
         """,
         "doc_text_stats": r"""
             SELECT doc_id, length(text) AS n_chars,

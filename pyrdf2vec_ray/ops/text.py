@@ -252,3 +252,62 @@ def token_count_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
         return batch.rename_columns(["lang", "total_tokens"])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def tfidf_topk(docs: ray.data.Dataset, k: int = 5) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms: (doc_id, token, tf, df, tfidf)
+    with tf = raw in-doc count, idf = ln(N / df), N = corpus size.
+
+    Two bucket shuffles, no vocab-scale broadcast:
+      1. per-batch (doc, token) tf counts (each doc lives in one row, so
+         per-batch groupby yields complete tf) -> shuffle by TOKEN; each
+         bucket holds every (doc, token) row of its tokens, so df is a
+         vectorized in-bucket groupby and the df "join" is free.
+      2. shuffle by DOC; per-bucket vectorized sort + groupby-head picks
+         the top k (tie-break: tfidf rounded to 6dp desc, token asc —
+         rounding keeps the order reproducible across float backends).
+
+    Skew note (100 TB): a stopword's (doc, token) rows all land in one
+    token bucket — the one inherent hot key of the df join.  The scale
+    lever is a two-level df: per-batch partial token counts (tiny
+    shuffle) + salted replication of the df row across the hot token's
+    row buckets; not needed below ~1e9 docs-per-token.
+    """
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    n_docs = float(docs.count())
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        words = _doc_words(batch["text"].astype(str))
+        doc_ids = batch["doc_id"].reset_index(drop=True)
+        d = pd.DataFrame({
+            "doc_id": doc_ids.iloc[
+                words.index.get_level_values(0)].to_numpy(),
+            "token": words.to_numpy(),
+        })
+        return d.groupby(["doc_id", "token"], sort=False) \
+                .size().reset_index(name="tf")
+
+    rows = docs.map_batches(tf_rows, batch_format="pandas", batch_size=4096)
+
+    def df_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("token", sort=False)["doc_id"].size()
+        out = g.copy()
+        out["df"] = g["token"].map(df).astype("int64")
+        return out
+
+    with_df = bucket_apply(rows, ["token"], df_bucket, batch_format="pandas")
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tfidf = g["tf"].to_numpy(dtype=np.float64) \
+            * np.log(n_docs / g["df"].to_numpy(dtype=np.float64))
+        g = g.assign(tfidf=tfidf, _r=np.round(tfidf, 6))
+        g = g.sort_values(["doc_id", "_r", "token"],
+                          ascending=[True, False, True])
+        out = g.groupby("doc_id", sort=False).head(k)
+        out = out[["doc_id", "token", "tf", "df", "tfidf"]].copy()
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    return bucket_apply(with_df, ["doc_id"], topk_bucket,
+                        batch_format="pandas")

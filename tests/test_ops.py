@@ -302,3 +302,41 @@ def test_multimodal_strict_mode_raises():
         to_table(resize_images(docs, mode="strict", concurrency=1))
     with pytest.raises(Exception, match="NotImplementedError|demuxer|codec"):
         to_table(sample_frames(docs, mode="strict", concurrency=1))
+
+
+def test_tfidf_topk_matches_naive(ray_session):
+    import math
+    from collections import Counter
+
+    from pyrdf2vec_ray.ops.text import tfidf_topk
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog ate the cat food",
+        3: "quantum flux capacitor hums",
+        4: "the the the dog dog runs",
+    }
+    docs = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in texts.items()]
+    )
+    got = tfidf_topk(docs, k=2).to_pandas()
+
+    # naive reference
+    tf = {d: Counter(t.lower().split()) for d, t in texts.items()}
+    df = Counter(w for c in tf.values() for w in c)
+    n = float(len(texts))
+    want = {}
+    for d, c in tf.items():
+        scored = sorted(
+            ((round(cnt * math.log(n / df[w]), 6), w, cnt) for w, cnt in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        want[d] = [(w, cnt, df[w]) for _, w, cnt in scored]
+
+    for d, rows in got.groupby("doc_id"):
+        rows = rows.sort_values(
+            ["tfidf", "token"], ascending=[False, True]
+        )
+        assert [(r.token, r.tf, r.df) for r in rows.itertuples()] == want[d]
+        for r in rows.itertuples():
+            assert abs(r.tfidf - r.tf * math.log(n / r.df)) < 1e-9
