@@ -621,6 +621,82 @@ def q_doc_tfidf(sf_dir: str):
     return tfidf_topk(_docs(sf_dir), k=5)
 
 
+def q_doc_splits(sf_dir: str):
+    """Deterministic train/val/test split assignment (ops/curate):
+    splitmix64(doc_id ^ seed) % 10000 against 80/10/10 edges — a pure
+    per-row hash, no shuffle, so any worker can recompute any row's
+    split; the oracle reproduces splitmix64 bit-for-bit in DuckDB via
+    xor/shift/HUGEINT-mod-multiply (curate.splitmix64_sql)."""
+    from pyrdf2vec_ray.ops.curate import assign_splits
+
+    return assign_splits(_docs(sf_dir, ("doc_id",)), seed=7)
+
+
+def _decontam_benchmark(docs):
+    """Every 20th doc is the 'evaluation benchmark' side."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Exact benchmark decontamination (ops/curate.decontaminate) with
+    planted leaks: every 20th doc is copied into the corpus under
+    doc_id+1M, and those same docs form the benchmark — the broadcast
+    md5 anti-join must drop both the benchmark originals AND every
+    planted copy, value-checked against a SQL NOT IN."""
+    import pyarrow.compute as pc
+
+    from pyrdf2vec_ray.ops.curate import decontaminate
+
+    docs = _docs(sf_dir)
+
+    def dup(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % 20 == 0))
+        return pa.table({
+            "doc_id": pc.add(t["doc_id"], 1_000_000),
+            "text": t["text"],
+        })
+
+    corpus = docs.union(docs.map_batches(dup, batch_format="pyarrow"))
+    return decontaminate(corpus, _decontam_benchmark(_docs(sf_dir)))
+
+
+def q_doc_decontam_ngram(sf_dir: str):
+    """N-gram (window=8) decontamination with planted PARTIAL leaks:
+    for every 20th doc a new doc (doc_id+2M) is planted whose text is
+    the benchmark doc's first 12 tokens plus a unique tail — not an
+    exact copy, so only shingle-level matching catches it.  Survivors
+    must exclude the benchmark docs, the planted partial leaks, and any
+    organic doc sharing an 8-gram with the benchmark; the oracle
+    recomputes the shingle sets with DuckDB list kernels."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.curate import decontaminate_ngram
+
+    docs = _docs(sf_dir)
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["doc_id"] % 20 == 0]
+        head = b["text"].astype(str).str.split().str[:12].str.join(" ")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"] + 2_000_000,
+            "text": head + " planted-tail-" + b["doc_id"].astype(str),
+        })
+
+    corpus = docs.union(
+        docs.map_batches(plant, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    return decontaminate_ngram(
+        corpus, _decontam_benchmark(_docs(sf_dir)), window=8
+    )
+
+
 def q_events_hourly(sf_dir: str):
     import ray.data
 
@@ -1411,6 +1487,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_stats": q_doc_text_stats,
         "doc_tokens_bpe": q_doc_tokens_bpe,
         "doc_tfidf": q_doc_tfidf,
+        "doc_splits": q_doc_splits,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_decontam_ngram": q_doc_decontam_ngram,
         "tokens_by_lang": q_tokens_by_lang,
         "events_hourly": q_events_hourly,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1472,6 +1551,8 @@ WITH triples AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from pyrdf2vec_ray.ops.curate import assign_splits_sql
+
     return {
         "kg_triples": _TRIPLES_CTE + "SELECT subj, pred, obj FROM triples",
         "kg_out_degree": _TRIPLES_CTE
@@ -1577,6 +1658,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars,
                    len(regexp_split_to_array(text, '\s+')) AS n_tokens
             FROM documents
+        """,
+        "doc_splits": assign_splits_sql(seed=7),
+        "doc_decontaminate": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 20 = 0
+            )
+            SELECT doc_id, md5(text) AS text_hash FROM corpus
+            WHERE md5(text) NOT IN (
+              SELECT md5(text) FROM documents WHERE doc_id % 20 = 0
+            )
+        """,
+        "doc_decontam_ngram": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000,
+                     array_to_string(
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x != '')[1:12], ' ')
+                       || ' planted-tail-' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 20 = 0
+            ),
+            tk AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x != '') AS toks
+              FROM corpus
+            ),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) < 8
+                  THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i:i+7], ' ')
+                        for i in generate_series(1, len(toks) - 7)]
+                END AS shingles
+              FROM tk
+            ),
+            bh AS (
+              SELECT DISTINCT unnest(shingles) AS s FROM sh
+              WHERE doc_id % 20 = 0 AND doc_id < 1000000
+            ),
+            hits AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) q
+              WHERE s IN (SELECT s FROM bh)
+            )
+            SELECT doc_id FROM corpus
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)
         """,
         "minhash_exact_planted": """
             SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,

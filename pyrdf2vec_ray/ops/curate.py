@@ -1,0 +1,269 @@
+"""Training-data curation operators over the `documents` table:
+benchmark decontamination (exact-hash and n-gram overlap) and
+deterministic hash-based split assignment.
+
+These are the steps a 100-TB LLM data pipeline runs after dedup and
+quality filtering: drop every training document that leaks evaluation
+content, then carve reproducible train/val/test splits.
+
+Scale shapes:
+
+* Decontamination is a BROADCAST anti-join: the benchmark side is small
+  by definition (eval suites are thousands of documents, the corpus is
+  billions), so its hash set is collected once, ``ray.put`` once, and
+  read zero-copy by every task — never re-shipped per batch and never a
+  shuffle of the big side.  If a benchmark side ever outgrew broadcast,
+  the fallback is the `shuffle.bucket_apply` hash-join used by
+  `ops/dedup.py:verify_jaccard`; not needed at real benchmark sizes.
+* Split assignment is a pure per-row hash (splitmix64 over the int64
+  key) — NO shuffle, no state, and any worker can recompute any row's
+  split independently, which is what makes the split reproducible
+  across reruns, resumes, and repartitions of a 100-TB corpus.
+
+Everything is bit-reproducible in ANSI SQL (DuckDB): splitmix64 via
+xor/shift/HUGEINT-mod-multiply (`splitmix64_sql`), the hashes via the
+md5-hex-prefix trick shared with `ops/text.fingerprint`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+# ---- splitmix64 (Steele et al., "Fast Splittable Pseudorandom Number
+# Generators", OOPSLA 2014) — public constants ------------------------------
+
+_SM_GAMMA = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+_MASK64 = (1 << 64) - 1
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array (wrapping
+    64-bit arithmetic; numpy unsigned ops wrap natively)."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64(_SM_GAMMA)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_SM_M1)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM_M2)
+        return z ^ (z >> np.uint64(31))
+
+
+def splitmix64_py(x: int) -> int:
+    """Reference scalar implementation (plain Python ints)."""
+    z = (x + _SM_GAMMA) & _MASK64
+    z = ((z ^ (z >> 30)) * _SM_M1) & _MASK64
+    z = ((z ^ (z >> 27)) * _SM_M2) & _MASK64
+    return z ^ (z >> 31)
+
+
+def _mulmod_sql(expr: str, c: int) -> str:
+    """SQL for (expr * c) mod 2**64 over a UBIGINT column: split the
+    constant into 32-bit halves so every HUGEINT product stays < 2**96
+    (DuckDB integer arithmetic errors on overflow instead of wrapping)."""
+    lo, hi = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"CAST((("
+        f"CAST(({expr}) & 4294967295 AS HUGEINT) * {lo} + "
+        f"(((CAST(({expr}) & 4294967295 AS HUGEINT) * {hi} + "
+        f"CAST(({expr}) >> 32 AS HUGEINT) * {lo}) % 4294967296) "
+        f"* 4294967296)"
+        f") % 18446744073709551616) AS UBIGINT)"
+    )
+
+
+def splitmix64_sql(key_expr: str, seed: int) -> str:
+    """DuckDB SELECT-fragment pipeline reproducing
+    ``splitmix64(key ^ seed)`` bit-for-bit.  Returns a CTE chain body;
+    callers wrap it as ``WITH s0 AS (SELECT <keys>, ... FROM t), ...``.
+    Exposed so the pytest parity suite and the driver oracle share one
+    definition."""
+    add = (
+        f"CAST((CAST(xor(CAST({key_expr} AS UBIGINT), "
+        f"CAST({seed} AS UBIGINT)) AS HUGEINT) + {_SM_GAMMA}) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+    return (
+        f"s0 AS (SELECT *, {add} AS z0 FROM _sm_in),\n"
+        f"s1 AS (SELECT *, {_mulmod_sql('xor(z0, z0 >> 30)', _SM_M1)} AS z1 FROM s0),\n"
+        f"s2 AS (SELECT *, {_mulmod_sql('xor(z1, z1 >> 27)', _SM_M2)} AS z2 FROM s1),\n"
+        f"s3 AS (SELECT *, xor(z2, z2 >> 31) AS h FROM s2)"
+    )
+
+
+# ---- split assignment ------------------------------------------------------
+
+DEFAULT_SPLITS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+_N_BUCKETS = 10_000
+
+
+def assign_splits(
+    docs: ray.data.Dataset,
+    splits=DEFAULT_SPLITS,
+    seed: int = 0,
+    key: str = "doc_id",
+) -> ray.data.Dataset:
+    """(key, bucket, split): deterministic train/val/test assignment by
+    ``splitmix64(key ^ seed) % 10000`` against cumulative weight edges.
+    Stateless vectorized map_batches — no shuffle, no RNG stream, so
+    the assignment is stable under any re-partitioning or resume.
+    Reference analog: the train/test carving a reference user does
+    ad hoc with sklearn train_test_split; here it is a first-class
+    shuffle-free operator."""
+    names = [n for n, _ in splits]
+    weights = np.array([w for _, w in splits], dtype=np.float64)
+    if not np.isclose(weights.sum(), 1.0):
+        raise ValueError(f"split weights must sum to 1, got {weights.sum()}")
+    # right-open bucket edges: train [0,8000), val [8000,9000), ...
+    edges = np.floor(np.cumsum(weights) * _N_BUCKETS + 0.5).astype(np.int64)
+    edges[-1] = _N_BUCKETS
+    labels = np.array(names, dtype=object)
+
+    def ab(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[key].to_numpy(dtype=np.int64).view(np.uint64)
+        h = splitmix64(ids ^ np.uint64(seed))
+        bucket = (h % np.uint64(_N_BUCKETS)).astype(np.int64)
+        which = np.searchsorted(edges, bucket, side="right")
+        return pd.DataFrame(
+            {
+                key: batch[key].reset_index(drop=True),
+                "bucket": bucket,
+                "split": pd.Series(labels[which], dtype=str),
+            }
+        )
+
+    return docs.map_batches(ab, batch_format="pandas", batch_size=8192)
+
+
+def assign_splits_sql(
+    table: str = "documents",
+    splits=DEFAULT_SPLITS,
+    seed: int = 0,
+    key: str = "doc_id",
+) -> str:
+    """The DuckDB oracle for :func:`assign_splits` — same edges, same
+    hash, built from the shared :func:`splitmix64_sql` fragment."""
+    weights = np.array([w for _, w in splits], dtype=np.float64)
+    edges = np.floor(np.cumsum(weights) * _N_BUCKETS + 0.5).astype(np.int64)
+    edges[-1] = _N_BUCKETS
+    case = "CASE "
+    for (name, _), hi in zip(splits, edges):
+        case += f"WHEN b < {hi} THEN '{name}' "
+    case += "END"
+    return (
+        f"WITH _sm_in AS (SELECT {key} FROM {table}),\n"
+        f"{splitmix64_sql(key, seed)},\n"
+        f"b AS (SELECT {key}, CAST(h % {_N_BUCKETS} AS BIGINT) AS b FROM s3)\n"
+        f"SELECT {key}, b AS bucket, {case} AS split FROM b"
+    )
+
+
+# ---- decontamination -------------------------------------------------------
+
+
+def _bench_text_hash_ref(benchmark: ray.data.Dataset):
+    """Collect the benchmark's distinct md5(text) set to the driver and
+    broadcast it as a SORTED fixed-width U32 array (zero-copy through
+    the object store; see state/graph_index.py for the U-dtype
+    rationale).  Driver collect is benchmark-scale, not corpus-scale."""
+    from pyrdf2vec_ray.ops.dedup import add_text_hash
+
+    hashed = add_text_hash(benchmark)
+    vals = np.array(
+        [r["text_hash"] for r in hashed.take_all()], dtype="U32"
+    )
+    return ray.put(np.unique(vals))
+
+
+def decontaminate(
+    docs: ray.data.Dataset, benchmark: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Exact decontamination: drop every doc whose full text (by md5)
+    appears in `benchmark`.  Survivors as (doc_id, text_hash).
+
+    Broadcast anti-join: benchmark hash set via ray.put once, membership
+    per batch via np.searchsorted on the sorted U32 array."""
+    ref = _bench_text_hash_ref(benchmark)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(ref)
+        hashes = np.array(
+            [hashlib.md5(t.encode()).hexdigest()
+             for t in batch["text"].astype(str)],
+            dtype="U32",
+        )
+        if len(bench):
+            pos = np.minimum(np.searchsorted(bench, hashes), len(bench) - 1)
+            hit = bench[pos] == hashes
+        else:
+            hit = np.zeros(len(hashes), dtype=bool)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].reset_index(drop=True),
+                "text_hash": hashes,
+            }
+        )
+        return out[~hit]
+
+    return docs.map_batches(keep, batch_format="pandas", batch_size=8192)
+
+
+def _bench_shingle_hash_ref(benchmark: ray.data.Dataset, window: int):
+    """Distinct int64 shingle hashes of the benchmark, sorted, broadcast
+    once.  Shingle extraction/hashing is the vectorized _ShingleBatch
+    kernel shared with ops/text.fingerprint."""
+    from pyrdf2vec_ray.ops.text import _ShingleBatch
+
+    def sh(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str).reset_index(drop=True)
+        hv = _ShingleBatch(text, window).md5_hashes()
+        return pd.DataFrame({"h": np.unique(hv)})
+
+    parts = benchmark.map_batches(sh, batch_format="pandas", batch_size=4096)
+    arr = np.unique(
+        np.array([r["h"] for r in parts.take_all()], dtype=np.int64)
+    )
+    return ray.put(arr)
+
+
+def decontaminate_ngram(
+    docs: ray.data.Dataset, benchmark: ray.data.Dataset, window: int = 8
+) -> ray.data.Dataset:
+    """N-gram decontamination: drop every doc sharing ANY `window`-token
+    shingle with a benchmark doc (docs shorter than `window` tokens
+    match on their whole text) — the standard guard against partial
+    eval-set leakage that exact-hash decontamination misses.
+    Survivors as (doc_id,).
+
+    Hashes are the md5-15-hex-prefix int64 shared with `fingerprint`,
+    so the whole operator is reproducible in SQL (absent 60-bit md5
+    collisions, which the 500-doc oracle scale cannot manufacture)."""
+    from pyrdf2vec_ray.ops.text import _ShingleBatch
+
+    ref = _bench_shingle_hash_ref(benchmark, window)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(ref)
+        text = batch["text"].astype(str).reset_index(drop=True)
+        sb = _ShingleBatch(text, window)
+        hv = sb.md5_hashes()
+        if len(bench) and len(hv):
+            pos = np.minimum(np.searchsorted(bench, hv), len(bench) - 1)
+            hit = bench[pos] == hv
+        else:
+            hit = np.zeros(len(hv), dtype=bool)
+        contaminated = np.zeros(len(sb.lens), dtype=bool)
+        if hit.any():
+            contaminated[np.unique(sb.doc_of()[hit])] = True
+        out = pd.DataFrame(
+            {"doc_id": batch["doc_id"].reset_index(drop=True)}
+        )
+        return out[~contaminated]
+
+    return docs.map_batches(keep, batch_format="pandas", batch_size=4096)

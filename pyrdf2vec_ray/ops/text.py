@@ -135,35 +135,26 @@ def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(LangId(), batch_format="pandas", batch_size=4096)
 
 
-def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:
-    """Rolling-hash document fingerprint: min over the md5-derived hash
-    of every token `window`-shingle (a 1-perm winnowing sketch);
-    deterministic.  The hash is the first 15 hex digits of md5 as an
-    integer — computable identically in ANSI SQL (DuckDB md5 + substr),
-    so the sketch is oracle-checkable end to end.
+class _ShingleBatch:
+    """Vectorized token-shingle assembly for one batch of texts: shingle
+    strings built with `window-1` object-array adds over the exploded
+    token array (no per-shingle Python loop).  Long docs (>= window
+    tokens) contribute sliding shingles first, then each short doc
+    contributes its whole-text join as a single shingle.  Shared by
+    ``fingerprint`` and ``ops.curate.decontaminate_ngram``."""
 
-    SKETCH FORMAT v2 (since round 2): the hash derivation changed from
-    crc32 / little-endian-md5 to the big-endian md5 hex prefix above
-    with NO schema or column-name change — fingerprints persisted by
-    earlier runs do NOT compare equal to newly computed ones; recompute
-    stored sketches rather than mixing them.
+    __slots__ = ("shingles", "lens", "long_mask", "counts", "total",
+                 "short_idx")
 
-    Vectorized like ``simhash``: shingle strings are assembled with
-    `window-1` object-array adds over the exploded token array (no
-    per-shingle Python loop), md5 runs ONCE per distinct shingle
-    (pd.factorize), and the per-doc min is one np.minimum.reduceat."""
-    import hashlib
-    from itertools import chain
+    def __init__(self, text: pd.Series, window: int):
+        from itertools import chain
 
-    def fp(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].astype(str).reset_index(drop=True)
         tok = text.str.split()
         lens = tok.map(len).to_numpy(dtype=np.int64)
         toks = np.array(list(chain.from_iterable(tok)), dtype=object)
         offsets = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
 
-        # docs with >= window tokens: sliding shingles, grouped arange
         long_mask = lens >= window
         counts = np.where(long_mask, lens - window + 1, 0)
         total = int(counts.sum())
@@ -179,27 +170,74 @@ def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:
         else:
             sh = np.array([], dtype=object)
 
-        # short docs: one shingle = the whole-doc join (rare path)
         short_idx = np.nonzero(~long_mask)[0]
         short_sh = np.array(
             [" ".join(toks[offsets[d] : offsets[d + 1]].tolist())
              for d in short_idx],
             dtype=object,
         )
-        all_sh = np.concatenate([sh, short_sh]) if len(short_sh) else sh
+        self.shingles = (
+            np.concatenate([sh, short_sh]) if len(short_sh) else sh
+        )
+        self.lens = lens
+        self.long_mask = long_mask
+        self.counts = counts
+        self.total = total
+        self.short_idx = short_idx
 
-        codes, uniq = pd.factorize(all_sh)
+    def doc_of(self) -> np.ndarray:
+        """Batch-local doc position of every shingle row (long-doc rows
+        first, then one row per short doc)."""
+        return np.concatenate([
+            np.repeat(np.arange(len(self.lens)), self.counts),
+            self.short_idx,
+        ])
+
+    def md5_hashes(self) -> np.ndarray:
+        """int64 hash per shingle: first 15 hex digits of md5, run ONCE
+        per distinct shingle (pd.factorize) — identical to the DuckDB
+        expression CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)."""
+        import hashlib
+
+        codes, uniq = pd.factorize(self.shingles)
+        if not len(uniq):
+            return np.array([], dtype=np.int64)
         uh = np.fromiter(
             (int(hashlib.md5(u.encode()).hexdigest()[:15], 16) for u in uniq),
             dtype=np.int64, count=len(uniq),
         )
-        hv = uh[codes] if len(all_sh) else np.array([], dtype=np.int64)
+        return uh[codes]
 
-        out = np.empty(len(lens), dtype=np.int64)
+
+def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:
+    """Rolling-hash document fingerprint: min over the md5-derived hash
+    of every token `window`-shingle (a 1-perm winnowing sketch);
+    deterministic.  The hash is the first 15 hex digits of md5 as an
+    integer — computable identically in ANSI SQL (DuckDB md5 + substr),
+    so the sketch is oracle-checkable end to end.
+
+    SKETCH FORMAT v2 (since round 2): the hash derivation changed from
+    crc32 / little-endian-md5 to the big-endian md5 hex prefix above
+    with NO schema or column-name change — fingerprints persisted by
+    earlier runs do NOT compare equal to newly computed ones; recompute
+    stored sketches rather than mixing them.
+
+    Vectorized like ``simhash``: shingle strings are assembled by the
+    shared ``_ShingleBatch`` kernel (no per-shingle Python loop), md5
+    runs ONCE per distinct shingle (pd.factorize), and the per-doc min
+    is one np.minimum.reduceat."""
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str).reset_index(drop=True)
+        sb = _ShingleBatch(text, window)
+        hv = sb.md5_hashes()
+        total, counts, long_mask = sb.total, sb.counts, sb.long_mask
+
+        out = np.empty(len(sb.lens), dtype=np.int64)
         if total:
             seg = np.concatenate([[0], np.cumsum(counts[long_mask])[:-1]])
             out[long_mask] = np.minimum.reduceat(hv[:total], seg)
-        out[short_idx] = hv[total:]
+        out[sb.short_idx] = hv[total:]
         return pd.DataFrame(
             {"doc_id": batch["doc_id"].reset_index(drop=True),
              "fingerprint": out}
