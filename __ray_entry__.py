@@ -697,6 +697,35 @@ def q_doc_decontam_ngram(sf_dir: str):
     )
 
 
+_SAMPLE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.25, "es": 0.1}
+
+
+def q_doc_sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling / mixture weighting
+    (ops/curate.sample_by_hash): per-language keep rates applied via
+    splitmix64(doc_id ^ seed) — shuffle-free, stable under
+    re-partitioning; the oracle reproduces the hash bit-for-bit."""
+    from pyrdf2vec_ray.ops.curate import sample_by_hash
+
+    return sample_by_hash(
+        _docs(sf_dir, ("doc_id", "lang")),
+        rates_by="lang",
+        rates=_SAMPLE_RATES,
+        default_rate=1.0,
+        seed=11,
+    )
+
+
+def q_doc_pack_sequences(sf_dir: str):
+    """Sequence packing for LLM training (ops/curate.pack_sequences):
+    concat-then-chunk token stream positions via a distributed two-level
+    prefix sum (per-partition sums -> driver cumsum of 64 rows -> one
+    bucket shuffle); the oracle is a SQL window cumsum."""
+    from pyrdf2vec_ray.ops.curate import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), budget=2048)
+
+
 def q_events_hourly(sf_dir: str):
     import ray.data
 
@@ -1488,6 +1517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens_bpe": q_doc_tokens_bpe,
         "doc_tfidf": q_doc_tfidf,
         "doc_splits": q_doc_splits,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "doc_pack_sequences": q_doc_pack_sequences,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontam_ngram": q_doc_decontam_ngram,
         "tokens_by_lang": q_tokens_by_lang,
@@ -1551,7 +1582,7 @@ WITH triples AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    from pyrdf2vec_ray.ops.curate import assign_splits_sql
+    from pyrdf2vec_ray.ops.curate import assign_splits_sql, sample_by_hash_sql
 
     return {
         "kg_triples": _TRIPLES_CTE + "SELECT subj, pred, obj FROM triples",
@@ -1660,6 +1691,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_splits": assign_splits_sql(seed=7),
+        "doc_sample_stratified": sample_by_hash_sql(
+            rates_by="lang", rates=_SAMPLE_RATES, default_rate=1.0, seed=11
+        ),
+        "doc_pack_sequences": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cum
+              FROM n
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(cum // 2048 AS BIGINT) AS seq_id,
+                   CAST(cum % 2048 AS BIGINT) AS seq_offset
+            FROM c
+        """,
         "doc_decontaminate": r"""
             WITH corpus AS (
               SELECT doc_id, text FROM documents

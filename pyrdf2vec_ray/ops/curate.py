@@ -164,6 +164,193 @@ def assign_splits_sql(
     )
 
 
+# ---- deterministic sampling / mixture weighting ----------------------------
+
+
+def sample_by_hash(
+    docs: ray.data.Dataset,
+    rate: float | None = None,
+    rates_by: str | None = None,
+    rates: dict | None = None,
+    default_rate: float = 1.0,
+    seed: int = 0,
+    key: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic Bernoulli / stratified sampling: keep a row iff
+    ``splitmix64(key ^ seed) % 10000 < rate * 10000``.  With ``rates_by``
+    + ``rates`` the rate is looked up per row from a column (mixture
+    weighting: e.g. downsample each language to a target share) —
+    still a pure per-row hash, so the sample is reproducible under any
+    partitioning/resume and needs NO shuffle and no RNG stream.  This is
+    the scale-safe substitute for ``Dataset.random_sample`` when the
+    sample must be stable across reruns of a 100-TB job.
+
+    Returns the surviving rows (key + rates_by columns)."""
+    if (rate is None) == (rates is None):
+        raise ValueError("pass exactly one of rate= or rates=/rates_by=")
+
+    def thresh(r: float) -> int:
+        return int(round(float(r) * _N_BUCKETS))
+
+    if rates is not None and rates_by is None:
+        raise ValueError("rates= requires rates_by=<column>")
+
+    def samp(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[key].to_numpy(dtype=np.int64).view(np.uint64)
+        h = (splitmix64(ids ^ np.uint64(seed)) % np.uint64(_N_BUCKETS)).astype(
+            np.int64
+        )
+        if rate is not None:
+            keep = h < thresh(rate)
+            out = pd.DataFrame({key: batch[key].reset_index(drop=True)})
+        else:
+            t = (
+                batch[rates_by]
+                .map(lambda v: thresh(rates.get(v, default_rate)))
+                .to_numpy(dtype=np.int64)
+            )
+            keep = h < t
+            out = pd.DataFrame(
+                {
+                    key: batch[key].reset_index(drop=True),
+                    rates_by: batch[rates_by].reset_index(drop=True),
+                }
+            )
+        return out[keep]
+
+    return docs.map_batches(samp, batch_format="pandas", batch_size=8192)
+
+
+def sample_by_hash_sql(
+    table: str = "documents",
+    rate: float | None = None,
+    rates_by: str | None = None,
+    rates: dict | None = None,
+    default_rate: float = 1.0,
+    seed: int = 0,
+    key: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`sample_by_hash` (shared splitmix64
+    fragment; same rounded thresholds)."""
+
+    def thresh(r: float) -> int:
+        return int(round(float(r) * _N_BUCKETS))
+
+    if rate is not None:
+        cols, cond = key, f"b < {thresh(rate)}"
+    else:
+        case = "CASE " + " ".join(
+            f"WHEN {rates_by} = '{v}' THEN {thresh(r)}"
+            for v, r in sorted(rates.items())
+        ) + f" ELSE {thresh(default_rate)} END"
+        cols, cond = f"{key}, {rates_by}", f"b < ({case})"
+    return (
+        f"WITH _sm_in AS (SELECT {cols} FROM {table}),\n"
+        f"{splitmix64_sql(key, seed)},\n"
+        f"b AS (SELECT *, CAST(h % {_N_BUCKETS} AS BIGINT) AS b FROM s3)\n"
+        f"SELECT {cols} FROM b WHERE {cond}"
+    )
+
+
+# ---- sequence packing (distributed prefix sum) -----------------------------
+
+
+def pack_sequences(
+    docs: ray.data.Dataset,
+    budget: int,
+    key: str = "doc_id",
+    num_parts: int = 64,
+) -> ray.data.Dataset:
+    """Token-offset sequence packing: concatenate every document's
+    whitespace tokens in `key` order and cut the stream into
+    `budget`-token training sequences.  Emits per doc
+    ``(key, n_tokens, seq_id, seq_offset)`` where seq_id/seq_offset
+    locate the doc's FIRST token in the packed stream (docs may span a
+    sequence boundary — standard concat-then-chunk packing).
+
+    Distributed as a two-level prefix sum, the scan-primitive shape:
+      1. per-doc token counts (vectorized map_batches);
+      2. range-partition by ``key // W`` (W sized off the key max, one
+         tiny aggregate) → per-partition token sums are a SMALL
+         groupby (num_parts rows) collected to the driver, whose
+         exclusive cumsum gives each partition's global base offset;
+      3. one bucket shuffle by partition: within each partition sort
+         by key, local exclusive cumsum + broadcast base.
+    Nothing corpus-scale ever reaches the driver; the per-partition
+    rows-fit-in-a-worker assumption is the same one `sessionize`
+    documents (pick num_parts so a partition's DOCS, not tokens, fit)."""
+    from pyrdf2vec_ray.ops.text import TOKEN_RE
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        return pd.DataFrame(
+            {
+                key: batch[key].reset_index(drop=True),
+                "n_tokens": text.reset_index(drop=True)
+                .str.split(TOKEN_RE, regex=True)
+                .map(len)
+                .astype("int64"),
+            }
+        )
+
+    cnt = docs.map_batches(counts, batch_format="pandas", batch_size=8192)
+    hi = cnt.max(key)
+    w = max(1, (int(hi) + num_parts) // num_parts)
+
+    def with_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["part"] = (batch[key] // w).astype("int64")
+        return batch
+
+    parted = cnt.map_batches(with_part, batch_format="pandas")
+
+    # small shuffle: per-partition totals -> driver cumsum -> broadcast
+    def part_sums(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("part", as_index=False)["n_tokens"].sum()
+
+    sums = (
+        parted.map_batches(part_sums, batch_format="pandas")
+        .groupby("part")
+        .sum("n_tokens")
+        .to_pandas()
+    )
+    sums = sums.sort_values("part").reset_index(drop=True)
+    col = "sum(n_tokens)" if "sum(n_tokens)" in sums.columns else "n_tokens"
+    base = np.zeros(num_parts + 1, dtype=np.int64)
+    np.add.at(
+        base,
+        sums["part"].to_numpy(dtype=np.int64) + 1,
+        sums[col].to_numpy(dtype=np.int64),
+    )
+    base = np.cumsum(base)
+    base_ref = ray.put(base)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
+        g = g.sort_values([ "part", key ]).reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        # exclusive cumsum restarting per part, plus the global base
+        cs = np.cumsum(n) - n
+        part = g["part"].to_numpy(dtype=np.int64)
+        starts = np.concatenate([[0], np.nonzero(np.diff(part))[0] + 1])
+        cs = cs - np.repeat(cs[starts], np.diff(np.concatenate([starts, [len(n)]])))
+        cum = cs + bases[part]
+        return pd.DataFrame(
+            {
+                key: g[key],
+                "n_tokens": g["n_tokens"],
+                "seq_id": cum // budget,
+                "seq_offset": cum % budget,
+            }
+        )
+
+    return bucket_apply(parted, ["part"], per_bucket, batch_format="pandas")
+
+
 # ---- decontamination -------------------------------------------------------
 
 

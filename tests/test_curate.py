@@ -13,6 +13,7 @@ from pyrdf2vec_ray.ops.curate import (
     assign_splits_sql,
     decontaminate,
     decontaminate_ngram,
+    sample_by_hash,
     splitmix64,
     splitmix64_py,
 )
@@ -125,3 +126,85 @@ def test_decontaminate_ngram_short_doc_whole_text_match():
     bench = _docs_ds({"doc_id": [100], "text": ["hello world"]})
     out = decontaminate_ngram(docs, bench, window=8).to_pandas()
     assert sorted(out["doc_id"]) == [2]
+
+
+def test_sample_by_hash_flat_rate_matches_sql():
+    ids = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+    out = sample_by_hash(ray.data.from_pandas(ids), rate=0.3, seed=5).to_pandas()
+    # deterministic: re-run identical
+    again = sample_by_hash(ray.data.from_pandas(ids), rate=0.3, seed=5).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    assert abs(len(out) / 2000 - 0.3) < 0.04
+    from pyrdf2vec_ray.ops.curate import sample_by_hash_sql
+
+    con = duckdb.connect()
+    con.register("documents", ids)
+    sql = sample_by_hash_sql(rate=0.3, seed=5)
+    want = sorted(con.sql(sql).df()["doc_id"])
+    assert sorted(out["doc_id"]) == want
+
+
+def test_sample_by_hash_stratified_rates():
+    n = 3000
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "xx"], size=n),
+        }
+    )
+    out = sample_by_hash(
+        ray.data.from_pandas(df),
+        rates_by="lang",
+        rates={"en": 0.8, "de": 0.2},
+        default_rate=1.0,
+        seed=3,
+    ).to_pandas()
+    kept = out.groupby("lang").size()
+    tot = df.groupby("lang").size()
+    assert abs(kept["en"] / tot["en"] - 0.8) < 0.06
+    assert abs(kept["de"] / tot["de"] - 0.2) < 0.06
+    assert kept["xx"] == tot["xx"]  # default rate 1.0 keeps all
+
+
+def test_sample_by_hash_arg_validation():
+    ds = _docs_ds({"doc_id": [1]})
+    with pytest.raises(ValueError):
+        sample_by_hash(ds)  # neither
+    with pytest.raises(ValueError):
+        sample_by_hash(ds, rate=0.5, rates={"en": 1.0}, rates_by="lang")
+    with pytest.raises(ValueError):
+        sample_by_hash(ds, rates={"en": 1.0})  # rates without column
+
+
+def test_pack_sequences_matches_serial_cumsum():
+    from pyrdf2vec_ray.ops.curate import pack_sequences
+
+    rng = np.random.RandomState(1)
+    n = 400
+    texts = [" ".join(f"w{j}" for j in range(rng.randint(1, 40))) for _ in range(n)]
+    ids = rng.permutation(np.arange(0, 5 * n, 5, dtype=np.int64))  # sparse, shuffled
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": ids, "text": texts})
+    ).repartition(7)
+    out = (
+        pack_sequences(docs, budget=64, num_parts=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # serial reference: order by doc_id, exclusive cumsum
+    ref = pd.DataFrame(
+        {"doc_id": ids, "n_tokens": [len(t.split()) for t in texts]}
+    ).sort_values("doc_id").reset_index(drop=True)
+    cum = ref["n_tokens"].cumsum().shift(fill_value=0)
+    ref["seq_id"] = cum // 64
+    ref["seq_offset"] = cum % 64
+    pd.testing.assert_frame_equal(out, ref.astype({"seq_id": "int64", "seq_offset": "int64"}))
+
+
+def test_pack_sequences_rejects_bad_budget():
+    from pyrdf2vec_ray.ops.curate import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(_docs_ds({"doc_id": [1], "text": ["a"]}), budget=0)
