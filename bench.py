@@ -271,6 +271,36 @@ def run_benchmarks() -> dict:
 
     timed("minhash_dedup", bench_minhash)
 
+    # 6b. curation: splits + stratified sample + exact decontamination
+    # (new in late round 3 — NOT part of the round-1-comparable subset)
+    def bench_curation():
+        from pyrdf2vec_ray.ops.curate import (
+            assign_splits, decontaminate, sample_by_hash,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        n = assign_splits(docs, seed=7).count()
+        n += sample_by_hash(
+            docs, rates_by="lang",
+            rates={"en": 0.9, "de": 0.5, "fr": 0.25, "es": 0.1},
+            seed=11,
+        ).count()
+        import pyarrow as pa
+
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.select(["doc_id", "text"]).filter(
+                pa.array(ids % 20 == 0)
+            )
+
+        bench_side = docs.map_batches(pick, batch_format="pyarrow")
+        n += decontaminate(docs, bench_side).count()
+        return n
+
+    timed("curation", bench_curation)
+
     # 7. brute-force cosine top-k over embeddings
     def bench_knn():
         emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
