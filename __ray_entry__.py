@@ -716,6 +716,16 @@ def q_doc_sample_stratified(sf_dir: str):
     )
 
 
+def q_doc_shuffle_order(sf_dir: str):
+    """Deterministic global shuffle order (ops/curate.shuffle_order):
+    rank by (splitmix64(doc_id^seed), doc_id) assigned distributedly via
+    hash-range partitioning + per-part base offsets; oracle is
+    ROW_NUMBER over the same hash."""
+    from pyrdf2vec_ray.ops.curate import shuffle_order
+
+    return shuffle_order(_docs(sf_dir, ("doc_id",)), seed=13)
+
+
 def q_doc_pack_sequences(sf_dir: str):
     """Sequence packing for LLM training (ops/curate.pack_sequences):
     concat-then-chunk token stream positions via a distributed two-level
@@ -1518,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf": q_doc_tfidf,
         "doc_splits": q_doc_splits,
         "doc_sample_stratified": q_doc_sample_stratified,
+        "doc_shuffle_order": q_doc_shuffle_order,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontam_ngram": q_doc_decontam_ngram,
@@ -1582,7 +1593,11 @@ WITH triples AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    from pyrdf2vec_ray.ops.curate import assign_splits_sql, sample_by_hash_sql
+    from pyrdf2vec_ray.ops.curate import (
+        assign_splits_sql,
+        sample_by_hash_sql,
+        shuffle_order_sql,
+    )
 
     return {
         "kg_triples": _TRIPLES_CTE + "SELECT subj, pred, obj FROM triples",
@@ -1694,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_stratified": sample_by_hash_sql(
             rates_by="lang", rates=_SAMPLE_RATES, default_rate=1.0, seed=11
         ),
+        "doc_shuffle_order": shuffle_order_sql(seed=13),
         "doc_pack_sequences": r"""
             WITH n AS (
               SELECT doc_id,

@@ -351,6 +351,94 @@ def pack_sequences(
     return bucket_apply(parted, ["part"], per_bucket, batch_format="pandas")
 
 
+def shuffle_order(
+    docs: ray.data.Dataset,
+    seed: int = 0,
+    key: str = "doc_id",
+    parts_pow2: int = 6,
+) -> ray.data.Dataset:
+    """(key, rank): deterministic GLOBAL shuffle order for training —
+    rank = position of the row when sorted by
+    ``(splitmix64(key ^ seed), key)``.  Changing the seed reshuffles;
+    the order is identical across reruns/partitionings, unlike
+    ``Dataset.random_shuffle`` whose order depends on block layout.
+
+    Distributed rank assignment without a global sort barrier: the hash
+    is uniform, so its top ``parts_pow2`` bits range-partition the rows
+    into equal parts whose sizes are a tiny shuffle (2**parts_pow2
+    rows) -> driver cumsum gives each part's base rank -> one bucket
+    shuffle; each part sorts locally and adds its base."""
+    n_parts = 1 << parts_pow2
+    shift = np.uint64(64 - parts_pow2)
+
+    def hashed(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[key].to_numpy(dtype=np.int64).view(np.uint64)
+        h = splitmix64(ids ^ np.uint64(seed))
+        return pd.DataFrame(
+            {
+                key: batch[key].reset_index(drop=True),
+                # int64 view keeps Arrow-friendly dtype; order of the
+                # uint64 values is preserved after the >> shift
+                "h": h.view(np.int64),
+                "part": (h >> shift).astype(np.int64),
+            }
+        )
+
+    hs = docs.map_batches(hashed, batch_format="pandas", batch_size=8192)
+
+    def part_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("part", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    sums = (
+        hs.map_batches(part_counts, batch_format="pandas")
+        .groupby("part")
+        .sum("n")
+        .to_pandas()
+    )
+    col = "sum(n)" if "sum(n)" in sums.columns else "n"
+    base = np.zeros(n_parts + 1, dtype=np.int64)
+    np.add.at(
+        base,
+        sums["part"].to_numpy(dtype=np.int64) + 1,
+        sums[col].to_numpy(dtype=np.int64),
+    )
+    base = np.cumsum(base)
+    base_ref = ray.put(base)
+
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
+        # sort by (part, h-as-uint, key); h sorts identically as uint64
+        hu = g["h"].to_numpy(dtype=np.int64).view(np.uint64)
+        order = np.lexsort((g[key].to_numpy(), hu, g["part"].to_numpy()))
+        g = g.iloc[order].reset_index(drop=True)
+        part = g["part"].to_numpy(dtype=np.int64)
+        starts = np.concatenate([[0], np.nonzero(np.diff(part))[0] + 1])
+        within = np.arange(len(g)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(g)]]))
+        )
+        return pd.DataFrame(
+            {key: g[key], "rank": bases[part] + within}
+        )
+
+    return bucket_apply(hs, ["part"], per_bucket, batch_format="pandas")
+
+
+def shuffle_order_sql(
+    table: str = "documents", seed: int = 0, key: str = "doc_id"
+) -> str:
+    """DuckDB oracle for :func:`shuffle_order`: ROW_NUMBER over the
+    shared splitmix64 hash."""
+    return (
+        f"WITH _sm_in AS (SELECT {key} FROM {table}),\n"
+        f"{splitmix64_sql(key, seed)}\n"
+        f"SELECT {key}, CAST(ROW_NUMBER() OVER (ORDER BY h, {key}) - 1 "
+        f"AS BIGINT) AS rank FROM s3"
+    )
+
+
 # ---- decontamination -------------------------------------------------------
 
 

@@ -208,3 +208,37 @@ def test_pack_sequences_rejects_bad_budget():
 
     with pytest.raises(ValueError):
         pack_sequences(_docs_ds({"doc_id": [1], "text": ["a"]}), budget=0)
+
+
+def test_shuffle_order_matches_serial_and_sql():
+    from pyrdf2vec_ray.ops.curate import shuffle_order, shuffle_order_sql
+
+    rng = np.random.RandomState(4)
+    ids = rng.permutation(np.arange(0, 3000, 3, dtype=np.int64))
+    docs = ray.data.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(5)
+    out = (
+        shuffle_order(docs, seed=13)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ids)
+    # ranks are a permutation of 0..n-1
+    assert sorted(out["rank"]) == list(range(len(ids)))
+    # serial reference: sort by (hash, id)
+    h = splitmix64(np.sort(ids).view(np.uint64) ^ np.uint64(13))
+    order = np.lexsort((np.sort(ids), h))
+    ref = pd.DataFrame({"doc_id": np.sort(ids)[order]})
+    ref["rank"] = np.arange(len(ids))
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+    # SQL parity
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": ids}))
+    sql_df = (
+        con.sql(shuffle_order_sql(seed=13))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, sql_df.astype({"rank": "int64"}))
