@@ -716,6 +716,15 @@ def q_doc_sample_stratified(sf_dir: str):
     )
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals (ops/text.repetition_stats):
+    top-token ratio + duplicate-2-gram ratio per doc, both reproduced
+    in SQL (grouped max + list_distinct over the shingle list)."""
+    from pyrdf2vec_ray.ops.text import repetition_stats
+
+    return repetition_stats(_docs(sf_dir))
+
+
 def q_doc_shuffle_order(sf_dir: str):
     """Deterministic global shuffle order (ops/curate.shuffle_order):
     rank by (splitmix64(doc_id^seed), doc_id) assigned distributedly via
@@ -1529,6 +1538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_splits": q_doc_splits,
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_shuffle_order": q_doc_shuffle_order,
+        "doc_repetition": q_doc_repetition,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontam_ngram": q_doc_decontam_ngram,
@@ -1710,6 +1720,40 @@ def oracle_sql() -> dict[str, str]:
             rates_by="lang", rates=_SAMPLE_RATES, default_rate=1.0, seed=11
         ),
         "doc_shuffle_order": shuffle_order_sql(seed=13),
+        "doc_repetition": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x != '') AS toks
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+            tc AS (
+              SELECT doc_id, tk, count(*) AS c
+              FROM tok GROUP BY doc_id, tk
+            ),
+            mx AS (SELECT doc_id, max(c) AS mx FROM tc GROUP BY doc_id),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) < 2
+                  THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i:i+1], ' ')
+                        for i in generate_series(1, len(toks) - 1)]
+                END AS shingles
+              FROM t
+            ),
+            g AS (
+              SELECT doc_id, len(shingles) AS total,
+                     len(list_distinct(shingles)) AS dist
+              FROM sh
+            )
+            SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(mx.mx, 0) AS DOUBLE)
+                     / GREATEST(len(t.toks), 1) AS top_token_ratio,
+                   1.0 - CAST(g.dist AS DOUBLE) / g.total
+                     AS dup_2gram_ratio
+            FROM t JOIN g USING (doc_id) LEFT JOIN mx USING (doc_id)
+        """,
         "doc_pack_sequences": r"""
             WITH n AS (
               SELECT doc_id,

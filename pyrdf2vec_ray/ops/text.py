@@ -292,6 +292,48 @@ def token_count_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def repetition_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens, top_token_ratio, dup_2gram_ratio): the
+    Gopher-style repetition/boilerplate signals used to filter
+    low-quality training docs — fraction of tokens that are the single
+    most frequent token, and 1 - distinct/total 2-gram ratio.
+    Stateless vectorized map stage (explode + grouped max; 2-grams via
+    the shared _ShingleBatch kernel); SQL-oracle-checkable."""
+
+    def rep(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str).reset_index(drop=True)
+        words = text.str.split()
+        n = words.map(len).to_numpy(dtype=np.int64)
+
+        exploded = words.explode().dropna()
+        if len(exploded):
+            tc = (
+                exploded.groupby([exploded.index, exploded]).size()
+                .groupby(level=0).max()
+                .reindex(pd.RangeIndex(len(text)), fill_value=0)
+                .to_numpy(dtype=np.int64)
+            )
+        else:
+            tc = np.zeros(len(text), dtype=np.int64)
+
+        sb = _ShingleBatch(text, 2)
+        codes, _ = pd.factorize(sb.shingles)
+        g = pd.DataFrame({"d": sb.doc_of(), "c": codes}).groupby("d")["c"]
+        total = g.size().reindex(pd.RangeIndex(len(text)), fill_value=1)
+        dist = g.nunique().reindex(pd.RangeIndex(len(text)), fill_value=1)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].reset_index(drop=True),
+                "n_tokens": n,
+                "top_token_ratio": tc / np.maximum(n, 1),
+                "dup_2gram_ratio": 1.0
+                - dist.to_numpy(dtype=np.float64) / total.to_numpy(dtype=np.float64),
+            }
+        )
+
+    return docs.map_batches(rep, batch_format="pandas", batch_size=4096)
+
+
 def tfidf_topk(docs: ray.data.Dataset, k: int = 5) -> ray.data.Dataset:
     """Per-document top-k TF-IDF terms: (doc_id, token, tf, df, tfidf)
     with tf = raw in-doc count, idf = ln(N / df), N = corpus size.

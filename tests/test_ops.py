@@ -340,3 +340,39 @@ def test_tfidf_topk_matches_naive(ray_session):
         assert [(r.token, r.tf, r.df) for r in rows.itertuples()] == want[d]
         for r in rows.itertuples():
             assert abs(r.tfidf - r.tf * math.log(n / r.df)) < 1e-9
+
+
+def test_repetition_stats_signals():
+    import ray.data
+    from pyrdf2vec_ray.ops.text import repetition_stats
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "a a a a",          # one token repeated
+                    "a b c d",          # all distinct
+                    "a b a b a b",      # repeated 2-grams
+                    "x",                # single token
+                ],
+            }
+        )
+    )
+    out = (
+        repetition_stats(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_tokens"]) == [4, 4, 6, 1]
+    assert out.loc[0, "top_token_ratio"] == 1.0
+    assert out.loc[1, "top_token_ratio"] == 0.25
+    assert abs(out.loc[2, "top_token_ratio"] - 0.5) < 1e-12
+    # doc 1: 3 identical 2-grams of 3 -> ratio 1 - 1/3
+    assert abs(out.loc[0, "dup_2gram_ratio"] - (1 - 1 / 3)) < 1e-12
+    assert out.loc[1, "dup_2gram_ratio"] == 0.0
+    # doc 3: 5 2-grams, 2 distinct ("a b" x3, "b a" x2)
+    assert abs(out.loc[2, "dup_2gram_ratio"] - (1 - 2 / 5)) < 1e-12
+    # single-token doc: whole-text shingle, no duplication
+    assert out.loc[3, "dup_2gram_ratio"] == 0.0
