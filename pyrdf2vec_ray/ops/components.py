@@ -73,7 +73,8 @@ def _tag_edges(pairs: ray.data.Dataset, col_a: str, col_b: str):
     return pairs.map_batches(sym, batch_format="pyarrow")
 
 
-def _init_labels(edges_tagged: ray.data.Dataset) -> ray.data.Dataset:
+def _init_labels(edges_tagged: ray.data.Dataset,
+                 num_buckets: int | None = None) -> ray.data.Dataset:
     """L0: every distinct endpoint labeled with itself.  The symmetric
     edge rows carry every endpoint in ``key``, so one distinct over that
     column covers all nodes."""
@@ -89,11 +90,12 @@ def _init_labels(edges_tagged: ray.data.Dataset) -> ray.data.Dataset:
                          "label": pa.array(u, pa.int64())})
 
     return bucket_apply(edges_tagged, ["key"], uniq, pre=pre,
-                        batch_format="pyarrow")
+                        num_buckets=num_buckets, batch_format="pyarrow")
 
 
 def _messages(labels: ray.data.Dataset,
-              edges_tagged: ray.data.Dataset) -> ray.data.Dataset:
+              edges_tagged: ray.data.Dataset,
+              num_buckets: int | None = None) -> ray.data.Dataset:
     """Hash-join edges with labels on the source endpoint: each edge row
     (u -> v) becomes the message (v, label[u]); own-label rows pass
     through so the min-reduce sees every node."""
@@ -124,10 +126,12 @@ def _messages(labels: ray.data.Dataset,
             [own[["key", "val", "kind"]], msgs], ignore_index=True
         )
 
-    return bucket_apply(tagged, ["key"], join_bucket, batch_format="pandas")
+    return bucket_apply(tagged, ["key"], join_bucket,
+                        num_buckets=num_buckets, batch_format="pandas")
 
 
-def _min_reduce(msgs: ray.data.Dataset) -> ray.data.Dataset:
+def _min_reduce(msgs: ray.data.Dataset,
+                num_buckets: int | None = None) -> ray.data.Dataset:
     """New label = min(own, received); per-batch partial min (keyed by
     (node, kind) so the own-label row survives for the changed check)
     combines before the shuffle."""
@@ -149,10 +153,11 @@ def _min_reduce(msgs: ray.data.Dataset) -> ray.data.Dataset:
         })
 
     return bucket_apply(msgs, ["key"], reduce_bucket, pre=pre,
-                        batch_format="pandas")
+                        num_buckets=num_buckets, batch_format="pandas")
 
 
-def _pointer_jump(labels: ray.data.Dataset) -> ray.data.Dataset:
+def _pointer_jump(labels: ray.data.Dataset,
+                  num_buckets: int | None = None) -> ray.data.Dataset:
     """L[n] <- L[L[n]] in one self-join shuffle: every node routes a
     request row to its parent's bucket; the parent's own row answers it.
     Every label value is itself a node present in L (labels start as
@@ -180,7 +185,8 @@ def _pointer_jump(labels: ray.data.Dataset) -> ray.data.Dataset:
             "label": req["key"].map(lab).to_numpy().astype(np.int64),
         })
 
-    return bucket_apply(tagged, ["key"], jump_bucket, batch_format="pandas")
+    return bucket_apply(tagged, ["key"], jump_bucket,
+                        num_buckets=num_buckets, batch_format="pandas")
 
 
 def connected_components(
@@ -188,6 +194,7 @@ def connected_components(
     col_a: str = "doc_a",
     col_b: str = "doc_b",
     max_rounds: int = 30,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Components of the undirected graph given by ``pairs`` (int64 node
     ids; factorize string keys first).  Returns a Dataset with columns
@@ -202,20 +209,33 @@ def connected_components(
     count is O(log diameter), so 30 covers any real graph.
     """
     edges_tagged = _tag_edges(pairs, col_a, col_b).materialize()
-    if edges_tagged.count() == 0:
+    n_edges = edges_tagged.count()
+    if n_edges == 0:
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "component": pa.array([], pa.int64()),
         }))
-    labels = _init_labels(edges_tagged).materialize()
+    if num_buckets is None:
+        # each round is 3 shuffles; size buckets by EDGE VOLUME, not CPU
+        # count — a tiny pair set in CPU-many buckets pays the whole
+        # repartition/sort overhead per round for near-empty groups
+        # (measured: 68 s -> ~15 s for the sf0.01 driver query).  At
+        # real scale the CPU-count default takes over.
+        from pyrdf2vec_ray.shuffle import default_num_buckets
+
+        num_buckets = max(1, min(default_num_buckets(),
+                                 -(-n_edges // 131072)))
+    labels = _init_labels(edges_tagged, num_buckets).materialize()
 
     for _ in range(max_rounds):
-        reduced = _min_reduce(_messages(labels, edges_tagged)).materialize()
+        reduced = _min_reduce(
+            _messages(labels, edges_tagged, num_buckets), num_buckets
+        ).materialize()
         n_changed = reduced.sum("changed")
         labels = reduced.drop_columns(["changed"])
         if not n_changed:
             break
-        labels = _pointer_jump(labels).materialize()
+        labels = _pointer_jump(labels, num_buckets).materialize()
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
