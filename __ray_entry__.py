@@ -1747,7 +1747,7 @@ def oracle_sql() -> dict[str, str]:
                      len(list_distinct(shingles)) AS dist
               FROM sh
             )
-            SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+            SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_words,
                    CAST(COALESCE(mx.mx, 0) AS DOUBLE)
                      / GREATEST(len(t.toks), 1) AS top_token_ratio,
                    1.0 - CAST(g.dist AS DOUBLE) / g.total

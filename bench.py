@@ -274,6 +274,9 @@ def run_benchmarks() -> dict:
     # 6b. curation: splits + stratified sample + exact decontamination
     # (new in late round 3 — NOT part of the round-1-comparable subset)
     def bench_curation():
+        # same workload as the oracle-checked driver queries — rates and
+        # benchmark-side definitions imported, not re-inlined
+        from __ray_entry__ import _SAMPLE_RATES, _decontam_benchmark
         from pyrdf2vec_ray.ops.curate import (
             assign_splits, decontaminate, sample_by_hash,
         )
@@ -283,20 +286,9 @@ def run_benchmarks() -> dict:
         )
         n = assign_splits(docs, seed=7).count()
         n += sample_by_hash(
-            docs, rates_by="lang",
-            rates={"en": 0.9, "de": 0.5, "fr": 0.25, "es": 0.1},
-            seed=11,
+            docs, rates_by="lang", rates=_SAMPLE_RATES, seed=11,
         ).count()
-        import pyarrow as pa
-
-        def pick(batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            return batch.select(["doc_id", "text"]).filter(
-                pa.array(ids % 20 == 0)
-            )
-
-        bench_side = docs.map_batches(pick, batch_format="pyarrow")
-        n += decontaminate(docs, bench_side).count()
+        n += decontaminate(docs, _decontam_benchmark(docs)).count()
         return n
 
     timed("curation", bench_curation)

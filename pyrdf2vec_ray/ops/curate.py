@@ -188,12 +188,16 @@ def sample_by_hash(
     Returns the surviving rows (key + rates_by columns)."""
     if (rate is None) == (rates is None):
         raise ValueError("pass exactly one of rate= or rates=/rates_by=")
+    if rate is not None and rates_by is not None:
+        raise ValueError(
+            "rate= is a flat rate; stratified sampling needs rates= "
+            "(rates_by would be silently ignored)"
+        )
+    if rates is not None and rates_by is None:
+        raise ValueError("rates= requires rates_by=<column>")
 
     def thresh(r: float) -> int:
         return int(round(float(r) * _N_BUCKETS))
-
-    if rates is not None and rates_by is None:
-        raise ValueError("rates= requires rates_by=<column>")
 
     def samp(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[key].to_numpy(dtype=np.int64).view(np.uint64)
@@ -280,12 +284,22 @@ def pack_sequences(
     rows-fit-in-a-worker assumption is the same one `sessionize`
     documents (pick num_parts so a partition's DOCS, not tokens, fit)."""
     from pyrdf2vec_ray.ops.text import TOKEN_RE
-    from pyrdf2vec_ray.shuffle import bucket_apply
+    from pyrdf2vec_ray.shuffle import (
+        bucket_apply,
+        part_prefix_bases,
+        segment_spans,
+    )
 
     if budget <= 0:
         raise ValueError("budget must be positive")
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[key].to_numpy(dtype=np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError(
+                f"pack_sequences requires non-negative {key} values "
+                "(the key range-partitions the scan)"
+            )
         text = batch["text"].astype(str)
         return pd.DataFrame(
             {
@@ -297,8 +311,21 @@ def pack_sequences(
             }
         )
 
-    cnt = docs.map_batches(counts, batch_format="pandas", batch_size=8192)
+    # materialized once: consumed by max(), the part-sums aggregate and
+    # the final shuffle — without this the corpus tokenizes three times
+    cnt = docs.map_batches(
+        counts, batch_format="pandas", batch_size=8192
+    ).materialize()
     hi = cnt.max(key)
+    if hi is None:  # empty input: schema-preserving empty result
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table(
+                {c: pa.array([], pa.int64())
+                 for c in (key, "n_tokens", "seq_id", "seq_offset")}
+            )
+        )
     w = max(1, (int(hi) + num_parts) // num_parts)
 
     def with_part(batch: pd.DataFrame) -> pd.DataFrame:
@@ -307,37 +334,17 @@ def pack_sequences(
         return batch
 
     parted = cnt.map_batches(with_part, batch_format="pandas")
-
-    # small shuffle: per-partition totals -> driver cumsum -> broadcast
-    def part_sums(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("part", as_index=False)["n_tokens"].sum()
-
-    sums = (
-        parted.map_batches(part_sums, batch_format="pandas")
-        .groupby("part")
-        .sum("n_tokens")
-        .to_pandas()
-    )
-    sums = sums.sort_values("part").reset_index(drop=True)
-    col = "sum(n_tokens)" if "sum(n_tokens)" in sums.columns else "n_tokens"
-    base = np.zeros(num_parts + 1, dtype=np.int64)
-    np.add.at(
-        base,
-        sums["part"].to_numpy(dtype=np.int64) + 1,
-        sums[col].to_numpy(dtype=np.int64),
-    )
-    base = np.cumsum(base)
-    base_ref = ray.put(base)
+    base_ref = part_prefix_bases(parted, "part", "n_tokens", num_parts)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         bases = ray.get(base_ref)
-        g = g.sort_values([ "part", key ]).reset_index(drop=True)
+        g = g.sort_values(["part", key]).reset_index(drop=True)
         n = g["n_tokens"].to_numpy(dtype=np.int64)
         # exclusive cumsum restarting per part, plus the global base
         cs = np.cumsum(n) - n
         part = g["part"].to_numpy(dtype=np.int64)
-        starts = np.concatenate([[0], np.nonzero(np.diff(part))[0] + 1])
-        cs = cs - np.repeat(cs[starts], np.diff(np.concatenate([starts, [len(n)]])))
+        starts, lens = segment_spans(part)
+        cs = cs - np.repeat(cs[starts], lens)
         cum = cs + bases[part]
         return pd.DataFrame(
             {
@@ -384,29 +391,18 @@ def shuffle_order(
             }
         )
 
-    hs = docs.map_batches(hashed, batch_format="pandas", batch_size=8192)
-
-    def part_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("part", as_index=False).size()
-        return g.rename(columns={"size": "n"})
-
-    sums = (
-        hs.map_batches(part_counts, batch_format="pandas")
-        .groupby("part")
-        .sum("n")
-        .to_pandas()
+    from pyrdf2vec_ray.shuffle import (
+        bucket_apply,
+        part_prefix_bases,
+        segment_spans,
     )
-    col = "sum(n)" if "sum(n)" in sums.columns else "n"
-    base = np.zeros(n_parts + 1, dtype=np.int64)
-    np.add.at(
-        base,
-        sums["part"].to_numpy(dtype=np.int64) + 1,
-        sums[col].to_numpy(dtype=np.int64),
-    )
-    base = np.cumsum(base)
-    base_ref = ray.put(base)
 
-    from pyrdf2vec_ray.shuffle import bucket_apply
+    # materialized once: consumed by the part-counts aggregate and the
+    # final shuffle — without this the corpus hashes (and reads) twice
+    hs = docs.map_batches(
+        hashed, batch_format="pandas", batch_size=8192
+    ).materialize()
+    base_ref = part_prefix_bases(hs, "part", None, n_parts)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         bases = ray.get(base_ref)
@@ -415,10 +411,8 @@ def shuffle_order(
         order = np.lexsort((g[key].to_numpy(), hu, g["part"].to_numpy()))
         g = g.iloc[order].reset_index(drop=True)
         part = g["part"].to_numpy(dtype=np.int64)
-        starts = np.concatenate([[0], np.nonzero(np.diff(part))[0] + 1])
-        within = np.arange(len(g)) - np.repeat(
-            starts, np.diff(np.concatenate([starts, [len(g)]]))
-        )
+        starts, lens = segment_spans(part)
+        within = np.arange(len(g)) - np.repeat(starts, lens)
         return pd.DataFrame(
             {key: g[key], "rank": bases[part] + within}
         )

@@ -293,12 +293,17 @@ def token_count_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def repetition_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """(doc_id, n_tokens, top_token_ratio, dup_2gram_ratio): the
+    """(doc_id, n_words, top_token_ratio, dup_2gram_ratio): the
     Gopher-style repetition/boilerplate signals used to filter
     low-quality training docs — fraction of tokens that are the single
     most frequent token, and 1 - distinct/total 2-gram ratio.
     Stateless vectorized map stage (explode + grouped max; 2-grams via
-    the shared _ShingleBatch kernel); SQL-oracle-checkable."""
+    the shared _ShingleBatch kernel); SQL-oracle-checkable.
+
+    The count column is named ``n_words`` (non-empty whitespace tokens,
+    the shingle kernel's tokenization) deliberately — `text_stats`'
+    ``n_tokens`` counts raw `\\s+` splits INCLUDING empties, and the two
+    disagree on padded/empty text."""
 
     def rep(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].astype(str).reset_index(drop=True)
@@ -324,7 +329,7 @@ def repetition_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].reset_index(drop=True),
-                "n_tokens": n,
+                "n_words": n,
                 "top_token_ratio": tc / np.maximum(n, 1),
                 "dup_2gram_ratio": 1.0
                 - dist.to_numpy(dtype=np.float64) / total.to_numpy(dtype=np.float64),

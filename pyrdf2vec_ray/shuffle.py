@@ -148,3 +148,52 @@ def distinct(
     return bucket_apply(
         ds, key_cols, per_bucket, num_buckets=num_buckets, pre=local
     )
+
+
+def part_prefix_bases(
+    ds: ray.data.Dataset,
+    part_col: str,
+    value_col: str | None,
+    n_parts: int,
+):
+    """Driver-side exclusive prefix sum of per-part totals — the small
+    half of a two-level distributed scan (see ops/curate.pack_sequences
+    / shuffle_order).  ``value_col=None`` counts rows.  Only ``n_parts``
+    aggregate rows reach the driver; returns a ``ray.put`` ObjectRef of
+    an int64 array ``base`` with ``base[p]`` = total over parts < p."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if value_col is None:
+            g = batch.groupby(part_col, as_index=False).size()
+            return g.rename(columns={"size": "_v"})
+        g = batch.groupby(part_col, as_index=False)[value_col].sum()
+        return g.rename(columns={value_col: "_v"})
+
+    sums = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(part_col)
+        .sum("_v")
+        .to_pandas()
+    )
+    col = "sum(_v)" if "sum(_v)" in sums.columns else "_v"
+    base = np.zeros(n_parts + 1, dtype=np.int64)
+    np.add.at(
+        base,
+        sums[part_col].to_numpy(dtype=np.int64) + 1,
+        sums[col].to_numpy(dtype=np.int64),
+    )
+    return ray.put(np.cumsum(base))
+
+
+def segment_spans(part_sorted):
+    """(starts, lens) of the equal-value runs of an already-sorted int
+    array — the per-bucket boundary idiom shared by the scan kernels."""
+    import numpy as np
+
+    starts = np.concatenate([[0], np.nonzero(np.diff(part_sorted))[0] + 1])
+    lens = np.diff(np.concatenate([starts, [len(part_sorted)]]))
+    return starts, lens

@@ -242,3 +242,26 @@ def test_shuffle_order_matches_serial_and_sql():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, sql_df.astype({"rank": "int64"}))
+
+
+def test_sample_by_hash_rejects_rate_with_rates_by():
+    with pytest.raises(ValueError):
+        sample_by_hash(
+            _docs_ds({"doc_id": [1], "lang": ["en"]}), rate=0.5, rates_by="lang"
+        )
+
+
+def test_pack_sequences_empty_and_negative_keys():
+    from pyrdf2vec_ray.ops.curate import pack_sequences
+
+    empty = _docs_ds({"doc_id": pd.Series(dtype="int64"),
+                      "text": pd.Series(dtype=str)})
+    out = pack_sequences(empty, budget=64)
+    # Ray 2.49 to_pandas() drops schema on zero-row datasets; the
+    # Dataset-level schema is what downstream stages consume
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "n_tokens", "seq_id", "seq_offset"]
+
+    bad = _docs_ds({"doc_id": [-1, 2], "text": ["a", "b"]})
+    with pytest.raises(Exception, match="non-negative"):
+        pack_sequences(bad, budget=64).to_pandas()

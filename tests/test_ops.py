@@ -365,7 +365,7 @@ def test_repetition_stats_signals():
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    assert list(out["n_tokens"]) == [4, 4, 6, 1]
+    assert list(out["n_words"]) == [4, 4, 6, 1]
     assert out.loc[0, "top_token_ratio"] == 1.0
     assert out.loc[1, "top_token_ratio"] == 0.25
     assert abs(out.loc[2, "top_token_ratio"] - 0.5) < 1e-12
