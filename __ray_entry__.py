@@ -745,6 +745,42 @@ def q_doc_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), budget=2048)
 
 
+def q_events_asof(sf_dir: str):
+    """As-of attribution join (ops/events.asof_join): every click event
+    matched to the same user's most recent view at-or-before it (inner).
+    One co-partitioning bucket shuffle + a vectorized merge_asof per
+    bucket; the oracle is DuckDB's native ASOF JOIN over the identical
+    deduped right side."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def pick(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.equal(batch["event_type"], kind)
+            ).drop_columns(["event_type"])
+
+        return fn
+
+    clicks = ev.map_batches(pick("click"), batch_format="pyarrow")
+    views = ev.map_batches(pick("view"), batch_format="pyarrow")
+    return asof_join(
+        clicks, views,
+        by="user_id", on="ts",
+        left_cols=("event_id", "value"),
+        right_cols=("event_id", "value"),
+        right_prefix="view_",
+    )
+
+
 def q_events_hourly(sf_dir: str):
     import ray.data
 
@@ -1544,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam_ngram": q_doc_decontam_ngram,
         "tokens_by_lang": q_tokens_by_lang,
         "events_hourly": q_events_hourly,
+        "events_asof": q_events_asof,
         "knn_bruteforce": q_knn_bruteforce,
         # rows-only (non-SQL-expressible)
         "construct_triples": q_construct_triples,
@@ -1895,6 +1932,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_asof": """
+            WITH l AS (
+              SELECT user_id, ts, event_id, value
+              FROM events WHERE event_type = 'click'
+            ),
+            r0 AS (
+              SELECT user_id, ts, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id, ts ORDER BY event_id DESC
+                     ) AS rn
+              FROM events WHERE event_type = 'view'
+            ),
+            r AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1)
+            SELECT l.user_id, l.ts, l.event_id, l.value,
+                   r.event_id AS view_event_id, r.value AS view_value
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "doc_lang_id": """
             WITH h AS (

@@ -96,3 +96,77 @@ def sessionize(
         events, ["user_id"], sessions_bucket, num_buckets=None,
         batch_format="pandas",
     )
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str = "user_id",
+    on: str = "ts",
+    left_cols: tuple = ("event_id", "value"),
+    right_cols: tuple = ("event_id", "value"),
+    right_prefix: str = "r_",
+) -> ray.data.Dataset:
+    """Distributed INNER as-of join: for every left row, the single
+    right row with the same ``by`` key and the greatest ``on`` value
+    <= the left row's (inclusive); left rows with no prior right row
+    are dropped.  The operator Ray Data lacks and the task brief names;
+    the time-attribution primitive ("which view preceded this click").
+
+    Shape: tag both sides, ONE co-partitioning bucket shuffle on ``by``
+    (shuffle.bucket_apply), then a single ``pd.merge_asof`` (C-merge
+    over the bucket frame sorted by ``on``) per bucket — no per-key
+    Python loop.  Ties on (by, on) in the right side are broken
+    deterministically: the row with the largest first right_col (the id)
+    wins, and the right side is deduped to one row per (by, on) so the
+    SQL oracle (DuckDB ASOF JOIN) is exact.  Partitioning assumption
+    (as `sessionize`): one key's rows fit one bucket task."""
+    import numpy as np
+
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    def tag(kind: int, cols: tuple):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {by: batch[by].reset_index(drop=True),
+                 on: batch[on].reset_index(drop=True),
+                 "kind": np.int8(kind)}
+            )
+            for i, c in enumerate(cols):
+                out[f"_c{i}"] = batch[c].reset_index(drop=True)
+            return out
+
+        return fn
+
+    if len(left_cols) != len(right_cols):
+        raise ValueError("left_cols and right_cols must have equal length")
+    tagged = left.map_batches(
+        tag(0, left_cols), batch_format="pandas"
+    ).union(right.map_batches(tag(1, right_cols), batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["kind"] == 0]
+        r = g[g["kind"] == 1]
+        # dedupe right to one row per (by, on): max id (first col) wins
+        r = r.sort_values([by, on, "_c0"], kind="mergesort")
+        r = r.drop_duplicates([by, on], keep="last")
+        l = l.sort_values(on, kind="mergesort")
+        r = r.sort_values(on, kind="mergesort")
+        m = pd.merge_asof(
+            l, r, on=on, by=by, direction="backward",
+            suffixes=("", "_r"),
+        )
+        m = m[m["_c0_r"].notna()]
+        out = pd.DataFrame({by: m[by], on: m[on]})
+        for i, c in enumerate(left_cols):
+            out[c] = m[f"_c{i}"]
+        for i, c in enumerate(right_cols):
+            v = m[f"_c{i}_r"]
+            if pd.api.types.is_float_dtype(v) and pd.api.types.is_integer_dtype(
+                g[f"_c{i}"]
+            ):
+                v = v.astype("int64")
+            out[f"{right_prefix}{c}"] = v
+        return out
+
+    return bucket_apply(tagged, [by], join_bucket, batch_format="pandas")

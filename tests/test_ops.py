@@ -376,3 +376,39 @@ def test_repetition_stats_signals():
     assert abs(out.loc[2, "dup_2gram_ratio"] - (1 - 2 / 5)) < 1e-12
     # single-token doc: whole-text shingle, no duplication
     assert out.loc[3, "dup_2gram_ratio"] == 0.0
+
+
+def test_asof_join_semantics():
+    import ray.data
+    from pyrdf2vec_ray.ops.events import asof_join
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:05", "2024-01-01 00:00:10", "2024-01-01 00:00:20"]
+    )
+    left = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": ts,
+        "event_id": [100, 101, 102],
+        "value": [1.0, 2.0, 3.0],
+    }))
+    rts = pd.to_datetime(
+        ["2024-01-01 00:00:05", "2024-01-01 00:00:05",
+         "2024-01-01 00:00:08", "2024-01-01 00:00:30"]
+    )
+    right = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "ts": rts,
+        "event_id": [7, 9, 8, 10],
+        "value": [0.5, 0.7, 0.8, 0.9],
+    }))
+    out = (
+        asof_join(left, right, right_prefix="r_")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # click@05 matches the tied views@05 -> max event_id (9) wins
+    # click@10 matches view@08; user-2 click@20 has NO prior view -> dropped
+    assert list(out["event_id"]) == [100, 101]
+    assert list(out["r_event_id"]) == [9, 8]
+    assert list(out["r_value"]) == [0.7, 0.8]
