@@ -745,6 +745,21 @@ def q_doc_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), budget=2048)
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding event-time windows (ops/events.sliding_window): 1h window
+    advancing every 15min — each event covered by exactly 4 windows;
+    replication happens on per-batch pre-aggregated slot rows, not raw
+    events.  Integer epoch-second window keys end to end."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import sliding_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return sliding_window(ev, window_s=3600, slide_s=900)
+
+
 def q_events_asof(sf_dir: str):
     """As-of attribution join (ops/events.asof_join): every click event
     matched to the same user's most recent view at-or-before it (inner).
@@ -1580,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam_ngram": q_doc_decontam_ngram,
         "tokens_by_lang": q_tokens_by_lang,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
         "knn_bruteforce": q_knn_bruteforce,
         # rows-only (non-SQL-expressible)
@@ -1932,6 +1948,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_sliding": """
+            WITH e AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+              FROM events
+            ),
+            k AS (SELECT unnest(generate_series(0, 3)) AS i)
+            SELECT user_id,
+                   CAST(s // 900 * 900 - i * 900 AS BIGINT) AS window_start_s,
+                   count(*) AS n_events, sum(value) AS sum_value
+            FROM e CROSS JOIN k
+            GROUP BY user_id, s // 900 * 900 - i * 900
         """,
         "events_asof": """
             WITH l AS (

@@ -170,3 +170,68 @@ def asof_join(
         return out
 
     return bucket_apply(tagged, [by], join_bucket, batch_format="pandas")
+
+
+def sliding_window(
+    events: ray.data.Dataset,
+    window_s: int = 3600,
+    slide_s: int = 900,
+) -> ray.data.Dataset:
+    """(user_id, window_start_s, n_events, sum_value): per-user SLIDING
+    event-time windows — length ``window_s`` seconds advancing every
+    ``slide_s`` (must divide the window), so each event lands in exactly
+    ``window_s // slide_s`` overlapping windows.  Completes the window
+    family next to `tumbling_window` / `sessionize`.
+
+    Shape: the per-batch combiner replicates each pre-aggregated
+    (user, slide-slot) row k times with shifted window starts — the
+    replication happens AFTER the in-batch slot aggregation, so the
+    shuffle grows k-fold on the (small) aggregate rows, not the raw
+    events.  Window keys are integer epoch seconds end to end (no
+    timezone/round-trip traps; callers wanting timestamps cast once).
+    """
+    if window_s <= 0 or slide_s <= 0 or window_s % slide_s:
+        raise ValueError("slide_s must divide window_s")
+    k = window_s // slide_s
+    M = 1 << 34
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        batch = batch[["user_id", "ts", "value"]].copy()
+        sec = batch["ts"].astype("datetime64[s]").astype("int64")
+        slot = sec // slide_s * slide_s
+        batch["wkey"] = batch["user_id"].astype("int64") * M + slot
+        g = (
+            batch.groupby("wkey", as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        )
+        # replicate each slot row into its k covering windows
+        rep = g.loc[g.index.repeat(k)].reset_index(drop=True)
+        shift = np.tile(np.arange(k, dtype=np.int64) * slide_s, len(g))
+        rep["wkey"] = rep["wkey"] - shift
+        return rep
+
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    partials = events.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+    out = bucket_agg(
+        partials, ["wkey"],
+        {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
+        pre=False,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        wkey = batch["wkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": wkey // M,
+                "window_start_s": wkey % M,
+                "n_events": batch["n_events"].astype("int64"),
+                "sum_value": batch["sum_value"].astype("float64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -412,3 +412,28 @@ def test_asof_join_semantics():
     assert list(out["event_id"]) == [100, 101]
     assert list(out["r_event_id"]) == [9, 8]
     assert list(out["r_value"]) == [0.7, 0.8]
+
+
+def test_sliding_window_covers_k_windows():
+    import ray.data
+    from pyrdf2vec_ray.ops.events import sliding_window
+
+    ts = pd.to_datetime(["2024-01-01 10:20:00", "2024-01-01 10:50:00"])
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"user_id": [1, 1], "ts": ts, "value": [1.0, 2.0]})
+    )
+    out = (
+        sliding_window(ds, window_s=3600, slide_s=900)
+        .to_pandas()
+        .sort_values("window_start_s")
+        .reset_index(drop=True)
+    )
+    base = int(pd.Timestamp("2024-01-01 10:15:00").timestamp())
+    # event@10:20 covered by windows starting 09:30..10:15 (4 windows);
+    # event@10:50 by 10:00..10:45 -> overlap at 10:00 and 10:15
+    both = out[out["n_events"] == 2]
+    assert sorted(both["window_start_s"]) == [base - 900, base]
+    assert (both["sum_value"] == 3.0).all()
+    assert len(out) == 6  # 4 + 4 - 2 overlapping
+    with pytest.raises(ValueError):
+        sliding_window(ds, window_s=3600, slide_s=700)
