@@ -745,6 +745,24 @@ def q_doc_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), budget=2048)
 
 
+def q_events_interval_join(sf_dir: str):
+    """Range join (ops/events.interval_join): every event labeled with
+    its 30-min session's bounds — points⋈intervals containment via one
+    co-partitioning shuffle + a vectorized record-key searchsorted stab;
+    the oracle recomputes sessions with window functions and joins on
+    BETWEEN.  Every event must appear exactly once (sessions partition
+    the per-user timeline)."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import interval_join, sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    sessions = sessionize(ev, gap_minutes=30)
+    return interval_join(ev, sessions, point_cols=("event_id",))
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding event-time windows (ops/events.sliding_window): 1h window
     advancing every 15min — each event covered by exactly 4 windows;
@@ -1597,6 +1615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
         "knn_bruteforce": q_knn_bruteforce,
         # rows-only (non-SQL-expressible)
         "construct_triples": q_construct_triples,
@@ -1948,6 +1967,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_interval_join": """
+            WITH d AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts, event_id,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d
+            ), sess AS (
+              SELECT user_id, sid, min(ts) AS session_start,
+                     max(ts) AS session_end
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT e.user_id, e.ts, sess.session_start, sess.session_end,
+                   e.event_id
+            FROM events e JOIN sess
+              ON e.user_id = sess.user_id
+             AND e.ts BETWEEN sess.session_start AND sess.session_end
         """,
         "events_sliding": """
             WITH e AS (

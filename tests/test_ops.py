@@ -437,3 +437,40 @@ def test_sliding_window_covers_k_windows():
     assert len(out) == 6  # 4 + 4 - 2 overlapping
     with pytest.raises(ValueError):
         sliding_window(ds, window_s=3600, slide_s=700)
+
+
+def test_interval_join_containment_and_overlap_guard():
+    import ray.data
+    from pyrdf2vec_ray.ops.events import interval_join
+
+    pts = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 2, 2],
+        "ts": pd.to_datetime(["2024-01-01 10:05", "2024-01-01 11:30",
+                              "2024-01-01 10:05", "2024-01-01 10:20"]),
+        "event_id": [1, 2, 3, 4],
+    }))
+    iv = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "session_start": pd.to_datetime(
+            ["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 10:10"]),
+        "session_end": pd.to_datetime(
+            ["2024-01-01 10:30", "2024-01-01 11:15", "2024-01-01 10:30"]),
+    }))
+    out = (
+        interval_join(pts, iv)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 2 (11:30) is outside both user-1 intervals; event 3 (10:05)
+    # precedes user-2's interval
+    assert list(out["event_id"]) == [1, 4]
+    assert out.loc[0, "session_end"] == pd.Timestamp("2024-01-01 10:30")
+
+    bad = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [1, 1],
+        "session_start": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:10"]),
+        "session_end": pd.to_datetime(["2024-01-01 10:30", "2024-01-01 10:40"]),
+    }))
+    with pytest.raises(Exception, match="non-overlapping"):
+        interval_join(pts, bad).to_pandas()
