@@ -716,6 +716,17 @@ def q_doc_sample_stratified(sf_dir: str):
     )
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog distinct-token sketch per language (ops/sketch):
+    p=10 registers built from the 64-bit md5 prefix — bucket = top 10
+    bits, rho = leading-zero rank of the rest, grouped max.  The whole
+    register table is bit-exact in SQL (length(bin(w))); the float
+    estimator is pytest-bounded against exact counts."""
+    from pyrdf2vec_ray.ops.sketch import hll_registers
+
+    return hll_registers(_docs(sf_dir, ("doc_id", "text", "lang")))
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition signals (ops/text.repetition_stats):
     top-token ratio + duplicate-2-gram ratio per doc, both reproduced
@@ -1608,6 +1619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_shuffle_order": q_doc_shuffle_order,
         "doc_repetition": q_doc_repetition,
+        "hll_registers": q_hll_registers,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontam_ngram": q_doc_decontam_ngram,
@@ -1792,6 +1804,34 @@ def oracle_sql() -> dict[str, str]:
             rates_by="lang", rates=_SAMPLE_RATES, default_rate=1.0, seed=11
         ),
         "doc_shuffle_order": shuffle_order_sql(seed=13),
+        "hll_registers": r"""
+            WITH tok AS (
+              SELECT lang,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x != '')) AS tk
+              FROM documents
+            ),
+            d AS (SELECT DISTINCT lang, tk FROM tok),
+            h AS (
+              SELECT lang,
+                     CAST(concat('0x', substr(md5(tk), 1, 16)) AS UBIGINT)
+                       AS hv
+              FROM d
+            ),
+            rb AS (
+              SELECT lang, CAST(hv >> 54 AS BIGINT) AS reg,
+                     hv & ((1::UBIGINT << 54) - 1) AS w
+              FROM h
+            ),
+            r AS (
+              SELECT lang, reg,
+                     CASE WHEN w = 0 THEN 55
+                          ELSE 55 - length(bin(w)) END AS rho
+              FROM rb
+            )
+            SELECT lang, reg, CAST(max(rho) AS BIGINT) AS rho_max
+            FROM r GROUP BY lang, reg
+        """,
         "doc_repetition": r"""
             WITH t AS (
               SELECT doc_id,

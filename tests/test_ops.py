@@ -474,3 +474,35 @@ def test_interval_join_containment_and_overlap_guard():
     }))
     with pytest.raises(Exception, match="non-overlapping"):
         interval_join(pts, bad).to_pandas()
+
+
+def test_hll_estimate_within_error_bound():
+    import ray.data
+    from pyrdf2vec_ray.ops.sketch import hll_estimate, hll_registers
+
+    rng = np.random.RandomState(7)
+    # two languages with known distinct-token counts
+    def mk(lang, n_tokens, n_docs):
+        vocab = [f"{lang}tok{i}" for i in range(n_tokens)]
+        return [
+            (d, " ".join(rng.choice(vocab, 30)), lang) for d in range(n_docs)
+        ]
+
+    rows = mk("aa", 1500, 300) + mk("bb", 400, 200)
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    regs = hll_registers(ray.data.from_pandas(df)).to_pandas()
+    est = hll_estimate(regs).set_index("lang")["est_distinct"]
+    # exact distinct tokens actually used per lang
+    exact = (
+        df.assign(tok=df["text"].str.split())
+        .explode("tok").groupby("lang")["tok"].nunique()
+    )
+    for lang in ("aa", "bb"):
+        rel = abs(est[lang] - exact[lang]) / exact[lang]
+        assert rel < 0.15, (lang, est[lang], exact[lang])
+    # registers merge by max: sketch of half the docs never exceeds full
+    half = hll_registers(
+        ray.data.from_pandas(df.iloc[: len(df) // 2])
+    ).to_pandas()
+    m = half.merge(regs, on=["lang", "reg"], suffixes=("_h", "_f"))
+    assert (m["rho_max_h"] <= m["rho_max_f"]).all()
