@@ -727,6 +727,16 @@ def q_hll_registers(sf_dir: str):
     return hll_registers(_docs(sf_dir, ("doc_id", "text", "lang")))
 
 
+def q_cms_counters(sf_dir: str):
+    """Count-Min frequency sketch over token occurrences (ops/sketch):
+    4 x 1024 mergeable counters, per-batch partial sums before one tiny
+    shuffle; the full counter table is bit-exact in SQL (per-depth
+    splitmix64 chains over md5-64 hashes)."""
+    from pyrdf2vec_ray.ops.sketch import cms_counters
+
+    return cms_counters(_docs(sf_dir))
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition signals (ops/text.repetition_stats):
     top-token ratio + duplicate-2-gram ratio per doc, both reproduced
@@ -1620,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_order": q_doc_shuffle_order,
         "doc_repetition": q_doc_repetition,
         "hll_registers": q_hll_registers,
+        "cms_counters": q_cms_counters,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontam_ngram": q_doc_decontam_ngram,
@@ -1692,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         sample_by_hash_sql,
         shuffle_order_sql,
     )
+    from pyrdf2vec_ray.ops.sketch import cms_sql
 
     return {
         "kg_triples": _TRIPLES_CTE + "SELECT subj, pred, obj FROM triples",
@@ -1804,6 +1816,7 @@ def oracle_sql() -> dict[str, str]:
             rates_by="lang", rates=_SAMPLE_RATES, default_rate=1.0, seed=11
         ),
         "doc_shuffle_order": shuffle_order_sql(seed=13),
+        "cms_counters": cms_sql(),
         "hll_registers": r"""
             WITH tok AS (
               SELECT lang,

@@ -78,22 +78,27 @@ def _mulmod_sql(expr: str, c: int) -> str:
     )
 
 
-def splitmix64_sql(key_expr: str, seed: int) -> str:
+def splitmix64_sql(
+    key_expr: str, seed: int, suffix: str = "", src: str = "_sm_in"
+) -> str:
     """DuckDB SELECT-fragment pipeline reproducing
-    ``splitmix64(key ^ seed)`` bit-for-bit.  Returns a CTE chain body;
-    callers wrap it as ``WITH s0 AS (SELECT <keys>, ... FROM t), ...``.
-    Exposed so the pytest parity suite and the driver oracle share one
+    ``splitmix64(key ^ seed)`` bit-for-bit.  Returns a CTE chain body
+    ending in ``s3{suffix}`` (column ``h``); callers wrap it as
+    ``WITH {src} AS (SELECT <keys> ...), ...``.  ``suffix``/``src`` let
+    one query instantiate several chains (e.g. Count-Min depths).
+    Exposed so the pytest parity suite and the driver oracles share one
     definition."""
     add = (
         f"CAST((CAST(xor(CAST({key_expr} AS UBIGINT), "
         f"CAST({seed} AS UBIGINT)) AS HUGEINT) + {_SM_GAMMA}) "
         f"% 18446744073709551616 AS UBIGINT)"
     )
+    x = suffix
     return (
-        f"s0 AS (SELECT *, {add} AS z0 FROM _sm_in),\n"
-        f"s1 AS (SELECT *, {_mulmod_sql('xor(z0, z0 >> 30)', _SM_M1)} AS z1 FROM s0),\n"
-        f"s2 AS (SELECT *, {_mulmod_sql('xor(z1, z1 >> 27)', _SM_M2)} AS z2 FROM s1),\n"
-        f"s3 AS (SELECT *, xor(z2, z2 >> 31) AS h FROM s2)"
+        f"s0{x} AS (SELECT *, {add} AS z0 FROM {src}),\n"
+        f"s1{x} AS (SELECT *, {_mulmod_sql('xor(z0, z0 >> 30)', _SM_M1)} AS z1 FROM s0{x}),\n"
+        f"s2{x} AS (SELECT *, {_mulmod_sql('xor(z1, z1 >> 27)', _SM_M2)} AS z2 FROM s1{x}),\n"
+        f"s3{x} AS (SELECT *, xor(z2, z2 >> 31) AS h FROM s2{x})"
     )
 
 

@@ -120,3 +120,121 @@ def hll_estimate(registers: pd.DataFrame, group_col: str = "lang",
             e = m * np.log(m / zeros)
         out.append((g, float(e)))
     return pd.DataFrame(out, columns=[group_col, "est_distinct"])
+
+
+# ---- Count-Min (Cormode & Muthukrishnan 2005) ------------------------------
+
+CMS_SEEDS = (1000003, 2000029, 3000073, 4000037)
+CMS_WIDTH = 1024
+
+
+def cms_counters(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    width: int = CMS_WIDTH,
+    seeds: tuple = CMS_SEEDS,
+) -> ray.data.Dataset:
+    """(d, j, cnt): Count-Min counter table over token OCCURRENCES —
+    counters merge by sum, so per-batch partials pre-aggregate before
+    ONE tiny shuffle of depth x width integer rows.  Point queries
+    (``cms_query``) give overestimates bounded by ||f||_1 * e / width
+    with prob 1 - e^-depth: the frequency companion to the HLL
+    cardinality sketch.  Hash_d = splitmix64(md5_64(token) ^ seed_d)
+    % width — bit-exact in SQL via the shared splitmix64_sql chains."""
+    from pyrdf2vec_ray.ops.curate import splitmix64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].astype(str).reset_index(drop=True)
+        exploded = text.str.split().explode().dropna()
+        if not len(exploded):
+            return pd.DataFrame(
+                {"d": pd.Series(dtype="int64"),
+                 "j": pd.Series(dtype="int64"),
+                 "cnt": pd.Series(dtype="int64")}
+            )
+        codes, uniq = pd.factorize(exploded.to_numpy())
+        occ = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        uh = np.fromiter(
+            (int(hashlib.md5(u.encode()).hexdigest()[:16], 16)
+             for u in uniq),
+            dtype=np.uint64, count=len(uniq),
+        )
+        frames = []
+        for d, seed in enumerate(seeds):
+            j = (splitmix64(uh ^ np.uint64(seed))
+                 % np.uint64(width)).astype(np.int64)
+            cnt = np.zeros(width, dtype=np.int64)
+            np.add.at(cnt, j, occ)
+            nz = np.nonzero(cnt)[0]
+            frames.append(pd.DataFrame(
+                {"d": np.int64(d), "j": nz, "cnt": cnt[nz]}
+            ))
+        return pd.concat(frames, ignore_index=True)
+
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    parts = docs.map_batches(partial, batch_format="pandas",
+                             batch_size=4096)
+    return bucket_agg(parts, ["d", "j"], {"cnt": ("cnt", "sum")},
+                      pre=False)
+
+
+def cms_query(
+    counters: pd.DataFrame,
+    tokens,
+    width: int = CMS_WIDTH,
+    seeds: tuple = CMS_SEEDS,
+) -> pd.DataFrame:
+    """(token, est): Count-Min point estimates (min over depths) from a
+    collected counter table — depth x width rows, driver-scale."""
+    from pyrdf2vec_ray.ops.curate import splitmix64
+
+    tab = np.zeros((len(seeds), width), dtype=np.int64)
+    tab[counters["d"].to_numpy(dtype=np.int64),
+        counters["j"].to_numpy(dtype=np.int64)] = (
+        counters["cnt"].to_numpy(dtype=np.int64)
+    )
+    uh = np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in tokens),
+        dtype=np.uint64, count=len(tokens),
+    )
+    ests = np.full(len(tokens), np.iinfo(np.int64).max, dtype=np.int64)
+    for d, seed in enumerate(seeds):
+        j = (splitmix64(uh ^ np.uint64(seed))
+             % np.uint64(width)).astype(np.int64)
+        ests = np.minimum(ests, tab[d, j])
+    return pd.DataFrame({"token": list(tokens), "est": ests})
+
+
+def cms_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    width: int = CMS_WIDTH,
+    seeds: tuple = CMS_SEEDS,
+) -> str:
+    """DuckDB oracle for :func:`cms_counters`: one splitmix64 chain per
+    depth over the md5-64 token hashes, unioned, grouped count."""
+    from pyrdf2vec_ray.ops.curate import splitmix64_sql
+
+    chains = ",\n".join(
+        splitmix64_sql("v", seed, suffix=f"_{d}", src="_cms_in")
+        for d, seed in enumerate(seeds)
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, CAST(h % {width} AS BIGINT) AS j FROM s3_{d}"
+        for d in range(len(seeds))
+    )
+    return (
+        f"WITH tok AS (\n"
+        f"  SELECT unnest(list_filter(regexp_split_to_array({text_col}, "
+        f"'\\s+'), x -> x != '')) AS tk FROM {table}\n"
+        f"),\n"
+        f"_cms_in AS (\n"
+        f"  SELECT CAST(concat('0x', substr(md5(tk), 1, 16)) AS UBIGINT)"
+        f" AS v FROM tok\n"
+        f"),\n"
+        f"{chains},\n"
+        f"u AS (\n{union}\n)\n"
+        f"SELECT d, j, CAST(count(*) AS BIGINT) AS cnt\n"
+        f"FROM u GROUP BY d, j"
+    )

@@ -506,3 +506,32 @@ def test_hll_estimate_within_error_bound():
     ).to_pandas()
     m = half.merge(regs, on=["lang", "reg"], suffixes=("_h", "_f"))
     assert (m["rho_max_h"] <= m["rho_max_f"]).all()
+
+
+def test_cms_point_estimates_bound_exact_counts():
+    import ray.data
+    from pyrdf2vec_ray.ops.sketch import cms_counters, cms_query
+
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(300)]
+    # zipf-ish: token w0 very heavy
+    texts = [
+        " ".join(rng.choice(vocab, 40, p=np.ones(300) / 300))
+        + " w0 w0 w0"
+        for _ in range(200)
+    ]
+    df = pd.DataFrame({"doc_id": range(200), "text": texts})
+    counters = cms_counters(ray.data.from_pandas(df)).to_pandas()
+    exact = (
+        df["text"].str.split().explode().value_counts()
+    )
+    probe = ["w0", "w1", "w2", "w17"]
+    est = cms_query(counters, probe).set_index("token")["est"]
+    for t in probe:
+        assert est[t] >= exact[t]  # CM never underestimates
+    # the heavy hitter is estimated tightly (overestimate <= ||f||_1/width * e ~ small)
+    assert est["w0"] <= exact["w0"] + 8 * len(df["text"].str.split().explode()) / 1024
+    # counters merge by sum: half-corpus counters <= full
+    half = cms_counters(ray.data.from_pandas(df.iloc[:100])).to_pandas()
+    m = half.merge(counters, on=["d", "j"], suffixes=("_h", "_f"))
+    assert (m["cnt_h"] <= m["cnt_f"]).all()
