@@ -1,0 +1,78 @@
+"""The LLM training-data curation pipeline end to end — the operators a
+100-TB corpus runs between raw documents and the trainer, composed:
+
+  docs → exact dedup → benchmark decontamination (exact + 8-gram)
+       → quality / repetition filtering
+       → deterministic train/val/test splits (splitmix64, shuffle-free)
+       → per-language mixture down-sampling
+       → sequence packing (distributed prefix sum)
+       → deterministic global shuffle order
+
+Everything is reproducible under re-partitioning/resume (pure per-row
+hashes, no RNG streams).  Run: PYTHONPATH=.. python curation.py
+"""
+
+import ray
+
+ray.init(address="local", num_cpus=8, include_dashboard=False,
+         logging_level="ERROR")
+
+import pandas as pd                                               # noqa: E402
+import ray.data                                                   # noqa: E402
+
+from pyrdf2vec_ray.ops.curate import (                            # noqa: E402
+    assign_splits,
+    decontaminate,
+    decontaminate_ngram,
+    pack_sequences,
+    sample_by_hash,
+    shuffle_order,
+)
+from pyrdf2vec_ray.ops.dedup import exact_dedup                   # noqa: E402
+from pyrdf2vec_ray.ops.text import repetition_stats               # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+
+# 1. exact dedup: smallest doc_id per identical text survives
+survivors = exact_dedup(docs)
+keep_ids = set(survivors.to_pandas()["doc_id"])  # demo-scale collect
+docs = docs.map_batches(
+    lambda b: b[b["doc_id"].isin(keep_ids)], batch_format="pandas"
+)
+
+# 2. decontamination vs a held-out "benchmark" (here: every 20th doc)
+bench = docs.map_batches(
+    lambda b: b[b["doc_id"] % 20 == 0], batch_format="pandas"
+).map_batches(lambda t: t, batch_format="pyarrow")
+clean_ids = set(decontaminate_ngram(docs, bench, window=8)
+                .to_pandas()["doc_id"])
+docs = docs.map_batches(
+    lambda b: b[b["doc_id"].isin(clean_ids)], batch_format="pandas"
+)
+
+# 3. repetition filter: drop boilerplate-heavy docs
+rep = repetition_stats(docs).to_pandas()
+good = set(rep[rep["dup_2gram_ratio"] < 0.5]["doc_id"])
+docs = docs.map_batches(
+    lambda b: b[b["doc_id"].isin(good)], batch_format="pandas"
+)
+
+# 4. splits + mixture weighting + packing + training order
+splits = assign_splits(docs, seed=7).to_pandas()
+sampled = sample_by_hash(
+    docs, rates_by="lang",
+    rates={"en": 0.9, "de": 0.5, "fr": 0.25, "es": 0.1}, seed=11,
+)
+packed = pack_sequences(docs, budget=2048).to_pandas()
+order = shuffle_order(docs.select_columns(["doc_id"]), seed=13).to_pandas()
+
+print("docs after dedup+decontam+quality:", len(packed))
+print(splits["split"].value_counts().to_dict())
+print("sampled rows:", sampled.count())
+print("packed sequences:", int(packed["seq_id"].max()) + 1,
+      "of 2048 tokens")
+print(pd.merge(packed, order, on="doc_id").head(3).to_string())
+
+ray.shutdown()
