@@ -737,6 +737,61 @@ def q_cms_counters(sf_dir: str):
     return cms_counters(_docs(sf_dir))
 
 
+def q_bloom_words(sf_dir: str):
+    """Bloom membership filter over the corpus tokens (ops/sketch
+    .bloom_words): m=4096 bits as 128 32-bit words, k=3 splitmix64
+    hashes over md5-64 token hashes, per-batch OR partials before one
+    tiny word shuffle.  The full word table is bit-exact in SQL
+    (bit_or over the same hash chains); zero-false-negative membership
+    is pytest-pinned (bloom_contains)."""
+    from pyrdf2vec_ray.ops.sketch import bloom_words
+
+    return bloom_words(_docs(sf_dir))
+
+
+def q_doc_topk_by_lang(sf_dir: str):
+    """Grouped top-k (ops/agg.topk_by_group): the 3 longest docs per
+    language by n_chars, ties broken by doc_id — per-batch partial
+    top-k combiner (top-k of a union == top-k of per-part top-ks), then
+    one bucket shuffle of <= k x groups x batches candidate rows, never
+    the corpus.  Oracle: ROW_NUMBER window."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import topk_by_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return topk_by_group(docs, "lang", "n_chars", k=3, id_col="doc_id")
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact distributed quantiles per group (ops/agg
+    .grouped_quantiles): p25/p50/p90 of n_chars per source via a
+    (group, value)->count histogram shuffle — the exchange is bounded
+    by the value domain, not the row count.  Matches DuckDB
+    quantile_disc (sorted element at floor((n-1)*q)) bit-for-bit."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import grouped_quantiles
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return grouped_quantiles(docs, "source", "n_chars", (0.25, 0.5, 0.9))
+
+
+def q_inverted_index(sf_dir: str):
+    """Distributed inverted index (ops/text.posting_lists): DISTINCT
+    (token, doc) combiner per batch, one token-bucket shuffle, sorted
+    posting lists serialized as comma-joined ids; min_df=3 prunes the
+    singleton tail.  Oracle: array_to_string(array_agg(DISTINCT ...))."""
+    from pyrdf2vec_ray.ops.text import posting_lists
+
+    return posting_lists(_docs(sf_dir), min_df=3)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition signals (ops/text.repetition_stats):
     top-token ratio + duplicate-2-gram ratio per doc, both reproduced
@@ -1631,6 +1686,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
+        "bloom_words": q_bloom_words,
+        "doc_topk_by_lang": q_doc_topk_by_lang,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "inverted_index": q_inverted_index,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontam_ngram": q_doc_decontam_ngram,
@@ -1703,7 +1762,8 @@ def oracle_sql() -> dict[str, str]:
         sample_by_hash_sql,
         shuffle_order_sql,
     )
-    from pyrdf2vec_ray.ops.sketch import cms_sql
+    from pyrdf2vec_ray.ops.agg import grouped_quantiles_sql
+    from pyrdf2vec_ray.ops.sketch import bloom_sql, cms_sql
 
     return {
         "kg_triples": _TRIPLES_CTE + "SELECT subj, pred, obj FROM triples",
@@ -1817,6 +1877,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_shuffle_order": shuffle_order_sql(seed=13),
         "cms_counters": cms_sql(),
+        "bloom_words": bloom_sql(),
+        "doc_topk_by_lang": """
+            SELECT lang, doc_id, n_chars, rank FROM (
+              SELECT lang, doc_id, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id
+                     ) AS rank
+              FROM documents
+            ) WHERE rank <= 3
+        """,
+        "doc_length_quantiles": grouped_quantiles_sql(
+            (0.25, 0.5, 0.9), "documents", "source", "n_chars"
+        ),
+        "inverted_index": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x != '')) AS token
+              FROM documents
+            ),
+            d AS (SELECT DISTINCT token, doc_id FROM tok)
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   array_to_string(array_agg(doc_id ORDER BY doc_id), ',')
+                     AS postings
+            FROM d GROUP BY token
+            HAVING count(*) >= 3
+        """,
         "hll_registers": r"""
             WITH tok AS (
               SELECT lang,

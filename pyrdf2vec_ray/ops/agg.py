@@ -1,0 +1,146 @@
+"""Grouped order-statistics operators: top-k per group and exact
+distributed quantiles.
+
+Both are training-data curation staples — "keep the k highest-quality
+documents per language" and "what is the p50/p90 document length per
+source" — and both are shuffle-shaped wrong if done naively (a global
+sort, or collecting every row of a group).  The designs here move only
+what the statistic needs:
+
+* ``topk_by_group`` pre-combines per batch (each batch keeps at most k
+  rows per group it has seen), so the single bucket shuffle carries
+  ≤ k × groups × num_batches rows, never the corpus.
+* ``grouped_quantiles`` reduces the corpus to a (group, value, count)
+  HISTOGRAM first — one tiny pre-aggregated shuffle — then reads the
+  order statistic off cumulative counts per group.  For discrete-ish
+  value domains (lengths, token counts, scores in fixed precision) this
+  is EXACT, not an approximation: at 100 TB the histogram is bounded by
+  the domain size, not the row count (cf. the t-digest family, which
+  trades exactness for unbounded domains).
+
+Determinism: top-k ties break by ``id_col`` ascending; the quantile is
+DuckDB's ``quantile_disc`` element — sorted value at 1-based rank
+``ceil(n * q)`` — so both are bit-reproducible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
+
+
+def topk_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    score_col: str,
+    k: int,
+    id_col: str,
+    ascending: bool = False,
+) -> ray.data.Dataset:
+    """(group, id, score, rank): the k extreme rows per group by
+    ``score_col`` (desc by default), ties broken by ``id_col`` asc,
+    ``rank`` 1-based.  Per-batch partial top-k first (the combiner —
+    top-k of a union is top-k of per-part top-ks), then ONE bucket
+    shuffle of the shrunken candidate set and the same kernel per
+    group."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols = [group_col, id_col, score_col]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[cols].sort_values(
+            [group_col, score_col, id_col],
+            ascending=[True, ascending, True],
+        )
+        return b.groupby(group_col, as_index=False, sort=False).head(k)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [group_col, score_col, id_col],
+            ascending=[True, ascending, True],
+        )
+        top = g.groupby(group_col, as_index=False, sort=False).head(k).copy()
+        top["rank"] = top.groupby(group_col, sort=False).cumcount() + 1
+        return top.reset_index(drop=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return bucket_apply(parts, [group_col], per_bucket,
+                        batch_format="pandas")
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.9),
+) -> ray.data.Dataset:
+    """(group, q, value): EXACT discrete quantiles per group — the
+    sorted element at 1-based rank ``ceil(n * q)`` (probed against
+    DuckDB ``quantile_disc`` across group sizes; both sides compute
+    ``n * q`` in IEEE double, so the ranks agree bit-for-bit).
+    Histogram
+    pre-aggregation: the only shuffle is (group, value) → count, so the
+    exchange is bounded by the value domain, not the row count."""
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    qs = list(qs)
+
+    hist = bucket_agg(
+        ds.select_columns([group_col, value_col]),
+        [group_col, value_col],
+        {"n": (value_col, "size")},
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, value_col]).reset_index(drop=True)
+        n = g["n"].to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(g[group_col].to_numpy())
+        starts = np.flatnonzero(np.r_[True, np.diff(codes) != 0])
+        ends = np.r_[starts[1:], len(g)]
+        cum = np.cumsum(n)
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        totals = cum[ends - 1] - base
+        vals = g[value_col].to_numpy()
+        out_g, out_q, out_v = [], [], []
+        # loop over GROUPS (not rows): groups-per-bucket is small by
+        # construction; each searchsorted is vectorized over the
+        # group's histogram slice
+        for gi in range(len(uniq)):
+            within = cum[starts[gi]:ends[gi]] - base[gi]
+            for q in qs:
+                r = max(0, int(np.ceil(totals[gi] * q)) - 1)
+                j = int(np.searchsorted(within, r, side="right"))
+                out_g.append(uniq[gi])
+                out_q.append(q)
+                out_v.append(vals[starts[gi] + j])
+        return pd.DataFrame(
+            {group_col: out_g, "q": np.asarray(out_q, dtype=np.float64),
+             value_col: out_v}
+        )
+
+    return bucket_apply(hist, [group_col], per_bucket,
+                        batch_format="pandas")
+
+
+def grouped_quantiles_sql(
+    qs: Sequence[float] = (0.25, 0.5, 0.9),
+    table: str = "documents",
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+) -> str:
+    """DuckDB oracle for :func:`grouped_quantiles` — one
+    ``quantile_disc`` per requested q, unioned."""
+    legs = "\nUNION ALL\n".join(
+        f"SELECT {group_col}, CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc({value_col}, {q}) AS {value_col} "
+        f"FROM {table} GROUP BY {group_col}"
+        for q in qs
+    )
+    return legs

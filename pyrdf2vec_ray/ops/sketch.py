@@ -238,3 +238,133 @@ def cms_sql(
         f"SELECT d, j, CAST(count(*) AS BIGINT) AS cnt\n"
         f"FROM u GROUP BY d, j"
     )
+
+
+# ---- Bloom filter (Bloom 1970) ---------------------------------------------
+
+BLOOM_M = 4096
+BLOOM_K = 3
+BLOOM_SEED = 7000003
+
+
+def bloom_words(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+) -> ray.data.Dataset:
+    """(word, bits): a Bloom filter over the corpus's whitespace tokens,
+    laid out as ``m / 32`` 32-bit words (int64-safe, no sign traps on
+    either the pandas or the DuckDB side).  The membership companion to
+    HLL (how many distinct) and Count-Min (how often): "is this token /
+    URL / benchmark id present at all" with zero false negatives —
+    e.g. a decontamination pre-filter that runs BEFORE any shuffle.
+
+    Mergeable by bitwise OR, so per-batch partials pre-combine and the
+    single shuffle carries at most ``m / 32`` rows per batch.  Position
+    d = splitmix64(md5_64(token) ^ (seed + d)) % m, the same hash
+    derivations the CMS/HLL oracles reproduce bit-for-bit in SQL."""
+    if m % 32:
+        raise ValueError("m must be a multiple of 32")
+    from pyrdf2vec_ray.ops.curate import splitmix64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].astype(str).reset_index(drop=True)
+        toks = text.str.split().explode().dropna().unique()
+        if not len(toks):
+            return pd.DataFrame(
+                {"word": pd.Series(dtype="int64"),
+                 "bits": pd.Series(dtype="int64")}
+            )
+        uh = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+             for t in toks),
+            dtype=np.uint64, count=len(toks),
+        )
+        words = np.zeros(m // 32, dtype=np.int64)
+        for d in range(k):
+            pos = (splitmix64(uh ^ np.uint64(seed + d))
+                   % np.uint64(m)).astype(np.int64)
+            np.bitwise_or.at(words, pos >> 5,
+                             np.int64(1) << (pos & 31))
+        nz = np.nonzero(words)[0]
+        return pd.DataFrame({"word": nz, "bits": words[nz]})
+
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    parts = docs.map_batches(partial, batch_format="pandas",
+                             batch_size=4096)
+
+    def or_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("word")
+        codes, uniq = pd.factorize(g["word"].to_numpy())
+        out = np.zeros(len(uniq), dtype=np.int64)
+        np.bitwise_or.at(out, codes, g["bits"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"word": uniq.astype(np.int64), "bits": out})
+
+    return bucket_apply(parts, ["word"], or_merge, batch_format="pandas")
+
+
+def bloom_contains(
+    words: pd.DataFrame,
+    tokens,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+) -> np.ndarray:
+    """Boolean membership probe against a collected word table — true
+    iff every one of the k bits is set (never a false negative)."""
+    from pyrdf2vec_ray.ops.curate import splitmix64
+
+    full = np.zeros(m // 32, dtype=np.int64)
+    full[words["word"].to_numpy(dtype=np.int64)] = (
+        words["bits"].to_numpy(dtype=np.int64)
+    )
+    uh = np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in tokens),
+        dtype=np.uint64, count=len(tokens),
+    )
+    hit = np.ones(len(uh), dtype=bool)
+    for d in range(k):
+        pos = (splitmix64(uh ^ np.uint64(seed + d))
+               % np.uint64(m)).astype(np.int64)
+        hit &= (full[pos >> 5] >> (pos & 31)) & 1 == 1
+    return hit
+
+
+def bloom_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+) -> str:
+    """DuckDB oracle for :func:`bloom_words`: one splitmix64 chain per
+    hash function over the md5-64 token hashes, bit positions OR-folded
+    per 32-bit word (OR is idempotent, so no DISTINCT needed)."""
+    from pyrdf2vec_ray.ops.curate import splitmix64_sql
+
+    chains = ",\n".join(
+        splitmix64_sql("v", seed + d, suffix=f"_{d}", src="_bf_in")
+        for d in range(k)
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(h % {m} AS BIGINT) AS pos FROM s3_{d}"
+        for d in range(k)
+    )
+    return (
+        f"WITH tok AS (\n"
+        f"  SELECT unnest(list_filter(regexp_split_to_array({text_col}, "
+        f"'\\s+'), x -> x != '')) AS tk FROM {table}\n"
+        f"),\n"
+        f"_bf_in AS (\n"
+        f"  SELECT CAST(concat('0x', substr(md5(tk), 1, 16)) AS UBIGINT)"
+        f" AS v FROM tok\n"
+        f"),\n"
+        f"{chains},\n"
+        f"u AS (\n{union}\n)\n"
+        f"SELECT CAST(pos // 32 AS BIGINT) AS word,\n"
+        f"       bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits\n"
+        f"FROM u GROUP BY pos // 32"
+    )

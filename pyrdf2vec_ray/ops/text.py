@@ -396,3 +396,56 @@ def tfidf_topk(docs: ray.data.Dataset, k: int = 5) -> ray.data.Dataset:
 
     return bucket_apply(with_df, ["doc_id"], topk_bucket,
                         batch_format="pandas")
+
+
+def posting_lists(
+    docs: ray.data.Dataset,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(token, df, postings): a distributed inverted index over the
+    corpus's whitespace tokens — document frequency plus the sorted
+    posting list, serialized as a comma-joined id string (strings
+    compare exactly across engines; Arrow/DuckDB list columns don't
+    hash identically through every driver).
+
+    The index is the substrate for exact decontamination lookups and
+    phrase search at corpus scale.  Shuffle shape: per-batch DISTINCT
+    (token, doc) pairs (the combiner — a doc contributes each token
+    once regardless of occurrences), then ONE token-bucket shuffle;
+    posting lists assemble vectorized per bucket.  Skew note: at 100 TB
+    the df of stopwords ~ corpus size, so real deployments cap postings
+    per token (or drop df > threshold tokens, which search engines do
+    anyway); ``min_df`` prunes the singleton tail at the other end."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].astype(str).reset_index(drop=True)
+        ids = batch[id_col].reset_index(drop=True)
+        toks = text.str.split().explode().dropna()
+        if not len(toks):
+            return pd.DataFrame(
+                {"token": pd.Series(dtype="object"),
+                 id_col: pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"token": toks.to_numpy(),
+             id_col: ids.iloc[toks.index].to_numpy()}
+        ).drop_duplicates()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(["token", id_col])
+        agg = g.groupby("token", sort=False, as_index=False).agg(
+            df=(id_col, "size"),
+            postings=(id_col, lambda s: ",".join(map(str, s))),
+        )
+        if min_df > 1:
+            agg = agg[agg["df"] >= min_df]
+        return agg.reset_index(drop=True)
+
+    parts = docs.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pandas"
+    )
+    return bucket_apply(parts, ["token"], per_bucket,
+                        batch_format="pandas")

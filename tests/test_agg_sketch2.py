@@ -1,0 +1,125 @@
+"""Grouped top-k, exact grouped quantiles, Bloom filter, inverted
+index: reference-checked against naive pandas/numpy implementations
+and (for the quantile rank rule) DuckDB itself."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pyrdf2vec_ray.ops.agg import grouped_quantiles, topk_by_group
+from pyrdf2vec_ray.ops.sketch import bloom_contains, bloom_words
+from pyrdf2vec_ray.ops.text import posting_lists
+from pyrdf2vec_ray.util import to_table
+
+
+def _scored_ds(n=500, groups=7, seed=3):
+    rng = np.random.RandomState(seed)
+    return ray.data.from_arrow(pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "grp": pa.array([f"g{i}" for i in rng.randint(0, groups, n)]),
+        # small value domain forces ties -> exercises the tie-break
+        "score": pa.array(rng.randint(0, 40, n), pa.int64()),
+    })).repartition(8)
+
+
+def test_topk_by_group_matches_pandas():
+    ds = _scored_ds()
+    got = (to_table(topk_by_group(ds, "grp", "score", 5, id_col="id"))
+           .to_pandas().sort_values(["grp", "rank"]).reset_index(drop=True))
+    ref = ds.to_pandas().sort_values(
+        ["grp", "score", "id"], ascending=[True, False, True]
+    ).groupby("grp").head(5).reset_index(drop=True)
+    ref["rank"] = ref.groupby("grp").cumcount() + 1
+    pd.testing.assert_frame_equal(
+        got[["grp", "id", "score", "rank"]],
+        ref[["grp", "id", "score", "rank"]],
+    )
+
+
+def test_topk_ascending_and_k1():
+    ds = _scored_ds(n=100, groups=3)
+    got = (to_table(topk_by_group(ds, "grp", "score", 1, id_col="id",
+                                  ascending=True))
+           .to_pandas().sort_values("grp").reset_index(drop=True))
+    ref = (ds.to_pandas().sort_values(["grp", "score", "id"])
+           .groupby("grp").head(1).reset_index(drop=True))
+    assert got["id"].tolist() == ref["id"].tolist()
+    assert (got["rank"] == 1).all()
+
+
+@pytest.mark.parametrize("q", [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0])
+def test_grouped_quantiles_match_duckdb(q):
+    ds = _scored_ds(n=700, groups=5, seed=11)
+    got = (to_table(grouped_quantiles(ds, "grp", "score", (q,)))
+           .to_pandas().sort_values("grp").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("df", ds.to_pandas())
+    ref = con.execute(
+        f"SELECT grp, quantile_disc(score, {q}) AS score "
+        "FROM df GROUP BY grp ORDER BY grp"
+    ).df()
+    assert got["score"].tolist() == ref["score"].tolist()
+    assert (got["q"] == q).all()
+
+
+def test_grouped_quantiles_single_element_groups():
+    ds = ray.data.from_arrow(pa.table({
+        "grp": pa.array(["a", "b"]), "v": pa.array([10, 20], pa.int64()),
+    }))
+    got = (to_table(grouped_quantiles(ds, "grp", "v", (0.0, 0.5, 1.0)))
+           .to_pandas().sort_values(["grp", "q"]))
+    assert got[got["grp"] == "a"]["v"].tolist() == [10, 10, 10]
+    assert got[got["grp"] == "b"]["v"].tolist() == [20, 20, 20]
+
+
+def _bloom_docs():
+    texts = ["alpha beta gamma", "beta delta", "epsilon zeta eta theta",
+             "alpha beta", ""]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })).repartition(3)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    words = to_table(bloom_words(_bloom_docs())).to_pandas()
+    present = ["alpha", "beta", "gamma", "delta", "epsilon",
+               "zeta", "eta", "theta"]
+    assert bloom_contains(words, present).all()
+    # 8 tokens in a 4096-bit filter: fp rate ~ (24/4096)^3 ~ 2e-7
+    absent = [f"missing{i}" for i in range(2000)]
+    assert bloom_contains(words, absent).sum() == 0
+
+
+def test_bloom_partial_or_merge_matches_single_batch():
+    ds1 = _bloom_docs().repartition(1)
+    ds3 = _bloom_docs().repartition(3)
+    a = (to_table(bloom_words(ds1)).to_pandas()
+         .sort_values("word").reset_index(drop=True))
+    b = (to_table(bloom_words(ds3)).to_pandas()
+         .sort_values("word").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_posting_lists_matches_naive():
+    ds = _bloom_docs()
+    got = (to_table(posting_lists(ds, min_df=1)).to_pandas()
+           .sort_values("token").reset_index(drop=True))
+    naive = {}
+    for i, t in enumerate(["alpha beta gamma", "beta delta",
+                           "epsilon zeta eta theta", "alpha beta", ""]):
+        for tok in set(t.split()):
+            naive.setdefault(tok, set()).add(i)
+    assert got["token"].tolist() == sorted(naive)
+    for _, row in got.iterrows():
+        ids = sorted(naive[row["token"]])
+        assert row["df"] == len(ids)
+        assert row["postings"] == ",".join(map(str, ids))
+
+
+def test_posting_lists_min_df_prunes():
+    got = to_table(posting_lists(_bloom_docs(), min_df=2)).to_pandas()
+    assert set(got["token"]) == {"alpha", "beta"}
