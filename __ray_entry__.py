@@ -771,7 +771,8 @@ def q_doc_length_quantiles(sf_dir: str):
     .grouped_quantiles): p25/p50/p90 of n_chars per source via a
     (group, value)->count histogram shuffle — the exchange is bounded
     by the value domain, not the row count.  Matches DuckDB
-    quantile_disc (sorted element at floor((n-1)*q)) bit-for-bit."""
+    quantile_disc (sorted element at 1-based rank ceil(n*q))
+    bit-for-bit."""
     import ray.data
 
     from pyrdf2vec_ray.ops.agg import grouped_quantiles
@@ -790,6 +791,26 @@ def q_inverted_index(sf_dir: str):
     from pyrdf2vec_ray.ops.text import posting_lists
 
     return posting_lists(_docs(sf_dir), min_df=3)
+
+
+def q_doc_bigram_lm(sf_dir: str):
+    """Bigram-LM quality scoring (ops/text.bigram_lm_scores): fit
+    add-one-smoothed bigram counts on the EVEN doc_ids (a genuine
+    held-out split, so odd docs exercise real OOV bigrams), score every
+    doc — broadcast fitted counts, stateless vectorized searchsorted
+    scoring.  n_bigrams/oov_bigrams are bit-exact ints in SQL; the mean
+    log2 prob agrees under the driver's 6-decimal rounding."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.text import bigram_lm_scores
+
+    docs = _docs(sf_dir)
+
+    def even(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % 2 == 0]
+
+    lm = docs.map_batches(even, batch_format="pandas")
+    return bigram_lm_scores(docs, lm_docs=lm)
 
 
 def q_doc_repetition(sf_dir: str):
@@ -1688,6 +1709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counters": q_cms_counters,
         "bloom_words": q_bloom_words,
         "doc_topk_by_lang": q_doc_topk_by_lang,
+        "doc_bigram_lm": q_doc_bigram_lm,
         "doc_length_quantiles": q_doc_length_quantiles,
         "inverted_index": q_inverted_index,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -1891,6 +1913,49 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": grouped_quantiles_sql(
             (0.25, 0.5, 0.9), "documents", "source", "n_chars"
         ),
+        "doc_bigram_lm": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x != '') AS tk
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, unnest(tk) AS w,
+                     unnest(range(len(tk))) AS i
+              FROM toks
+            ),
+            big AS (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ),
+            lmbig AS (
+              SELECT w1, w2, count(*) AS c2 FROM big
+              WHERE doc_id % 2 = 0 GROUP BY w1, w2
+            ),
+            lmctx AS (
+              SELECT w1, sum(c2) AS c1 FROM lmbig GROUP BY w1
+            ),
+            vocab AS (
+              SELECT count(DISTINCT w) AS v FROM pos WHERE doc_id % 2 = 0
+            ),
+            scored AS (
+              SELECT big.doc_id,
+                     coalesce(lmbig.c2, 0) AS c2,
+                     coalesce(lmctx.c1, 0) AS c1
+              FROM big
+              LEFT JOIN lmbig USING (w1, w2)
+              LEFT JOIN lmctx USING (w1)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS oov_bigrams,
+                   avg(log2((c2 + 1.0) / (c1 + (SELECT v FROM vocab))))
+                     AS logprob2
+            FROM scored GROUP BY doc_id
+        """,
         "inverted_index": r"""
             WITH tok AS (
               SELECT doc_id,

@@ -123,3 +123,50 @@ def test_posting_lists_matches_naive():
 def test_posting_lists_min_df_prunes():
     got = to_table(posting_lists(_bloom_docs(), min_df=2)).to_pandas()
     assert set(got["token"]) == {"alpha", "beta"}
+
+
+def test_bigram_lm_matches_naive():
+    from pyrdf2vec_ray.ops.text import bigram_lm_scores
+
+    texts = ["a b c a b", "a b x", "z z", "solo", ""]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })).repartition(2)
+
+    def even(b):
+        return b[b["doc_id"] % 2 == 0]
+
+    lm = ds.map_batches(even, batch_format="pandas")
+    got = (to_table(bigram_lm_scores(ds, lm_docs=lm)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # naive: fit on docs 0,2,4 -> bigrams from "a b c a b" and "z z"
+    from collections import Counter
+    lm_texts = [texts[0], texts[2], texts[4]]
+    pairs = Counter()
+    vocab = set()
+    for t in lm_texts:
+        w = t.split()
+        vocab |= set(w)
+        pairs.update(zip(w[:-1], w[1:]))
+    ctx = Counter()
+    for (w1, _), c in pairs.items():
+        ctx[w1] += c
+    v = len(vocab)
+    exp = []
+    for i, t in enumerate(texts):
+        w = t.split()
+        bgs = list(zip(w[:-1], w[1:]))
+        if not bgs:
+            continue
+        lps = [np.log2((pairs.get(bg, 0) + 1.0)
+                       / (ctx.get(bg[0], 0) + v)) for bg in bgs]
+        exp.append((i, len(bgs), sum(pairs.get(bg, 0) == 0 for bg in bgs),
+                    float(np.mean(lps))))
+    ref = pd.DataFrame(exp, columns=["doc_id", "n_bigrams",
+                                     "oov_bigrams", "logprob2"])
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert got["n_bigrams"].tolist() == ref["n_bigrams"].tolist()
+    assert got["oov_bigrams"].tolist() == ref["oov_bigrams"].tolist()
+    np.testing.assert_allclose(got["logprob2"], ref["logprob2"], rtol=1e-12)
