@@ -793,6 +793,24 @@ def q_inverted_index(sf_dir: str):
     return posting_lists(_docs(sf_dir), min_df=3)
 
 
+def q_doc_zscore(sf_dir: str):
+    """Per-group z-score normalization (ops/agg.zscore_by_group) of
+    n_chars within each language: one integer sufficient-statistics
+    shuffle (n, sum, sum-of-squares — exact, so the float mean/std
+    derive identically in SQL), broadcast group stats, stateless map.
+    The oracle reuses the same closed-form derivation instead of
+    stddev_samp, whose float accumulation order differs."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import zscore_by_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return zscore_by_group(docs, "lang", "n_chars", id_col="doc_id")
+
+
 def q_doc_bigram_lm(sf_dir: str):
     """Bigram-LM quality scoring (ops/text.bigram_lm_scores): fit
     add-one-smoothed bigram counts on the EVEN doc_ids (a genuine
@@ -1710,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_words": q_bloom_words,
         "doc_topk_by_lang": q_doc_topk_by_lang,
         "doc_bigram_lm": q_doc_bigram_lm,
+        "doc_zscore": q_doc_zscore,
         "doc_length_quantiles": q_doc_length_quantiles,
         "inverted_index": q_inverted_index,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -1784,7 +1803,7 @@ def oracle_sql() -> dict[str, str]:
         sample_by_hash_sql,
         shuffle_order_sql,
     )
-    from pyrdf2vec_ray.ops.agg import grouped_quantiles_sql
+    from pyrdf2vec_ray.ops.agg import grouped_quantiles_sql, zscore_by_group_sql
     from pyrdf2vec_ray.ops.sketch import bloom_sql, cms_sql
 
     return {
@@ -1913,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": grouped_quantiles_sql(
             (0.25, 0.5, 0.9), "documents", "source", "n_chars"
         ),
+        "doc_zscore": zscore_by_group_sql(),
         "doc_bigram_lm": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -1,8 +1,10 @@
 """The LLM training-data curation pipeline end to end — the operators a
 100-TB corpus runs between raw documents and the trainer, composed:
 
-  docs → exact dedup → benchmark decontamination (exact + 8-gram)
-       → quality / repetition filtering
+  docs → exact dedup → benchmark decontamination (exact + 8-gram,
+         Bloom-prefiltered)
+       → quality / repetition / bigram-LM filtering
+       → per-language length normalization (z-score) + top-k audit
        → deterministic train/val/test splits (splitmix64, shuffle-free)
        → per-language mixture down-sampling
        → sequence packing (distributed prefix sum)
@@ -28,8 +30,13 @@ from pyrdf2vec_ray.ops.curate import (                            # noqa: E402
     sample_by_hash,
     shuffle_order,
 )
+from pyrdf2vec_ray.ops.agg import topk_by_group, zscore_by_group  # noqa: E402
 from pyrdf2vec_ray.ops.dedup import exact_dedup                   # noqa: E402
-from pyrdf2vec_ray.ops.text import repetition_stats               # noqa: E402
+from pyrdf2vec_ray.ops.sketch import bloom_contains, bloom_words  # noqa: E402
+from pyrdf2vec_ray.ops.text import (                              # noqa: E402
+    bigram_lm_scores,
+    repetition_stats,
+)
 
 SF = "/root/testdata/sf0.001"
 docs = ray.data.read_parquet(f"{SF}/documents.parquet",
@@ -59,6 +66,27 @@ docs = docs.map_batches(
     lambda b: b[b["doc_id"].isin(good)], batch_format="pandas"
 )
 
+# 3b. bigram-LM gibberish filter: drop docs far below the corpus's
+# mean log-prob (fit on the surviving docs themselves)
+lm = bigram_lm_scores(docs).to_pandas()
+cut = lm["logprob2"].mean() - 3 * lm["logprob2"].std()
+fluent = set(lm[lm["logprob2"] >= cut]["doc_id"])
+docs = docs.map_batches(
+    lambda b: b[b["doc_id"].isin(fluent)], batch_format="pandas"
+)
+
+# 3c. audits: Bloom membership probe (zero false negatives) and
+# per-language length landscape (z-score + longest docs)
+bloom = bloom_words(docs).to_pandas()
+probe = docs.take(1)[0]["text"].split()[:3]
+assert bloom_contains(bloom, probe).all()  # no false negatives, ever
+wide = docs.map_batches(
+    lambda b: b.assign(n_chars=b["text"].str.len()), batch_format="pandas"
+)
+z = zscore_by_group(wide, "lang", "n_chars", id_col="doc_id").to_pandas()
+longest = topk_by_group(wide, "lang", "n_chars", 2,
+                        id_col="doc_id").to_pandas()
+
 # 4. splits + mixture weighting + packing + training order
 splits = assign_splits(docs, seed=7).to_pandas()
 sampled = sample_by_hash(
@@ -68,7 +96,10 @@ sampled = sample_by_hash(
 packed = pack_sequences(docs, budget=2048).to_pandas()
 order = shuffle_order(docs.select_columns(["doc_id"]), seed=13).to_pandas()
 
-print("docs after dedup+decontam+quality:", len(packed))
+print("docs after dedup+decontam+quality+LM:", len(packed))
+print("bloom words set:", len(bloom), "| |z|>2 outliers:",
+      int((z["zscore"].abs() > 2).sum()))
+print("longest per lang:", longest.groupby("lang")["n_chars"].max().to_dict())
 print(splits["split"].value_counts().to_dict())
 print("sampled rows:", sampled.count())
 print("packed sequences:", int(packed["seq_id"].max()) + 1,

@@ -144,3 +144,109 @@ def grouped_quantiles_sql(
         for q in qs
     )
     return legs
+
+
+def zscore_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """(group, id, value, zscore): per-group standardization — the
+    feature-normalization staple (z = (x - mean) / sample_std).  Two
+    phases, no per-group collect: (1) one pre-aggregated shuffle of
+    integer sufficient statistics (n, sum, sum of squares) — ints sum
+    EXACTLY, so mean/std derive identically on every engine, making the
+    float output bit-reproducible in SQL (stddev_samp's streaming
+    accumulation would not be); (2) broadcast the tiny group-stats
+    table and map.  Groups with n == 1 or zero variance emit
+    zscore = 0.0 (the convention that keeps downstream filters
+    total)."""
+    import ray
+
+    from pyrdf2vec_ray.util import to_table
+
+    def suffstats(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({group_col: batch[group_col].to_numpy(),
+                          "n": 1, "s": v, "ss": v * v})
+        return g.groupby(group_col, as_index=False).sum()
+
+    stats = to_table(bucket_agg(
+        ds.select_columns([group_col, value_col]).map_batches(
+            suffstats, batch_format="pandas"
+        ),
+        [group_col],
+        {"n": ("n", "sum"), "s": ("s", "sum"), "ss": ("ss", "sum")},
+        pre=False,
+    )).to_pandas().sort_values(group_col)
+
+    keys = stats[group_col].to_numpy().astype(np.str_)
+    n = stats["n"].to_numpy(dtype=np.int64)
+    s = stats["s"].to_numpy(dtype=np.int64)
+    ss = stats["ss"].to_numpy(dtype=np.int64)
+    # mirror the oracle's DOUBLE arithmetic op-for-op (cast before
+    # multiply): the sums are exact ints, so both engines derive
+    # identical doubles — and s*s in float avoids int64 overflow at
+    # scale
+    sf = s.astype(np.float64)
+    ssf = ss.astype(np.float64)
+    mean = sf / n
+    var = np.where(n > 1, (ssf - sf * sf / n) / np.maximum(n - 1, 1), 0.0)
+    std = np.sqrt(np.maximum(var, 0.0))
+    ref = ray.put((keys, mean, std))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        k, mu, sd = ray.get(ref)
+        gk = batch[group_col].to_numpy().astype(np.str_)
+        idx = np.searchsorted(k, gk)
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        sdv = sd[idx]
+        z = np.where(sdv > 0, (v - mu[idx]) / np.where(sdv > 0, sdv, 1.0),
+                     0.0)
+        return pd.DataFrame(
+            {group_col: batch[group_col].to_numpy(),
+             id_col: batch[id_col].to_numpy(),
+             value_col: batch[value_col].to_numpy(),
+             "zscore": z}
+        )
+
+    return ds.select_columns([group_col, id_col, value_col]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+def zscore_by_group_sql(
+    table: str = "documents",
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`zscore_by_group` — the SAME closed-form
+    derivation from exact integer sums (NOT stddev_samp, whose
+    streaming accumulation differs in float order)."""
+    return f"""
+        WITH st AS (
+          SELECT {group_col},
+                 count(*) AS n,
+                 sum(CAST({value_col} AS BIGINT)) AS s,
+                 sum(CAST({value_col} AS BIGINT)
+                     * CAST({value_col} AS BIGINT)) AS ss
+          FROM {table} GROUP BY {group_col}
+        ),
+        ms AS (
+          SELECT {group_col},
+                 CAST(s AS DOUBLE) / n AS mu,
+                 CASE WHEN n > 1 THEN
+                   sqrt(GREATEST(
+                     (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE) / n) / (n - 1), 0.0))
+                 ELSE 0.0 END AS sd
+          FROM st
+        )
+        SELECT t.{group_col}, t.{id_col}, t.{value_col},
+               CASE WHEN ms.sd > 0
+                    THEN (CAST(t.{value_col} AS DOUBLE) - ms.mu) / ms.sd
+                    ELSE 0.0 END AS zscore
+        FROM {table} t JOIN ms USING ({group_col})
+    """

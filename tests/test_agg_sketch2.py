@@ -170,3 +170,35 @@ def test_bigram_lm_matches_naive():
     assert got["n_bigrams"].tolist() == ref["n_bigrams"].tolist()
     assert got["oov_bigrams"].tolist() == ref["oov_bigrams"].tolist()
     np.testing.assert_allclose(got["logprob2"], ref["logprob2"], rtol=1e-12)
+
+
+def test_zscore_by_group_matches_naive():
+    from pyrdf2vec_ray.ops.agg import zscore_by_group
+
+    ds = _scored_ds(n=300, groups=4, seed=9)
+    got = (to_table(zscore_by_group(ds, "grp", "score", id_col="id"))
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    ref = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    mu = ref.groupby("grp")["score"].transform("mean")
+    sd = ref.groupby("grp")["score"].transform("std")
+    expect = ((ref["score"] - mu) / sd).where(sd > 0, 0.0)
+    np.testing.assert_allclose(got["zscore"], expect, rtol=1e-10)
+
+
+def test_zscore_degenerate_groups():
+    from pyrdf2vec_ray.ops.agg import zscore_by_group
+
+    ds = ray.data.from_arrow(pa.table({
+        "grp": pa.array(["a", "b", "b", "c", "c"]),
+        "id": pa.array(range(5), pa.int64()),
+        "v": pa.array([7, 3, 3, 1, 9], pa.int64()),
+    }))
+    got = (to_table(zscore_by_group(ds, "grp", "v", id_col="id"))
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # singleton group and zero-variance group -> 0.0
+    assert got.loc[0, "zscore"] == 0.0
+    assert got.loc[1, "zscore"] == 0.0 and got.loc[2, "zscore"] == 0.0
+    np.testing.assert_allclose(
+        got.loc[[3, 4], "zscore"],
+        [-0.7071067811865475, 0.7071067811865475],
+    )
