@@ -793,6 +793,35 @@ def q_inverted_index(sf_dir: str):
     return posting_lists(_docs(sf_dir), min_df=3)
 
 
+def q_join_orders_customer(sf_dir: str):
+    """General distributed equi-join (ops/join.hash_join): orders ⋈
+    customer on custkey — typed-filler tag-and-union, one co-partition
+    bucket shuffle, vectorized per-bucket merge.  The first-class
+    relational primitive Ray Data lacks; value-checked against the SQL
+    inner join."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    return hash_join(orders, cust, on=["custkey"])
+
+
 def q_doc_zscore(sf_dir: str):
     """Per-group z-score normalization (ops/agg.zscore_by_group) of
     n_chars within each language: one integer sufficient-statistics
@@ -1729,6 +1758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_topk_by_lang": q_doc_topk_by_lang,
         "doc_bigram_lm": q_doc_bigram_lm,
         "doc_zscore": q_doc_zscore,
+        "join_orders_customer": q_join_orders_customer,
         "doc_length_quantiles": q_doc_length_quantiles,
         "inverted_index": q_inverted_index,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -1933,6 +1963,11 @@ def oracle_sql() -> dict[str, str]:
             (0.25, 0.5, 0.9), "documents", "source", "n_chars"
         ),
         "doc_zscore": zscore_by_group_sql(),
+        "join_orders_customer": """
+            SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+                   c_name, c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
         "doc_bigram_lm": r"""
             WITH toks AS (
               SELECT doc_id,

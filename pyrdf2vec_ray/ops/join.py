@@ -1,0 +1,105 @@
+"""General distributed equi-join — the relational primitive Ray Data's
+Dataset API lacks (2.49 has no ``Dataset.join``), promoted to a
+first-class operator from the co-partitioning pattern used by the
+near-dup verifier (ops/dedup.verify_jaccard), the as-of/interval joins
+(ops/events) and the join-based BFS (pipelines/bfs_join).
+
+Shape: tag each side, union (with TYPED zero fillers so both sides
+carry identical column dtypes through the union — mixed-dtype pandas
+unions crash Ray's block builder), ONE int-bucket shuffle on the key
+columns, then a vectorized ``pandas.merge`` per bucket.  All rows of a
+key co-locate, so per-bucket merges compose to the exact global join.
+
+Skew: a hot key's rows all land in one bucket — the usual contract
+(callers salt hot keys or pre-aggregate; see shuffle.py docstring).
+Broadcast joins stay the right call when one side is small
+(stages/link.CandidateIndex); this operator is for the
+both-sides-large case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from pyrdf2vec_ray.shuffle import bucket_apply
+
+
+def _np_dtypes(schema) -> dict:
+    """column -> numpy dtype, from either an Arrow schema or Ray's
+    PandasBlockSchema (whose .types are already numpy dtypes)."""
+    out = {}
+    for name, t in zip(schema.names, schema.types):
+        if isinstance(t, pa.DataType):
+            out[name] = np.dtype(t.to_pandas_dtype())
+        else:
+            out[name] = np.dtype(t)
+    return out
+
+
+def _zeros(n: int, dt: np.dtype, index) -> pd.Series:
+    if dt == np.dtype("O"):
+        return pd.Series([""] * n, dtype=object, index=index)
+    return pd.Series(np.zeros(n, dtype=dt), index=index)
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    how: str = "inner",
+    rsuffix: str = "_r",
+) -> ray.data.Dataset:
+    """Equi-join ``left`` ⋈ ``right`` on the shared key columns ``on``.
+    ``how`` ∈ {"inner", "left"}.  Non-key right columns colliding with
+    left names get ``rsuffix``.  For ``how="left"``, unmatched right
+    columns surface as pandas NA of the joined dtype (callers needing
+    typed output fill them downstream)."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    for key in on:
+        if key not in lcols or key not in rschema.names:
+            raise ValueError(f"join key {key!r} missing from a side")
+    rmap = {
+        c: (c + rsuffix if c in lcols and c not in on else c)
+        for c in rschema.names
+    }
+    rcols = [rmap[c] for c in rschema.names if c not in on]
+    l_extra = [c for c in lcols if c not in on]
+
+    # typed fillers derived from each side's own dtypes, so the union
+    # sees ONE schema (PandasBlockSchema equality is dtype-strict)
+    ldt = _np_dtypes(lschema)
+    rdt = {rmap[c]: t for c, t in _np_dtypes(rschema).items()}
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            if side == "r":
+                batch = batch.rename(columns=rmap)
+                for c in l_extra:
+                    batch[c] = _zeros(len(batch), ldt[c], batch.index)
+            else:
+                for c in rcols:
+                    batch[c] = _zeros(len(batch), rdt[c], batch.index)
+            batch["_side"] = side == "l"
+            return batch[on + l_extra + rcols + ["_side"]]
+
+        return fn
+
+    tagged = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lb = g[g["_side"]][on + l_extra]
+        rb = g[~g["_side"]][on + rcols]
+        return lb.merge(rb, on=on, how=how)
+
+    return bucket_apply(tagged, on, join_bucket, batch_format="pandas")

@@ -202,3 +202,48 @@ def test_zscore_degenerate_groups():
         got.loc[[3, 4], "zscore"],
         [-0.7071067811865475, 0.7071067811865475],
     )
+
+
+def _join_sides():
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"]),
+        "shared": pa.array([10, 20, 30, 40, 50], pa.int64()),
+    })).repartition(2)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 2, 3, 4], pa.int64()),
+        "rv": pa.array([1.5, 2.5, 3.5, 4.5], pa.float64()),
+        "shared": pa.array([7, 8, 9, 6], pa.int64()),
+    })).repartition(2)
+    return left, right
+
+
+def test_hash_join_inner_matches_pandas():
+    from pyrdf2vec_ray.ops.join import hash_join
+
+    left, right = _join_sides()
+    got = (to_table(hash_join(left, right, on=["k"]))
+           .to_pandas()
+           .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    ref = (left.to_pandas()
+           .merge(right.to_pandas().rename(
+               columns={"shared": "shared_r"}), on="k", how="inner")
+           .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], ref[sorted(ref.columns)]
+    )
+    # 2x2 match on k=2 -> 4 rows, plus k=3 -> 5 total
+    assert len(got) == 5
+
+
+def test_hash_join_left_keeps_unmatched():
+    from pyrdf2vec_ray.ops.join import hash_join
+
+    left, right = _join_sides()
+    got = to_table(
+        hash_join(left, right.filter(lambda r: r["k"] == 3), on=["k"],
+                  how="left")
+    ).to_pandas()
+    assert len(got) == 5
+    assert got[got["k"] == 3]["rv"].notna().all()
+    assert got[got["k"] != 3]["rv"].isna().all()
