@@ -793,6 +793,53 @@ def q_inverted_index(sf_dir: str):
     return posting_lists(_docs(sf_dir), min_df=3)
 
 
+def q_doc_sample_exact(sf_dir: str):
+    """Exactly-n-per-group deterministic sampling (ops/curate
+    .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
+    language — the rate-free eval-carve-out counterpart to
+    sample_by_hash, mergeable via the grouped top-k combiner.  Oracle:
+    shared splitmix64 chain + ROW_NUMBER."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.curate import sample_exact_per_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return sample_exact_per_group(docs, 5, "lang", seed=21)
+
+
+def q_orders_anti_join(sf_dir: str):
+    """Distributed anti-join (ops/join.hash_semi_join, anti=True):
+    orders whose customer is NOT in the auto-mobile market segment —
+    the shuffle-based decontamination shape for when the filter side is
+    too big to broadcast.  Right side reduces to distinct keys per
+    batch before its shuffle.  Oracle: NOT EXISTS."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.join import hash_semi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    seg = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda b: (b[b["c_mktsegment"] == "AUTOMOBILE"]
+                   .rename(columns={"c_custkey": "custkey"})
+                   [["custkey"]]),
+        batch_format="pandas",
+    )
+    return hash_semi_join(orders, seg, on=["custkey"], anti=True)
+
+
 def q_join_orders_customer(sf_dir: str):
     """General distributed equi-join (ops/join.hash_join): orders ⋈
     customer on custkey — typed-filler tag-and-union, one co-partition
@@ -1759,6 +1806,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_lm": q_doc_bigram_lm,
         "doc_zscore": q_doc_zscore,
         "join_orders_customer": q_join_orders_customer,
+        "orders_anti_join": q_orders_anti_join,
+        "doc_sample_exact": q_doc_sample_exact,
         "doc_length_quantiles": q_doc_length_quantiles,
         "inverted_index": q_inverted_index,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -1831,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
     from pyrdf2vec_ray.ops.curate import (
         assign_splits_sql,
         sample_by_hash_sql,
+        sample_exact_per_group_sql,
         shuffle_order_sql,
     )
     from pyrdf2vec_ray.ops.agg import grouped_quantiles_sql, zscore_by_group_sql
@@ -1963,6 +2013,16 @@ def oracle_sql() -> dict[str, str]:
             (0.25, 0.5, 0.9), "documents", "source", "n_chars"
         ),
         "doc_zscore": zscore_by_group_sql(),
+        "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "orders_anti_join": """
+            SELECT o_custkey AS custkey, o_orderkey
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'AUTOMOBILE'
+            )
+        """,
         "join_orders_customer": """
             SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
                    c_name, c_nationkey

@@ -541,3 +541,62 @@ def decontaminate_ngram(
         return out[~contaminated]
 
     return docs.map_batches(keep, batch_format="pandas", batch_size=4096)
+
+
+def sample_exact_per_group(
+    docs: ray.data.Dataset,
+    n: int,
+    group_col: str,
+    key: str = "doc_id",
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """(group, key, hkey, rank): EXACTLY n rows per group, chosen as
+    the n smallest splitmix64 hashes of the key — a deterministic
+    group-wise uniform sample (rate-free counterpart to
+    :func:`sample_by_hash`, for "exactly 500 eval docs per language"
+    style carve-outs).  Stable under repartition/resume like every
+    hash-keyed op here, and mergeable: the n smallest of a union are
+    the n smallest of per-part n-smallest, which is exactly
+    ops/agg.topk_by_group's combiner.  ``hkey`` is the hash shifted
+    right one bit so it fits BIGINT on both engines (ordering is
+    preserved; ties break by key)."""
+    from pyrdf2vec_ray.ops.agg import topk_by_group
+
+    def with_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[key].to_numpy(dtype=np.int64).view(np.uint64)
+        h = (splitmix64(ids ^ np.uint64(seed)) >> np.uint64(1)).astype(
+            np.int64
+        )
+        return batch[[group_col, key]].assign(hkey=h)
+
+    hashed = docs.map_batches(with_hash, batch_format="pandas")
+    return topk_by_group(hashed, group_col, "hkey", n, id_col=key,
+                         ascending=True)
+
+
+def sample_exact_per_group_sql(
+    n: int,
+    group_col: str = "lang",
+    key: str = "doc_id",
+    seed: int = 0,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`sample_exact_per_group` — the shared
+    splitmix64 chain + ROW_NUMBER per group."""
+    return (
+        f"WITH _sm_in AS (\n"
+        f"  SELECT {group_col}, {key} FROM {table}\n"
+        f"),\n"
+        f"{splitmix64_sql(key, seed)},\n"
+        f"ranked AS (\n"
+        f"  SELECT {group_col}, {key},\n"
+        f"         CAST(h >> 1 AS BIGINT) AS hkey,\n"
+        f"         ROW_NUMBER() OVER (\n"
+        f"           PARTITION BY {group_col}\n"
+        f"           ORDER BY h >> 1, {key}\n"
+        f"         ) AS rank\n"
+        f"  FROM s3\n"
+        f")\n"
+        f"SELECT {group_col}, {key}, hkey, rank\n"
+        f"FROM ranked WHERE rank <= {n}"
+    )

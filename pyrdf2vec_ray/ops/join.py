@@ -103,3 +103,55 @@ def hash_join(
         return lb.merge(rb, on=on, how=how)
 
     return bucket_apply(tagged, on, join_bucket, batch_format="pandas")
+
+
+def hash_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Semi-join (``anti=False``: left rows WITH a key match in right)
+    or anti-join (``anti=True``: left rows WITHOUT one), returning left
+    columns only.  The scale path for filtering against a large key set
+    — e.g. decontamination when the benchmark side outgrows the
+    broadcast anti-join (ops/curate.decontaminate's contract): both
+    sides shuffle once by key, no driver state at any size.
+
+    Right is reduced to DISTINCT keys per batch BEFORE the shuffle (a
+    semi-join never needs right's payload or multiplicity), so the
+    right side of the exchange is bounded by its distinct-key count."""
+    lschema = left.schema()
+    for key in on:
+        if key not in lschema.names or key not in right.schema().names:
+            raise ValueError(f"join key {key!r} missing from a side")
+    l_extra = [c for c in lschema.names if c not in on]
+    ldt = _np_dtypes(lschema)
+
+    def keys_only(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[on].drop_duplicates()
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            if side == "r":
+                for c in l_extra:
+                    batch[c] = _zeros(len(batch), ldt[c], batch.index)
+            batch["_side"] = side == "l"
+            return batch[on + l_extra + ["_side"]]
+
+        return fn
+
+    tagged = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(keys_only, batch_format="pandas")
+        .map_batches(tag("r"), batch_format="pandas")
+    )
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lb = g[g["_side"]][on + l_extra]
+        rk = g[~g["_side"]][on].drop_duplicates()
+        m = lb.merge(rk.assign(_hit=True), on=on, how="left")
+        keep = m["_hit"].isna() if anti else m["_hit"].notna()
+        return m[keep][on + l_extra]
+
+    return bucket_apply(tagged, on, filter_bucket, batch_format="pandas")

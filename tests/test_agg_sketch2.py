@@ -247,3 +247,39 @@ def test_hash_join_left_keeps_unmatched():
     assert len(got) == 5
     assert got[got["k"] == 3]["rv"].notna().all()
     assert got[got["k"] != 3]["rv"].isna().all()
+
+
+def test_hash_semi_and_anti_join():
+    from pyrdf2vec_ray.ops.join import hash_semi_join
+
+    left, right = _join_sides()
+    semi = to_table(hash_semi_join(left, right, on=["k"])).to_pandas()
+    anti = to_table(
+        hash_semi_join(left, right, on=["k"], anti=True)
+    ).to_pandas()
+    assert sorted(semi["k"].unique()) == [2, 3]
+    assert len(semi) == 3          # k=2 twice, k=3 once; no multiplicity
+    assert sorted(anti["k"]) == [1, 5]
+    assert sorted(semi.columns) == sorted(anti.columns) == [
+        "k", "lv", "shared"]
+
+
+def test_sample_exact_per_group_deterministic_and_uniform():
+    from pyrdf2vec_ray.ops.curate import sample_exact_per_group
+
+    ds = _scored_ds(n=400, groups=4, seed=5).map_batches(
+        lambda b: b.rename(columns={"id": "doc_id"}),
+        batch_format="pandas",
+    )
+    a = (to_table(sample_exact_per_group(ds, 7, "grp", seed=3)).to_pandas()
+         .sort_values(["grp", "rank"]).reset_index(drop=True))
+    b = (to_table(sample_exact_per_group(ds.repartition(13), 7, "grp",
+                                         seed=3)).to_pandas()
+         .sort_values(["grp", "rank"]).reset_index(drop=True))
+    # identical under any partitioning
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("grp").size() == 7).all()
+    # different seed -> (almost surely) different selection
+    c = to_table(sample_exact_per_group(ds, 7, "grp", seed=4)).to_pandas()
+    assert set(map(tuple, a[["grp", "doc_id"]].to_numpy())) != set(
+        map(tuple, c[["grp", "doc_id"]].to_numpy()))
