@@ -85,7 +85,10 @@ class SGNS:
         rng = np.random.RandomState(self.seed)
         if self.W is None:
             self.W = (rng.rand(n, self.vector_size).astype(np.float32) - 0.5) / self.vector_size
-            self.C = np.zeros((n, self.vector_size), dtype=np.float32)
+            # np.full (eager touch), not np.zeros: random gathers into
+            # lazy zero pages fault at ~3 ms/page on this host class —
+            # see embedders_dist.ParamShard.__init__
+            self.C = np.full((n, self.vector_size), 0.0, dtype=np.float32)
         elif n > len(self.W):
             extra = n - len(self.W)
             grow = (rng.rand(extra, self.vector_size).astype(np.float32) - 0.5) / self.vector_size
