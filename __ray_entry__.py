@@ -793,6 +793,27 @@ def q_inverted_index(sf_dir: str):
     return posting_lists(_docs(sf_dir), min_df=3)
 
 
+def q_doc_quantiles_sampled(sf_dir: str):
+    """Approximate quantiles from a deterministic bottom-k-by-hash
+    sample (ops/agg.approx_quantiles_by_sample = sample_exact_per_group
+    ∘ hash_semi_join ∘ grouped_quantiles): the unbounded-domain
+    quantile path, still fully SQL-reproducible because the sample is
+    hash-selected, not random.  Oracle: splitmix64 bottom-k CTE +
+    quantile_disc over the sampled subset."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import approx_quantiles_by_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return approx_quantiles_by_sample(
+        docs, "lang", "n_chars", id_col="doc_id", qs=(0.5, 0.9),
+        k=64, seed=33,
+    )
+
+
 def q_doc_sample_exact(sf_dir: str):
     """Exactly-n-per-group deterministic sampling (ops/curate
     .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
@@ -1808,6 +1829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": q_join_orders_customer,
         "orders_anti_join": q_orders_anti_join,
         "doc_sample_exact": q_doc_sample_exact,
+        "doc_quantiles_sampled": q_doc_quantiles_sampled,
         "doc_length_quantiles": q_doc_length_quantiles,
         "inverted_index": q_inverted_index,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -1882,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         sample_by_hash_sql,
         sample_exact_per_group_sql,
         shuffle_order_sql,
+        splitmix64_sql,
     )
     from pyrdf2vec_ray.ops.agg import grouped_quantiles_sql, zscore_by_group_sql
     from pyrdf2vec_ray.ops.sketch import bloom_sql, cms_sql
@@ -2014,6 +2037,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "doc_quantiles_sampled": (
+            "WITH _sm_in AS (SELECT lang, doc_id, n_chars FROM documents),\n"
+            + splitmix64_sql("doc_id", 33)
+            + """,
+            ranked AS (
+              SELECT lang, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY h >> 1, doc_id
+                     ) AS rk
+              FROM s3
+            ),
+            samp AS (SELECT lang, n_chars FROM ranked WHERE rk <= 64)
+            SELECT lang, CAST(0.5 AS DOUBLE) AS q,
+                   quantile_disc(n_chars, 0.5) AS n_chars
+            FROM samp GROUP BY lang
+            UNION ALL
+            SELECT lang, CAST(0.9 AS DOUBLE) AS q,
+                   quantile_disc(n_chars, 0.9) AS n_chars
+            FROM samp GROUP BY lang
+            """
+        ),
         "orders_anti_join": """
             SELECT o_custkey AS custkey, o_orderkey
             FROM orders o

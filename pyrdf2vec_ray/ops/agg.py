@@ -250,3 +250,40 @@ def zscore_by_group_sql(
                     ELSE 0.0 END AS zscore
         FROM {table} t JOIN ms USING ({group_col})
     """
+
+
+def approx_quantiles_by_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.9),
+    k: int = 256,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """(group, q, value): approximate quantiles from a DETERMINISTIC
+    bottom-k-by-hash sample — the unbounded-domain companion to
+    :func:`grouped_quantiles` (whose histogram shuffle needs a bounded
+    value domain).  The k rows with the smallest splitmix64 key hashes
+    per group are a uniform sample without replacement (mergeable: the
+    global bottom-k is the bottom-k of per-part bottom-ks — the grouped
+    top-k combiner), so the whole sketch is reproducible in SQL and the
+    shuffle carries at most k x groups x batches rows regardless of
+    value domain.  DKW bound: rank error <= sqrt(ln(2/d)/(2k)) with
+    prob 1-d — k=256 gives ~8% rank error at 95% confidence
+    (pytest-pinned against exact quantiles)."""
+    from pyrdf2vec_ray.ops.curate import sample_exact_per_group
+
+    sampled_ids = sample_exact_per_group(
+        ds.select_columns([group_col, id_col]), k, group_col,
+        key=id_col, seed=seed,
+    )
+    from pyrdf2vec_ray.ops.join import hash_semi_join
+
+    sample_rows = hash_semi_join(
+        ds.select_columns([group_col, id_col, value_col]),
+        sampled_ids.select_columns([id_col]),
+        on=[id_col],
+    )
+    return grouped_quantiles(sample_rows.select_columns(
+        [group_col, value_col]), group_col, value_col, qs)

@@ -283,3 +283,28 @@ def test_sample_exact_per_group_deterministic_and_uniform():
     c = to_table(sample_exact_per_group(ds, 7, "grp", seed=4)).to_pandas()
     assert set(map(tuple, a[["grp", "doc_id"]].to_numpy())) != set(
         map(tuple, c[["grp", "doc_id"]].to_numpy()))
+
+
+def test_approx_quantiles_within_dkw_bound():
+    from pyrdf2vec_ray.ops.agg import (
+        approx_quantiles_by_sample,
+        grouped_quantiles,
+    )
+
+    ds = _scored_ds(n=2000, groups=2, seed=17).map_batches(
+        lambda b: b.rename(columns={"id": "doc_id"}),
+        batch_format="pandas",
+    )
+    k = 256
+    approx = (to_table(approx_quantiles_by_sample(
+        ds, "grp", "score", id_col="doc_id", qs=(0.5,), k=k, seed=1))
+        .to_pandas().set_index("grp")["score"])
+    full = ds.to_pandas()
+    # DKW at 95%: rank error <= sqrt(ln(2/0.05)/(2k)) ~ 0.085
+    eps = np.sqrt(np.log(2 / 0.05) / (2 * k))
+    for g, sub in full.groupby("grp"):
+        vals = np.sort(sub["score"].to_numpy())
+        lo = vals[max(0, int(np.ceil(len(vals) * (0.5 - eps))) - 1)]
+        hi = vals[min(len(vals) - 1,
+                      int(np.ceil(len(vals) * (0.5 + eps))) - 1)]
+        assert lo <= approx[g] <= hi, (g, lo, approx[g], hi)
