@@ -42,6 +42,7 @@ def topk_by_group(
     k: int,
     id_col: str,
     ascending: bool = False,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """(group, id, score, rank): the k extreme rows per group by
     ``score_col`` (desc by default), ties broken by ``id_col`` asc,
@@ -71,7 +72,7 @@ def topk_by_group(
 
     parts = ds.map_batches(partial, batch_format="pandas")
     return bucket_apply(parts, [group_col], per_bucket,
-                        batch_format="pandas")
+                        num_buckets=num_buckets, batch_format="pandas")
 
 
 def grouped_quantiles(
@@ -79,6 +80,7 @@ def grouped_quantiles(
     group_col: str,
     value_col: str,
     qs: Sequence[float] = (0.25, 0.5, 0.9),
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """(group, q, value): EXACT discrete quantiles per group — the
     sorted element at 1-based rank ``ceil(n * q)`` (probed against
@@ -126,7 +128,7 @@ def grouped_quantiles(
         )
 
     return bucket_apply(hist, [group_col], per_bucket,
-                        batch_format="pandas")
+                        num_buckets=num_buckets, batch_format="pandas")
 
 
 def grouped_quantiles_sql(
@@ -278,6 +280,9 @@ def approx_quantiles_by_sample(
         ds.select_columns([group_col, id_col]), k, group_col,
         key=id_col, seed=seed,
     )
+    # the sampled side and the final quantile stage are k x groups
+    # rows — a handful of buckets beats the CPU-count default's
+    # per-task fixed overhead (see shuffle.default_num_buckets)
     from pyrdf2vec_ray.ops.join import hash_semi_join
 
     sample_rows = hash_semi_join(
@@ -286,4 +291,5 @@ def approx_quantiles_by_sample(
         on=[id_col],
     )
     return grouped_quantiles(sample_rows.select_columns(
-        [group_col, value_col]), group_col, value_col, qs)
+        [group_col, value_col]), group_col, value_col, qs,
+        num_buckets=4)

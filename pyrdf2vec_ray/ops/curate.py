@@ -549,6 +549,7 @@ def sample_exact_per_group(
     group_col: str,
     key: str = "doc_id",
     seed: int = 0,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """(group, key, hkey, rank): EXACTLY n rows per group, chosen as
     the n smallest splitmix64 hashes of the key — a deterministic
@@ -571,7 +572,7 @@ def sample_exact_per_group(
 
     hashed = docs.map_batches(with_hash, batch_format="pandas")
     return topk_by_group(hashed, group_col, "hkey", n, id_col=key,
-                         ascending=True)
+                         ascending=True, num_buckets=num_buckets)
 
 
 def sample_exact_per_group_sql(

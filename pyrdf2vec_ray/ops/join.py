@@ -52,6 +52,7 @@ def hash_join(
     on: list[str],
     how: str = "inner",
     rsuffix: str = "_r",
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Equi-join ``left`` ⋈ ``right`` on the shared key columns ``on``.
     ``how`` ∈ {"inner", "left"}.  Non-key right columns colliding with
@@ -102,7 +103,8 @@ def hash_join(
         rb = g[~g["_side"]][on + rcols]
         return lb.merge(rb, on=on, how=how)
 
-    return bucket_apply(tagged, on, join_bucket, batch_format="pandas")
+    return bucket_apply(tagged, on, join_bucket,
+                        num_buckets=num_buckets, batch_format="pandas")
 
 
 def hash_semi_join(
@@ -110,6 +112,7 @@ def hash_semi_join(
     right: ray.data.Dataset,
     on: list[str],
     anti: bool = False,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Semi-join (``anti=False``: left rows WITH a key match in right)
     or anti-join (``anti=True``: left rows WITHOUT one), returning left
@@ -154,4 +157,5 @@ def hash_semi_join(
         keep = m["_hit"].isna() if anti else m["_hit"].notna()
         return m[keep][on + l_extra]
 
-    return bucket_apply(tagged, on, filter_bucket, batch_format="pandas")
+    return bucket_apply(tagged, on, filter_bucket,
+                        num_buckets=num_buckets, batch_format="pandas")
