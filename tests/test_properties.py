@@ -264,3 +264,45 @@ def test_halk_partial_counts_matches_naive(entity_walks):
     got_map = dict(zip(got["pred"].to_pylist(), got["n"].to_pylist()))
     assert got_map.pop("\x00TOTAL\x00") == total
     assert got_map == counts
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_bitlen_u64_matches_python(vals):
+    from pyrdf2vec_ray.ops.sketch import _bitlen_u64
+
+    arr = np.array(vals, dtype=np.uint64)
+    got = _bitlen_u64(arr)
+    assert got.tolist() == [int(v).bit_length() for v in vals]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_splitmix64_vector_matches_scalar(vals):
+    from pyrdf2vec_ray.ops.curate import splitmix64, splitmix64_py
+
+    arr = np.array(vals, dtype=np.uint64)
+    got = splitmix64(arr)
+    assert got.tolist() == [splitmix64_py(int(v)) for v in vals]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=100), min_size=1,
+                max_size=200),
+       st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=150, deadline=None)
+def test_quantile_rank_rule_matches_duckdb(vals, q):
+    """The engine's ceil(n*q) 1-based rank rule == quantile_disc for
+    arbitrary int multisets and q."""
+    import duckdb
+
+    s = sorted(vals)
+    r = max(0, int(np.ceil(len(s) * q)) - 1)
+    got = s[min(r, len(s) - 1)]
+    con = duckdb.connect()
+    ref = con.execute(
+        "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?) AS x)",
+        [q, vals],
+    ).fetchone()[0]
+    assert got == ref, (vals, q, got, ref)
