@@ -814,6 +814,26 @@ def q_doc_quantiles_sampled(sf_dir: str):
     )
 
 
+_MIX_WEIGHTS = {f"src{i}": 1 + (i % 3) for i in range(20)}
+
+
+def q_doc_interleave(sf_dir: str):
+    """Deterministic weighted data-mixture order (ops/curate
+    .interleave_sources): WFQ virtual-time schedule over the 20
+    sources at weights 1/2/3, per-source order = splitmix64 shuffle,
+    global rank computed in CLOSED FORM (no global sort) — the oracle
+    recomputes the order definitionally with two ROW_NUMBER windows,
+    value-checking the closed form."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.curate import interleave_sources
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return interleave_sources(docs, _MIX_WEIGHTS, seed=29)
+
+
 def q_doc_sample_exact(sf_dir: str):
     """Exactly-n-per-group deterministic sampling (ops/curate
     .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
@@ -1829,6 +1849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": q_join_orders_customer,
         "orders_anti_join": q_orders_anti_join,
         "doc_sample_exact": q_doc_sample_exact,
+        "doc_interleave": q_doc_interleave,
         "doc_quantiles_sampled": q_doc_quantiles_sampled,
         "doc_length_quantiles": q_doc_length_quantiles,
         "inverted_index": q_inverted_index,
@@ -1902,6 +1923,7 @@ def oracle_sql() -> dict[str, str]:
     from pyrdf2vec_ray.ops.curate import (
         assign_splits_sql,
         sample_by_hash_sql,
+        interleave_sources_sql,
         sample_exact_per_group_sql,
         shuffle_order_sql,
         splitmix64_sql,
@@ -2037,6 +2059,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "doc_interleave": interleave_sources_sql(_MIX_WEIGHTS, seed=29),
         "doc_quantiles_sampled": (
             "WITH _sm_in AS (SELECT lang, doc_id, n_chars FROM documents),\n"
             + splitmix64_sql("doc_id", 33)

@@ -601,3 +601,150 @@ def sample_exact_per_group_sql(
         f"SELECT {group_col}, {key}, hkey, rank\n"
         f"FROM ranked WHERE rank <= {n}"
     )
+
+
+def interleave_sources(
+    docs: ray.data.Dataset,
+    weights: dict[str, int],
+    source_col: str = "source",
+    key: str = "doc_id",
+    seed: int = 0,
+    parts_pow2: int = 6,
+) -> ray.data.Dataset:
+    """(source, key, v, rank): a deterministic WEIGHTED data-mixture
+    order — the schedule that feeds a trainer "3 parts web : 1 part
+    code" without materializing or shuffling either side.  Rows of
+    source s appear with long-run frequency proportional to integer
+    ``weights[s]``, smoothly interleaved (weighted round-robin by
+    virtual time, the WFQ schedule), per-source order = the
+    deterministic splitmix64 shuffle, all stable under repartition /
+    resume.
+
+    Two-phase, NO global sort: (1) per-source ranks r via hash-range
+    partitioning + per-(source, part) base offsets (the shuffle_order
+    machinery, cumsum reset per source); (2) virtual time
+    ``v = r * (lcm(w) // w_s)`` and the global rank in CLOSED FORM —
+    for each row, the number of schedule slots of every other source
+    strictly before v (plus source-order tie-breaks), a vectorized
+    O(#sources) map using only the tiny per-source count table.  The
+    SQL oracle computes the same order the obvious way
+    (ROW_NUMBER OVER (ORDER BY v, source, key)), so the driver gate
+    value-checks the closed form against the definition.  All integer
+    arithmetic — bit-exact on both engines."""
+    import math
+
+    sources = sorted(weights)
+    for s, w in weights.items():
+        if not (isinstance(w, int) and w >= 1):
+            raise ValueError(f"weight for {s!r} must be an int >= 1")
+    L = math.lcm(*weights.values())
+    c = np.array([L // weights[s] for s in sources], dtype=np.int64)
+    n_parts = 1 << parts_pow2
+    shift = np.uint64(64 - parts_pow2)
+    src_idx = {s: i for i, s in enumerate(sources)}
+
+    def hashed(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[key].to_numpy(dtype=np.int64).view(np.uint64)
+        h = splitmix64(ids ^ np.uint64(seed))
+        sc = batch[source_col].map(src_idx)
+        if sc.isna().any():
+            missing = sorted(set(batch[source_col][sc.isna()]))
+            raise ValueError(f"sources without a weight: {missing}")
+        sc = sc.to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"s": sc,
+             key: batch[key].reset_index(drop=True),
+             "h": h.view(np.int64),
+             "part": sc * n_parts + (h >> shift).astype(np.int64)}
+        )
+
+    from pyrdf2vec_ray.shuffle import bucket_apply, segment_spans
+
+    hs = docs.select_columns([source_col, key]).map_batches(
+        hashed, batch_format="pandas", batch_size=8192
+    ).materialize()
+
+    # per-(source, hash-part) counts -> per-source cumsum bases + n_s
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("part", as_index=False).size()
+        return g.rename(columns={"size": "_v"})
+
+    sums = (hs.map_batches(counts, batch_format="pandas")
+            .groupby("part").sum("_v").to_pandas())
+    col = "sum(_v)" if "sum(_v)" in sums.columns else "_v"
+    cnt = np.zeros(len(sources) * n_parts, dtype=np.int64)
+    cnt[sums["part"].to_numpy(dtype=np.int64)] = (
+        sums[col].to_numpy(dtype=np.int64))
+    grid = cnt.reshape(len(sources), n_parts)
+    n_s = grid.sum(1)
+    bases = np.zeros_like(grid)
+    bases[:, 1:] = np.cumsum(grid, axis=1)[:, :-1]
+    import ray
+
+    state_ref = ray.put((bases.reshape(-1), n_s, c))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base_flat, ns, cs = ray.get(state_ref)
+        hu = g["h"].to_numpy(dtype=np.int64).view(np.uint64)
+        order = np.lexsort((g[key].to_numpy(), hu,
+                            g["part"].to_numpy()))
+        g = g.iloc[order].reset_index(drop=True)
+        part = g["part"].to_numpy(dtype=np.int64)
+        starts, lens = segment_spans(part)
+        within = np.arange(len(g)) - np.repeat(starts, lens)
+        r = base_flat[part] + within + 1            # per-source rank, 1-based
+        s = g["s"].to_numpy(dtype=np.int64)
+        v = r * cs[s]
+        # closed-form global rank: own earlier rows (r - 1) plus, per
+        # other source s2, min(n_s2, slots strictly before v, +1 on a
+        # tie when s2 orders first)
+        rank = r.copy()                              # 1 + (r - 1)
+        for s2 in range(len(ns)):
+            before = np.minimum(ns[s2], (v - 1) // cs[s2])
+            tie = ((v % cs[s2]) == 0) & (s2 < s) & (v // cs[s2] <= ns[s2])
+            rank += np.where(s == s2, 0, before + tie)
+        names = np.array(sources)
+        return pd.DataFrame(
+            {source_col: names[s], key: g[key],
+             "v": v, "rank": rank}
+        )
+
+    return bucket_apply(hs, ["part"], per_bucket, batch_format="pandas")
+
+
+def interleave_sources_sql(
+    weights: dict[str, int],
+    source_col: str = "source",
+    key: str = "doc_id",
+    seed: int = 0,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`interleave_sources` — the definitional
+    form: per-source ROW_NUMBER over the splitmix64 order, integer
+    virtual time, global ROW_NUMBER over (v, source, key)."""
+    import math
+
+    L = math.lcm(*weights.values())
+    case = " ".join(
+        f"WHEN '{s}' THEN {L // w}" for s, w in sorted(weights.items())
+    )
+    return (
+        f"WITH _sm_in AS (SELECT {source_col}, {key} FROM {table}),\n"
+        f"{splitmix64_sql(key, seed)},\n"
+        f"r AS (\n"
+        f"  SELECT {source_col}, {key},\n"
+        f"         ROW_NUMBER() OVER (\n"
+        f"           PARTITION BY {source_col} ORDER BY h >> 1, {key}\n"
+        f"         ) AS r\n"
+        f"  FROM s3\n"
+        f"),\n"
+        f"v AS (\n"
+        f"  SELECT {source_col}, {key},\n"
+        f"         r * (CASE {source_col} {case} END) AS v\n"
+        f"  FROM r\n"
+        f")\n"
+        f"SELECT {source_col}, {key}, CAST(v AS BIGINT) AS v,\n"
+        f"       ROW_NUMBER() OVER (ORDER BY v, {source_col}, {key})\n"
+        f"         AS rank\n"
+        f"FROM v"
+    )

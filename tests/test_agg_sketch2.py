@@ -308,3 +308,35 @@ def test_approx_quantiles_within_dkw_bound():
         hi = vals[min(len(vals) - 1,
                       int(np.ceil(len(vals) * (0.5 + eps))) - 1)]
         assert lo <= approx[g] <= hi, (g, lo, approx[g], hi)
+
+
+def test_interleave_sources_schedule_properties():
+    from pyrdf2vec_ray.ops.curate import interleave_sources
+
+    n = 600
+    rng = np.random.RandomState(2)
+    src = [f"s{i}" for i in rng.randint(0, 3, n)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(src),
+    })).repartition(5)
+    w = {"s0": 3, "s1": 2, "s2": 1}
+    out = (to_table(interleave_sources(ds, w, seed=7)).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    # ranks are a permutation of 1..n
+    assert out["rank"].tolist() == list(range(1, n + 1))
+    # WFQ smoothness: in every prefix, each still-unexhausted source's
+    # count stays within 1 of its weighted share of served virtual time
+    c = {s: 6 // w[s] for s in w}
+    for m in (30, 60, 120, 300):
+        head = out.head(m)
+        vmax = head["v"].max()
+        for s in w:
+            n_s = (out["source"] == s).sum()
+            expect = min(n_s, vmax // c[s])
+            got = (head["source"] == s).sum()
+            assert abs(got - expect) <= 1, (m, s, got, expect)
+    # repartition-stable
+    out2 = (to_table(interleave_sources(ds.repartition(11), w, seed=7))
+            .to_pandas().sort_values("rank").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
