@@ -834,6 +834,23 @@ def q_doc_interleave(sf_dir: str):
     return interleave_sources(docs, _MIX_WEIGHTS, seed=29)
 
 
+def q_doc_ecdf(sf_dir: str):
+    """Per-group percentile rank (ops/agg.ecdf_by_group): each doc's
+    n_chars ECDF position within its language — one bounded histogram
+    shuffle + broadcast cumulative table + stateless map; corpus rows
+    never shuffle.  Oracle: PERCENT_RANK() window (integer count
+    division, bit-exact)."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import ecdf_by_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return ecdf_by_group(docs, "lang", "n_chars", id_col="doc_id")
+
+
 def q_doc_sample_exact(sf_dir: str):
     """Exactly-n-per-group deterministic sampling (ops/curate
     .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
@@ -1849,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": q_join_orders_customer,
         "orders_anti_join": q_orders_anti_join,
         "doc_sample_exact": q_doc_sample_exact,
+        "doc_ecdf": q_doc_ecdf,
         "doc_interleave": q_doc_interleave,
         "doc_quantiles_sampled": q_doc_quantiles_sampled,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -2059,6 +2077,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "doc_ecdf": """
+            SELECT lang, doc_id, n_chars,
+                   PERCENT_RANK() OVER (
+                     PARTITION BY lang ORDER BY n_chars
+                   ) AS pct_rank
+            FROM documents
+        """,
         "doc_interleave": interleave_sources_sql(_MIX_WEIGHTS, seed=29),
         "doc_quantiles_sampled": (
             "WITH _sm_in AS (SELECT lang, doc_id, n_chars FROM documents),\n"

@@ -293,3 +293,67 @@ def approx_quantiles_by_sample(
     return grouped_quantiles(sample_rows.select_columns(
         [group_col, value_col]), group_col, value_col, qs,
         num_buckets=4)
+
+
+def ecdf_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """(group, id, value, pct_rank): each row's percentile rank within
+    its group — ``(rank - 1) / (n - 1)`` with ties sharing the minimum
+    rank, exactly SQL's ``PERCENT_RANK()``.  The primitive behind
+    "drop the bottom 10% quality per language" filters.
+
+    Shuffle shape: ONE pre-aggregated (group, value) -> count histogram
+    shuffle (bounded by the value domain, like grouped_quantiles), the
+    cumulative table broadcasts, and ranking is a stateless vectorized
+    map — corpus rows never shuffle.  Integer counts divide identically
+    on both engines, so the float output is bit-reproducible in SQL.
+    Single-row groups emit 0.0 (PERCENT_RANK's convention)."""
+    import ray
+
+    from pyrdf2vec_ray.util import to_table
+
+    hist = to_table(bucket_agg(
+        ds.select_columns([group_col, value_col]),
+        [group_col, value_col],
+        {"n": (value_col, "size")},
+    )).to_pandas().sort_values([group_col, value_col]).reset_index(drop=True)
+
+    codes, uniq = pd.factorize(hist[group_col].to_numpy())
+    n = hist["n"].to_numpy(dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, np.diff(codes) != 0])
+    cum = np.cumsum(n)
+    base = np.where(starts > 0, cum[starts - 1], 0)
+    # rank of a row with value v = #(v' < v in group) + 1 = exclusive
+    # cumulative count at v
+    excl = cum - n - base[codes]
+    ends = np.r_[starts[1:], len(hist)]
+    totals = (cum[ends - 1] - base)[codes]
+    gk = np.char.add(np.char.add(
+        hist[group_col].to_numpy().astype(np.str_), "\x00"),
+        hist[value_col].to_numpy().astype(np.str_))
+    order = np.argsort(gk)
+    ref = ray.put((gk[order], excl[order].astype(np.int64),
+                   totals[order].astype(np.int64)))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, ex, tot = ray.get(ref)
+        bk = np.char.add(np.char.add(
+            batch[group_col].to_numpy().astype(np.str_), "\x00"),
+            batch[value_col].to_numpy().astype(np.str_))
+        idx = np.searchsorted(keys, bk)
+        pct = np.where(tot[idx] > 1,
+                       ex[idx] / np.maximum(tot[idx] - 1, 1), 0.0)
+        return pd.DataFrame(
+            {group_col: batch[group_col].to_numpy(),
+             id_col: batch[id_col].to_numpy(),
+             value_col: batch[value_col].to_numpy(),
+             "pct_rank": pct.astype(np.float64)}
+        )
+
+    return ds.select_columns([group_col, id_col, value_col]).map_batches(
+        score, batch_format="pandas"
+    )

@@ -340,3 +340,27 @@ def test_interleave_sources_schedule_properties():
     out2 = (to_table(interleave_sources(ds.repartition(11), w, seed=7))
             .to_pandas().sort_values("rank").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_ecdf_by_group_matches_pandas():
+    from pyrdf2vec_ray.ops.agg import ecdf_by_group
+
+    ds = _scored_ds(n=400, groups=4, seed=23).map_batches(
+        lambda b: b.rename(columns={"id": "doc_id"}),
+        batch_format="pandas",
+    )
+    got = (to_table(ecdf_by_group(ds, "grp", "score", id_col="doc_id"))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ref = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    expect = (ref.groupby("grp")["score"]
+              .rank(method="min").sub(1)
+              / ref.groupby("grp")["score"].transform("size").sub(1)
+              .clip(lower=1))
+    np.testing.assert_allclose(got["pct_rank"], expect, rtol=1e-12)
+    # single-row group convention
+    one = ray.data.from_arrow(pa.table({
+        "grp": pa.array(["x"]), "doc_id": pa.array([1], pa.int64()),
+        "score": pa.array([5], pa.int64())}))
+    o = to_table(ecdf_by_group(one, "grp", "score",
+                               id_col="doc_id")).to_pandas()
+    assert o["pct_rank"].tolist() == [0.0]
