@@ -6,9 +6,9 @@
        → quality / repetition / bigram-LM filtering
        → per-language length normalization (z-score) + top-k audit
        → deterministic train/val/test splits (splitmix64, shuffle-free)
-       → per-language mixture down-sampling
+       → per-language mixture down-sampling + ECDF length filter
        → sequence packing (distributed prefix sum)
-       → deterministic global shuffle order
+       → weighted source interleave (WFQ schedule) as the training order
 
 Everything is reproducible under re-partitioning/resume (pure per-row
 hashes, no RNG streams).  Run: PYTHONPATH=.. python curation.py
@@ -22,10 +22,12 @@ ray.init(address="local", num_cpus=8, include_dashboard=False,
 import pandas as pd                                               # noqa: E402
 import ray.data                                                   # noqa: E402
 
+from pyrdf2vec_ray.ops.agg import ecdf_by_group                   # noqa: E402
 from pyrdf2vec_ray.ops.curate import (                            # noqa: E402
     assign_splits,
     decontaminate,
     decontaminate_ngram,
+    interleave_sources,
     pack_sequences,
     sample_by_hash,
     shuffle_order,
@@ -93,8 +95,20 @@ sampled = sample_by_hash(
     docs, rates_by="lang",
     rates={"en": 0.9, "de": 0.5, "fr": 0.25, "es": 0.1}, seed=11,
 )
+# ECDF tail trim: drop each language's shortest 5% of docs
+pct = ecdf_by_group(wide, "lang", "n_chars", id_col="doc_id").to_pandas()
+long_enough = set(pct[pct["pct_rank"] >= 0.05]["doc_id"])
+docs = docs.map_batches(
+    lambda b: b[b["doc_id"].isin(long_enough)], batch_format="pandas"
+)
 packed = pack_sequences(docs, budget=2048).to_pandas()
 order = shuffle_order(docs.select_columns(["doc_id"]), seed=13).to_pandas()
+# the actual training order: weighted mixture schedule by language
+mix = interleave_sources(
+    docs.select_columns(["doc_id", "lang"]),
+    {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1},
+    source_col="lang", seed=17,
+).to_pandas().sort_values("rank")
 
 print("docs after dedup+decontam+quality+LM:", len(packed))
 print("bloom words set:", len(bloom), "| |z|>2 outliers:",
@@ -105,5 +119,6 @@ print("sampled rows:", sampled.count())
 print("packed sequences:", int(packed["seq_id"].max()) + 1,
       "of 2048 tokens")
 print(pd.merge(packed, order, on="doc_id").head(3).to_string())
+print("mixture head:", mix.head(8)["lang"].tolist())
 
 ray.shutdown()
