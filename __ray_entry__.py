@@ -851,6 +851,25 @@ def q_doc_ecdf(sf_dir: str):
     return ecdf_by_group(docs, "lang", "n_chars", id_col="doc_id")
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel analysis (ops/events.funnel): the deepest
+    view -> click -> purchase prefix each user completed under
+    strict-ordering semantics (step i+1 strictly after step i's
+    earliest completion).  One user-bucket shuffle of the pruned
+    funnel-type rows; chained min-after scan vectorized per bucket.
+    Oracle: chained min-ts CTE joins.  Users with none of the funnel
+    event types are absent on both sides."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import funnel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+    )
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 def q_doc_sample_exact(sf_dir: str):
     """Exactly-n-per-group deterministic sampling (ops/curate
     .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
@@ -1866,6 +1885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": q_join_orders_customer,
         "orders_anti_join": q_orders_anti_join,
         "doc_sample_exact": q_doc_sample_exact,
+        "events_funnel": q_events_funnel,
         "doc_ecdf": q_doc_ecdf,
         "doc_interleave": q_doc_interleave,
         "doc_quantiles_sampled": q_doc_quantiles_sampled,
@@ -2077,6 +2097,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "events_funnel": """
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            t2 AS (
+              SELECT e.user_id, min(ts) AS t2
+              FROM events e JOIN t1 USING (user_id)
+              WHERE event_type = 'click' AND ts > t1
+              GROUP BY e.user_id
+            ),
+            t3 AS (
+              SELECT e.user_id, min(ts) AS t3
+              FROM events e JOIN t2 USING (user_id)
+              WHERE event_type = 'purchase' AND ts > t2
+              GROUP BY e.user_id
+            ),
+            u AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                             WHEN t2.user_id IS NOT NULL THEN 2
+                             WHEN t1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stage_reached
+            FROM u
+            LEFT JOIN t1 USING (user_id)
+            LEFT JOIN t2 USING (user_id)
+            LEFT JOIN t3 USING (user_id)
+        """,
         "doc_ecdf": """
             SELECT lang, doc_id, n_chars,
                    PERCENT_RANK() OVER (

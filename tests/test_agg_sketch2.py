@@ -364,3 +364,31 @@ def test_ecdf_by_group_matches_pandas():
     o = to_table(ecdf_by_group(one, "grp", "score",
                                id_col="doc_id")).to_pandas()
     assert o["pct_rank"].tolist() == [0.0]
+
+
+def test_funnel_strict_ordering():
+    from pyrdf2vec_ray.ops.events import funnel
+
+    rows = [
+        # u1 completes all three in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click BEFORE first view -> stalls at stage 1
+        (2, "click", 5), (2, "view", 10),
+        # u3: click at same instant as view (not strictly after) -> 1
+        (3, "view", 10), (3, "click", 10),
+        # u4: only purchase -> 0 (never saw step 1)
+        (4, "purchase", 10),
+        # u5: earliest view disqualifies an early click, later click ok
+        (5, "click", 1), (5, "view", 2), (5, "click", 3),
+        (5, "purchase", 2),  # purchase BEFORE the click -> stage 2
+    ]
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array(
+            pd.to_datetime([r[2] for r in rows], unit="s")),
+    })).repartition(3)
+    got = (to_table(funnel(ev, ["view", "click", "purchase"]))
+           .to_pandas().sort_values("user_id"))
+    assert dict(zip(got["user_id"], got["stage_reached"])) == {
+        1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
