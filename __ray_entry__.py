@@ -870,6 +870,22 @@ def q_events_funnel(sf_dir: str):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_events_retention(sf_dir: str):
+    """Retention triangle (ops/events.retention_cohorts): users by
+    first-activity week (epoch-seconds // 604800, exact integer math)
+    counted in each later active week — DISTINCT (user, period)
+    combiner, one user-bucket shuffle, then a tiny cohort x k count
+    shuffle.  Oracle: min-period CTE + distinct-pair join."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import retention_cohorts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ev)
+
+
 def q_doc_sample_exact(sf_dir: str):
     """Exactly-n-per-group deterministic sampling (ops/curate
     .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
@@ -1886,6 +1902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_anti_join": q_orders_anti_join,
         "doc_sample_exact": q_doc_sample_exact,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "doc_ecdf": q_doc_ecdf,
         "doc_interleave": q_doc_interleave,
         "doc_quantiles_sampled": q_doc_quantiles_sampled,
@@ -2097,6 +2114,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "events_retention": """
+            WITH up AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts) / 604800) AS BIGINT) AS period
+              FROM events
+            ),
+            first AS (
+              SELECT user_id, min(period) AS cohort FROM up
+              GROUP BY user_id
+            )
+            SELECT f.cohort, up.period - f.cohort AS k,
+                   CAST(count(*) AS BIGINT) AS users
+            FROM up JOIN first f USING (user_id)
+            GROUP BY f.cohort, up.period - f.cohort
+        """,
         "events_funnel": """
             WITH t1 AS (
               SELECT user_id, min(ts) AS t1 FROM events

@@ -419,3 +419,54 @@ def funnel(
 
     return bucket_apply(pruned, [user_col], per_bucket,
                         batch_format="pandas")
+
+
+def retention_cohorts(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 604_800,
+) -> ray.data.Dataset:
+    """(cohort, k, users): classic retention triangle — users whose
+    FIRST activity fell in period ``cohort`` (epoch-seconds //
+    period_s, integer math both engines reproduce exactly) counted as
+    retained in each later period ``cohort + k`` they were active in
+    (k = 0 is the cohort size).
+
+    Shuffle shape: per-batch rows pre-reduce to DISTINCT (user,
+    period) pairs (activity within a period is idempotent), ONE
+    user-bucket shuffle computes each user's cohort and emits its
+    (cohort, k) pairs, then a tiny pre-aggregated count shuffle over
+    the cohort x k triangle — the second exchange is bounded by the
+    number of periods squared, not by users or events."""
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch[ts_col]
+        import numpy as np
+
+        unit = np.datetime_data(ts.dtype)[0]        # 's'/'ms'/'us'/'ns'
+        div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        sec = ts.astype("int64") // div
+        period = (sec // period_s).astype("int64")
+        return pd.DataFrame(
+            {user_col: batch[user_col].to_numpy(), "period": period}
+        ).drop_duplicates()
+
+    from pyrdf2vec_ray.shuffle import bucket_apply, bucket_agg
+
+    up = events.select_columns([user_col, ts_col]).map_batches(
+        pairs, batch_format="pandas"
+    )
+
+    def per_user_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values([user_col, "period"])
+        first = g.groupby(user_col)["period"].transform("min")
+        return pd.DataFrame(
+            {"cohort": first.to_numpy(),
+             "k": (g["period"] - first).to_numpy()}
+        )
+
+    ck = bucket_apply(up, [user_col], per_user_bucket,
+                      batch_format="pandas")
+    return bucket_agg(ck, ["cohort", "k"], {"users": ("k", "size")},
+                      num_buckets=4)

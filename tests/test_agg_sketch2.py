@@ -392,3 +392,23 @@ def test_funnel_strict_ordering():
            .to_pandas().sort_values("user_id"))
     assert dict(zip(got["user_id"], got["stage_reached"])) == {
         1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
+
+
+def test_retention_cohorts_matches_naive():
+    from pyrdf2vec_ray.ops.events import retention_cohorts
+
+    # u1 cohort 0 active periods {0,8,25}; u2 cohort 3 only; u3
+    # cohort 9 active {9,17}
+    rows = [(1, 0), (1, 8), (1, 25), (2, 3), (3, 9), (3, 17)]
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime(
+            [r[1] * 604800 + 42 for r in rows], unit="s")),
+    })).repartition(2)
+    got = (to_table(retention_cohorts(ev)).to_pandas()
+           .sort_values(["cohort", "k"]).reset_index(drop=True))
+    expect = pd.DataFrame(
+        {"cohort": [0, 0, 0, 3, 9, 9], "k": [0, 8, 25, 0, 0, 8],
+         "users": [1, 1, 1, 1, 1, 1]})
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), expect.astype("int64"))
