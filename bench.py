@@ -67,6 +67,23 @@ def run_benchmarks() -> dict:
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # host-state canary: a fixed single-process numpy workload whose
+    # wall time is independent of this bench's own load.  The sandbox
+    # host has a DEGRADED mode (hypervisor-level, invisible in
+    # loadavg) where everything runs 3-5x slower; comparing canary_ms
+    # ACROSS runs tells whether two benches are comparable — judge a
+    # run's stage times relative to its canary, not in absolute.
+    import numpy as _np
+
+    _cm = _np.random.RandomState(0).rand(512, 512)
+    _canary = []
+    for _ in range(5):
+        _t = time.perf_counter()
+        for _ in range(8):
+            _cm = _cm @ _cm % 1.0
+        _canary.append((time.perf_counter() - _t) * 1000)
+    extras["host_canary_ms"] = round(min(_canary), 1)
+
     only = {
         q for q in os.environ.get("BENCH_ONLY", "").split(",") if q
     } or None
