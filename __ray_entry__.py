@@ -886,6 +886,32 @@ def q_events_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def q_doc_normalize(sf_dir: str):
+    """Canonical text normalization (ops/text.normalize_text): strip
+    control chars, collapse whitespace, trim, lowercase — the standard
+    pre-dedup stage, stateless and shuffle-free.  Oracle: the same
+    transform in SQL (trim + regexp_replace + lower)."""
+    from pyrdf2vec_ray.ops.text import normalize_text
+
+    return normalize_text(_docs(sf_dir))
+
+
+def q_doc_above_median(sf_dir: str):
+    """Per-group quantile gate (ops/agg.filter_by_group_quantile):
+    docs at or above their language's median length — broadcast
+    quantile table + stateless filter, no corpus shuffle.  Oracle:
+    join against the quantile_disc CTE."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import filter_by_group_quantile
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return filter_by_group_quantile(docs, "lang", "n_chars", 0.5)
+
+
 def q_doc_sample_exact(sf_dir: str):
     """Exactly-n-per-group deterministic sampling (ops/curate
     .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
@@ -1903,6 +1929,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_exact": q_doc_sample_exact,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "doc_normalize": q_doc_normalize,
+        "doc_above_median": q_doc_above_median,
         "doc_ecdf": q_doc_ecdf,
         "doc_interleave": q_doc_interleave,
         "doc_quantiles_sampled": q_doc_quantiles_sampled,
@@ -2114,6 +2142,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "doc_normalize": r"""
+            SELECT doc_id,
+                   lower(trim(regexp_replace(
+                     regexp_replace(text,
+                       '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                     '\s+', ' ', 'g'))) AS text
+            FROM documents
+        """,
+        "doc_above_median": """
+            WITH cut AS (
+              SELECT lang, quantile_disc(n_chars, 0.5) AS med
+              FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN cut USING (lang)
+            WHERE d.n_chars >= cut.med
+        """,
         "events_retention": """
             WITH up AS (
               SELECT DISTINCT user_id,

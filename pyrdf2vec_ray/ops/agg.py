@@ -357,3 +357,42 @@ def ecdf_by_group(
     return ds.select_columns([group_col, id_col, value_col]).map_batches(
         score, batch_format="pandas"
     )
+
+
+def filter_by_group_quantile(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    q: float,
+    keep: str = "above",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Rows whose ``value_col`` is on the requested side of their
+    group's q-quantile (``keep='above'``: value >= quantile;
+    ``'below'``: value < quantile) — the distributed form of "drop
+    each language's bottom-half quality".  The quantile table is
+    groups x 1 rows (driver-scale by construction), broadcast once;
+    the corpus filters in a stateless map with no shuffle of its
+    own."""
+    if keep not in ("above", "below"):
+        raise ValueError("keep must be 'above' or 'below'")
+    import ray
+
+    from pyrdf2vec_ray.util import to_table
+
+    qt = to_table(grouped_quantiles(
+        ds, group_col, value_col, (q,), num_buckets=num_buckets,
+    )).to_pandas().sort_values(group_col)
+    keys = qt[group_col].to_numpy().astype(np.str_)
+    cuts = qt[value_col].to_numpy()
+    ref = ray.put((keys, cuts))
+
+    def keep_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        k, c = ray.get(ref)
+        idx = np.searchsorted(k, batch[group_col].to_numpy().astype(np.str_))
+        cut = c[idx]
+        v = batch[value_col].to_numpy()
+        mask = v >= cut if keep == "above" else v < cut
+        return batch[mask]
+
+    return ds.map_batches(keep_fn, batch_format="pandas")

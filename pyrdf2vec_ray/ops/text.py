@@ -594,3 +594,34 @@ def bigram_lm_scores(
     return docs.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas", batch_size=4096
     )
+
+
+_WS_RE = re.compile(r"\s+")
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
+
+
+def normalize_text(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, text): canonical text normalization — strip control
+    characters, collapse all whitespace runs to single spaces, trim,
+    casefold to lowercase.  The standard first stage before dedup /
+    shingling (a corpus where "Foo  bar" and "foo bar" hash apart
+    under-deduplicates).  Stateless vectorized map (compiled regexes,
+    pandas .str kernels); no shuffle."""
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        t = (batch[text_col].astype(str)
+             .str.replace(_CTRL_RE, "", regex=True)
+             .str.replace(_WS_RE, " ", regex=True)
+             .str.strip()
+             .str.lower())
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(), text_col: t.to_numpy()}
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        norm, batch_format="pandas", batch_size=4096
+    )

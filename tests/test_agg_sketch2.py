@@ -412,3 +412,32 @@ def test_retention_cohorts_matches_naive():
          "users": [1, 1, 1, 1, 1, 1]})
     pd.testing.assert_frame_equal(
         got.astype("int64"), expect.astype("int64"))
+
+
+def test_normalize_text_edge_cases():
+    from pyrdf2vec_ray.ops.text import normalize_text
+
+    texts = ["  Foo\t\tBAR \n baz  ", "a\x00b\x1fc", "", "ALREADY ok"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts)}))
+    got = (to_table(normalize_text(ds)).to_pandas()
+           .sort_values("doc_id")["text"].tolist())
+    assert got == ["foo bar baz", "abc", "", "already ok"]
+
+
+def test_filter_by_group_quantile_sides():
+    from pyrdf2vec_ray.ops.agg import filter_by_group_quantile
+
+    ds = _scored_ds(n=200, groups=3, seed=31)
+    above = to_table(filter_by_group_quantile(
+        ds, "grp", "score", 0.5)).to_pandas()
+    below = to_table(filter_by_group_quantile(
+        ds, "grp", "score", 0.5, keep="below")).to_pandas()
+    full = ds.to_pandas()
+    assert len(above) + len(below) == len(full)
+    for g, sub in full.groupby("grp"):
+        v = np.sort(sub["score"].to_numpy())
+        med = v[max(0, int(np.ceil(len(v) * 0.5)) - 1)]
+        assert (above[above["grp"] == g]["score"] >= med).all()
+        assert (below[below["grp"] == g]["score"] < med).all()
