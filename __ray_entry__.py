@@ -912,6 +912,98 @@ def q_doc_above_median(sf_dir: str):
     return filter_by_group_quantile(docs, "lang", "n_chars", 0.5)
 
 
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-style pricing summary composed from the engine's
+    aggregation primitives — per (returnflag, linestatus): quantity /
+    price / discounted-price sums and means.  All money math runs in
+    integer cents (prices/discounts are 2-decimal by construction), so
+    the aggregates are EXACT integer sums on both engines and the
+    final float divisions match bit-for-bit — no float sum-order
+    hazard at any row count."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qty = np.round(batch["l_quantity"].to_numpy()).astype(np.int64)
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(
+            batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {"l_returnflag": batch["l_returnflag"].to_numpy(),
+             "l_linestatus": batch["l_linestatus"].to_numpy(),
+             "sq": qty, "sc": cents, "sd": disc,
+             "sdp": cents * (100 - disc), "n": 1}
+        )
+        return g.groupby(["l_returnflag", "l_linestatus"],
+                         as_index=False).sum()
+
+    agg = bucket_agg(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {"sq": ("sq", "sum"), "sc": ("sc", "sum"), "sd": ("sd", "sum"),
+         "sdp": ("sdp", "sum"), "n": ("n", "sum")},
+        pre=False, num_buckets=4,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"l_returnflag": batch["l_returnflag"].to_numpy(),
+             "l_linestatus": batch["l_linestatus"].to_numpy(),
+             "sum_qty": batch["sq"].to_numpy(dtype=np.int64),
+             "sum_base_price": batch["sc"].to_numpy(np.int64) / 100.0,
+             "sum_disc_price": batch["sdp"].to_numpy(np.int64) / 10000.0,
+             "avg_qty": batch["sq"].to_numpy(np.int64) / n,
+             "avg_price": batch["sc"].to_numpy(np.int64) / 100.0 / n,
+             "avg_disc": batch["sd"].to_numpy(np.int64) / 100.0 / n,
+             "count_order": n}
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def q_events_daily_users(sf_dir: str):
+    """Distinct active users per day — DISTINCT (day, user) per-batch
+    combiner then one pre-aggregated count shuffle (the exact-count
+    companion to the HLL sketch).  Integer epoch-day math both engines
+    reproduce exactly."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        unit = np.datetime_data(batch["ts"].dtype)[0]
+        div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        day = (batch["ts"].astype("int64") // div // 86400).astype("int64")
+        return pd.DataFrame(
+            {"day": day, "user_id": batch["user_id"].to_numpy()}
+        ).drop_duplicates()
+
+    from pyrdf2vec_ray.shuffle import distinct
+
+    uniq = distinct(
+        ev.map_batches(pairs, batch_format="pandas"), ["day", "user_id"]
+    )
+    return bucket_agg(uniq, ["day"], {"users": ("user_id", "size")},
+                      num_buckets=4)
+
+
 def q_doc_sample_exact(sf_dir: str):
     """Exactly-n-per-group deterministic sampling (ops/curate
     .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
@@ -1930,6 +2022,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "doc_normalize": q_doc_normalize,
+        "lineitem_pricing": q_lineitem_pricing,
+        "events_daily_users": q_events_daily_users,
         "doc_above_median": q_doc_above_median,
         "doc_ecdf": q_doc_ecdf,
         "doc_interleave": q_doc_interleave,
@@ -2142,6 +2236,39 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "lineitem_pricing": """
+            WITH c AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS cents,
+                     CAST(round(l_discount * 100) AS BIGINT) AS disc
+              FROM lineitem
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty,
+                   CAST(sum(cents) AS BIGINT) / 100.0 AS sum_base_price,
+                   CAST(sum(cents * (100 - disc)) AS BIGINT) / 10000.0
+                     AS sum_disc_price,
+                   CAST(sum(qty) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE) AS avg_qty,
+                   CAST(sum(cents) AS BIGINT) / 100.0
+                     / CAST(count(*) AS DOUBLE) AS avg_price,
+                   CAST(sum(disc) AS BIGINT) / 100.0
+                     / CAST(count(*) AS DOUBLE) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM c GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_daily_users": """
+            WITH du AS (
+              SELECT DISTINCT
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                     user_id
+              FROM events
+            )
+            SELECT day, CAST(count(*) AS BIGINT) AS users
+            FROM du GROUP BY day
+        """,
         "doc_normalize": r"""
             SELECT doc_id,
                    lower(trim(regexp_replace(
