@@ -163,7 +163,13 @@ def zscore_by_group(
     accumulation would not be); (2) broadcast the tiny group-stats
     table and map.  Groups with n == 1 or zero variance emit
     zscore = 0.0 (the convention that keeps downstream filters
-    total)."""
+    total).
+
+    Scale bound: the int64 sum-of-squares overflows when
+    n * v^2 approaches 2^63 (~9.2e18) — e.g. 1e12 rows of 4-digit
+    values are fine (1e12 * 1e8 = 1e20 is NOT; 1e12 * 1e6 = 1e18 is).
+    Past that, pre-shift values by an approximate group mean (the
+    sums stay exact and small) or accept float accumulation."""
     import ray
 
     from pyrdf2vec_ray.util import to_table
