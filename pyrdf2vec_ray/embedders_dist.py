@@ -142,46 +142,6 @@ class PSTrainer:
         self.sents: list[np.ndarray] = []
         self.neg_table = None
         self._flat = None  # cached concatenated corpus (built lazily)
-        self._prefault_sgns()
-
-    def _prefault_sgns(self):
-        """Pay the first-allocation page faults of the SGNS chunk
-        buffers HERE, during actor spin-up (overlapping corpus
-        ingestion), not inside epoch 0.  This host class faults
-        intermittently at ~3 ms/page, so the ~85 MB of fresh
-        intermediates a first 16k-pair chunk allocates stalled epoch 0
-        by 7-12 s (measured; epoch 1 reusing the malloc arena ran the
-        same pairs in 1-2 s).  A zero-LR update on a scratch model
-        allocates the SAME-SIZE buffers (intermediate shapes depend on
-        chunk size x negative x dim, not vocab), so the real epochs hit
-        a warm arena.  Touches no training state; scratch W/C are
-        eagerly-written np.full (lazy zero pages make random gathers
-        pathological here — 3 s for a 21 MB gather, measured)."""
-        # glibc serves >128 KB buffers by fresh mmap/munmap per call
-        # until its dynamic threshold adapts, so the chunk intermediates
-        # re-fault EVERY call at first; pin the mmap threshold above the
-        # largest intermediate so they live on the (persistently mapped)
-        # heap from the start.  M_MMAP_THRESHOLD = -3 (glibc mallopt).
-        try:
-            import ctypes
-
-            ctypes.CDLL("libc.so.6").mallopt(-3, 64 * 1024 * 1024)
-        except OSError:  # non-glibc platform: warm-up alone still helps
-            pass
-        dim = self.cfg.get("vector_size", 100)
-        k = self.cfg.get("negative", 5)
-        m = SGNS(**self.cfg)
-        rows = 256
-        m.W = np.full((rows, dim), 0.0, dtype=np.float32)
-        m.C = np.full((rows, dim), 0.0, dtype=np.float32)
-        B = 16384
-        idx = (np.arange(B, dtype=np.int64) % rows)
-        m._chunk_update(
-            idx, idx,
-            (np.arange(B * k, dtype=np.int64) % rows).reshape(B, k),
-            np.zeros(B, dtype=np.float32),
-        )
-
     def add_sentences(self, walks: list[list[str]]):
         for w in walks:
             if len(w) > 1:
