@@ -1004,6 +1004,51 @@ def q_events_daily_users(sf_dir: str):
                       num_buckets=4)
 
 
+def q_orders_by_month(sf_dir: str):
+    """Monthly order volume and revenue — calendar grouping via exact
+    integer (year, month) parts and integer-cents revenue (no float
+    sum-order hazard), pre-aggregated per batch before one tiny
+    shuffle."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"]
+        cents = np.round(
+            batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {"year": d.dt.year.astype("int64"),
+             "month": d.dt.month.astype("int64"),
+             "cents": cents, "n": 1}
+        )
+        return g.groupby(["year", "month"], as_index=False).sum()
+
+    agg = bucket_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["year", "month"],
+        {"cents": ("cents", "sum"), "n": ("n", "sum")},
+        pre=False, num_buckets=4,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"year": batch["year"].to_numpy(np.int64),
+             "month": batch["month"].to_numpy(np.int64),
+             "orders": batch["n"].to_numpy(np.int64),
+             "revenue": batch["cents"].to_numpy(np.int64) / 100.0}
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def q_doc_sample_exact(sf_dir: str):
     """Exactly-n-per-group deterministic sampling (ops/curate
     .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
@@ -2023,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": q_events_retention,
         "doc_normalize": q_doc_normalize,
         "lineitem_pricing": q_lineitem_pricing,
+        "orders_by_month": q_orders_by_month,
         "events_daily_users": q_events_daily_users,
         "doc_above_median": q_doc_above_median,
         "doc_ecdf": q_doc_ecdf,
@@ -2236,6 +2282,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "orders_by_month": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                     AS year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)
+                     AS month,
+                   CAST(count(*) AS BIGINT) AS orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS revenue
+            FROM orders GROUP BY 1, 2
+        """,
         "lineitem_pricing": """
             WITH c AS (
               SELECT l_returnflag, l_linestatus,
