@@ -165,6 +165,66 @@ def q_bfs_walks_customers(sf_dir: str):
     return walks.map_batches(explode, batch_format="pyarrow")
 
 
+def q_bfs_walks_checkpointed(sf_dir: str):
+    """Checkpoint/resume on the WALK pipeline (the north rule's
+    mid-pipeline resumability, beyond the construct path): BFS depth-2
+    walks from all customers run PARTITIONED over customer-key ranges
+    through checkpoint.run_partitioned on the SHARDED graph backend —
+    atomic per-partition parquet + manifest, a second run must skip
+    every partition (asserted in-query), and the read-back union
+    value-checks against the same two-join SQL path oracle as
+    bfs_walks_customers."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import zlib
+
+    import pyarrow.compute as pc
+
+    from pyrdf2vec_ray.checkpoint import read_run, run_partitioned
+    from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
+
+    gi = _graph_index(sf_dir, sharded=True)
+    entities = _customer_entities(sf_dir)
+    n_parts = 4
+    step = (len(entities) + n_parts - 1) // n_parts
+    parts = []
+    for i in range(n_parts):
+        lo, hi = i * step, min(len(entities), (i + 1) * step)
+        fp = hashlib.md5(
+            f"{sf_dir}|bfs2|{entities[lo]}|{entities[hi - 1]}|v1".encode()
+        ).hexdigest()
+        parts.append((f"ents_{lo:08d}_{hi:08d}", fp))
+
+    spec = WalkerSpec(strategy="random", max_depth=2, max_walks=None,
+                      md5_bytes=None)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(batch["walks"].combine_chunks())
+        return pa.table(
+            {name: pc.list_element(flat, i)
+             for i, name in enumerate(("e0", "p1", "e1", "p2", "e2"))}
+        )
+
+    def build(partition: str):
+        lo, hi = (int(x) for x in partition.split("_")[1:])
+        walks = extract_walks(gi, entities[lo:hi], spec, batch_size=256)
+        return walks.map_batches(explode, batch_format="pyarrow")
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_ckpt_bfs_{zlib.crc32(sf_dir.encode()):08x}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    r1 = run_partitioned(root, parts, build)
+    assert not any(r.skipped for r in r1)
+    r2 = run_partitioned(root, parts, build)
+    assert all(r.skipped for r in r2), "resume recomputed a partition"
+    assert [r.rows for r in r1] == [r.rows for r in r2]
+    return read_run(root).select_columns(["e0", "p1", "e1", "p2", "e2"])
+
+
 def q_walklets_customers(sf_dir: str):
     from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
 
@@ -2038,6 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampler_objpredfreq": q_sampler_objpredfreq,
         "vertex_stats": q_vertex_stats,
         "bfs_walks_customers": q_bfs_walks_customers,
+        "bfs_walks_checkpointed": q_bfs_walks_checkpointed,
         "walks_reverse": q_walks_reverse,
         "walks_ngram": q_walks_ngram,
         "walklets_customers": q_walklets_customers,
@@ -2181,6 +2242,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN o ON names.name = o.name
             LEFT JOIN i ON names.name = i.name
             LEFT JOIN p ON names.name = p.name
+        """,
+        "bfs_walks_checkpointed": """
+            SELECT 'customer:' || c_custkey AS e0,
+                   'in_nation' AS p1,
+                   'nation:' || c_nationkey AS e1,
+                   'in_region' AS p2,
+                   'region:' || n_regionkey AS e2
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         "bfs_walks_customers": """
             SELECT 'customer:' || c_custkey AS e0,
