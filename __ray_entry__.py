@@ -1109,6 +1109,34 @@ def q_orders_by_month(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def q_tokens_distinct_by_lang(sf_dir: str):
+    """Exact distinct-token counts per language — the exact companion
+    the HLL sketch (hll_registers) estimates, and the accuracy anchor
+    its pytest bound is measured against.  Per-batch DISTINCT (lang,
+    token) combiner, distributed distinct, pre-aggregated count."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+
+    docs = _docs(sf_dir, ("doc_id", "text", "lang"))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].astype(str).str.split().explode().dropna()
+        if not len(toks):
+            return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                                 "token": pd.Series(dtype="object")})
+        return pd.DataFrame(
+            {"lang": batch["lang"].reset_index(drop=True)
+             .iloc[toks.index].to_numpy(),
+             "token": toks.to_numpy()}
+        ).drop_duplicates()
+
+    uniq = distinct(docs.map_batches(pairs, batch_format="pandas"),
+                    ["lang", "token"], num_buckets=8)
+    return bucket_agg(uniq, ["lang"], {"distinct_tokens": ("token", "size")},
+                      num_buckets=4)
+
+
 def q_doc_sample_exact(sf_dir: str):
     """Exactly-n-per-group deterministic sampling (ops/curate
     .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
@@ -2141,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontam_ngram": q_doc_decontam_ngram,
         "tokens_by_lang": q_tokens_by_lang,
+        "tokens_distinct_by_lang": q_tokens_distinct_by_lang,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
@@ -2351,6 +2380,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "tokens_distinct_by_lang": r"""
+            WITH tok AS (
+              SELECT lang,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x != '')) AS token
+              FROM documents
+            )
+            SELECT lang, CAST(count(DISTINCT token) AS BIGINT)
+                     AS distinct_tokens
+            FROM tok GROUP BY lang
+        """,
         "orders_by_month": """
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
                      AS year,
