@@ -1137,6 +1137,51 @@ def q_tokens_distinct_by_lang(sf_dir: str):
                       num_buckets=4)
 
 
+def q_corpus_report(sf_dir: str):
+    """Per-source corpus inventory — the one-table summary a curation
+    run ships with: document count, total characters, total whitespace
+    tokens, and distinct languages per source.  All integer sums
+    (bit-exact on both engines) from one pre-aggregated shuffle plus a
+    distinct-pair count for the language cardinality."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].astype(str).str.count(r"\S+").astype("int64")
+        g = pd.DataFrame(
+            {"source": batch["source"].to_numpy(),
+             "n_docs": 1,
+             "total_chars": batch["n_chars"].to_numpy(np.int64),
+             "total_tokens": toks.to_numpy()}
+        )
+        return g.groupby("source", as_index=False).sum()
+
+    sums = bucket_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["source"],
+        {"n_docs": ("n_docs", "sum"),
+         "total_chars": ("total_chars", "sum"),
+         "total_tokens": ("total_tokens", "sum")},
+        pre=False, num_buckets=4,
+    )
+    langs = bucket_agg(
+        distinct(docs.select_columns(["source", "lang"]),
+                 ["source", "lang"], num_buckets=4),
+        ["source"], {"n_langs": ("lang", "size")}, num_buckets=4,
+    )
+    from pyrdf2vec_ray.ops.join import hash_join
+
+    return hash_join(sums, langs, on=["source"], num_buckets=4)
+
+
 def q_doc_sample_exact(sf_dir: str):
     """Exactly-n-per-group deterministic sampling (ops/curate
     .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
@@ -2156,6 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "doc_normalize": q_doc_normalize,
+        "corpus_report": q_corpus_report,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_by_month": q_orders_by_month,
         "events_daily_users": q_events_daily_users,
@@ -2380,6 +2426,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "corpus_report": r"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(len(list_filter(
+                        regexp_split_to_array(text, '\s+'),
+                        x -> x != ''))) AS BIGINT) AS total_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source
+        """,
         "tokens_distinct_by_lang": r"""
             WITH tok AS (
               SELECT lang,
