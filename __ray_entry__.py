@@ -1182,6 +1182,26 @@ def q_corpus_report(sf_dir: str):
     return hash_join(sums, langs, on=["source"], num_buckets=4)
 
 
+def q_doc_budget_sample(sf_dir: str):
+    """Budget-capped mixture sampling (ops/curate.budget_sample): take
+    docs per source, in deterministic splitmix64 order, while each
+    source's cumulative n_chars stays within a 20k budget — the "N
+    tokens per domain" primitive.  Per-(group, hash-part) weight sums
+    give exact base offsets, so no group ever needs to fit one task;
+    the inclusive prefix sums in the output are value-checked against
+    a windowed SUM oracle."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.curate import budget_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return budget_sample(docs, 20_000, group_col="source",
+                         weight_col="n_chars", seed=41)
+
+
 def q_doc_sample_exact(sf_dir: str):
     """Exactly-n-per-group deterministic sampling (ops/curate
     .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
@@ -2198,6 +2218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": q_join_orders_customer,
         "orders_anti_join": q_orders_anti_join,
         "doc_sample_exact": q_doc_sample_exact,
+        "doc_budget_sample": q_doc_budget_sample,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "doc_normalize": q_doc_normalize,
@@ -2282,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
     from pyrdf2vec_ray.ops.curate import (
         assign_splits_sql,
         sample_by_hash_sql,
+        budget_sample_sql,
         interleave_sources_sql,
         sample_exact_per_group_sql,
         shuffle_order_sql,
@@ -2426,6 +2448,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "doc_budget_sample": budget_sample_sql(
+            20_000, group_col="source", weight_col="n_chars", seed=41
+        ),
         "corpus_report": r"""
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,

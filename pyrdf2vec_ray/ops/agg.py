@@ -338,8 +338,10 @@ def ecdf_by_group(
     excl = cum - n - base[codes]
     ends = np.r_[starts[1:], len(hist)]
     totals = (cum[ends - 1] - base)[codes]
+    # \x01 separator: numpy strips trailing NUL "padding", which would
+    # merge ("src1", 14) with ("src11", 4) — see curate.budget_sample
     gk = np.char.add(np.char.add(
-        hist[group_col].to_numpy().astype(np.str_), "\x00"),
+        hist[group_col].to_numpy().astype(np.str_), "\x01"),
         hist[value_col].to_numpy().astype(np.str_))
     order = np.argsort(gk)
     ref = ray.put((gk[order], excl[order].astype(np.int64),
@@ -348,7 +350,7 @@ def ecdf_by_group(
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         keys, ex, tot = ray.get(ref)
         bk = np.char.add(np.char.add(
-            batch[group_col].to_numpy().astype(np.str_), "\x00"),
+            batch[group_col].to_numpy().astype(np.str_), "\x01"),
             batch[value_col].to_numpy().astype(np.str_))
         idx = np.searchsorted(keys, bk)
         pct = np.where(tot[idx] > 1,

@@ -748,3 +748,133 @@ def interleave_sources_sql(
         f"         AS rank\n"
         f"FROM v"
     )
+
+
+def budget_sample(
+    docs: ray.data.Dataset,
+    budget: int,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    key: str = "doc_id",
+    seed: int = 0,
+    parts_pow2: int = 6,
+) -> ray.data.Dataset:
+    """(group, key, weight, cum): rows taken per group, in the
+    deterministic splitmix64 order, while the group's cumulative
+    ``weight_col`` stays within ``budget`` — "2B tokens per domain"
+    mixture building as an operator.  ``cum`` is the inclusive prefix
+    sum, so the output is self-auditing (max cum per group <= budget).
+
+    NO per-group collect and no assumption that a group fits a task:
+    the hash's top bits range-partition each group's rows; per-(group,
+    part) WEIGHT sums (a tiny aggregate) give exact base offsets, and
+    each bucket finishes its parts with a local sort + cumsum.  All
+    integer arithmetic — reproducible in SQL as a windowed SUM."""
+    n_parts = 1 << parts_pow2
+    shift = np.uint64(64 - parts_pow2)
+
+    def hashed(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[key].to_numpy(dtype=np.int64).view(np.uint64)
+        h = splitmix64(ids ^ np.uint64(seed))
+        return pd.DataFrame(
+            {group_col: batch[group_col].to_numpy(),
+             key: batch[key].to_numpy(),
+             weight_col: batch[weight_col].to_numpy(np.int64),
+             "h": h.view(np.int64),
+             "hpart": (h >> shift).astype(np.int64)}
+        )
+
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply, segment_spans
+
+    hs = docs.select_columns([group_col, key, weight_col]).map_batches(
+        hashed, batch_format="pandas", batch_size=8192
+    ).materialize()
+
+    sums = bucket_agg(
+        hs, [group_col, "hpart"], {"w": (weight_col, "sum")},
+        num_buckets=4,
+    ).to_pandas()
+    # per-(group, part) base offsets: cumsum over parts WITHIN group
+    sums = sums.sort_values([group_col, "hpart"]).reset_index(drop=True)
+    grp_codes, _ = pd.factorize(sums[group_col].to_numpy())
+    w = sums["w"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(w)
+    starts = np.flatnonzero(np.r_[True, np.diff(grp_codes) != 0])
+    base_of_group = np.where(starts > 0, cum[starts - 1], 0)
+    sums["base"] = cum - w - base_of_group[grp_codes]
+    import ray
+
+    # \x01 separator, NOT \x00: numpy U-strings treat trailing NULs
+    # as padding and pandas str-concat drops embedded NULs outright, so
+    # a NUL "separator" silently vanishes and ("src1", 14) collides
+    # with ("src11", 4) — measured as a wrong-base bug here
+    base_keys = np.char.add(np.char.add(
+        sums[group_col].to_numpy().astype(np.str_), "\x01"),
+        sums["hpart"].to_numpy().astype(np.str_))
+    border = np.argsort(base_keys)
+    base_ref = ray.put((base_keys[border],
+                        sums["base"].to_numpy(np.int64)[border]))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bkeys, bvals = ray.get(base_ref)
+        # the hash order MUST be (h >> 1, key) — the oracle compares
+        # the shifted hash, so ties after the shift break by key on
+        # both engines
+        hu = (g["h"].to_numpy(dtype=np.int64).view(np.uint64)
+              >> np.uint64(1))
+        codes, _ = pd.factorize(g[group_col].to_numpy())
+        order = np.lexsort((g[key].to_numpy(), hu,
+                            g["hpart"].to_numpy(), codes))
+        g = g.iloc[order].reset_index(drop=True)
+        gk = np.char.add(np.char.add(
+            g[group_col].to_numpy().astype(np.str_), "\x01"),
+            g["hpart"].to_numpy().astype(np.str_))
+        cell = pd.factorize(gk)[0]
+        starts, lens = segment_spans(cell)
+        wv = g[weight_col].to_numpy(dtype=np.int64)
+        cw = np.cumsum(wv)
+        base_within = np.repeat(
+            np.where(starts > 0, cw[starts - 1], 0), lens)
+        within = cw - base_within
+        base = bvals[np.searchsorted(bkeys, gk)]
+        total = base + within
+        keep = total <= budget
+        out = g[[group_col, key, weight_col]][keep].copy()
+        out["cum"] = total[keep]
+        return out
+
+    return bucket_apply(hs, [group_col, "hpart"], per_bucket,
+                        batch_format="pandas")
+
+
+def budget_sample_sql(
+    budget: int,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    key: str = "doc_id",
+    seed: int = 0,
+    table: str = "documents",
+    weight_expr: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`budget_sample` — windowed SUM over the
+    splitmix64 order per group."""
+    wexpr = weight_expr or weight_col
+    return (
+        f"WITH _sm_in AS (\n"
+        f"  SELECT {group_col}, {key}, {wexpr} AS {weight_col}\n"
+        f"  FROM {table}\n"
+        f"),\n"
+        f"{splitmix64_sql(key, seed)},\n"
+        f"c AS (\n"
+        f"  SELECT {group_col}, {key}, {weight_col},\n"
+        f"         SUM({weight_col}) OVER (\n"
+        f"           PARTITION BY {group_col}\n"
+        f"           ORDER BY h >> 1, {key}\n"
+        f"           ROWS UNBOUNDED PRECEDING\n"
+        f"         ) AS cum\n"
+        f"  FROM s3\n"
+        f")\n"
+        f"SELECT {group_col}, {key}, {weight_col},\n"
+        f"       CAST(cum AS BIGINT) AS cum\n"
+        f"FROM c WHERE cum <= {budget}"
+    )

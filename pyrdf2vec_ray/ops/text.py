@@ -504,7 +504,10 @@ def fit_bigram_counts(
         lm_docs.map_batches(vocab_partial, batch_format="pandas"), ["w"]
     ).count()
 
-    pair_key = (pairs["w1"].astype(str) + "\x00"
+    # \x01 separator, NOT \x00: pandas str-concat silently DROPS
+    # embedded NULs and numpy strips trailing ones, so a NUL separator
+    # vanishes and ("ab","c") / ("a","bc") merge their counts
+    pair_key = (pairs["w1"].astype(str) + "\x01"
                 + pairs["w2"].astype(str)).to_numpy()
     order = np.argsort(pair_key)
     pair_keys = pair_key[order].astype(np.str_)          # U-dtype: zero-copy
@@ -570,7 +573,7 @@ def bigram_lm_scores(
             return empty
         w1 = arr[m]
         w2 = arr[np.r_[False, m[:-1]]]
-        keys = np.char.add(np.char.add(w1.astype(np.str_), "\x00"),
+        keys = np.char.add(np.char.add(w1.astype(np.str_), "\x01"),
                            w2.astype(np.str_))
         pi = np.searchsorted(s_pk, keys)
         pi_ok = (pi < len(s_pk)) & (s_pk[np.minimum(pi, len(s_pk) - 1)]

@@ -441,3 +441,44 @@ def test_filter_by_group_quantile_sides():
         med = v[max(0, int(np.ceil(len(v) * 0.5)) - 1)]
         assert (above[above["grp"] == g]["score"] >= med).all()
         assert (below[below["grp"] == g]["score"] < med).all()
+
+
+def test_budget_sample_matches_naive_and_separator_collision():
+    """Covers the numpy/pandas NUL-separator trap directly: groups
+    'g1' and 'g11' with hash-part ids that concatenate ambiguously
+    must not share base offsets."""
+    from pyrdf2vec_ray.ops.curate import budget_sample, splitmix64
+
+    rng = np.random.RandomState(4)
+    n = 400
+    grp = np.where(rng.rand(n) < 0.5, "g1", "g11")
+    w = rng.randint(1, 50, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(grp),
+        "n_tokens": pa.array(w),
+    })).repartition(4)
+    budget = 300
+    got = (to_table(budget_sample(ds, budget, weight_col="n_tokens",
+                                  seed=9)).to_pandas()
+           .sort_values(["source", "cum"]).reset_index(drop=True))
+    # naive reference
+    h = splitmix64(np.arange(n, dtype=np.int64).view(np.uint64)
+                   ^ np.uint64(9)) >> np.uint64(1)
+    df = pd.DataFrame({"source": grp, "doc_id": range(n),
+                       "n_tokens": w, "h": h})
+    ref_rows = []
+    for g, sub in df.groupby("source"):
+        sub = sub.sort_values(["h", "doc_id"])
+        cum = sub["n_tokens"].cumsum()
+        keep = cum <= budget
+        for (_, r), c in zip(sub[keep].iterrows(), cum[keep]):
+            ref_rows.append((g, r["doc_id"], r["n_tokens"], c))
+    ref = (pd.DataFrame(ref_rows, columns=["source", "doc_id",
+                                           "n_tokens", "cum"])
+           .sort_values(["source", "cum"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "n_tokens": "int64",
+                    "cum": "int64"}), ref.astype(
+            {"doc_id": "int64", "n_tokens": "int64", "cum": "int64"}))
+    assert (got.groupby("source")["cum"].max() <= budget).all()
