@@ -103,7 +103,14 @@ docs = docs.map_batches(
 )
 packed = pack_sequences(docs, budget=2048).to_pandas()
 order = shuffle_order(docs.select_columns(["doc_id"]), seed=13).to_pandas()
-# the actual training order: weighted mixture schedule by language
+# cap each language's contribution at a character budget, then the
+# actual training order: weighted mixture schedule by language
+from pyrdf2vec_ray.ops.curate import budget_sample  # noqa: E402
+
+capped = budget_sample(
+    wide.select_columns(["doc_id", "lang", "n_chars"]),
+    budget=5000, group_col="lang", weight_col="n_chars", seed=23,
+).to_pandas()
 mix = interleave_sources(
     docs.select_columns(["doc_id", "lang"]),
     {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1},
@@ -120,5 +127,7 @@ print("packed sequences:", int(packed["seq_id"].max()) + 1,
       "of 2048 tokens")
 print(pd.merge(packed, order, on="doc_id").head(3).to_string())
 print("mixture head:", mix.head(8)["lang"].tolist())
+print("budget-capped per lang:",
+      capped.groupby("lang")["cum"].max().to_dict(), "(<= 5000)")
 
 ray.shutdown()
