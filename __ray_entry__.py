@@ -1202,6 +1202,54 @@ def q_doc_budget_sample(sf_dir: str):
                          weight_col="n_chars", seed=41)
 
 
+def q_top_spenders_by_nation(sf_dir: str):
+    """Three-operator relational chain — orders ⋈ customers
+    (hash_join), per-customer revenue in exact integer cents
+    (bucket_agg), top-2 spenders per nation (topk_by_group) — the
+    full pipeline value-checked by one windowed SQL oracle.  Ties
+    break by custkey ascending on both engines."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import topk_by_group
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"custkey": b["o_custkey"].to_numpy(),
+             "cents": np.round(
+                 b["o_totalprice"].to_numpy() * 100).astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    spend = bucket_agg(orders, ["custkey"], {"cents": ("cents", "sum")},
+                       num_buckets=8)
+    joined = hash_join(spend, cust, on=["custkey"], num_buckets=8)
+
+    def as_revenue(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c_nationkey": batch["c_nationkey"].to_numpy(np.int64),
+             "custkey": batch["custkey"].to_numpy(np.int64),
+             "revenue": batch["cents"].to_numpy(np.int64) / 100.0}
+        )
+
+    ranked = topk_by_group(
+        joined.map_batches(as_revenue, batch_format="pandas"),
+        "c_nationkey", "revenue", k=2, id_col="custkey", num_buckets=8,
+    )
+    return ranked
+
+
 def q_doc_sample_exact(sf_dir: str):
     """Exactly-n-per-group deterministic sampling (ops/curate
     .sample_exact_per_group): the 5 smallest splitmix64 key hashes per
@@ -2216,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_lm": q_doc_bigram_lm,
         "doc_zscore": q_doc_zscore,
         "join_orders_customer": q_join_orders_customer,
+        "top_spenders_by_nation": q_top_spenders_by_nation,
         "orders_anti_join": q_orders_anti_join,
         "doc_sample_exact": q_doc_sample_exact,
         "doc_budget_sample": q_doc_budget_sample,
@@ -2448,6 +2497,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "top_spenders_by_nation": """
+            WITH spend AS (
+              SELECT o_custkey AS custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey
+            ),
+            j AS (
+              SELECT c_nationkey, custkey, cents / 100.0 AS revenue
+              FROM spend JOIN customer ON custkey = c_custkey
+            )
+            SELECT c_nationkey, custkey, revenue, rank FROM (
+              SELECT c_nationkey, custkey, revenue,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY revenue DESC, custkey
+                     ) AS rank
+              FROM j
+            ) WHERE rank <= 2
+        """,
         "doc_budget_sample": budget_sample_sql(
             20_000, group_col="source", weight_col="n_chars", seed=41
         ),
