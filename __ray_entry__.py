@@ -33,18 +33,40 @@ def _rename(ds, mapping: dict[str, str]):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_ENTITY_CACHE: dict[str, list] = {}
+
+
 def _customer_entities(sf_dir: str) -> list[str]:
     import ray.data
 
-    keys = (
-        ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-        .to_pandas()["c_custkey"]
-        .sort_values()
-    )
-    return [f"customer:{k}" for k in keys]
+    if sf_dir not in _ENTITY_CACHE:
+        keys = (
+            ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+            )
+            .to_pandas()["c_custkey"]
+            .sort_values()
+        )
+        _ENTITY_CACHE[sf_dir] = [f"customer:{k}" for k in keys]
+    return _ENTITY_CACHE[sf_dir]
 
 
 _GI_CACHE: dict[tuple, Any] = {}
+_TRIPLES_CACHE: dict[str, Any] = {}
+
+
+def _triples(sf_dir: str):
+    """The deduplicated relational-KG triples Dataset, MATERIALIZED once
+    per sf dir and shared across queries — the driver gate runs ~30
+    triple-consuming queries against the same small input; re-running
+    the union-read + dedup shuffle per query would dominate the gate's
+    time budget.  (Pipelines at corpus scale stream instead — this cache
+    is query-harness plumbing, not an operator.)"""
+    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
+
+    if sf_dir not in _TRIPLES_CACHE:
+        _TRIPLES_CACHE[sf_dir] = tpch_triples(sf_dir).materialize()
+    return _TRIPLES_CACHE[sf_dir]
 
 
 def _graph_index(sf_dir: str, sharded: bool = False):
@@ -53,8 +75,6 @@ def _graph_index(sf_dir: str, sharded: bool = False):
     materialization, state/sharded_graph.py) when ``sharded=True`` —
     walk output is identical across the two backends (pinned by
     tests/test_sharded_graph.py)."""
-    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
-
     key = (sf_dir, sharded)
     if key not in _GI_CACHE:
         if sharded:
@@ -63,13 +83,13 @@ def _graph_index(sf_dir: str, sharded: bool = False):
             from pyrdf2vec_ray.state.sharded_graph import ShardedGraphIndex
 
             _GI_CACHE[key] = ShardedGraphIndex.build(
-                tpch_triples(sf_dir), num_shards=8,
+                _triples(sf_dir), num_shards=8,
                 scratch_dir=tempfile.mkdtemp(prefix="graft_shards_"),
             )
         else:
             from pyrdf2vec_ray.state.graph_index import GraphIndex
 
-            _GI_CACHE[key] = GraphIndex.from_dataset(tpch_triples(sf_dir))
+            _GI_CACHE[key] = GraphIndex.from_dataset(_triples(sf_dir))
     return _GI_CACHE[key]
 
 
@@ -97,37 +117,31 @@ def _synth_docs(sf_dir: str):
 # ---- queries ---------------------------------------------------------------
 
 def q_kg_triples(sf_dir: str):
-    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
-
-    return tpch_triples(sf_dir)
+    return _triples(sf_dir)
 
 
 def q_kg_out_degree(sf_dir: str):
     from pyrdf2vec_ray.shuffle import bucket_count
-    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
 
-    return bucket_count(tpch_triples(sf_dir), ["subj"], "out_deg")
+    return bucket_count(_triples(sf_dir), ["subj"], "out_deg")
 
 
 def q_sampler_objfreq(sf_dir: str):
     from pyrdf2vec_ray.shuffle import bucket_count
-    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
 
-    return bucket_count(tpch_triples(sf_dir), ["obj"], "in_deg")
+    return bucket_count(_triples(sf_dir), ["obj"], "in_deg")
 
 
 def q_sampler_predfreq(sf_dir: str):
     from pyrdf2vec_ray.shuffle import bucket_count
-    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
 
-    return bucket_count(tpch_triples(sf_dir), ["pred"], "n")
+    return bucket_count(_triples(sf_dir), ["pred"], "n")
 
 
 def q_sampler_objpredfreq(sf_dir: str):
     from pyrdf2vec_ray.shuffle import bucket_count
-    from pyrdf2vec_ray.sources.tpch_kg import tpch_triples
 
-    return bucket_count(tpch_triples(sf_dir), ["pred", "obj"], "n")
+    return bucket_count(_triples(sf_dir), ["pred", "obj"], "n")
 
 
 def q_vertex_stats(sf_dir: str):
@@ -2231,102 +2245,106 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Registry ordered for the driver gate: oracle-backed queries
+    first (cheapest first, kg_triples leading to warm the shared
+    triples cache), rows-only checks last — so a bounded verification
+    budget always covers every SQL-checkable operator."""
     return {
         "kg_triples": q_kg_triples,
-        "kg_out_degree": q_kg_out_degree,
-        "sampler_objfreq": q_sampler_objfreq,
-        "sampler_predfreq": q_sampler_predfreq,
-        "sampler_objpredfreq": q_sampler_objpredfreq,
-        "vertex_stats": q_vertex_stats,
-        "bfs_walks_customers": q_bfs_walks_customers,
-        "bfs_walks_checkpointed": q_bfs_walks_checkpointed,
-        "walks_reverse": q_walks_reverse,
-        "walks_ngram": q_walks_ngram,
-        "walklets_customers": q_walklets_customers,
-        "literals_region_chain": q_literals_region_chain,
-        "lpa_sweep1": q_lpa_sweep1,
-        "pagerank_iter1": q_pagerank_iter1,
-        "w2v_vocab": q_w2v_vocab,
-        "construct_doc_mentions": q_construct_doc_mentions,
-        "construct_mentions_checkpointed": q_construct_mentions_checkpointed,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_text_stats": q_doc_text_stats,
         "doc_tokens_bpe": q_doc_tokens_bpe,
-        "doc_tfidf": q_doc_tfidf,
         "doc_splits": q_doc_splits,
         "doc_sample_stratified": q_doc_sample_stratified,
-        "doc_shuffle_order": q_doc_shuffle_order,
         "doc_repetition": q_doc_repetition,
-        "hll_registers": q_hll_registers,
+        "doc_normalize": q_doc_normalize,
+        "doc_text_stats": q_doc_text_stats,
+        "tokens_by_lang": q_tokens_by_lang,
         "cms_counters": q_cms_counters,
         "bloom_words": q_bloom_words,
-        "doc_topk_by_lang": q_doc_topk_by_lang,
-        "doc_bigram_lm": q_doc_bigram_lm,
-        "doc_zscore": q_doc_zscore,
-        "join_orders_customer": q_join_orders_customer,
-        "top_spenders_by_nation": q_top_spenders_by_nation,
-        "orders_anti_join": q_orders_anti_join,
-        "doc_sample_exact": q_doc_sample_exact,
-        "doc_budget_sample": q_doc_budget_sample,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "doc_normalize": q_doc_normalize,
-        "corpus_report": q_corpus_report,
-        "lineitem_pricing": q_lineitem_pricing,
+        "events_sliding": q_events_sliding,
+        "doc_quality": q_doc_quality,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "hll_registers": q_hll_registers,
+        "doc_lang_id": q_doc_lang_id,
         "orders_by_month": q_orders_by_month,
-        "events_daily_users": q_events_daily_users,
-        "doc_above_median": q_doc_above_median,
+        "knn_bruteforce": q_knn_bruteforce,
+        "doc_topk_by_lang": q_doc_topk_by_lang,
+        "doc_budget_sample": q_doc_budget_sample,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_sample_exact": q_doc_sample_exact,
+        "events_funnel": q_events_funnel,
+        "lineitem_pricing": q_lineitem_pricing,
+        "doc_decontaminate": q_doc_decontaminate,
+        "construct_doc_mentions": q_construct_doc_mentions,
+        "doc_shuffle_order": q_doc_shuffle_order,
         "doc_ecdf": q_doc_ecdf,
-        "doc_interleave": q_doc_interleave,
-        "doc_quantiles_sampled": q_doc_quantiles_sampled,
-        "doc_length_quantiles": q_doc_length_quantiles,
+        "events_hourly": q_events_hourly,
+        "tokens_distinct_by_lang": q_tokens_distinct_by_lang,
+        "doc_zscore": q_doc_zscore,
+        "events_retention": q_events_retention,
         "inverted_index": q_inverted_index,
         "doc_pack_sequences": q_doc_pack_sequences,
-        "doc_decontaminate": q_doc_decontaminate,
+        "events_daily_users": q_events_daily_users,
+        "doc_tfidf": q_doc_tfidf,
         "doc_decontam_ngram": q_doc_decontam_ngram,
-        "tokens_by_lang": q_tokens_by_lang,
-        "tokens_distinct_by_lang": q_tokens_distinct_by_lang,
-        "events_hourly": q_events_hourly,
-        "events_sliding": q_events_sliding,
-        "events_asof": q_events_asof,
-        "events_interval_join": q_events_interval_join,
-        "knn_bruteforce": q_knn_bruteforce,
-        # rows-only (non-SQL-expressible)
-        "construct_triples": q_construct_triples,
-        "construct_checkpointed": q_construct_checkpointed,
-        "doc_lang_id": q_doc_lang_id,
-        "doc_quality": q_doc_quality,
-        "doc_simhash": q_doc_simhash,
-        "doc_fingerprint": q_doc_fingerprint,
-        "minhash_neardup": q_minhash_neardup,
-        "minhash_exact_planted": q_minhash_exact_planted,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_components": q_dedup_components,
-        "embedding_exact_planted": q_embedding_exact_planted,
-        "embedding_neardup": q_embedding_neardup,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
-        "media_features": q_media_features,
-        "media_features_milli": q_media_features_milli,
-        "media_frames_milli": q_media_frames_milli,
-        "media_resized_dims": q_media_resized_dims,
-        "media_resized": q_media_resized,
-        "media_frames": q_media_frames,
+        "doc_interleave": q_doc_interleave,
+        "literals_region_chain": q_literals_region_chain,
         "events_sessions": q_events_sessions,
-        "walks_wl_sample": q_walks_wl_sample,
-        "walks_dfs_sampled": q_walks_dfs_sampled,
-        "walks_dfs_exhausted": q_walks_dfs_exhausted,
-        "walks_community_noteleport": q_walks_community_noteleport,
-        "walks_wide_sampled": q_walks_wide_sampled,
-        "walks_wide_exhausted": q_walks_wide_exhausted,
-        "fasttext_buckets": q_fasttext_buckets,
-        "fasttext_embeddings": q_fasttext_embeddings,
-        "walks_community": q_walks_community,
+        "doc_above_median": q_doc_above_median,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "events_asof": q_events_asof,
+        "media_resized_dims": q_media_resized_dims,
+        "media_frames_milli": q_media_frames_milli,
+        "doc_bigram_lm": q_doc_bigram_lm,
+        "orders_anti_join": q_orders_anti_join,
         "walks_anonymous": q_walks_anonymous,
         "walks_split": q_walks_split,
+        "lpa_sweep1": q_lpa_sweep1,
+        "pagerank_iter1": q_pagerank_iter1,
+        "join_orders_customer": q_join_orders_customer,
+        "media_features_milli": q_media_features_milli,
+        "events_interval_join": q_events_interval_join,
+        "ngram_jaccard": q_ngram_jaccard,
         "walks_halk": q_walks_halk,
+        "walks_dfs_exhausted": q_walks_dfs_exhausted,
+        "walks_ngram": q_walks_ngram,
+        "walklets_customers": q_walklets_customers,
+        "doc_simhash": q_doc_simhash,
+        "walks_reverse": q_walks_reverse,
+        "top_spenders_by_nation": q_top_spenders_by_nation,
+        "corpus_report": q_corpus_report,
+        "fasttext_buckets": q_fasttext_buckets,
+        "w2v_vocab": q_w2v_vocab,
+        "construct_mentions_checkpointed": q_construct_mentions_checkpointed,
+        "embedding_exact_planted": q_embedding_exact_planted,
+        "minhash_exact_planted": q_minhash_exact_planted,
+        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
+        "doc_quantiles_sampled": q_doc_quantiles_sampled,
+        "sampler_objpredfreq": q_sampler_objpredfreq,
+        "sampler_predfreq": q_sampler_predfreq,
+        "walks_wide_exhausted": q_walks_wide_exhausted,
+        "vertex_stats": q_vertex_stats,
+        "sampler_objfreq": q_sampler_objfreq,
+        "kg_out_degree": q_kg_out_degree,
+        "dedup_components": q_dedup_components,
+        "walks_community_noteleport": q_walks_community_noteleport,
+        "walks_wl_sample": q_walks_wl_sample,
+        "bfs_walks_customers": q_bfs_walks_customers,
+        "bfs_walks_checkpointed": q_bfs_walks_checkpointed,
+        # rows-only (non-SQL-expressible)
+        "construct_triples": q_construct_triples,
+        "media_resized": q_media_resized,
+        "media_frames": q_media_frames,
+        "media_features": q_media_features,
+        "embedding_neardup": q_embedding_neardup,
+        "minhash_neardup": q_minhash_neardup,
+        "knn_ivf": q_knn_ivf,
+        "fasttext_embeddings": q_fasttext_embeddings,
+        "walks_dfs_sampled": q_walks_dfs_sampled,
+        "construct_checkpointed": q_construct_checkpointed,
         "rdf2vec_embeddings": q_rdf2vec_embeddings,
         "rdf2vec_scale_path": q_rdf2vec_scale_path,
+        "walks_community": q_walks_community,
+        "walks_wide_sampled": q_walks_wide_sampled,
     }
 
 

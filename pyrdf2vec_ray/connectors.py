@@ -69,6 +69,27 @@ def res2hops(res, skip_predicates: frozenset[str] = frozenset()) -> list[tuple[s
 import time as _time
 
 
+def http_fetch(endpoint: str, query: str, timeout: float = 30.0) -> list[dict]:
+    """Live SPARQL-protocol GET transport (stdlib urllib — requests /
+    aiohttp are not in this container): the reference's sync client
+    (reference connectors.py:121-134) sends ``?query=`` with an
+    ``Accept: application/sparql-results+json`` header and returns the
+    parsed ``results.bindings`` list.  Network-bound concurrency comes
+    from ``FetchingSPARQLConnector.afetch``'s bounded thread pool (the
+    aiohttp-equivalent bundling) plus the fetcher actor pool."""
+    import json
+    from urllib.parse import urlencode
+    from urllib.request import Request, urlopen
+
+    url = endpoint + ("&" if "?" in endpoint else "?") + urlencode(
+        {"query": query}
+    )
+    req = Request(url, headers={"Accept": "application/sparql-results+json"})
+    with urlopen(req, timeout=timeout) as resp:
+        body = resp.read()
+    return json.loads(body)["results"]["bindings"]
+
+
 class TTLCache:
     """Minimal (maxsize, ttl) query cache with FIFO eviction — the
     reference wraps cachetools.TTLCache(1024, 1200) around every fetch
@@ -99,14 +120,16 @@ class TTLCache:
 class FetchingSPARQLConnector(SPARQLConnector):
     """SPARQLConnector with a pluggable transport: ``fetch_fn(endpoint,
     query) -> bindings list`` (the parsed ``results.bindings`` of the
-    SPARQL JSON protocol).  A live deployment injects an HTTP client; the
-    test suite injects ``FakeSPARQLEndpoint``.  Responses are TTL-cached
-    per connector instance (= per actor), like the reference's sync path
-    (connectors.py:103-134)."""
+    SPARQL JSON protocol).  The default transport is the live stdlib
+    HTTP client (``http_fetch`` — exercised in tests against an
+    in-process HTTP server); deployments can inject their own client and
+    the test suite injects ``FakeSPARQLEndpoint``.  Responses are
+    TTL-cached per connector instance (= per actor), like the
+    reference's sync path (connectors.py:103-134)."""
 
     def __init__(self, endpoint: str, fetch_fn=None, cache: TTLCache | None = None):
         super().__init__(endpoint)
-        self.fetch_fn = fetch_fn
+        self.fetch_fn = fetch_fn if fetch_fn is not None else http_fetch
         self.cache = cache if cache is not None else TTLCache()
         self.n_transport_calls = 0
 
@@ -114,10 +137,6 @@ class FetchingSPARQLConnector(SPARQLConnector):
         hit = self.cache.get(query)
         if hit is not None:
             return hit
-        if self.fetch_fn is None:
-            raise NotImplementedError(
-                "no transport injected (this environment has no network)"
-            )
         self.n_transport_calls += 1
         res = self.fetch_fn(self.endpoint, query)
         self.cache.put(query, res)
@@ -145,10 +164,6 @@ class FetchingSPARQLConnector(SPARQLConnector):
             else:
                 misses.append(q)
         if misses:
-            if self.fetch_fn is None:
-                raise NotImplementedError(
-                    "no transport injected (this environment has no network)"
-                )
             import inspect
 
             self.n_transport_calls += len(misses)
@@ -164,7 +179,18 @@ class FetchingSPARQLConnector(SPARQLConnector):
 
                     return await asyncio.gather(*(one(q) for q in misses))
 
-                fetched = asyncio.run(run())
+                try:
+                    asyncio.get_running_loop()
+                except RuntimeError:
+                    fetched = asyncio.run(run())
+                else:
+                    # called from a thread that already owns a running
+                    # loop (async driver / Jupyter): asyncio.run would
+                    # raise — run the gather on a dedicated thread+loop
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=1) as pool:
+                        fetched = pool.submit(asyncio.run, run()).result()
             else:
                 from concurrent.futures import ThreadPoolExecutor
 

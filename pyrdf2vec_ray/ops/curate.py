@@ -686,7 +686,10 @@ def interleave_sources(
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         base_flat, ns, cs = ray.get(state_ref)
         hu = g["h"].to_numpy(dtype=np.int64).view(np.uint64)
-        order = np.lexsort((g[key].to_numpy(), hu,
+        # the family-wide tie-break contract is (h >> 1, key) — the
+        # oracle's ORDER BY h >> 1, key; sorting by the full 64-bit h
+        # would swap keys whose hashes differ only in bit 0
+        order = np.lexsort((g[key].to_numpy(), hu >> np.uint64(1),
                             g["part"].to_numpy()))
         g = g.iloc[order].reset_index(drop=True)
         part = g["part"].to_numpy(dtype=np.int64)

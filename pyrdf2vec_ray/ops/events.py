@@ -201,7 +201,22 @@ def sliding_window(
         batch = batch[["user_id", "ts", "value"]].copy()
         sec = batch["ts"].astype("datetime64[s]").astype("int64")
         slot = sec // slide_s * slide_s
-        batch["wkey"] = batch["user_id"].astype("int64") * M + slot
+        # wkey packs (user_id, window_start) into one int64: user_id
+        # must fit above the 2^34 slot field, and the k-1 backshifts
+        # must not borrow into it (window starts near/below epoch 0)
+        uid = batch["user_id"].astype("int64")
+        if len(uid):
+            if uid.max() >= (1 << 29) or uid.min() < 0:
+                raise ValueError(
+                    "user_id out of packing range [0, 2^29) — group by "
+                    "two columns instead of the packed wkey"
+                )
+            if slot.min() < (k - 1) * slide_s:
+                raise ValueError(
+                    "timestamps too close to epoch 0 for the packed "
+                    "window shift; re-base ts or widen the slot field"
+                )
+        batch["wkey"] = uid * M + slot
         g = (
             batch.groupby("wkey", as_index=False)
             .agg(n_events=("value", "size"), sum_value=("value", "sum"))

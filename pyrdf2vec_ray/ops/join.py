@@ -98,10 +98,22 @@ def hash_join(
         right.map_batches(tag("r"), batch_format="pandas")
     )
 
+    # for how='left', unmatched rows surface right columns as nulls —
+    # cast them to ONE nullable dtype per column in EVERY bucket, or
+    # all-matched buckets would emit int64 blocks while buckets with
+    # misses promote to float64 (dtype-strict block-schema hazard)
+    _nullable = {"i": "Int64", "u": "Int64", "f": "Float64", "b": "boolean"}
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lb = g[g["_side"]][on + l_extra]
         rb = g[~g["_side"]][on + rcols]
-        return lb.merge(rb, on=on, how=how)
+        out = lb.merge(rb, on=on, how=how)
+        if how == "left":
+            for c in rcols:
+                ext = _nullable.get(np.dtype(rdt[c]).kind)
+                if ext is not None:
+                    out[c] = out[c].astype(ext)
+        return out
 
     return bucket_apply(tagged, on, join_bucket,
                         num_buckets=num_buckets, batch_format="pandas")

@@ -1,12 +1,24 @@
 """Similarity search over an embedding column (task brief).
 
 - ``knn_bruteforce``: exact top-k cosine — the query matrix is broadcast
-  once (``ray.put``), every batch does one numpy matmul against it, and
-  per-query global top-k is a final small merge (map_batches partial
-  top-k → driver heap merge).  This is the baseline and the oracle.
-- ``knn_ivf``: IVF-style scale path — k-means-ish coarse centroids
-  (seed-fixed), batches route vectors to their nearest centroid bucket,
-  queries probe the ``nprobe`` closest buckets only.
+  once (``ray.put``), every batch does one numpy matmul against it, the
+  per-block partial top-k rows are tree-merged in ONE hash-bucket
+  shuffle on the query id, and the driver receives exactly nq·k rows
+  (never nq·k·n_blocks).  This is the baseline and the oracle.
+- ``knn_ivf``: IVF-style scale path — coarse centroids fitted on a
+  deterministic bottom-k-by-hash sample (no ``count()`` pass; corpus
+  size for the sqrt-N centroid heuristic comes from the sample's
+  k-minimum-values estimator), vectors route to their nearest centroid
+  in one ``bucket_apply`` shuffle whose parallelism is the bucket count
+  (NOT the centroid count), and queries probe the ``nprobe`` closest
+  centroids only.
+
+Partitioning assumptions at scale: the distributed merges key on the
+query index, so nq queries spread across min(nq, num_buckets) reduce
+tasks — batch large query sets rather than looping per query.  IVF
+buckets co-locate whole centroids; a pathologically hot centroid (one
+cell holding most of the corpus) should be split by raising
+``n_centroids`` (sqrt-N default) before resorting to salting.
 """
 
 from __future__ import annotations
@@ -18,11 +30,58 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..shuffle import bucket_apply, default_num_buckets
+from .curate import splitmix64
+
 
 def _normalize(v: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(v, axis=1, keepdims=True)
     n[n == 0] = 1
     return v / n
+
+
+def _merge_topk(partials: ray.data.Dataset, k: int, nq: int) -> pd.DataFrame:
+    """Tree-merge per-block partial top-k rows: one bucket shuffle on qi,
+    per-bucket vectorized (-cos, neighbor_id) rank, driver sees nq*k rows."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["qi", "cos", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.groupby("qi", sort=False).head(k)
+
+    merged = bucket_apply(
+        partials,
+        ["qi"],
+        per_bucket,
+        num_buckets=max(1, min(default_num_buckets(), nq)),
+        batch_format="pandas",
+    )
+    return merged.to_pandas()
+
+
+def _finalize(merged: pd.DataFrame, query_ids: np.ndarray, k: int) -> pa.Table:
+    merged = merged.sort_values(
+        ["qi", "cos", "neighbor_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    merged = merged.groupby("qi", sort=False).head(k)
+    qid = np.asarray(query_ids, dtype=np.int64)[
+        merged["qi"].to_numpy().astype(np.int64)
+    ]
+    return pa.table(
+        {
+            "query_id": pa.array(qid, pa.int64()),
+            "neighbor_id": pa.array(
+                merged["neighbor_id"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "cos": pa.array(
+                merged["cos"].to_numpy().astype(np.float64), pa.float64()
+            ),
+        }
+    )
 
 
 def knn_bruteforce(
@@ -60,61 +119,61 @@ def knn_bruteforce(
 
     partials = emb.map_batches(
         partial_topk, batch_format="pandas", batch_size=8192
-    ).to_pandas()
-    out_q, out_n, out_s = [], [], []
-    for qi, group in partials.groupby("qi"):
-        g = group.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
-        out_q.extend([int(query_ids[qi])] * len(g))
-        out_n.extend(g["neighbor_id"].astype("int64"))
-        out_s.extend(g["cos"])
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "cos": pa.array(np.asarray(out_s, dtype=np.float64)),
-        }
     )
+    merged = _merge_topk(partials, k, nq=len(qn))
+    return _finalize(merged, query_ids, k)
 
 
-def knn_ivf(
+def _fit_centroids(
     emb: ray.data.Dataset,
-    queries: np.ndarray,
-    query_ids: np.ndarray,
-    k: int = 5,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 13,
-    sample_size: int = 4096,
-) -> pa.Table:
-    """IVF approximate top-k: sample-fit centroids once (driver, on a
-    corpus-wide sample), bucket vectors by nearest centroid (one
-    shuffle), search only the nprobe closest buckets per query.
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None,
+    seed: int,
+    sample_size: int,
+) -> np.ndarray:
+    """Deterministic centroid fit with NO corpus count pass.
 
-    The centroid sample is a deterministic hash-stride over the id
-    column (every row whose Knuth-hashed id falls in the stride), NOT
-    the first `sample_size` rows — `limit()` would bias the fit on
-    corpora that are ordered/clustered on disk and silently degrade
-    recall.  The exact `knn_bruteforce` is the oracle either way."""
-    n_total = emb.count()
-    stride = max(1, n_total // sample_size)
-    if stride == 1:
-        sample_src = emb.limit(sample_size).to_pandas()
-    else:
-        def pick(batch: pd.DataFrame) -> pd.DataFrame:
-            ids = batch[id_col].to_numpy().astype(np.uint64)
-            keep = (ids * np.uint64(2654435761) & np.uint64(0xFFFFFFFF)) % stride == 0
-            return batch[keep]
+    Sample = global bottom-``sample_size`` rows by splitmix64(id): each
+    block keeps its local bottom slice (small, so the follow-up sort
+    moves per-block samples, not the corpus), a distributed sort+limit
+    picks the global bottom — deterministic regardless of block
+    boundaries.  Corpus size for the sqrt-N centroid default comes from
+    the sample itself (k-minimum-values estimate: n ≈ (k-1)·2^64 / h_k),
+    so no full pass is ever spent on counting.
+    """
+    per_block = max(64, sample_size // 16)
 
-        sample_src = (
-            emb.map_batches(pick, batch_format="pandas", batch_size=8192)
-            .limit(sample_size)
-            .to_pandas()
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        h = splitmix64(ids)
+        order = np.argsort(h, kind="stable")[:per_block]
+        out = batch.iloc[order][[vec_col]].copy()
+        # uint64 hash stored shifted into int64 (order-preserving) so
+        # Arrow sort handles it natively
+        out["_h"] = (h[order] >> np.uint64(1)).astype(np.int64)
+        return out
+
+    samp = (
+        emb.map_batches(pick, batch_format="pandas", batch_size=8192)
+        .sort("_h")
+        .limit(sample_size)
+        .to_pandas()
+    )
+    sample = np.stack(samp[vec_col].to_numpy()).astype(np.float64)
+    if n_centroids is None:
+        h_k = float(samp["_h"].max()) * 2.0 + 1.0   # undo the >>1
+        n_est = max(
+            len(sample),
+            int((len(sample) - 1) * (2.0 ** 64) / max(h_k, 1.0)),
         )
-    sample = np.stack(sample_src[vec_col].to_numpy()).astype(np.float64)
+        n_centroids = max(16, int(np.sqrt(n_est)))
     rng = np.random.RandomState(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    cents = sample[
+        rng.choice(
+            len(sample), size=min(n_centroids, len(sample)), replace=False
+        )
+    ]
     for _ in range(5):  # a few Lloyd iterations on the sample
         d = _normalize(sample) @ _normalize(cents).T
         assign = d.argmax(1)
@@ -122,56 +181,88 @@ def knn_ivf(
             m = sample[assign == c]
             if len(m):
                 cents[c] = m.mean(0)
+    return cents
+
+
+def knn_ivf(
+    emb: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_centroids: int | None = None,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+    sample_size: int = 4096,
+) -> pa.Table:
+    """IVF approximate top-k.  ``n_centroids=None`` sizes the coarse
+    index at sqrt(N) (KMV-estimated N — see ``_fit_centroids``);
+    ``nprobe >= n_centroids`` degenerates to exact brute force, which is
+    how the oracle value-checks this pipeline end to end.
+
+    Shape at scale: routing + search is ONE ``bucket_apply`` shuffle
+    whose task count is the bucket count (CPU/data sized), not the
+    centroid count; each reduce task searches every probed centroid that
+    hashed to it, vectorized.  Partial top-k per (query, bucket) then
+    tree-merges on the query id, so the driver sees nq·k rows.
+    """
+    cents = _fit_centroids(emb, id_col, vec_col, n_centroids, seed, sample_size)
     cn = _normalize(cents)
     c_ref = ray.put(cn)
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(c_ref)
-        v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
-        b = (v @ c.T).argmax(1)
+        vecs = np.stack(batch[vec_col].to_numpy())
+        b = (_normalize(vecs.astype(np.float64)) @ c.T).argmax(1)
         return pd.DataFrame(
-            {id_col: batch[id_col], "bucket": b.astype("int64"),
-             vec_col: list(np.stack(batch[vec_col].to_numpy()))}
+            {id_col: batch[id_col], "cent": b.astype("int64"),
+             vec_col: list(vecs)}
         )
 
     bucketed = emb.map_batches(bucketize, batch_format="pandas", batch_size=8192)
 
     qn = _normalize(np.asarray(queries, dtype=np.float64))
-    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]    # (nq, nprobe)
-    probe_sets = [set(map(int, row)) for row in probe]
-    q_ref = ray.put((qn, probe_sets))
+    nprobe_eff = min(nprobe, len(cn))
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe_eff]  # (nq, nprobe)
+    # centroid -> array of probing query indices, built once and broadcast
+    cent_to_qi: dict[int, np.ndarray] = {}
+    for qi in range(len(qn)):
+        for c in probe[qi]:
+            cent_to_qi.setdefault(int(c), []).append(qi)
+    cent_to_qi = {c: np.asarray(v, dtype=np.int64) for c, v in cent_to_qi.items()}
+    q_ref = ray.put((qn, cent_to_qi))
 
-    def search(group: pd.DataFrame) -> pd.DataFrame:
-        q, probes = ray.get(q_ref)
-        bucket = int(group["bucket"].iloc[0])
-        qi_list = [i for i, s in enumerate(probes) if bucket in s]
-        if not qi_list:
-            return pd.DataFrame({"qi": [], "neighbor_id": [], "cos": []})
-        ids = group[id_col].to_numpy()
-        v = _normalize(np.stack(group[vec_col].to_numpy()).astype(np.float64))
-        sims = q[qi_list] @ v.T
-        kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = {"qi": [], "neighbor_id": [], "cos": []}
-        for r, qi in enumerate(qi_list):
-            rows["qi"].extend([qi] * kk)
-            rows["neighbor_id"].extend(ids[top[r]])
-            rows["cos"].extend(sims[r, top[r]])
-        return pd.DataFrame(rows)
+    def search(g: pd.DataFrame) -> pd.DataFrame:
+        q, probing = ray.get(q_ref)
+        frames = []
+        for cent, sub in g.groupby("cent", sort=False):
+            qi_list = probing.get(int(cent))
+            if qi_list is None:
+                continue
+            ids = sub[id_col].to_numpy()
+            v = _normalize(np.stack(sub[vec_col].to_numpy()).astype(np.float64))
+            sims = q[qi_list] @ v.T
+            kk = min(k, sims.shape[1])
+            rows_q, rows_n, rows_s = [], [], []
+            for r, qi in enumerate(qi_list):
+                order = np.lexsort((ids, -sims[r]))[:kk]
+                rows_q.extend([int(qi)] * kk)
+                rows_n.extend(ids[order])
+                rows_s.extend(sims[r, order])
+            frames.append(
+                pd.DataFrame({"qi": rows_q, "neighbor_id": rows_n, "cos": rows_s})
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"qi": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "cos": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    partials = bucketed.groupby("bucket").map_groups(
-        search, batch_format="pandas"
-    ).to_pandas()
-    out_q, out_n, out_s = [], [], []
-    for qi, group in partials.groupby("qi"):
-        g = group.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
-        out_q.extend([int(query_ids[int(qi)])] * len(g))
-        out_n.extend(g["neighbor_id"].astype("int64"))
-        out_s.extend(g["cos"])
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "cos": pa.array(np.asarray(out_s, dtype=np.float64)),
-        }
+    partials = bucket_apply(
+        bucketed, ["cent"], search, batch_format="pandas",
     )
+    merged = _merge_topk(partials, k, nq=len(qn))
+    return _finalize(merged, query_ids, k)

@@ -451,28 +451,9 @@ def posting_lists(
                         batch_format="pandas")
 
 
-# per-worker deserialized LM state, keyed by the broadcast ref ids —
-# zero-copy ray.get once per worker process, not once per batch
-_LM_CACHE: dict = {}
-
-
-def fit_bigram_counts(
-    lm_docs: ray.data.Dataset,
-    text_col: str = "text",
-):
-    """Fit an add-one-smoothed bigram language model over the whitespace
-    tokens of ``lm_docs``.  Returns ``(pair_keys, pair_counts, ctx_keys,
-    ctx_counts, vocab_size)`` as driver-side numpy arrays — FITTED-STATE
-    scale, like the sampler stats: the model is |distinct bigrams| rows,
-    not corpus rows, and ships to workers once via ``ray.put``.  At
-    open-vocabulary 100 TB scale the exact table is replaced by the
-    Count-Min sketch (ops/sketch.cms_counters) at a quantified
-    overestimate cost; the exact table keeps the scorer SQL-checkable.
-
-    Counting is one pre-aggregated bucket shuffle over per-batch partial
-    (w1, w2) counts; keys are joined with a NUL byte (cannot appear in
-    whitespace-split tokens)."""
-    from pyrdf2vec_ray.shuffle import bucket_agg
+def _bigram_pair_partial(text_col: str):
+    """Per-batch partial (w1, w2, c) bigram counts (combiner before the
+    model-count shuffle)."""
 
     def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch[text_col].astype(str).reset_index(drop=True)
@@ -488,25 +469,57 @@ def fit_bigram_counts(
         g = g.groupby(["w1", "w2"], as_index=False).size()
         return g.rename(columns={"size": "c"})
 
+    return pair_partial
+
+
+def fit_bigram_datasets(
+    lm_docs: ray.data.Dataset, text_col: str = "text"
+) -> tuple[ray.data.Dataset, ray.data.Dataset, int]:
+    """Distributed add-one-smoothed bigram LM fit: returns the pair-count
+    Dataset ``(w1, w2, c)``, the context-count Dataset ``(w1, cc)`` and
+    the vocabulary size — NOTHING model-sized ever lands on the driver
+    (open-vocabulary corpora have unbounded bigram tables).  Counting is
+    one pre-aggregated bucket shuffle over per-batch partial counts; the
+    context table is a second (model-sized, not corpus-sized) shuffle of
+    the pair table."""
+    from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+
     pairs = bucket_agg(
-        lm_docs.map_batches(pair_partial, batch_format="pandas"),
+        lm_docs.map_batches(
+            _bigram_pair_partial(text_col), batch_format="pandas"
+        ),
         ["w1", "w2"], {"c": ("c", "sum")}, pre=False,
-    ).to_pandas()
+    )
+    ctx = bucket_agg(pairs, ["w1"], {"cc": ("c", "sum")})
 
     def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
         toks = (batch[text_col].astype(str).str.split()
                 .explode().dropna().unique())
         return pd.DataFrame({"w": toks})
 
-    from pyrdf2vec_ray.shuffle import distinct
-
     vocab = distinct(
         lm_docs.map_batches(vocab_partial, batch_format="pandas"), ["w"]
     ).count()
+    return pairs, ctx, int(vocab)
 
-    # \x01 separator, NOT \x00: pandas str-concat silently DROPS
-    # embedded NULs and numpy strips trailing ones, so a NUL separator
-    # vanishes and ("ab","c") / ("a","bc") merge their counts
+
+def fit_bigram_counts(
+    lm_docs: ray.data.Dataset,
+    text_col: str = "text",
+):
+    """Driver-side convenience over ``fit_bigram_datasets``: collects the
+    fitted model into ``(pair_keys, pair_counts, ctx_keys, ctx_counts,
+    vocab_size)`` numpy arrays for small / interactive models.  The
+    scoring pipeline (``bigram_lm_scores``) does NOT use this — it joins
+    against the count Datasets distributed, because corpus-scale bigram
+    tables don't fit a driver.
+
+    Keys are joined with \\x01, NOT \\x00: pandas str-concat silently
+    DROPS embedded NULs and numpy strips trailing ones, so a NUL
+    separator vanishes and ("ab","c") / ("a","bc") merge their counts."""
+    pairs_ds, _, vocab = fit_bigram_datasets(lm_docs, text_col)
+    pairs = pairs_ds.to_pandas()
+
     pair_key = (pairs["w1"].astype(str) + "\x01"
                 + pairs["w2"].astype(str)).to_numpy()
     order = np.argsort(pair_key)
@@ -517,6 +530,23 @@ def fit_bigram_counts(
     ctx_keys = ctx["w1"].to_numpy().astype(np.str_)
     ctx_counts = ctx["c"].to_numpy(dtype=np.int64)
     return pair_keys, pair_counts, ctx_keys, ctx_counts, int(vocab)
+
+
+def _arrow_reemit(columns: dict[str, pa.DataType]):
+    """Stage that re-emits pandas blocks as Arrow with a FIXED schema so
+    downstream ``union`` sides always match (mixed pandas/arrow blocks or
+    drifting dtypes crash the block builder)."""
+    schema = pa.schema(list(columns.items()))
+
+    def fn(batch: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {c: pa.array(batch[c].to_numpy() if len(batch) else [],
+                         type=t)
+             for c, t in columns.items()},
+            schema=schema,
+        )
+
+    return fn
 
 
 def bigram_lm_scores(
@@ -532,38 +562,39 @@ def bigram_lm_scores(
     P(w_i | w_{i-1}) = (c(w1,w2)+1) / (ctx(w1)+V) flags boilerplate and
     gibberish relative to the reference corpus.
 
-    Distribution shape: the fitted counts broadcast once (``ray.put`` of
-    sorted U-dtype key arrays — zero-copy via the object store), scoring
-    is a stateless vectorized map (explode + two searchsorted lookups +
-    one groupby-mean per batch); docs with < 2 tokens have no bigrams
-    and produce no row.  Integer columns (n_bigrams, oov_bigrams) are
-    bit-exact in SQL; logprob2 is IEEE-double arithmetic on both sides
-    (sum-order differences vanish under the driver's 6-decimal
-    rounding)."""
-    import ray
+    Distribution shape — fully distributed, NO driver-resident model and
+    no broadcast (open-vocabulary bigram tables are unbounded):
+      1. corpus docs explode to (doc_id, w1, w2) bigram rows (streamed);
+      2. one bucket shuffle on (w1, w2) co-locates corpus bigrams with
+         the fitted pair counts (tagged union) → per-row c(w1,w2) via a
+         vectorized in-bucket sorted lookup;
+      3. one bucket shuffle on w1 joins the context counts the same way
+         → per-row log2 P, pre-aggregated per doc inside the bucket;
+      4. one doc_id bucket-agg sums the partials into the final row.
+    Docs with < 2 tokens have no bigrams and produce no row.  Integer
+    columns (n_bigrams, oov_bigrams) are bit-exact in SQL; logprob2 is
+    IEEE-double arithmetic on both sides (sum-order differences vanish
+    under the driver's 6-decimal rounding).  Skew note: a heavy context
+    token ("the") concentrates its corpus rows in one stage-3 bucket; at
+    extreme skew, salt stage 3 by a (w1, doc_id-hash) composite and
+    replicate the (w1, cc) rows per salt."""
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
 
     if lm_docs is None:
         lm_docs = docs
-    pk, pc, ck, cc, v = fit_bigram_counts(lm_docs, text_col)
-    refs = (ray.put(pk), ray.put(pc), ray.put(ck), ray.put(cc))
-    cache_key = tuple(str(r) for r in refs)
+    pairs_ds, ctx_ds, v = fit_bigram_datasets(lm_docs, text_col)
+    vf = float(v)
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        state = _LM_CACHE.get(cache_key)
-        if state is None:
-            state = tuple(ray.get(r) for r in refs)
-            _LM_CACHE.clear()
-            _LM_CACHE[cache_key] = state
-        s_pk, s_pc, s_ck, s_cc = state
+    # --- stage 1: corpus bigram rows -------------------------------------
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch[text_col].astype(str).reset_index(drop=True)
         ids = batch[id_col].reset_index(drop=True)
-        toks = text.str.split().explode().dropna()
         empty = pd.DataFrame(
             {id_col: pd.Series(dtype="int64"),
-             "n_bigrams": pd.Series(dtype="int64"),
-             "oov_bigrams": pd.Series(dtype="int64"),
-             "logprob2": pd.Series(dtype="float64")}
+             "w1": pd.Series(dtype="object"),
+             "w2": pd.Series(dtype="object")}
         )
+        toks = text.str.split().explode().dropna()
         if not len(toks):
             return empty
         arr = toks.to_numpy()
@@ -571,32 +602,131 @@ def bigram_lm_scores(
         m = np.r_[doc[1:] == doc[:-1], False]
         if not m.any():
             return empty
-        w1 = arr[m]
-        w2 = arr[np.r_[False, m[:-1]]]
-        keys = np.char.add(np.char.add(w1.astype(np.str_), "\x01"),
-                           w2.astype(np.str_))
-        pi = np.searchsorted(s_pk, keys)
-        pi_ok = (pi < len(s_pk)) & (s_pk[np.minimum(pi, len(s_pk) - 1)]
-                                    == keys)
-        c2 = np.where(pi_ok, s_pc[np.minimum(pi, len(s_pk) - 1)], 0)
-        ci = np.searchsorted(s_ck, w1.astype(np.str_))
-        ci_ok = (ci < len(s_ck)) & (s_ck[np.minimum(ci, len(s_ck) - 1)]
-                                    == w1.astype(np.str_))
-        c1 = np.where(ci_ok, s_cc[np.minimum(ci, len(s_ck) - 1)], 0)
-        lp = np.log2((c2 + 1.0) / (c1 + float(v)))
-        dcode = doc[m]
-        g = pd.DataFrame({"d": dcode, "oov": (c2 == 0).astype(np.int64),
-                          "lp": lp})
-        agg = g.groupby("d").agg(
-            n_bigrams=("lp", "size"), oov_bigrams=("oov", "sum"),
-            logprob2=("lp", "mean"),
+        return pd.DataFrame(
+            {id_col: ids.iloc[doc[m]].to_numpy(),
+             "w1": arr[m], "w2": arr[np.r_[False, m[:-1]]]}
         )
-        agg.insert(0, id_col, ids.iloc[agg.index].to_numpy())
-        return agg.reset_index(drop=True)
 
-    return docs.select_columns([id_col, text_col]).map_batches(
-        score, batch_format="pandas", batch_size=4096
+    sch_a = {id_col: pa.int64(), "w1": pa.string(), "w2": pa.string(),
+             "c": pa.int64(), "_role": pa.int64()}
+    corpus_a = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pandas", batch_size=4096)
+        .map_batches(
+            lambda b: b.assign(c=np.int64(0), _role=np.int64(0)),
+            batch_format="pandas",
+        )
+        .map_batches(_arrow_reemit(sch_a), batch_format="pandas")
     )
+    model_a = pairs_ds.map_batches(
+        lambda b: b.assign(**{id_col: np.int64(-1), "_role": np.int64(1)}),
+        batch_format="pandas",
+    ).map_batches(_arrow_reemit(sch_a), batch_format="pandas")
+
+    # --- stage 2: pair-count lookup, one (w1, w2) bucket shuffle ----------
+    def lookup_pair(g: pd.DataFrame) -> pd.DataFrame:
+        role = g["_role"].to_numpy()
+        corpus = g[role == 0]
+        model = g[role == 1]
+        out_cols = {id_col: corpus[id_col].to_numpy(),
+                    "w1": corpus["w1"].to_numpy()}
+        if not len(corpus):
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "w1": pd.Series(dtype="object"),
+                 "v": pd.Series(dtype="int64")}
+            )
+        if not len(model):
+            return pd.DataFrame({**out_cols,
+                                 "v": np.zeros(len(corpus), np.int64)})
+        mk = (model["w1"].astype(str) + "\x01"
+              + model["w2"].astype(str)).to_numpy().astype(np.str_)
+        order = np.argsort(mk)
+        mk = mk[order]
+        mc = model["c"].to_numpy(dtype=np.int64)[order]
+        keys = (corpus["w1"].astype(str) + "\x01"
+                + corpus["w2"].astype(str)).to_numpy().astype(np.str_)
+        pi = np.searchsorted(mk, keys)
+        ok = (pi < len(mk)) & (mk[np.minimum(pi, len(mk) - 1)] == keys)
+        c2 = np.where(ok, mc[np.minimum(pi, len(mk) - 1)], 0)
+        return pd.DataFrame({**out_cols, "v": c2.astype(np.int64)})
+
+    with_c2 = bucket_apply(
+        corpus_a.union(model_a), ["w1", "w2"], lookup_pair,
+        batch_format="pandas",
+    )
+
+    # --- stage 3: context lookup + per-doc partials, one w1 shuffle -------
+    sch_b = {id_col: pa.int64(), "w1": pa.string(), "v": pa.int64(),
+             "_role": pa.int64()}
+    corpus_b = with_c2.map_batches(
+        lambda b: b.assign(_role=np.int64(0)), batch_format="pandas"
+    ).map_batches(_arrow_reemit(sch_b), batch_format="pandas")
+    ctx_b = ctx_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {id_col: np.full(len(b), -1, np.int64),
+             "w1": b["w1"].to_numpy(),
+             "v": b["cc"].to_numpy(dtype=np.int64),
+             "_role": np.full(len(b), 1, np.int64)}
+        ),
+        batch_format="pandas",
+    ).map_batches(_arrow_reemit(sch_b), batch_format="pandas")
+
+    def score_partial(g: pd.DataFrame) -> pd.DataFrame:
+        role = g["_role"].to_numpy()
+        corpus = g[role == 0]
+        model = g[role == 1]
+        empty = pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "nb": pd.Series(dtype="int64"),
+             "oov": pd.Series(dtype="int64"),
+             "lps": pd.Series(dtype="float64")}
+        )
+        if not len(corpus):
+            return empty
+        c2 = corpus["v"].to_numpy(dtype=np.int64)
+        if len(model):
+            mk = model["w1"].to_numpy().astype(np.str_)
+            order = np.argsort(mk)
+            mk = mk[order]
+            mc = model["v"].to_numpy(dtype=np.int64)[order]
+            keys = corpus["w1"].to_numpy().astype(np.str_)
+            ci = np.searchsorted(mk, keys)
+            ok = (ci < len(mk)) & (mk[np.minimum(ci, len(mk) - 1)] == keys)
+            c1 = np.where(ok, mc[np.minimum(ci, len(mk) - 1)], 0)
+        else:
+            c1 = np.zeros(len(corpus), np.int64)
+        lp = np.log2((c2 + 1.0) / (c1 + vf))
+        part = pd.DataFrame(
+            {"d": corpus[id_col].to_numpy(),
+             "oov": (c2 == 0).astype(np.int64), "lp": lp}
+        )
+        agg = part.groupby("d", as_index=False).agg(
+            nb=("lp", "size"), oov=("oov", "sum"), lps=("lp", "sum")
+        )
+        return agg.rename(columns={"d": id_col})
+
+    partials = bucket_apply(
+        corpus_b.union(ctx_b), ["w1"], score_partial, batch_format="pandas"
+    )
+
+    # --- stage 4: per-doc merge -------------------------------------------
+    totals = bucket_agg(
+        partials, [id_col],
+        {"n_bigrams": ("nb", "sum"), "oov_bigrams": ("oov", "sum"),
+         "_lps": ("lps", "sum")},
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(),
+             "n_bigrams": batch["n_bigrams"].to_numpy(dtype=np.int64),
+             "oov_bigrams": batch["oov_bigrams"].to_numpy(dtype=np.int64),
+             "logprob2": batch["_lps"].to_numpy(dtype=np.float64)
+             / batch["n_bigrams"].to_numpy(dtype=np.float64)}
+        )
+
+    return totals.map_batches(finalize, batch_format="pandas")
 
 
 _WS_RE = re.compile(r"\s+")

@@ -191,6 +191,24 @@ def assert_exists(gi: GraphIndex, entities: list[str]) -> None:
         )
 
 
+def _fit_cached(gi, key, builder):
+    """Graph-global fitted state (sampler stats, WL labels, community
+    partition) cached on the index object itself — repeated
+    ``extract_walks`` calls against one graph (multi-walker pipelines,
+    the driver's query gate) fit once and reuse the broadcast ref.  A
+    new/edited graph is a new index object, so staleness is impossible."""
+    cache = getattr(gi, "_fit_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            gi._fit_cache = cache
+        except AttributeError:   # slotted/frozen index: just refit
+            return builder()
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]
+
+
 def extract_walks(
     gi,
     entities: list[str],
@@ -217,24 +235,33 @@ def extract_walks(
         graph_ref = None
         shard_refs = (gi.fwd_refs, gi.rev_refs)
         entities_ref = ray.put(frozenset(entities))
-        sampler_ref = ray.put(
-            NameFittedSampler.fit(spec.sampler, gi.triples_dataset())
+        sampler_ref = _fit_cached(
+            gi, ("sampler", spec.sampler),
+            lambda: ray.put(
+                NameFittedSampler.fit(spec.sampler, gi.triples_dataset())
+            ),
         )
         # graph-global fits from the parquet-backed triples Dataset —
         # identical fitted state to the broadcast-CSR forms
         if spec.strategy == "wl":
             from pyrdf2vec_ray.stages.wl import wl_labels_from_dataset
 
-            labels_ref = ray.put(wl_labels_from_dataset(
-                gi.triples_dataset(), spec.wl_iterations, spec.md5_bytes
-            ))
+            labels_ref = _fit_cached(
+                gi, ("wl", spec.wl_iterations, spec.md5_bytes),
+                lambda: ray.put(wl_labels_from_dataset(
+                    gi.triples_dataset(), spec.wl_iterations, spec.md5_bytes
+                )),
+            )
         if spec.strategy == "community":
             from pyrdf2vec_ray.stages.community import (
                 detect_communities_from_dataset,
             )
 
-            community_ref = ray.put(
-                detect_communities_from_dataset(gi.triples_dataset())
+            community_ref = _fit_cached(
+                gi, ("community",),
+                lambda: ray.put(
+                    detect_communities_from_dataset(gi.triples_dataset())
+                ),
             )
     else:
         if not skip_verify:
@@ -243,11 +270,21 @@ def extract_walks(
         graph_ref = gi.broadcast()
         shard_refs = None
         entities_ref = ray.put(frozenset(entities))
-        sampler_ref = ray.put(FittedSampler.fit(spec.sampler, g))
+        sampler_ref = _fit_cached(
+            gi, ("sampler", spec.sampler),
+            lambda: ray.put(FittedSampler.fit(spec.sampler, g)),
+        )
         if spec.strategy == "wl":
-            labels_ref = ray.put(wl_labels(g, spec.wl_iterations, spec.md5_bytes))
+            labels_ref = _fit_cached(
+                gi, ("wl", spec.wl_iterations, spec.md5_bytes),
+                lambda: ray.put(
+                    wl_labels(g, spec.wl_iterations, spec.md5_bytes)
+                ),
+            )
         if spec.strategy == "community":
-            community_ref = ray.put(detect_communities(g))
+            community_ref = _fit_cached(
+                gi, ("community",), lambda: ray.put(detect_communities(g))
+            )
 
     ents_ds = ray.data.from_arrow(
         pa.table({"entity": pa.array(entities, pa.string())})

@@ -249,6 +249,35 @@ def test_hash_join_left_keeps_unmatched():
     assert got[got["k"] != 3]["rv"].isna().all()
 
 
+def test_hash_join_left_uniform_dtype_across_buckets():
+    """Left-join blocks must share ONE dtype per right column whether a
+    bucket had unmatched rows (nulls) or was fully matched — mixed
+    int64/float64 blocks crash downstream dtype-strict consumers."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.join import hash_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(64, dtype=np.int64),
+                      "lv": np.arange(64, dtype=np.int64)})
+    )
+    # right side matches only even keys: some buckets all-match, some mix
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(0, 64, 2, dtype=np.int64),
+                      "rv": np.arange(32, dtype=np.int64)})
+    )
+    out = hash_join(left, right, on=["k"], how="left", num_buckets=8)
+    frames = [b for b in out.iter_batches(batch_format="pandas")]
+    dtypes = {str(f["rv"].dtype) for f in frames if len(f)}
+    assert dtypes == {"Int64"}
+    df = pd.concat(frames)
+    assert len(df) == 64
+    assert df[df["k"] % 2 == 0]["rv"].notna().all()
+    assert df[df["k"] % 2 == 1]["rv"].isna().all()
+
+
 def test_hash_semi_and_anti_join():
     from pyrdf2vec_ray.ops.join import hash_semi_join
 
