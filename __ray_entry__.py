@@ -2188,6 +2188,49 @@ def _joined_walks(gi, entities, spec, batch_size=64):
     return walks.map_batches(explode, batch_format="pyarrow")
 
 
+def q_walks_all_vertices(sf_dir: str):
+    """Dataset-scale root input (reference API gap closed): EVERY vertex
+    of the KG streams in as a roots Dataset — no driver entity list, and
+    the md5 keep-set is the crc32-sharded sorted-name index
+    (walkers.ShardedKeepSet) instead of a broadcast frozenset.  Depth-1
+    exhaustive BFS with md5_bytes=8: every walk vertex is itself a root,
+    so no hashing applies and the maximal-path semantics (leaf roots
+    emit their singleton walk) are SQL-checkable."""
+    from pyrdf2vec_ray.shuffle import distinct
+    from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
+
+    gi = _graph_index(sf_dir, sharded=True)
+    t = _triples(sf_dir)
+
+    def as_entity(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"entity": batch[col]})
+
+        return fn
+
+    roots = distinct(
+        t.map_batches(as_entity("subj"), batch_format="pyarrow").union(
+            t.map_batches(as_entity("obj"), batch_format="pyarrow")
+        ),
+        ["entity"],
+    )
+    spec = WalkerSpec(strategy="random", max_depth=1, max_walks=None,
+                      md5_bytes=8)
+    walks = extract_walks(gi, roots, spec, batch_size=256)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ents, ws = [], []
+        for e, walks_ in zip(batch["entity"].to_pylist(),
+                             batch["walks"].to_pylist()):
+            for w in walks_:
+                ents.append(e)
+                ws.append(" ".join(w))
+        return pa.table({"entity": pa.array(ents, pa.string()),
+                         "walk": pa.array(ws, pa.string())})
+
+    return walks.map_batches(explode, batch_format="pyarrow")
+
+
 def q_walks_dfs_exhausted(sf_dir: str):
     """DFS with the visited-set semantics exactly pinned (G3,
     random.py:83-118 + sampler.py:138-180): depth 1 from each customer
@@ -2329,6 +2372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walks_community_noteleport": q_walks_community_noteleport,
         "walks_wl_sample": q_walks_wl_sample,
         "bfs_walks_customers": q_bfs_walks_customers,
+        "walks_all_vertices": q_walks_all_vertices,
         "bfs_walks_checkpointed": q_bfs_walks_checkpointed,
         # rows-only (non-SQL-expressible)
         "construct_triples": q_construct_triples,
@@ -2422,6 +2466,20 @@ def oracle_sql() -> dict[str, str]:
                    'in_region' AS p2,
                    'region:' || n_regionkey AS e2
             FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "walks_all_vertices": _TRIPLES_CTE + """
+            , verts AS (
+              SELECT DISTINCT v FROM (
+                SELECT subj AS v FROM triples
+                UNION ALL SELECT obj FROM triples
+              )
+            )
+            SELECT v AS entity, subj || ' ' || pred || ' ' || obj AS walk
+            FROM verts JOIN triples ON subj = v
+            UNION ALL
+            SELECT v AS entity, v AS walk
+            FROM verts
+            WHERE v NOT IN (SELECT subj FROM triples)
         """,
         "walks_reverse": """
             SELECT 'customer:' || c_custkey AS entity,

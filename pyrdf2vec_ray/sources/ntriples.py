@@ -18,12 +18,16 @@ import ray.data
 
 from pyrdf2vec_ray.schemas import TRIPLES
 
+# also accepts N-Quads: an optional graph label (IRI or blank node)
+# before the terminating '.' is parsed and DROPPED — the engine's KG is
+# the union graph, like the reference's rdflib-parse-to-KG fold
 NT_RE = re.compile(
     r"""^\s*
         <(?P<subj>[^>]+)>\s+
         <(?P<pred>[^>]+)>\s+
         (?:<(?P<obj_iri>[^>]+)>
           |"(?P<obj_lit>(?:[^"\\]|\\.)*)"(?:@[\w-]+|\^\^<[^>]+>)?)
+        (?:\s+(?:<[^>]+>|_:\S+))?
         \s*\.\s*$""",
     re.VERBOSE,
 )

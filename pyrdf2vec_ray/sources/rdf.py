@@ -54,7 +54,7 @@ _TOKEN_RE = re.compile(
     | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
     | (?P<dtype>\^\^)
     | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-    | (?P<punct>[.;,\[\]()])
+    | (?P<punct>[.;,\[\](){}])
     | (?P<pname>[^\s.;,\[\]()"'<>#][^\s;,\[\]()"'<>]*)
     """,
     re.VERBOSE,
@@ -85,7 +85,8 @@ def _unescape(s: str) -> str:
 
 
 class _TurtleParser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, trig: bool = False):
+        self.trig = trig
         # Tokenize, then split statement-terminating '.'s glued onto
         # pname/number tokens ('ex:s ex:p ex:o.' / 'ex:p 42.'): Turtle's
         # PN_LOCAL may contain but not END with '.', and '42.' is the
@@ -240,14 +241,162 @@ class _TurtleParser:
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
+            if self.trig:
+                # TriG graph blocks: [GRAPH] [label] { statements } —
+                # graph names are discarded (the engine's KG is the
+                # union graph, like the reference's rdflib-parse-to-KG)
+                if (kind, val) == ("punct", "{"):
+                    self._next()
+                    self._graph_block()
+                    continue
+                if kind == "pname" and val == "GRAPH":
+                    self._next()
+                    self._term(as_subject=True)   # the graph label
+                    self._expect_punct("{")
+                    self._graph_block()
+                    continue
+                save = self.pos
+                try:
+                    maybe_label = self._term(as_subject=True)
+                except ValueError:
+                    maybe_label = None
+                    self.pos = save
+                if maybe_label is not None and self._peek() == ("punct", "{"):
+                    self._next()
+                    self._graph_block()
+                    continue
+                self.pos = save
             subject = self._term(as_subject=True)
             self._po_list(subject)
             self._expect_punct(".")
         return self.triples
 
+    def _graph_block(self):
+        while self._peek() != ("punct", "}"):
+            if self._peek() == (None, None):
+                raise ValueError("TriG parse error: unterminated graph block")
+            subject = self._term(as_subject=True)
+            self._po_list(subject)
+            if self._peek() == ("punct", "."):
+                self._next()
+        self._next()  # '}' 
+
 
 def parse_turtle(text: str) -> list[tuple[str, str, str]]:
     return _TurtleParser(text).parse()
+
+
+def parse_trig(text: str) -> list[tuple[str, str, str]]:
+    """TriG = Turtle + named-graph blocks; triples from ALL graphs merge
+    into the union graph (graph names dropped), matching how the
+    reference folds any rdflib-parsed source into one KG
+    (graphs/kg.py:142-164)."""
+    return _TurtleParser(text, trig=True).parse()
+
+
+def _jsonld_scalar(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def parse_jsonld(text: str) -> list[tuple[str, str, str]]:
+    """JSON-LD subset parser (expanded / flattened documents plus a
+    SIMPLE string-valued @context of term→IRI and prefix→namespace
+    entries): node objects with @id (blank ids generated otherwise),
+    @type → rdf:type, property values as node refs / @value objects /
+    plain scalars / nested nodes / @list collections, and an optional
+    @graph wrapper.  Full @context processing (remote contexts, @vocab,
+    value coercion) routes through rdflib when installed — see
+    ``read_rdf``'s fallback."""
+    import json
+
+    doc = json.loads(text)
+    ctx: dict[str, str] = {}
+    if isinstance(doc, dict):
+        c = doc.get("@context") or {}
+        if isinstance(c, dict):
+            ctx = {k: v for k, v in c.items() if isinstance(v, str)}
+        nodes = doc.get("@graph")
+        if nodes is None:
+            nodes = [doc]
+    else:
+        nodes = doc
+
+    triples: list[tuple[str, str, str]] = []
+    state = {"bnode": 0}
+
+    def expand(term: str) -> str:
+        if term in ctx:
+            return ctx[term]
+        if ":" in term:
+            p, local = term.split(":", 1)
+            if p in ctx:
+                return ctx[p] + local
+        return term
+
+    def new_bnode() -> str:
+        state["bnode"] += 1
+        return f"_:genid{state['bnode']}"
+
+    def collection(items) -> str:
+        if not items:
+            return RDF_NIL
+        head = new_bnode()
+        node = head
+        for i, item in enumerate(items):
+            triples.append((node, RDF_FIRST, value_of(item)))
+            nxt = new_bnode() if i + 1 < len(items) else RDF_NIL
+            triples.append((node, RDF_REST, nxt))
+            node = nxt
+        return head
+
+    def value_of(item) -> str:
+        if isinstance(item, dict):
+            if "@value" in item:
+                return _jsonld_scalar(item["@value"])
+            if "@list" in item:
+                return collection(item["@list"])
+            return walk(item)
+        return _jsonld_scalar(item)
+
+    def walk(n: dict) -> str:
+        sid = expand(n["@id"]) if "@id" in n else new_bnode()
+        for k, v in n.items():
+            if k in ("@id", "@context", "@graph"):
+                continue
+            vals = v if isinstance(v, list) else [v]
+            if k == "@type":
+                for t in vals:
+                    triples.append((sid, RDF_TYPE, expand(t)))
+                continue
+            pred = expand(k)
+            for item in vals:
+                triples.append((sid, pred, value_of(item)))
+        return sid
+
+    for n in nodes:
+        if isinstance(n, dict):
+            walk(n)
+    return triples
+
+
+def _parse_with_rdflib(text: str, fmt: str):
+    """Optional rdflib fallback for constructs outside the subset
+    parsers (full JSON-LD contexts, n3 rules, exotic Turtle).  Returns
+    None when rdflib is not installed (this container ships without
+    it)."""
+    try:
+        import rdflib
+    except ImportError:
+        return None
+    if fmt in ("trig", "nquads"):
+        g = rdflib.Dataset()
+        g.parse(data=text, format=fmt)
+        return sorted({(str(s), str(p), str(o)) for s, p, o, _ in g.quads()})
+    g = rdflib.Graph()
+    g.parse(data=text, format=fmt)
+    return sorted((str(s), str(p), str(o)) for s, p, o in g)
 
 
 # ---- RDF/XML ---------------------------------------------------------------
@@ -326,9 +475,42 @@ def parse_rdfxml(text: str) -> list[tuple[str, str, str]]:
 
 _FMT_BY_EXT = {
     ".nt": "nt", ".ntriples": "nt",
-    ".ttl": "turtle", ".turtle": "turtle", ".n3": "turtle",
+    ".nq": "nquads", ".nquads": "nquads",
+    ".ttl": "turtle", ".turtle": "turtle",
+    ".n3": "n3",
+    ".trig": "trig",
+    ".jsonld": "json-ld",
     ".owl": "xml", ".rdf": "xml", ".xml": "xml",
 }
+
+# self-contained subset parsers per stateful format; n3 parses through
+# the Turtle grammar (n3 ⊃ turtle — formulas/rules are outside the
+# subset and route to the rdflib fallback)
+_PARSERS = {
+    "turtle": parse_turtle,
+    "n3": parse_turtle,
+    "trig": parse_trig,
+    "json-ld": parse_jsonld,
+    "xml": parse_rdfxml,
+}
+
+
+def parse_rdf_text(text: str, fmt: str) -> list[tuple[str, str, str]]:
+    """One document → triples: the deterministic subset parser first,
+    rdflib (when installed) for anything the subset rejects — so every
+    rdflib format the reference accepts (``KG(location, fmt=...)``,
+    graphs/kg.py:142-164) has a path here."""
+    try:
+        return _PARSERS[fmt](text)
+    except Exception as err:
+        rl_fmt = fmt
+        res = _parse_with_rdflib(text, rl_fmt)
+        if res is None:
+            raise ValueError(
+                f"subset {fmt} parser failed ({err}); install rdflib for "
+                f"full {fmt} support"
+            ) from err
+        return res
 
 
 def read_rdf(
@@ -337,9 +519,12 @@ def read_rdf(
     skip_predicates: frozenset[str] = frozenset(),
 ) -> ray.data.Dataset:
     """File(s) → deduplicated triples Dataset (reference ``KG(location,
-    fmt=...)``).  ``fmt``: 'nt' | 'turtle' | 'xml', inferred from the
-    extension when None.  NT parses block-parallel within a file; the
-    stateful formats parse one task per file and scale across files."""
+    fmt=...)``).  ``fmt``: 'nt' | 'nquads' | 'turtle' | 'n3' | 'trig' |
+    'json-ld' | 'xml', inferred from the extension when None.  NT and
+    N-Quads parse block-parallel within a file (line-oriented); the
+    stateful formats parse one task per file and scale across files,
+    each via the deterministic subset parser with an rdflib fallback
+    when installed (``parse_rdf_text``)."""
     if isinstance(paths, str):
         paths = [paths]
     import os
@@ -355,8 +540,9 @@ def read_rdf(
             raise ValueError(f"cannot infer RDF format of {p!r}; pass fmt=")
         return _FMT_BY_EXT[ext]
 
-    nt_paths = [p for p in paths if fmt_of(p) == "nt"]
-    other = [(p, fmt_of(p)) for p in paths if fmt_of(p) != "nt"]
+    nt_paths = [p for p in paths if fmt_of(p) in ("nt", "nquads")]
+    other = [(p, fmt_of(p)) for p in paths
+             if fmt_of(p) not in ("nt", "nquads")]
 
     parts: list[ray.data.Dataset] = []
     if nt_paths:
@@ -373,9 +559,7 @@ def read_rdf(
             for path, f in zip(batch["path"].to_pylist(), batch["fmt"].to_pylist()):
                 with open(path, encoding="utf-8") as fh:
                     text = fh.read()
-                triples.extend(
-                    parse_turtle(text) if f == "turtle" else parse_rdfxml(text)
-                )
+                triples.extend(parse_rdf_text(text, f))
             triples = [t for t in triples if t[1] not in skip_predicates]
             s, p, o = zip(*triples) if triples else ([], [], [])
             return pa.Table.from_pydict(

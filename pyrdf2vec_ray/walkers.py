@@ -30,6 +30,58 @@ STRATEGIES = (
     "random", "anonymous", "walklet", "split", "ngram", "halk", "wl", "community",
 )
 
+# user walker plugins: name -> fn(graph, entity, spec) (see register_walker)
+_CUSTOM_STRATEGIES: dict[str, object] = {}
+
+
+def register_walker(name: str, fn) -> None:
+    """Open extension point mirroring the reference's ``Walker`` ABC
+    (reference walkers/walker.py:168-212 ``_extract``): register
+    ``fn(graph, entity, spec) -> iterable[sequence[str]]`` and then use
+    ``WalkerSpec(strategy=name)`` anywhere a built-in strategy goes.
+
+    ``graph`` is a NAME-keyed hop view (:class:`NameGraphView`) uniform
+    across the broadcast-CSR and sharded backends; ``entity`` is the
+    root name; the returned walks are deduped and sorted exactly like
+    built-ins (SURVEY §4 ordering).  ``fn`` ships to workers via
+    cloudpickle — functions from installed packages go by reference,
+    locally-defined functions by value; a module-level fn in a
+    driver-only module won't import on workers (define it locally or
+    install the package).  Re-registering a name replaces the plugin
+    for subsequent extract_walks calls."""
+    if name in STRATEGIES:
+        raise ValueError(f"{name!r} is a built-in strategy")
+    if not callable(fn):
+        raise TypeError("walker plugin must be callable")
+    _CUSTOM_STRATEGIES[name] = fn
+
+
+class NameGraphView:
+    """Name-keyed hop access handed to plugin walkers — one surface over
+    both backends (ids stay an internal detail of the CSR form)."""
+
+    def __init__(self, g, sharded: bool):
+        self._g = g
+        self._sharded = sharded
+
+    def get_hops(self, name, is_reverse: bool = False):
+        """(pred_names, other_names), sorted by (pred, other)."""
+        if self._sharded:
+            preds, others = self._g.get_hops(str(name), is_reverse)
+            return [str(p) for p in preds], [str(o) for o in others]
+        vid = self._g.name_to_id(str(name))
+        if vid < 0:
+            return [], []
+        preds, others = self._g.get_hops(vid, is_reverse)
+        names = self._g.a.names
+        return ([str(names[i]) for i in preds],
+                [str(names[i]) for i in others])
+
+    def contains(self, name) -> bool:
+        if self._sharded:
+            return self._g.contains_one(str(name))
+        return self._g.name_to_id(str(name)) >= 0
+
 WALKS_SCHEMA = pa.schema(
     [("entity", pa.string()), ("walks", pa.list_(pa.list_(pa.string())))]
 )
@@ -67,7 +119,8 @@ class WalkerSpec:
     func_split: object | None = None
 
     def __post_init__(self):
-        if self.strategy not in STRATEGIES:
+        if (self.strategy not in STRATEGIES
+                and self.strategy not in _CUSTOM_STRATEGIES):
             raise ValueError(f"unknown strategy {self.strategy!r}")
         if self.max_depth < 0:
             raise ValueError("max_depth must be >= 0")
@@ -85,7 +138,7 @@ class WalkExtractor:
 
     def __init__(self, spec: WalkerSpec, entities_ref,
                  sampler_ref, graph_ref=None, shard_refs=None,
-                 labels_ref=None, community_ref=None):
+                 labels_ref=None, community_ref=None, custom_fn=None):
         from pyrdf2vec_ray.state.graph_index import LocalGraph
         from pyrdf2vec_ray.state.sharded_graph import ShardedLocalGraph
 
@@ -101,7 +154,17 @@ class WalkExtractor:
             self.g = LocalGraph(ray.get(graph_ref))
             key_cast = int
         self.spec = spec
-        self.entities: frozenset = ray.get(entities_ref)
+        if isinstance(entities_ref, tuple):   # sharded keep-set refs
+            self.entities = ShardedKeepSet([ray.get(r) for r in entities_ref])
+        else:
+            self.entities = ray.get(entities_ref)
+        self.custom_fn = custom_fn
+        if custom_fn is not None:
+            # plugin walkers get the name-keyed view; no core/fits needed
+            self.view = NameGraphView(self.g, self.sharded)
+            self.core = None
+            self.labels = None
+            return
         fitted = ray.get(sampler_ref)
         self.labels = ray.get(labels_ref) if labels_ref is not None else None
         community = ray.get(community_ref) if community_ref is not None else None
@@ -154,6 +217,18 @@ class WalkExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ents, walk_lists = [], []
         for entity in batch["entity"].to_pylist():
+            if self.custom_fn is not None:
+                if not self.view.contains(entity):
+                    raise ValueError(
+                        f"The entity {entity!r} is not in the Knowledge Graph."
+                    )
+                ws = self.custom_fn(self.view, entity, self.spec)
+                ents.append(entity)
+                walk_lists.append(
+                    [list(t) for t in
+                     sorted({tuple(str(x) for x in w) for w in ws})]
+                )
+                continue
             if self.sharded:
                 if not self.g.contains_one(entity):
                     raise ValueError(
@@ -175,6 +250,70 @@ class WalkExtractor:
         return pa.Table.from_pydict(
             {"entity": ents, "walks": walk_lists}, schema=WALKS_SCHEMA
         )
+
+
+class ShardedKeepSet:
+    """Membership over a root-entity name set hash-sharded by crc32 —
+    the md5 keep-set for DATASET-scale root lists ("walk every vertex of
+    the KG" jobs), replacing the driver-built broadcast ``frozenset``:
+    each shard is a sorted fixed-width (U-dtype) name array living in
+    the object store; lookup = crc32 route + one searchsorted.  Workers
+    map shards zero-copy, the driver only ever holds refs."""
+
+    def __init__(self, shards: list[np.ndarray]):
+        self.shards = shards
+        self.num_shards = len(shards)
+
+    def __contains__(self, name) -> bool:
+        import zlib
+
+        a = self.shards[zlib.crc32(str(name).encode()) % self.num_shards]
+        i = int(np.searchsorted(a, name))
+        return i < len(a) and a[i] == name
+
+
+@ray.remote
+def _build_keep_shard(part_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(part_dir):
+        return np.array([], dtype=np.str_)
+    names = pq.read_table(part_dir, columns=["entity"])["entity"]
+    s = names.to_pandas().drop_duplicates().sort_values()
+    return s.to_numpy().astype(np.str_)          # U-dtype: zero-copy put
+
+
+def build_keepset_refs(
+    entities_ds: "ray.data.Dataset",
+    num_shards: int = 8,
+    scratch_dir: str | None = None,
+) -> tuple:
+    """Roots Dataset → tuple of per-shard sorted-name array refs (the
+    ShardedKeepSet halves), via the same shuffle-by-write used for the
+    sharded graph: partitioned parquet by crc32(entity), one build task
+    per shard — the driver streams and never holds the root list."""
+    import tempfile
+
+    from pyrdf2vec_ray.state.sharded_graph import _shard_col
+
+    root = scratch_dir or tempfile.mkdtemp(prefix="keepset_")
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.select(["entity"]).append_column(
+            "shard", _shard_col(batch["entity"], num_shards)
+        )
+
+    entities_ds.map_batches(
+        add_shard, batch_format="pyarrow"
+    ).write_parquet(root, partition_cols=["shard"])
+    refs = [
+        _build_keep_shard.remote(f"{root}/shard={s}")
+        for s in range(num_shards)
+    ]
+    ray.wait(refs, num_returns=num_shards, fetch_local=False)
+    return tuple(refs)
 
 
 _EXTRACTOR_CACHE: dict = {}
@@ -211,7 +350,7 @@ def _fit_cached(gi, key, builder):
 
 def extract_walks(
     gi,
-    entities: list[str],
+    entities,
     spec: WalkerSpec,
     concurrency: int | tuple | None = None,   # unused: stateless tasks scale elastically
     batch_size: int = 256,
@@ -223,10 +362,23 @@ def extract_walks(
     ``ShardedGraphIndex`` (state/sharded_graph.py — no driver-side graph
     materialization; existence is then checked inside the walk tasks,
     raising the same message).  Walk output is identical across the two
-    backends."""
+    backends.
+
+    ``entities`` is a list of root names (reference API,
+    rdf2vec.py:141-166) OR a Dataset with an ``entity`` column — the
+    scale form for "walk every vertex of the KG" jobs: roots stream,
+    existence is checked in-task, and the md5 keep-set becomes a
+    crc32-sharded sorted-name index (``ShardedKeepSet``) instead of a
+    driver-built broadcast frozenset."""
     from pyrdf2vec_ray.state.sharded_graph import ShardedGraphIndex
 
     sharded = isinstance(gi, ShardedGraphIndex)
+    ds_roots = isinstance(entities, ray.data.Dataset)
+    custom_fn = _CUSTOM_STRATEGIES.get(spec.strategy)
+    if ds_roots:
+        entities_ref = build_keepset_refs(
+            entities, num_shards=gi.num_shards if sharded else 8
+        )
     labels_ref = None
     community_ref = None
     if sharded:
@@ -234,8 +386,9 @@ def extract_walks(
 
         graph_ref = None
         shard_refs = (gi.fwd_refs, gi.rev_refs)
-        entities_ref = ray.put(frozenset(entities))
-        sampler_ref = _fit_cached(
+        if not ds_roots:
+            entities_ref = ray.put(frozenset(entities))
+        sampler_ref = None if custom_fn is not None else _fit_cached(
             gi, ("sampler", spec.sampler),
             lambda: ray.put(
                 NameFittedSampler.fit(spec.sampler, gi.triples_dataset())
@@ -264,13 +417,14 @@ def extract_walks(
                 ),
             )
     else:
-        if not skip_verify:
+        if not skip_verify and not ds_roots:
             assert_exists(gi, entities)
         g = gi.local()
         graph_ref = gi.broadcast()
         shard_refs = None
-        entities_ref = ray.put(frozenset(entities))
-        sampler_ref = _fit_cached(
+        if not ds_roots:
+            entities_ref = ray.put(frozenset(entities))
+        sampler_ref = None if custom_fn is not None else _fit_cached(
             gi, ("sampler", spec.sampler),
             lambda: ray.put(FittedSampler.fit(spec.sampler, g)),
         )
@@ -286,16 +440,20 @@ def extract_walks(
                 gi, ("community",), lambda: ray.put(detect_communities(g))
             )
 
-    ents_ds = ray.data.from_arrow(
-        pa.table({"entity": pa.array(entities, pa.string())})
-    )
-    n_blocks = max(1, min(len(entities) // max(1, batch_size), 64))
-    ents_ds = ents_ds.repartition(n_blocks)
+    if ds_roots:
+        ents_ds = entities.select_columns(["entity"])
+    else:
+        ents_ds = ray.data.from_arrow(
+            pa.table({"entity": pa.array(entities, pa.string())})
+        )
+        n_blocks = max(1, min(len(entities) // max(1, batch_size), 64))
+        ents_ds = ents_ds.repartition(n_blocks)
     # stateless tasks + per-worker-process extractor cache (keyed by the
     # broadcast refs): warm Ray workers skip both actor-pool spin-up and
     # re-deserialization of the graph (zero-copy get); elastic scheduling
     key = (str(graph_ref), str(shard_refs), str(entities_ref),
-           str(sampler_ref), str(labels_ref), str(community_ref), spec)
+           str(sampler_ref), str(labels_ref), str(community_ref), spec,
+           id(custom_fn))
     kwargs = {
         "graph_ref": graph_ref,
         "shard_refs": shard_refs,
@@ -304,6 +462,7 @@ def extract_walks(
         "sampler_ref": sampler_ref,
         "labels_ref": labels_ref,
         "community_ref": community_ref,
+        "custom_fn": custom_fn,
     }
 
     def walk_batch(batch: pa.Table) -> pa.Table:

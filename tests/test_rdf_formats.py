@@ -127,6 +127,91 @@ def test_read_rdf_dispatch(tmp_path):
         read_rdf(str(tmp_path / "g.unknown"))
 
 
+N3 = TTL  # n3 ⊇ turtle: the same doc must parse identically via .n3
+
+TRIG = """\
+@prefix ex: <http://example.org/> .
+@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+ex:alice foaf:name "Alice\\nSmith"@en .
+GRAPH ex:g1 {
+    ex:alice a foaf:Person ;
+        foaf:knows ex:bob, ex:dean .
+}
+ex:g2 {
+    <http://example.org/bob> foaf:knows ex:dean .
+    ex:dean ex:salary "12.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+}
+{ ex:alice ex:age 33 }
+"""
+
+JSONLD = """\
+{
+  "@context": {
+    "ex": "http://example.org/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "name": "http://xmlns.com/foaf/0.1/name",
+    "knows": "http://xmlns.com/foaf/0.1/knows"
+  },
+  "@graph": [
+    {
+      "@id": "ex:alice",
+      "@type": "foaf:Person",
+      "knows": [{"@id": "ex:bob"}, {"@id": "ex:dean"}],
+      "name": {"@value": "Alice\\nSmith", "@language": "en"},
+      "ex:age": 33
+    },
+    {"@id": "http://example.org/bob", "knows": {"@id": "ex:dean"}},
+    {"@id": "ex:dean", "ex:salary": {"@value": "12.5",
+        "@type": "http://www.w3.org/2001/XMLSchema#decimal"}}
+  ]
+}
+"""
+
+NQ = "".join(
+    line.rstrip().removesuffix(".").rstrip()
+    + f" <http://example.org/g{i % 2}> .\n"
+    for i, line in enumerate(NT.splitlines())
+)
+
+
+def test_n3_trig_jsonld_nquads_match_ntriples(tmp_path):
+    """TTL ≡ NT ≡ N3 ≡ TriG ≡ JSON-LD ≡ NQ parity: every format the
+    reference accepts via rdflib (KG(location, fmt=...), kg.py:142-164)
+    parses to the same triple set here."""
+    from pyrdf2vec_ray.sources.ntriples import parse_ntriples_lines
+    from pyrdf2vec_ray.sources.rdf import parse_jsonld, parse_trig
+
+    want = set(parse_ntriples_lines(NT.splitlines()))
+    assert set(parse_turtle(N3)) == want
+    assert set(parse_trig(TRIG)) == want
+    assert set(parse_jsonld(JSONLD)) == want
+    assert set(parse_ntriples_lines(NQ.splitlines())) == want
+
+    # end-to-end through read_rdf's extension dispatch
+    for fname, text in [("g.n3", N3), ("g.trig", TRIG),
+                        ("g.jsonld", JSONLD), ("g.nq", NQ)]:
+        p = tmp_path / fname
+        p.write_text(text)
+        t = to_table(read_rdf(str(p)))
+        got = set(zip(t["subj"].to_pylist(), t["pred"].to_pylist(),
+                      t["obj"].to_pylist()))
+        assert got == want, fname
+
+
+def test_jsonld_list_and_bnodes():
+    from pyrdf2vec_ray.sources.rdf import parse_jsonld
+
+    doc = """
+    {"@id": "http://e/x", "http://e/items":
+        {"@list": [{"@id": "http://e/a"}, {"@value": true}]}}
+    """
+    triples = set(parse_jsonld(doc))
+    firsts = {(s, o) for s, p, o in triples if p.endswith("#first")}
+    assert {o for _, o in firsts} == {"http://e/a", "true"}
+    rests = [t for t in triples if t[1].endswith("#rest")]
+    assert len(rests) == 2
+
+
 def test_read_rdf_skip_predicates(tmp_path):
     ttl_path = tmp_path / "g.ttl"
     ttl_path.write_text(TTL)

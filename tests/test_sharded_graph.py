@@ -82,6 +82,67 @@ def test_bfs_walks_identical(pair):
             assert _walk_sets(bc, ents, spec) == _walk_sets(sh, ents, spec)
 
 
+def test_custom_walker_plugin_end_to_end(pair):
+    """register_walker (the reference's open Walker ABC,
+    walker.py:168-212) runs a user strategy through extract_walks on
+    BOTH backends, with the same dedup+sort contract as built-ins.
+    The plugin is defined locally so cloudpickle ships it by VALUE
+    (plugins from installed packages ship by reference instead)."""
+    from pyrdf2vec_ray.walkers import register_walker
+
+    def hop_pairs_walker(graph, entity, spec):
+        # depth-1 (root, pred, obj) plus reverse (subj, pred, root)
+        walks = []
+        preds, objs = graph.get_hops(entity)
+        for p, o in zip(preds, objs):
+            walks.append((entity, p, o))
+        rpreds, subs = graph.get_hops(entity, is_reverse=True)
+        for p, s in zip(rpreds, subs):
+            walks.append((s, p, entity))
+        return walks or [(entity,)]
+
+    register_walker("hop_pairs", hop_pairs_walker)
+    bc, sh = pair
+    ents = [IRI + "Alice", synth.entity_iri(3)]
+    spec = WalkerSpec(strategy="hop_pairs", max_depth=1)
+    got_bc = _walk_sets(bc, ents, spec)
+    got_sh = _walk_sets(sh, ents, spec)
+    assert got_bc == got_sh
+    # ground truth from the broadcast CSR directly
+    g = bc.local()
+    for e in ents:
+        vid = g.name_to_id(e)
+        preds, objs = g.get_hops(vid)
+        names = g.a.names
+        want = {(e, str(names[p]), str(names[o]))
+                for p, o in zip(preds, objs)}
+        rp, rs = g.get_hops(vid, is_reverse=True)
+        want |= {(str(names[s]), str(names[p]), e) for p, s in zip(rp, rs)}
+        assert got_bc[e] == (want or {(e,)})
+    with pytest.raises(ValueError):
+        WalkerSpec(strategy="not_registered")
+
+
+def test_dataset_roots_identical_to_list_roots(pair):
+    """Dataset-native root input (the scale form: roots stream, keep-set
+    is the crc32-sharded sorted-name index) must be bit-identical to the
+    reference-API list form — with md5 ACTIVE so the keep-set membership
+    actually decides hashing (non-root walk vertices hash, roots don't)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    bc, sh = pair
+    ents = [IRI + "Alice", IRI + "Emma", synth.entity_iri(3)]
+    roots_ds = ray.data.from_arrow(
+        pa.table({"entity": pa.array(ents, pa.string())})
+    )
+    spec = WalkerSpec(strategy="random", max_depth=2, max_walks=None,
+                      md5_bytes=8)
+    for gi in (bc, sh):
+        assert _walk_sets(gi, roots_ds, spec) == _walk_sets(gi, ents, spec)
+
+
 @pytest.mark.parametrize("kind,inverse,split", [
     ("uniform", False, False),
     ("objfreq", False, False),
