@@ -1362,9 +1362,11 @@ def q_doc_bigram_lm(sf_dir: str):
     """Bigram-LM quality scoring (ops/text.bigram_lm_scores): fit
     add-one-smoothed bigram counts on the EVEN doc_ids (a genuine
     held-out split, so odd docs exercise real OOV bigrams), score every
-    doc — broadcast fitted counts, stateless vectorized searchsorted
-    scoring.  n_bigrams/oov_bigrams are bit-exact ints in SQL; the mean
-    log2 prob agrees under the driver's 6-decimal rounding."""
+    doc — FULLY DISTRIBUTED: the fitted pair/context count Datasets
+    join against the corpus bigrams in tagged-union bucket shuffles, no
+    driver-resident model.  n_bigrams/oov_bigrams are bit-exact ints in
+    SQL; the mean log2 prob agrees under the driver's 6-decimal
+    rounding."""
     import pandas as pd
 
     from pyrdf2vec_ray.ops.text import bigram_lm_scores

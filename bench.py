@@ -83,6 +83,17 @@ def run_benchmarks() -> dict:
             _cm = _cm @ _cm % 1.0
         _canary.append((time.perf_counter() - _t) * 1000)
     extras["host_canary_ms"] = round(min(_canary), 1)
+    # memory-side canary: first-touch fault cost of a fresh 64 MB mmap
+    # (the host ALSO has a fault-degraded mode — 0.5-3 ms/page — that the
+    # matmul canary cannot see; the SGNS/scatter stages track THIS one)
+    _fc = []
+    for _ in range(3):
+        _t = time.perf_counter()
+        _a = _np.zeros(8 << 20, _np.float64)
+        _a[::512] = 1.0
+        _fc.append((time.perf_counter() - _t) * 1000)
+        del _a
+    extras["host_fault_ms_per_64mb"] = round(min(_fc), 1)
 
     only = {
         q for q in os.environ.get("BENCH_ONLY", "").split(",") if q
@@ -96,11 +107,12 @@ def run_benchmarks() -> dict:
     repeat = max(1, int(os.environ.get("BENCH_STAGE_REPEAT", "3")))
     samples: dict[str, list[float]] = {}
 
-    def timed(name, fn):
+    def timed(name, fn, max_repeat=None):
         if only is not None and name not in only:
             return 0
         times, out = [], None
-        for _ in range(repeat):
+        n = repeat if max_repeat is None else min(repeat, max_repeat)
+        for _ in range(n):
             tic = time.perf_counter()
             out = fn()
             times.append(round(time.perf_counter() - tic, 3))
@@ -160,10 +172,39 @@ def run_benchmarks() -> dict:
 
     n_triples = timed("kg_build", bench_kg)
 
-    # 3. graph index + BFS walks from every customer
-    if triples_ds is None:
+    # 3. graph index + BFS walks from every customer — on the SHARDED
+    # backend (state/sharded_graph.py), the scale path every driver walk
+    # query runs: hash-partitioned parquet shards + per-shard CSR object
+    # refs, no driver-side graph materialization.  The shuffle-by-write
+    # build is timed as its own stage (it IS the north rule's "graph
+    # materialize" step).
+    import tempfile
+
+    from pyrdf2vec_ray.state.sharded_graph import ShardedGraphIndex
+
+    gi = None
+
+    def bench_shard_build():
+        nonlocal gi
+        gi = ShardedGraphIndex.build(
+            triples_ds, num_shards=8,
+            scratch_dir=tempfile.mkdtemp(prefix="bench_shards_"),
+        )
+        return gi.num_shards
+
+    walk_stages = {"bfs_walks", "dfs_walks", "w2v_train",
+                   "wl_relabel", "wl_relabel_sharded"}
+    need_graph = only is None or bool(only & walk_stages)
+    if triples_ds is None and (need_graph or only is None
+                               or "graph_shard_build" in only):
         triples_ds = tpch_triples(SF_DIR).materialize()
-    gi = GraphIndex.from_dataset(triples_ds)
+    timed("graph_shard_build", bench_shard_build)
+    if gi is None and need_graph:  # BENCH_ONLY skipped the timed build
+        gi = ShardedGraphIndex.build(
+            triples_ds, num_shards=8,
+            scratch_dir=tempfile.mkdtemp(prefix="bench_shards_"),
+        )
+    extras["walk_backend"] = "sharded"
     cust = ray.data.read_parquet(
         f"{SF_DIR}/customer.parquet", columns=["c_custkey"]
     ).to_pandas()["c_custkey"]
@@ -229,12 +270,14 @@ def run_benchmarks() -> dict:
         w2v_n_tokens = int(w2v_corpus.map_batches(
             count_tokens, batch_format="pyarrow",
         ).sum("n"))
-        # replicate to ~300k tokens so training compute dominates the
-        # fixed actor/vocab costs.  Replicate INSIDE map_batches (concat of
-        # rep copies per block): union-with-self would duplicate block
-        # ObjectRefs, which kills Ray Data's iter_batches prefetcher
-        # ("Wait requires a list of unique ray_waitables") in the trainers
-        w2v_rep = max(1, 150_000 // max(1, w2v_n_tokens))
+        # replicate to ~1.5M tokens (10x the sf0.1 walk corpus) so the
+        # steady-state PS epoch dominates fixed actor/vocab costs — the
+        # regime the tokens/s metric is about.  Replicate INSIDE
+        # map_batches (concat of rep copies per block): union-with-self
+        # would duplicate block ObjectRefs, which kills Ray Data's
+        # iter_batches prefetcher ("Wait requires a list of unique
+        # ray_waitables") in the trainers
+        w2v_rep = max(1, 1_500_000 // max(1, w2v_n_tokens))
         if w2v_rep > 1:
             def replicate(b: _pa.Table) -> _pa.Table:
                 return _pa.concat_tables([b] * w2v_rep)
@@ -247,28 +290,56 @@ def run_benchmarks() -> dict:
         epochs = 2
         # size the actor fleet to the session: trainers + PS shards each
         # hold a CPU, and oversubscribing a small session starves the
-        # synchronous epoch barrier (measured 63s vs 15s at 4 CPUs)
+        # synchronous epoch barrier (measured 63s vs 15s at 4 CPUs).
+        # Past ~8 trainers this host's SGNS scatter kernel is shared-
+        # memory-bound (one thread already reaches ~230k pairs/s
+        # aggregate; 8 workers plateau there) — cap at 8
         n_ps = 2 if NUM_CPUS >= 8 else 1
-        n_tr = max(1, min(4, NUM_CPUS - n_ps))
+        n_tr = max(1, min(8, NUM_CPUS - n_ps))
         m = DistributedWord2Vec(num_workers=n_tr, num_ps=n_ps,
                                 vector_size=64, epochs=epochs, seed=7)
         tic = time.perf_counter()
         m.fit_dataset(w2v_corpus)
-        extras["w2v_train_tokens_per_sec"] = round(
+        tps = round(
             w2v_n_tokens * w2v_rep * epochs / (time.perf_counter() - tic), 1
         )
+        # best across repeats, consistent with min-time stage reporting
+        extras["w2v_train_tokens_per_sec"] = max(
+            tps, extras.get("w2v_train_tokens_per_sec", 0.0)
+        )
+        extras["w2v_token_epochs"] = w2v_n_tokens * w2v_rep * epochs
         return w2v_n_tokens * w2v_rep * epochs
 
-    timed("w2v_train", bench_w2v)
+    # heavy stage (10x corpus): 2 repeats bound total bench wall time
+    timed("w2v_train", bench_w2v, max_repeat=2)
 
-    # 4b. WL relabeling fit over the full relational graph (A9):
-    # wl_iterations=4 — the distinct-label factorize formulation
+    # 4b. WL relabeling fit over the full relational graph (A9), BOTH
+    # backends labeled: the broadcast-CSR factorize form (comparable
+    # with rounds 1-3; 2-4x faster at this scale, measured) and the
+    # join-rounds Dataset form the sharded driver queries run (the
+    # no-driver-CSR scale path).
+    bc_gi = None
+    if only is None or "wl_relabel" in only:
+        bc_gi = GraphIndex.from_dataset(triples_ds)
+
     def bench_wl():
         from pyrdf2vec_ray.stages.wl import wl_labels
 
-        return len(wl_labels(gi.local(), 4, 8))
+        return len(wl_labels(bc_gi.local(), 4, 8))
 
     timed("wl_relabel", bench_wl)
+
+    def bench_wl_sharded():
+        from pyrdf2vec_ray.stages.wl import wl_labels_from_dataset
+
+        # bucket count sized to data volume (~85k triple rows per
+        # bucket at sf0.1), not CPU count — measured 48.8s @ 32
+        # buckets vs 26.1s @ 16 on the same input
+        return len(wl_labels_from_dataset(
+            gi.triples_dataset(), 4, 8, num_buckets=16,
+        ))
+
+    timed("wl_relabel_sharded", bench_wl_sharded, max_repeat=2)
 
     # 5. text analysis over documents
     def bench_text():

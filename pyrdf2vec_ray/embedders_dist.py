@@ -139,75 +139,110 @@ class PSTrainer:
         self.cfg = cfg
         self.seed = seed
         self.bounds = bounds
-        self.sents: list[np.ndarray] = []
+        # corpus stored as (token_ids, sentence_lengths) pairs, one per
+        # ingest batch — thousands of small arrays, not one per sentence
+        # (np.concatenate over 300k 5-element arrays alone cost seconds)
+        self._chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self._n_sents = 0
         self.neg_table = None
         self._flat = None  # cached concatenated corpus (built lazily)
+
     def add_sentences(self, walks: list[list[str]]):
-        for w in walks:
-            if len(w) > 1:
-                ids = np.searchsorted(self.vocab, np.asarray(w, dtype=self.vocab.dtype))
-                self.sents.append(ids.astype(np.int64))
+        kept = [w for w in walks if len(w) > 1]
+        if kept:
+            flat = np.concatenate([np.asarray(w, dtype=self.vocab.dtype)
+                                   for w in kept])
+            ids = np.searchsorted(self.vocab, flat).astype(np.int64)
+            lens = np.fromiter((len(w) for w in kept), np.int64, len(kept))
+            self._chunks.append((ids, lens))
+            self._n_sents += len(kept)
         self._flat = None
-        return len(self.sents)
+        return self._n_sents
 
     def add_dataset_split(self, split_ds):
-        for batch in split_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 14):
-            self.add_sentences(batch["walk"].to_pylist())
-        return len(self.sents)
+        import pyarrow.compute as pc
+
+        for batch in split_ds.iter_batches(batch_format="pyarrow",
+                                           batch_size=1 << 14):
+            col = batch["walk"].combine_chunks()
+            lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            keep = lens > 1
+            if not keep.all():
+                flat = flat[np.repeat(keep, lens)]
+                lens = lens[keep]
+            if len(lens):
+                ids = np.searchsorted(
+                    self.vocab, flat.astype(self.vocab.dtype)
+                ).astype(np.int64)
+                self._chunks.append((ids, lens))
+                self._n_sents += len(lens)
+        self._flat = None
+        return self._n_sents
 
     def set_neg_table(self, table):
         self.neg_table = table
 
-    def _epoch_draws(self, epoch: int):
-        """Deterministic per-epoch randomness: reduced windows → (center,
-        context) pairs, then negatives — all up front so the set of
-        touched rows is known before any pull.
+    def _ensure_flat(self) -> bool:
+        if self._flat is not None:
+            return True
+        if not self._chunks:
+            return False
+        ids_parts = [c[0] for c in self._chunks]
+        len_parts = [c[1] for c in self._chunks]
+        lens = np.concatenate(len_parts) if len_parts else np.array([], np.int64)
+        if not len(lens):
+            return False
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        self._flat = np.concatenate(ids_parts)
+        self._pos = np.arange(len(self._flat)) - np.repeat(starts, lens)
+        self._slen = np.repeat(lens, lens)
+        return True
 
-        The expansion is fully vectorized over the CONCATENATED corpus
-        (one offset-grid mask per ~1M-token chunk instead of a Python
-        loop per sentence) — this was the trainer's documented
-        throughput ceiling.  The chunking bounds the (tokens × 2·window)
-        intermediate, so shards well past 10M tokens stream through a
-        fixed-size working set.  Pair order and RNG consumption are
-        identical to the per-sentence formulation (RandomState.randint
-        advances per value, so one size-T draw equals the concatenated
-        per-sentence draws)."""
+    def _epoch_chunks(self, epoch: int):
+        """Generator of deterministic (centers, ctxs, negs) pair chunks.
+
+        The expansion is vectorized over the CONCATENATED corpus (one
+        offset-grid mask per chunk instead of a Python loop per
+        sentence), and — critically for this microVM host — EVERY
+        temporary stays bounded (~10-20 MB): first-touch page faults
+        into fresh large mmaps cost 0.5-3 ms/page here, so one corpus-
+        sized negatives buffer (190 MB at 1.5M tokens) alone burned ~25 s
+        per epoch before this streaming form (measured; see BASELINE.md).
+        Small buffers stay under glibc's adaptive mmap threshold and get
+        reused across chunks.
+
+        Determinism: a fresh RandomState(seed + epoch), consumed in
+        fixed per-chunk order (reduced windows, then that chunk's
+        negatives); chunk boundaries are a constant, so the stream is
+        reproducible run-to-run at any parallelism."""
         cfg = SGNS(**self.cfg)
         rng = np.random.RandomState(self.seed + epoch)
         window, k = cfg.window, cfg.negative
-        if not self.sents:
-            return None
-        if self._flat is None:
-            lens = np.array([len(s) for s in self.sents], dtype=np.int64)
-            starts = np.r_[0, np.cumsum(lens)[:-1]]
-            self._flat = np.concatenate(self.sents)
-            self._pos = np.arange(len(self._flat)) - np.repeat(starts, lens)
-            self._slen = np.repeat(lens, lens)
+        if not self._ensure_flat():
+            return
         flat, pos, slen = self._flat, self._pos, self._slen
         T = len(flat)
-        reduced = rng.randint(0, window, size=T)
-        w = window - reduced
         offs = np.concatenate([np.arange(-window, 0), np.arange(1, window + 1)])
-        cs, xs = [], []
-        CH = 1 << 20
+        CH = 1 << 17
         for lo in range(0, T, CH):
             hi = min(T, lo + CH)
+            reduced = rng.randint(0, window, size=hi - lo)
+            w = window - reduced
             grid = pos[lo:hi, None] + offs[None, :]
             valid = (
-                (np.abs(offs)[None, :] <= w[lo:hi, None])
+                (np.abs(offs)[None, :] <= w[:, None])
                 & (grid >= 0) & (grid < slen[lo:hi, None])
             )
             m_per = valid.sum(1)
-            cs.append(np.repeat(flat[lo:hi], m_per))
-            xs.append(flat[(np.arange(lo, hi)[:, None] + offs[None, :])[valid]])
-        centers = np.concatenate(cs)
-        ctxs = np.concatenate(xs)
-        if len(ctxs) == 0:
-            return None
-        negs = self.neg_table[
-            rng.randint(0, len(self.neg_table), size=len(ctxs) * k)
-        ].reshape(len(ctxs), k)
-        return centers, ctxs, negs
+            centers = np.repeat(flat[lo:hi], m_per)
+            ctxs = flat[(np.arange(lo, hi)[:, None] + offs[None, :])[valid]]
+            if not len(ctxs):
+                continue
+            negs = self.neg_table[
+                rng.randint(0, len(self.neg_table), size=len(ctxs) * k)
+            ].reshape(len(ctxs), k)
+            yield centers, ctxs, negs
 
     def train_epoch(self, epoch: int, lr: float, ps_handles: list):
         import os as _os
@@ -215,24 +250,24 @@ class PSTrainer:
 
         _dbg = bool(_os.environ.get("W2V_DEBUG_TIMING"))
         _t0 = _time.perf_counter()
-        draws = self._epoch_draws(epoch)
-        if draws is None:
-            return None
-        centers, ctxs, negs = draws
-        if _dbg:
-            print(f"[w2v e{epoch}] draws {_time.perf_counter() - _t0:.2f}s "
-                  f"pairs={len(ctxs)}")
-            _t0 = _time.perf_counter()
-        # touched-row set + compact remap via O(N + V) flag/inverse
-        # tables instead of sort-based unique + 3 searchsorted passes —
-        # V-scale scratch is fine: the trainer already holds the full
-        # vocab string array, which dwarfs two int/bool vectors
+        # pass 1: touched-row flags only — the pair stream is REPLAYED in
+        # pass 2 (expansion is ~0.3 s/1.5M tokens warm; rebuilding beats
+        # holding corpus-scale pair buffers, see _epoch_chunks)
         V = len(self.vocab)
         flag = np.zeros(V, dtype=bool)
-        flag[centers] = True
-        flag[ctxs] = True
-        flag[negs.ravel()] = True
+        n_pairs = 0
+        for centers, ctxs, negs in self._epoch_chunks(epoch):
+            flag[centers] = True
+            flag[ctxs] = True
+            flag[negs.ravel()] = True
+            n_pairs += len(ctxs)
+        if not n_pairs:
+            return None
         used = np.flatnonzero(flag)
+        if _dbg:
+            print(f"[w2v e{epoch}] draws {_time.perf_counter() - _t0:.2f}s "
+                  f"pairs={n_pairs}")
+            _t0 = _time.perf_counter()
 
         # pull only the touched rows, from the owning shards, in parallel
         by_shard = []
@@ -258,21 +293,23 @@ class PSTrainer:
                   f"touched={len(used)}")
             _t0 = _time.perf_counter()
 
-        # remap global ids → local compact ids and run the shared math
+        # pass 2: replay the pair stream, remap global ids → local compact
+        # ids per chunk, run the shared math in 16k-pair sub-chunks
         model = SGNS(**self.cfg)
         model.W, model.C = W_local, C_local
         inv = np.empty(V, dtype=np.int64)
         inv[used] = np.arange(len(used))
-        c_l = inv[centers]
-        x_l = inv[ctxs]
-        n_l = inv[negs.ravel()].reshape(negs.shape)
         B = 16384
-        for i in range(0, len(c_l), B):
-            sl = slice(i, i + B)
-            model._chunk_update(
-                c_l[sl], x_l[sl], n_l[sl],
-                np.full(min(B, len(c_l) - i), lr, np.float32),
-            )
+        for centers, ctxs, negs in self._epoch_chunks(epoch):
+            c_l = inv[centers]
+            x_l = inv[ctxs]
+            n_l = inv[negs.ravel()].reshape(negs.shape)
+            for i in range(0, len(c_l), B):
+                sl = slice(i, i + B)
+                model._chunk_update(
+                    c_l[sl], x_l[sl], n_l[sl],
+                    np.full(min(B, len(c_l) - i), lr, np.float32),
+                )
 
         dW, dC = model.W - W0, model.C - C0
         if _dbg:

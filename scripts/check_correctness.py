@@ -5,6 +5,7 @@ against oracle_sql() via DuckDB.  Usage:
     python scripts/check_correctness.py [sf_dir] [query ...]
 """
 
+import os
 import sys
 import time
 
@@ -64,6 +65,7 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    report = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -72,6 +74,8 @@ def main():
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as e:
             print(f"ERROR  {name}: {type(e).__name__}: {e}")
+            report[name] = {"status": "error",
+                            "err": f"{type(e).__name__}: {e}"}
             failures += 1
             continue
         dur = time.perf_counter() - tic
@@ -81,6 +85,11 @@ def main():
             ok_cols = list(got.columns) == list(want.columns)
             ok_vals = ok_rows and ok_cols and got.equals(want)
             status = "OK " if ok_vals else "MISMATCH"
+            report[name] = {
+                "status": "ok" if ok_vals else "mismatch",
+                "oracle": True, "rows": len(got),
+                "oracle_rows": len(want), "sec": round(dur, 1),
+            }
             if not ok_vals:
                 failures += 1
                 print(f"{status} {name} ({dur:.1f}s) rows {len(got)} vs {len(want)}; cols {list(got.columns)} vs {list(want.columns)}")
@@ -91,6 +100,16 @@ def main():
                 print(f"{status} {name} ({dur:.1f}s) rows={len(got)}")
         else:
             print(f"ROWS {name} ({dur:.1f}s) rows={len(got)} cols={list(got.columns)}")
+            report[name] = {"status": "rows_only", "oracle": False,
+                            "rows": len(got), "sec": round(dur, 1)}
+    out_json = os.environ.get("CHECK_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "failures": failures,
+                       "n_checked": len(report), "queries": report}, fh,
+                      indent=1)
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
