@@ -332,12 +332,11 @@ def run_benchmarks() -> dict:
     def bench_wl_sharded():
         from pyrdf2vec_ray.stages.wl import wl_labels_from_dataset
 
-        # bucket count sized to data volume (~85k triple rows per
-        # bucket at sf0.1), not CPU count — measured 48.8s @ 32
-        # buckets vs 26.1s @ 16 on the same input
-        return len(wl_labels_from_dataset(
-            gi.triples_dataset(), 4, 8, num_buckets=16,
-        ))
+        # default bucket sizing is by data volume (~85k triple rows per
+        # bucket — measured 48.8s @ 32 CPU-tied buckets vs 26.1s @ 16
+        # volume-tied on this input); bench the same default the driver
+        # queries run
+        return len(wl_labels_from_dataset(gi.triples_dataset(), 4, 8))
 
     timed("wl_relabel_sharded", bench_wl_sharded, max_repeat=2)
 

@@ -191,6 +191,17 @@ def wl_labels_from_dataset(
     from pyrdf2vec_ray.shuffle import bucket_apply, bucket_count
     from pyrdf2vec_ray.util import to_table
 
+    if num_buckets is None:
+        # size buckets by DATA VOLUME (~85k triple rows each), not CPU
+        # count: the per-iteration shuffles are overhead-bound when rows
+        # per bucket get small (measured 48.8s @ 32 buckets vs 26.1s @ 16
+        # on 1.36M rows); count() on the parquet-backed triples Dataset
+        # is metadata-only
+        try:
+            num_buckets = max(4, min(256, triples_ds.count() // 85_000 + 1))
+        except Exception:
+            num_buckets = None
+
     # E_0: all entity names label themselves (distinct subj ∪ obj —
     # a grouped-count shuffle; the collected table is vocabulary-scale)
     def names_batch(batch: pa.Table) -> pa.Table:
