@@ -181,6 +181,13 @@ class SGNS:
         indexed fast path — measured 3.1x (88.5 → 28.9 ms per 82k×64
         scatter) and BIT-identical (same scalar adds in the same
         row-major order)."""
+        if not M.flags["C_CONTIGUOUS"]:
+            # reshape(-1) on a non-C-contiguous matrix returns a COPY —
+            # the adds would land in a temporary and vanish silently
+            # (e.g. a fortran-ordered pretrained matrix); take the
+            # layout-agnostic slow path instead
+            np.add.at(M, rows, vals)
+            return
         d = M.shape[1]
         lin = (rows[:, None] * d
                + np.arange(d, dtype=np.int64)[None, :]).reshape(-1)

@@ -102,18 +102,25 @@ def hash_join(
     # cast them to ONE nullable dtype per column in EVERY bucket, or
     # all-matched buckets would emit int64 blocks while buckets with
     # misses promote to float64 (dtype-strict block-schema hazard)
-    _nullable = {"i": "Int64", "u": "Int64", "f": "Float64", "b": "boolean"}
+    # 'u' must map to UInt64: casting uint64 hash-style values >= 2^63
+    # to Int64 raises (or corrupts via float promotion in miss buckets)
+    _nullable = {"i": "Int64", "u": "UInt64", "f": "Float64", "b": "boolean"}
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lb = g[g["_side"]][on + l_extra]
         rb = g[~g["_side"]][on + rcols]
-        out = lb.merge(rb, on=on, how=how)
         if how == "left":
+            # cast BEFORE the merge: pandas promotes plain int/uint to
+            # float64 when a bucket has unmatched rows, which both
+            # splits the block schema across buckets AND silently
+            # corrupts uint64 values >= 2^53 — nullable extension
+            # dtypes merge without promotion
+            rb = rb.copy()
             for c in rcols:
                 ext = _nullable.get(np.dtype(rdt[c]).kind)
                 if ext is not None:
-                    out[c] = out[c].astype(ext)
-        return out
+                    rb[c] = rb[c].astype(ext)
+        return lb.merge(rb, on=on, how=how)
 
     return bucket_apply(tagged, on, join_bucket,
                         num_buckets=num_buckets, batch_format="pandas")

@@ -134,20 +134,24 @@ def _fit_centroids(
 ) -> np.ndarray:
     """Deterministic centroid fit with NO corpus count pass.
 
-    Sample = global bottom-``sample_size`` rows by splitmix64(id): each
-    block keeps its local bottom slice (small, so the follow-up sort
-    moves per-block samples, not the corpus), a distributed sort+limit
-    picks the global bottom — deterministic regardless of block
-    boundaries.  Corpus size for the sqrt-N centroid default comes from
-    the sample itself (k-minimum-values estimate: n ≈ (k-1)·2^64 / h_k),
-    so no full pass is ever spent on counting.
+    Sample = the EXACT global bottom-``sample_size`` rows by
+    splitmix64(id): each batch keeps its local bottom
+    min(sample_size, len) — always a superset of that batch's share of
+    the global bottom, so the result is deterministic and independent
+    of batch/block boundaries — and a distributed sort+limit picks the
+    global bottom.  The sort input is ≤ sample_size rows per 64k-row
+    batch (~6%); for corpora ≥ ~10^6 rows, pre-filtering with a static
+    hash mask (h < 2^64/256 keeps the bottom-k intact whp) bounds it
+    further — documented knob, not default.  Corpus size for the
+    sqrt-N centroid default comes from the sample itself
+    (k-minimum-values estimate: n ≈ (k-1)·2^64 / h_k), so no full pass
+    is ever spent on counting.
     """
-    per_block = max(64, sample_size // 16)
 
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_col].to_numpy().astype(np.uint64)
         h = splitmix64(ids)
-        order = np.argsort(h, kind="stable")[:per_block]
+        order = np.argsort(h, kind="stable")[:sample_size]
         out = batch.iloc[order][[vec_col]].copy()
         # uint64 hash stored shifted into int64 (order-preserving) so
         # Arrow sort handles it natively
@@ -155,7 +159,7 @@ def _fit_centroids(
         return out
 
     samp = (
-        emb.map_batches(pick, batch_format="pandas", batch_size=8192)
+        emb.map_batches(pick, batch_format="pandas", batch_size=65536)
         .sort("_h")
         .limit(sample_size)
         .to_pandas()

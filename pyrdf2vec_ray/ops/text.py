@@ -484,12 +484,16 @@ def fit_bigram_datasets(
     the pair table."""
     from pyrdf2vec_ray.shuffle import bucket_agg, distinct
 
+    # materialized: the pair table has TWO downstream consumers (the ctx
+    # re-aggregation and the stage-2 scoring union) — lazy, the corpus
+    # scan + (w1,w2) shuffle would re-execute per consumer.  The pin is
+    # MODEL-sized (distinct bigrams), not corpus-sized, and spills.
     pairs = bucket_agg(
         lm_docs.map_batches(
             _bigram_pair_partial(text_col), batch_format="pandas"
         ),
         ["w1", "w2"], {"c": ("c", "sum")}, pre=False,
-    )
+    ).materialize()
     ctx = bucket_agg(pairs, ["w1"], {"cc": ("c", "sum")})
 
     def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:

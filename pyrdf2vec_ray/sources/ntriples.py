@@ -20,12 +20,16 @@ from pyrdf2vec_ray.schemas import TRIPLES
 
 # also accepts N-Quads: an optional graph label (IRI or blank node)
 # before the terminating '.' is parsed and DROPPED — the engine's KG is
-# the union graph, like the reference's rdflib-parse-to-KG fold
+# the union graph, like the reference's rdflib-parse-to-KG fold.
+# Blank-node subjects/objects (_:name) are first-class: real N-Quads
+# exports use them everywhere, and silently skipping their lines would
+# be silent data loss.
 NT_RE = re.compile(
     r"""^\s*
-        <(?P<subj>[^>]+)>\s+
+        (?:<(?P<subj>[^>]+)>|(?P<subj_b>_:\S+))\s+
         <(?P<pred>[^>]+)>\s+
         (?:<(?P<obj_iri>[^>]+)>
+          |(?P<obj_b>_:\S+)
           |"(?P<obj_lit>(?:[^"\\]|\\.)*)"(?:@[\w-]+|\^\^<[^>]+>)?)
         (?:\s+(?:<[^>]+>|_:\S+))?
         \s*\.\s*$""",
@@ -40,10 +44,11 @@ def parse_ntriples_lines(lines: list[str]) -> list[tuple[str, str, str]]:
             continue
         m = NT_RE.match(line)
         if m:
-            obj = m.group("obj_iri")
+            obj = m.group("obj_iri") or m.group("obj_b")
             if obj is None:
                 obj = m.group("obj_lit").encode().decode("unicode_escape")
-            out.append((m.group("subj"), m.group("pred"), obj))
+            out.append((m.group("subj") or m.group("subj_b"),
+                        m.group("pred"), obj))
     return out
 
 

@@ -249,23 +249,30 @@ class _TurtleParser:
                     self._next()
                     self._graph_block()
                     continue
-                if kind == "pname" and val == "GRAPH":
+                if kind == "pname" and val.upper() == "GRAPH":
+                    # spec keyword is case-insensitive; a bare lowercase
+                    # pname without ':' can't be a subject anyway
                     self._next()
                     self._term(as_subject=True)   # the graph label
                     self._expect_punct("{")
                     self._graph_block()
                     continue
-                save = self.pos
+                # speculative parse for "<label> {": _term has SIDE
+                # EFFECTS ([..]/(..) append triples and advance bnode_n),
+                # so the rewind must restore ALL parser state, not just
+                # the token position — or anonymous-bnode subjects get
+                # emitted twice under two ids
+                save = (self.pos, len(self.triples), self.bnode_n)
                 try:
                     maybe_label = self._term(as_subject=True)
                 except ValueError:
                     maybe_label = None
-                    self.pos = save
                 if maybe_label is not None and self._peek() == ("punct", "{"):
                     self._next()
                     self._graph_block()
                     continue
-                self.pos = save
+                self.pos, n_triples, self.bnode_n = save
+                del self.triples[n_triples:]
             subject = self._term(as_subject=True)
             self._po_list(subject)
             self._expect_punct(".")

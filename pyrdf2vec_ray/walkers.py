@@ -376,6 +376,11 @@ def extract_walks(
     ds_roots = isinstance(entities, ray.data.Dataset)
     custom_fn = _CUSTOM_STRATEGIES.get(spec.strategy)
     if ds_roots:
+        # two consumers (keep-set build + the walk input stream): pin the
+        # roots once or the upstream lineage (often a distinct shuffle)
+        # executes twice.  Root sets are vertex/entity-scale, and the
+        # materialization spills through the object store.
+        entities = entities.select_columns(["entity"]).materialize()
         entities_ref = build_keepset_refs(
             entities, num_shards=gi.num_shards if sharded else 8
         )
@@ -441,7 +446,7 @@ def extract_walks(
             )
 
     if ds_roots:
-        ents_ds = entities.select_columns(["entity"])
+        ents_ds = entities   # already projected + materialized above
     else:
         ents_ds = ray.data.from_arrow(
             pa.table({"entity": pa.array(entities, pa.string())})

