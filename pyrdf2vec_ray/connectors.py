@@ -69,6 +69,46 @@ def res2hops(res, skip_predicates: frozenset[str] = frozenset()) -> list[tuple[s
 import time as _time
 
 
+def is_valid_url(url: str, timeout: float = 10.0) -> bool:
+    """Endpoint reachability probe — reference parity
+    (utils/validation.py:83-98): HEAD the endpoint with an ``ASK {}``
+    query, valid iff it answers 200."""
+    from urllib.parse import urlencode
+    from urllib.request import Request, urlopen
+
+    try:
+        req = Request(
+            url + ("&" if "?" in url else "?") + urlencode({"query": "ASK {}"}),
+            method="HEAD",
+        )
+        with urlopen(req, timeout=timeout) as resp:
+            return resp.status == 200
+    except Exception:
+        return False
+
+
+def check_location(location: str | None, probe_url: bool = True) -> None:
+    """Location validation — reference ``_check_location`` parity
+    (utils/validation.py:39-62, wired into ``KG(location=...)`` at
+    kg.py:65-66): http(s) locations must answer the HEAD probe (skipped
+    when ``probe_url=False`` for offline construction), anything else
+    must be an existing file."""
+    if location is None:
+        return
+    if location.startswith(("http://", "https://")):
+        if probe_url and not is_valid_url(location):
+            raise ValueError(
+                f"'location' must be a valid URL (got {location})"
+            )
+    else:
+        import os
+
+        if not os.path.isfile(location):
+            raise FileNotFoundError(
+                f"'location' must be a valid file (got {location})"
+            )
+
+
 def http_fetch(endpoint: str, query: str, timeout: float = 30.0) -> list[dict]:
     """Live SPARQL-protocol GET transport (stdlib urllib — requests /
     aiohttp are not in this container): the reference's sync client

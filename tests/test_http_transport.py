@@ -35,6 +35,12 @@ def sparql_server():
     seen = []
 
     class Handler(BaseHTTPRequestHandler):
+        def do_HEAD(self):
+            url = urlparse(self.path)
+            ok = url.path == "/sparql" and "query" in parse_qs(url.query)
+            self.send_response(200 if ok else 404)
+            self.end_headers()
+
         def do_GET(self):
             url = urlparse(self.path)
             if url.path != "/sparql":
@@ -94,6 +100,26 @@ def test_afetch_bundles_over_http(sparql_server):
     res = c.afetch(queries, max_concurrency=4)
     assert res[0] == res[2]                  # single flight per distinct query
     assert c.n_transport_calls == 2
+
+
+def test_check_location_url_probe_and_files(sparql_server, tmp_path):
+    """Reference _check_location parity (utils/validation.py:39-62,83-98):
+    live HEAD probe for URLs, existence check for files."""
+    from pyrdf2vec_ray.connectors import check_location, is_valid_url
+
+    endpoint, _ = sparql_server
+    assert is_valid_url(endpoint)
+    check_location(endpoint)                      # reachable: no raise
+    assert not is_valid_url(endpoint.replace("/sparql", "/nope"))
+    with pytest.raises(ValueError, match="valid URL"):
+        check_location(endpoint.replace("/sparql", "/nope"))
+    check_location(endpoint + "x", probe_url=False)   # offline mode
+    f = tmp_path / "g.nt"
+    f.write_text("")
+    check_location(str(f))
+    with pytest.raises(FileNotFoundError):
+        check_location(str(tmp_path / "missing.nt"))
+    check_location(None)
 
 
 def test_fetch_hops_dataset_live(ray_session, sparql_server):
