@@ -1380,6 +1380,16 @@ def q_doc_bigram_lm(sf_dir: str):
     return bigram_lm_scores(docs, lm_docs=lm)
 
 
+def q_doc_chunks(sf_dir: str):
+    """Overlapping training-chunk split (ops/curate.chunk_documents):
+    chunk c covers tokens [c*96, c*96+128) — the standard LLM
+    pre-tokenization shape, shuffle-free; the SQL oracle is the
+    definitional 1-based list slice per generated chunk index."""
+    from pyrdf2vec_ray.ops.curate import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), chunk_tokens=128, stride=96)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition signals (ops/text.repetition_stats):
     top-token ratio + duplicate-2-gram ratio per doc, both reproduced
@@ -2297,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": q_kg_triples,
         "doc_tokens_bpe": q_doc_tokens_bpe,
+        "doc_chunks": q_doc_chunks,
         "doc_splits": q_doc_splits,
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_repetition": q_doc_repetition,
@@ -2415,6 +2426,7 @@ WITH triples AS (
 def oracle_sql() -> dict[str, str]:
     from pyrdf2vec_ray.ops.curate import (
         assign_splits_sql,
+        chunk_documents_sql,
         sample_by_hash_sql,
         budget_sample_sql,
         interleave_sources_sql,
@@ -3020,6 +3032,7 @@ def oracle_sql() -> dict[str, str]:
                    )) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
+        "doc_chunks": chunk_documents_sql(chunk_tokens=128, stride=96),
         "tokens_by_lang": r"""
             SELECT lang, CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang

@@ -881,3 +881,110 @@ def budget_sample_sql(
         f"       CAST(cum AS BIGINT) AS cum\n"
         f"FROM c WHERE cum <= {budget}"
     )
+
+
+def chunk_documents(
+    docs: ray.data.Dataset,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, chunk_id, n_tokens, chunk_text): split each document's
+    whitespace tokens into training chunks — chunk ``c`` covers token
+    positions ``[c*stride, c*stride + chunk_tokens)``, emitted while
+    ``c*stride < n_tokens`` (the final chunk may be short).
+    ``stride < chunk_tokens`` overlaps consecutive chunks (context
+    preservation at cut points, the standard LLM pre-tokenization
+    shape); ``stride == chunk_tokens`` (default) gives disjoint chunks.
+    The in-document sibling of :func:`pack_sequences` (which
+    concatenates ACROSS documents).
+
+    Stateless vectorized map, NO shuffle: per batch, tokens explode
+    with their in-doc position and replicate into their ≤
+    ceil(chunk/stride) covering chunks via one offset-grid mask (the
+    sliding_window replication shape), then reassemble per (doc, chunk)
+    with an ordered in-batch groupby — documents never split across
+    batches, so chunk assembly is local by construction."""
+    if stride is None:
+        stride = chunk_tokens
+    if chunk_tokens < 1 or stride < 1 or stride > chunk_tokens:
+        raise ValueError("need 1 <= stride <= chunk_tokens")
+    kmax = -(-chunk_tokens // stride)
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: pd.Series(dtype=batch[id_col].dtype if len(batch)
+                               else "int64"),
+             "chunk_id": pd.Series(dtype="int64"),
+             "n_tokens": pd.Series(dtype="int64"),
+             "chunk_text": pd.Series(dtype="object")}
+        )
+        text = batch[text_col].astype(str).reset_index(drop=True)
+        ids = batch[id_col].reset_index(drop=True)
+        toks = text.str.split().explode().dropna()
+        if not len(toks):
+            return empty
+        arr = toks.to_numpy()
+        d = toks.index.to_numpy()
+        idx = np.arange(len(d))
+        starts = np.r_[True, d[1:] != d[:-1]]
+        doc_start = idx[starts]
+        lens = np.diff(np.r_[doc_start, len(d)])
+        p = idx - np.repeat(doc_start, lens)
+        J = np.arange(kmax, dtype=np.int64)
+        c = (p // stride)[:, None] - J[None, :]
+        valid = (c >= 0) & ((p[:, None] - c * stride) < chunk_tokens)
+        rep = valid.sum(1)
+        g = pd.DataFrame(
+            {"d": np.repeat(d, rep), "c": c[valid],
+             "p": np.repeat(p, rep), "tok": np.repeat(arr, rep)}
+        )
+        g = g.sort_values(["d", "c", "p"], kind="mergesort")
+        agg = g.groupby(["d", "c"], as_index=False, sort=False).agg(
+            n_tokens=("tok", "size"), chunk_text=("tok", " ".join)
+        )
+        return pd.DataFrame(
+            {id_col: ids.iloc[agg["d"]].to_numpy(),
+             "chunk_id": agg["c"].to_numpy(dtype=np.int64),
+             "n_tokens": agg["n_tokens"].to_numpy(dtype=np.int64),
+             "chunk_text": agg["chunk_text"].to_numpy()}
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        chunk, batch_format="pandas", batch_size=4096
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`chunk_documents` — the definitional
+    form: 1-based list slice per generated chunk index."""
+    if stride is None:
+        stride = chunk_tokens
+    return (
+        f"WITH t AS (\n"
+        f"  SELECT {id_col},\n"
+        f"         regexp_split_to_array({text_col}, '\\s+') AS toks\n"
+        f"  FROM {table}\n"
+        f"),\n"
+        f"c AS (\n"
+        f"  SELECT {id_col}, toks, g.c\n"
+        f"  FROM t, UNNEST(generate_series(\n"
+        f"         0, CAST(len(toks) / {stride} AS BIGINT))) AS g(c)\n"
+        f"  WHERE g.c * {stride} < len(toks)\n"
+        f")\n"
+        f"SELECT {id_col}, CAST(c AS BIGINT) AS chunk_id,\n"
+        f"       CAST(least(len(toks) - c*{stride}, {chunk_tokens})\n"
+        f"            AS BIGINT) AS n_tokens,\n"
+        f"       array_to_string(\n"
+        f"         toks[CAST(c*{stride}+1 AS BIGINT)\n"
+        f"              :CAST(c*{stride}+{chunk_tokens} AS BIGINT)], ' ')\n"
+        f"         AS chunk_text\n"
+        f"FROM c"
+    )

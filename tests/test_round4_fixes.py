@@ -115,3 +115,24 @@ def test_left_join_uint64_right_column(ray_session):
     assert matched["h"].tolist() == [big, big + np.uint64(1),
                                      big + np.uint64(2)]
     assert out[out["k"] % 2 == 1]["h"].isna().all()
+
+
+def test_chunk_documents_overlap_semantics(ray_session):
+    import ray.data
+
+    from pyrdf2vec_ray.ops.curate import chunk_documents
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a b c d e f g", "x y", "solo"]}
+    ))
+    out = (chunk_documents(ds, chunk_tokens=4, stride=3).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    assert out["chunk_text"].tolist() == [
+        "a b c d", "d e f g", "g", "x y", "solo"]
+    assert out["n_tokens"].tolist() == [4, 4, 1, 2, 1]
+    # disjoint default; bad strides raise
+    dj = (chunk_documents(ds, chunk_tokens=3).to_pandas()
+          .sort_values(["doc_id", "chunk_id"]))
+    assert dj[dj["doc_id"] == 1]["chunk_text"].tolist() == ["a b c", "d e f", "g"]
+    with pytest.raises(ValueError):
+        chunk_documents(ds, chunk_tokens=4, stride=5)
