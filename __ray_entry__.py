@@ -801,6 +801,31 @@ def q_hll_registers(sf_dir: str):
     return hll_registers(_docs(sf_dir, ("doc_id", "text", "lang")))
 
 
+def q_events_hll_daily(sf_dir: str):
+    """Grouped HLL over the EVENT stream (ops/sketch
+    .hll_registers_values): approximate distinct users per day as
+    per-day register tables — the exchange is groups x 2**p rows,
+    independent of event volume.  Register table bit-exact in SQL."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.sketch import hll_registers_values
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def day(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": batch["ts"].dt.strftime("%Y-%m-%d"),
+             "u": batch["user_id"].astype("int64").astype(str)}
+        )
+
+    ds = events.map_batches(day, batch_format="pandas")
+    return hll_registers_values(ds, "day", "u")
+
+
 def q_cms_counters(sf_dir: str):
     """Count-Min frequency sketch over token occurrences (ops/sketch):
     4 x 1024 mergeable counters, per-batch partial sums before one tiny
@@ -2320,6 +2345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "doc_exact_dedup": q_doc_exact_dedup,
         "hll_registers": q_hll_registers,
+        "events_hll_daily": q_events_hll_daily,
         "doc_lang_id": q_doc_lang_id,
         "orders_by_month": q_orders_by_month,
         "knn_bruteforce": q_knn_bruteforce,
@@ -2836,6 +2862,32 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "events_hll_daily": r"""
+            WITH d AS (
+              SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                              CAST(user_id AS VARCHAR) AS u
+              FROM events
+            ),
+            h AS (
+              SELECT day,
+                     CAST(concat('0x', substr(md5(u), 1, 16)) AS UBIGINT)
+                       AS hv
+              FROM d
+            ),
+            rb AS (
+              SELECT day, CAST(hv >> 54 AS BIGINT) AS reg,
+                     hv & ((1::UBIGINT << 54) - 1) AS w
+              FROM h
+            ),
+            r AS (
+              SELECT day, reg,
+                     CASE WHEN w = 0 THEN 55
+                          ELSE 55 - length(bin(w)) END AS rho
+              FROM rb
+            )
+            SELECT day, reg, CAST(max(rho) AS BIGINT) AS rho_max
+            FROM r GROUP BY day, reg
         """,
         "hll_registers": r"""
             WITH tok AS (

@@ -368,3 +368,55 @@ def bloom_sql(
         f"       bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits\n"
         f"FROM u GROUP BY pos // 32"
     )
+
+
+def hll_registers_values(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    p: int = P_DEFAULT,
+) -> ray.data.Dataset:
+    """(group, reg, rho_max): HLL registers per group over a VALUE
+    column — the event-stream form of :func:`hll_registers` (which
+    tokenizes text), e.g. approximate distinct users per day over a
+    corpus-scale event log.  Per batch: dedupe (group, value) pairs,
+    md5 once per distinct value, partial max per (group, register);
+    then ONE grouped-max shuffle over at most groups x 2**p rows —
+    corpus-size-independent exchange, the whole point of the sketch."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    shift = np.uint64(64 - p)
+    mask = np.uint64((1 << (64 - p)) - 1)
+    wbits = 64 - p
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {group_col: pd.Series(dtype="object"),
+                 "reg": pd.Series(dtype="int64"),
+                 "rho_max": pd.Series(dtype="int64")}
+            )
+        pairs = batch[[group_col, value_col]].drop_duplicates()
+        vals = pairs[value_col].astype(str).to_numpy()
+        codes, uniq = pd.factorize(vals)
+        uh = np.fromiter(
+            (int(hashlib.md5(u.encode()).hexdigest()[:16], 16)
+             for u in uniq),
+            dtype=np.uint64, count=len(uniq),
+        )
+        h = uh[codes]
+        g = pd.DataFrame(
+            {group_col: pairs[group_col].to_numpy(),
+             "reg": (h >> shift).astype(np.int64),
+             "rho_max": wbits + 1 - _bitlen_u64(h & mask)}
+        )
+        return g.groupby([group_col, "reg"], as_index=False).max()
+
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+    return bucket_agg(
+        parts, [group_col, "reg"], {"rho_max": ("rho_max", "max")},
+        pre=False,
+    )

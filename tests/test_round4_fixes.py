@@ -136,3 +136,31 @@ def test_chunk_documents_overlap_semantics(ray_session):
     assert dj[dj["doc_id"] == 1]["chunk_text"].tolist() == ["a b c", "d e f", "g"]
     with pytest.raises(ValueError):
         chunk_documents(ds, chunk_tokens=4, stride=5)
+
+
+def test_hll_registers_values_daily_users(ray_session):
+    """Grouped HLL over an event stream: register build + estimator
+    within a few % of exact daily distinct users."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.sketch import hll_estimate, hll_registers_values
+
+    events = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def day(b):
+        return pd.DataFrame(
+            {"day": b["ts"].dt.strftime("%Y-%m-%d"),
+             "u": b["user_id"].astype("int64").astype(str)}
+        )
+
+    tagged = events.map_batches(day, batch_format="pandas")
+    regs = hll_registers_values(tagged, "day", "u").to_pandas()
+    est = hll_estimate(regs, group_col="day")
+    exact = tagged.to_pandas().groupby("day")["u"].nunique()
+    merged = est.merge(exact.rename("exact"), left_on="day",
+                       right_index=True)
+    rel = (merged["est_distinct"] - merged["exact"]).abs() / merged["exact"]
+    assert len(merged) >= 10
+    assert rel.max() < 0.1
