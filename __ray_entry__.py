@@ -1415,6 +1415,30 @@ def q_doc_chunks(sf_dir: str):
     return chunk_documents(_docs(sf_dir), chunk_tokens=128, stride=96)
 
 
+def q_doc_redact_pii(sf_dir: str):
+    """PII scrub (ops/text.redact_pii): emails + international phone
+    numbers replaced with typed placeholders.  PII is PLANTED
+    deterministically in-query (every doc_id % 3 == 0 gains a contact
+    line built from the id on BOTH engines), so the redaction does real
+    work and the RE2-compatible patterns replay identically in DuckDB
+    regexp_replace."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.text import redact_pii
+
+    docs = _docs(sf_dir)
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        s = ids.astype(str)
+        contact = (" Contact user" + s + "@mail.example.com or +1555010"
+                   + (ids % 100).astype(str) + " now.")
+        text = batch["text"].astype(str) + contact.where(ids % 3 == 0, "")
+        return pd.DataFrame({"doc_id": ids, "text": text})
+
+    return redact_pii(docs.map_batches(plant, batch_format="pandas"))
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition signals (ops/text.repetition_stats):
     top-token ratio + duplicate-2-gram ratio per doc, both reproduced
@@ -2333,6 +2357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "doc_tokens_bpe": q_doc_tokens_bpe,
         "doc_chunks": q_doc_chunks,
+        "doc_redact_pii": q_doc_redact_pii,
         "doc_splits": q_doc_splits,
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_repetition": q_doc_repetition,
@@ -3085,6 +3110,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_chunks": chunk_documents_sql(chunk_tokens=128, stride=96),
+        "doc_redact_pii": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 = 0 THEN
+                       ' Contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com or +1555010'
+                       || CAST(doc_id % 100 AS VARCHAR) || ' now.'
+                     ELSE '' END AS text
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS text
+              FROM planted
+            )
+            SELECT doc_id,
+                   regexp_replace(text, '\+[0-9][0-9 ()-]{6,}[0-9]', '[PHONE]', 'g') AS text,
+                   CAST(n_email
+                        + len(regexp_extract_all(text, '\+[0-9][0-9 ()-]{6,}[0-9]'))
+                        AS BIGINT) AS n_redactions
+            FROM e
+        """,
         "tokens_by_lang": r"""
             SELECT lang, CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang

@@ -762,3 +762,44 @@ def normalize_text(
     return docs.select_columns([id_col, text_col]).map_batches(
         norm, batch_format="pandas", batch_size=4096
     )
+
+
+# PII patterns kept RE2-compatible (no backrefs/lookaround) so the
+# DuckDB oracle can run the SAME expressions via regexp_replace
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\+[0-9][0-9 ()-]{6,}[0-9]", "[PHONE]"),
+)
+
+
+def redact_pii(
+    docs: ray.data.Dataset,
+    patterns=PII_PATTERNS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, text, n_redactions): replace PII-shaped spans (emails,
+    international-format phone numbers by default) with typed
+    placeholder tokens — the standard pre-training privacy scrub (cf.
+    the C4/Gopher-style pipeline stages).  Stateless vectorized map:
+    compiled regexes applied once per pattern per batch via pandas str
+    kernels; ``n_redactions`` counts replaced spans per doc so the
+    corpus report can audit scrub volume.  No shuffle.  Patterns must
+    stay RE2-compatible (no backreferences/lookaround) — the DuckDB
+    oracle replays the identical expressions."""
+    compiled = [(re.compile(p), repl) for p, repl in patterns]
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].astype(str)
+        n = pd.Series(np.zeros(len(t), np.int64), index=t.index)
+        for rx, repl in compiled:
+            n = n + t.str.count(rx)
+            t = t.str.replace(rx, repl, regex=True)
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(), text_col: t.to_numpy(),
+             "n_redactions": n.to_numpy(dtype=np.int64)}
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        scrub, batch_format="pandas", batch_size=4096
+    )

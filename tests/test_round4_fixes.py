@@ -164,3 +164,23 @@ def test_hll_registers_values_daily_users(ray_session):
     rel = (merged["est_distinct"] - merged["exact"]).abs() / merged["exact"]
     assert len(merged) >= 10
     assert rel.max() < 0.1
+
+
+def test_redact_pii_patterns(ray_session):
+    import ray.data
+
+    from pyrdf2vec_ray.ops.text import redact_pii
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["mail me at a.b+c@x-y.co or +1 (555) 010-1234 today",
+                 "no pii here",
+                 "two mails p@q.io and r@s.org"],
+    }))
+    out = redact_pii(ds).to_pandas().sort_values("doc_id")
+    assert out["text"].tolist() == [
+        "mail me at [EMAIL] or [PHONE] today",
+        "no pii here",
+        "two mails [EMAIL] and [EMAIL]",
+    ]
+    assert out["n_redactions"].tolist() == [2, 0, 2]
