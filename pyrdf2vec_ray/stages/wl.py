@@ -240,9 +240,16 @@ def wl_labels_from_dataset(
             return (g.groupby("obj", as_index=False)["pin"].agg("-".join)
                      .rename(columns={"pin": "suffix"}))
 
+        def pre_dedup(batch: pa.Table) -> pa.Table:
+            # per-batch (obj, pin) distinct combiner: early iterations'
+            # pin labels are low-cardinality (iteration 0 = predicates),
+            # so the suffix shuffle moves a fraction of the triple rows
+            return (batch.select(["obj", "pin"])
+                    .group_by(["obj", "pin"]).aggregate([]))
+
         suf = to_table(bucket_apply(
             T, ["obj"], suffix_bucket, num_buckets=num_buckets,
-            batch_format="pandas",
+            batch_format="pandas", pre=pre_dedup,
         ))
         suffix = np.full(len(ent_names), "", dtype=object)
         pos = np.searchsorted(
