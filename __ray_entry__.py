@@ -2348,12 +2348,30 @@ def entry() -> Any:
     return explode_walks(extract_walks(gi, entities, spec, batch_size=64))
 
 
+def _gc_guard(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    """Deterministic GC point before each query: a long single-session
+    sweep (~100 queries, hundreds of Datasets) once hit Ray 2.49's
+    ``reference_count.cc submitted_task_ref_count`` crash — object refs
+    collected from destructor threads racing in-flight task accounting.
+    Collecting at a quiescent point between queries shrinks that window;
+    query semantics are untouched."""
+    import functools
+    import gc
+
+    @functools.wraps(fn)
+    def guarded(sf_dir: str):
+        gc.collect()
+        return fn(sf_dir)
+
+    return guarded
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ordered for the driver gate: oracle-backed queries
     first (cheapest first, kg_triples leading to warm the shared
     triples cache), rows-only checks last — so a bounded verification
     budget always covers every SQL-checkable operator."""
-    return {
+    return {name: _gc_guard(fn) for name, fn in {
         "kg_triples": q_kg_triples,
         "doc_tokens_bpe": q_doc_tokens_bpe,
         "doc_chunks": q_doc_chunks,
@@ -2453,7 +2471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdf2vec_scale_path": q_rdf2vec_scale_path,
         "walks_community": q_walks_community,
         "walks_wide_sampled": q_walks_wide_sampled,
-    }
+    }.items()}
 
 
 _TRIPLES_CTE = """
