@@ -1305,6 +1305,23 @@ def q_doc_sample_exact(sf_dir: str):
     return sample_exact_per_group(docs, 5, "lang", seed=21)
 
 
+def q_doc_priority_sample(sf_dir: str):
+    """Weight-proportional sampling (ops/curate.priority_sample):
+    priority sampling (Duffield-Lund-Thorup JACM'07) — priority =
+    weight / u with u a deterministic splitmix64 uniform, keep the n
+    largest.  Every float op is a single IEEE rounding on exact
+    inputs, so the oracle match is bit-exact.  Combiner top-n →
+    salted merge → one bounded final task."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.curate import priority_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return priority_sample(docs, 40, "n_chars", seed=7)
+
+
 def q_orders_anti_join(sf_dir: str):
     """Distributed anti-join (ops/join.hash_semi_join, anti=True):
     orders whose customer is NOT in the auto-mobile market segment —
@@ -2396,6 +2413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_budget_sample": q_doc_budget_sample,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_sample_exact": q_doc_sample_exact,
+        "doc_priority_sample": q_doc_priority_sample,
         "events_funnel": q_events_funnel,
         "lineitem_pricing": q_lineitem_pricing,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2500,6 +2518,7 @@ def oracle_sql() -> dict[str, str]:
         budget_sample_sql,
         interleave_sources_sql,
         sample_exact_per_group_sql,
+        priority_sample_sql,
         shuffle_order_sql,
         splitmix64_sql,
     )
@@ -2656,6 +2675,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
+        "doc_priority_sample": priority_sample_sql(40, seed=7),
         "top_spenders_by_nation": """
             WITH spend AS (
               SELECT o_custkey AS custkey,

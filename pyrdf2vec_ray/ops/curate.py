@@ -988,3 +988,102 @@ def chunk_documents_sql(
         f"         AS chunk_text\n"
         f"FROM c"
     )
+
+
+def priority_sample(
+    docs: ray.data.Dataset,
+    n: int,
+    weight_col: str,
+    key: str = "doc_id",
+    seed: int = 0,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(key, weight, priority): weight-sensitive sample of n rows via
+    priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    estimation of arbitrary subset sums", JACM 2007): each row draws a
+    deterministic uniform u = ((splitmix64(key ^ seed) >> 11) + 1) /
+    2^53 in (0, 1] and gets priority w / u; the sample is the n largest
+    priorities (ties by key).  Heavier rows are proportionally more
+    likely to be kept, and subset sums are estimable from the kept
+    (weight, priority) pairs — the standard weighted carve-out for
+    "sample training docs proportional to length".
+
+    Every float op is a single IEEE rounding on exactly-representable
+    inputs ((h >> 11) + 1 < 2^53, the 2^53 divisor is a power of two,
+    integer weights are exact doubles), so numpy and DuckDB produce
+    bit-identical priorities — the oracle match is exact, not
+    approximate.
+
+    Shuffle shape: per-batch partial top-n (the combiner — the n
+    largest of a union are the n largest of per-part n-largest), then a
+    key-salted bucket round (≤ num_buckets × n candidate rows), then
+    ONE single-task final merge over that bounded candidate set — the
+    driver never sees more than the n result rows, and the merge fan-in
+    is independent of the input block count."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    cols = [key, weight_col]
+    two53 = float(2.0 ** 53)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[key].to_numpy(dtype=np.int64)
+        w = batch[weight_col].to_numpy(dtype=np.float64)
+        if len(w) and w.min() <= 0:
+            raise ValueError(f"{weight_col} must be > 0 for priority "
+                             "sampling")
+        h = splitmix64(ids.view(np.uint64) ^ np.uint64(seed))
+        u = ((h >> np.uint64(11)) + np.uint64(1)).astype(np.float64) / two53
+        out = pd.DataFrame(
+            {key: ids, weight_col: batch[weight_col].to_numpy(),
+             "priority": w / u}
+        )
+        out = out.sort_values(["priority", key], ascending=[False, True])
+        out = out.head(n)
+        # salt for the intermediate merge round: bounded fan-in
+        out["salt"] = (out[key].to_numpy(dtype=np.int64)
+                       % np.int64(num_buckets))
+        return out
+
+    def per_salt(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["priority", key], ascending=[False, True])
+        return g.head(n).reset_index(drop=True)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["priority", key], ascending=[False, True])
+        return g.head(n).drop(columns=["salt"]).reset_index(drop=True)
+
+    parts = docs.select_columns(cols).map_batches(
+        partial, batch_format="pandas"
+    )
+    merged = bucket_apply(parts, ["salt"], per_salt,
+                          num_buckets=num_buckets, batch_format="pandas")
+    return merged.repartition(1).map_batches(final, batch_format="pandas")
+
+
+def priority_sample_sql(
+    n: int,
+    weight_col: str = "n_chars",
+    key: str = "doc_id",
+    seed: int = 0,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`priority_sample` — the shared
+    splitmix64 chain, then the identical two-rounding float pipeline
+    (u = exact-int / 2^53, priority = w / u)."""
+    return (
+        f"WITH _sm_in AS (\n"
+        f"  SELECT {key}, {weight_col} FROM {table}\n"
+        f"),\n"
+        f"{splitmix64_sql(key, seed)},\n"
+        f"pri AS (\n"
+        f"  SELECT {key}, {weight_col},\n"
+        f"         CAST({weight_col} AS DOUBLE)\n"
+        f"           / (CAST((h >> 11) + 1 AS DOUBLE)\n"
+        f"              / 9007199254740992.0) AS priority\n"
+        f"  FROM s3\n"
+        f")\n"
+        f"SELECT {key}, {weight_col}, priority FROM pri\n"
+        f"ORDER BY priority DESC, {key} LIMIT {n}"
+    )
