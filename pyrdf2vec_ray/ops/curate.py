@@ -1014,20 +1014,17 @@ def priority_sample(
     bit-identical priorities — the oracle match is exact, not
     approximate.
 
-    Shuffle shape: per-batch partial top-n (the combiner — the n
-    largest of a union are the n largest of per-part n-largest), then a
-    key-salted bucket round (≤ num_buckets × n candidate rows), then
-    ONE single-task final merge over that bounded candidate set — the
-    driver never sees more than the n result rows, and the merge fan-in
+    Merge shape: ops/agg.global_topn — per-batch partial top-n
+    combiner, key-salted bucket round, one bounded final task; the
+    driver never sees more than the n result rows and the final fan-in
     is independent of the input block count."""
-    from pyrdf2vec_ray.shuffle import bucket_apply
+    from pyrdf2vec_ray.ops.agg import global_topn
 
     if n < 1:
         raise ValueError("n must be >= 1")
-    cols = [key, weight_col]
     two53 = float(2.0 ** 53)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def with_priority(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[key].to_numpy(dtype=np.int64)
         w = batch[weight_col].to_numpy(dtype=np.float64)
         if len(w) and w.min() <= 0:
@@ -1035,31 +1032,15 @@ def priority_sample(
                              "sampling")
         h = splitmix64(ids.view(np.uint64) ^ np.uint64(seed))
         u = ((h >> np.uint64(11)) + np.uint64(1)).astype(np.float64) / two53
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {key: ids, weight_col: batch[weight_col].to_numpy(),
              "priority": w / u}
         )
-        out = out.sort_values(["priority", key], ascending=[False, True])
-        out = out.head(n)
-        # salt for the intermediate merge round: bounded fan-in
-        out["salt"] = (out[key].to_numpy(dtype=np.int64)
-                       % np.int64(num_buckets))
-        return out
 
-    def per_salt(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["priority", key], ascending=[False, True])
-        return g.head(n).reset_index(drop=True)
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["priority", key], ascending=[False, True])
-        return g.head(n).drop(columns=["salt"]).reset_index(drop=True)
-
-    parts = docs.select_columns(cols).map_batches(
-        partial, batch_format="pandas"
+    scored = docs.select_columns([key, weight_col]).map_batches(
+        with_priority, batch_format="pandas"
     )
-    merged = bucket_apply(parts, ["salt"], per_salt,
-                          num_buckets=num_buckets, batch_format="pandas")
-    return merged.repartition(1).map_batches(final, batch_format="pandas")
+    return global_topn(scored, n, "priority", key, num_salt=num_buckets)
 
 
 def priority_sample_sql(

@@ -803,3 +803,328 @@ def redact_pii(
     return docs.select_columns([id_col, text_col]).map_batches(
         scrub, batch_format="pandas", batch_size=4096
     )
+
+
+# ---- corpus-level boilerplate line removal ---------------------------------
+
+_LINE_STRIP = " \t\r"
+
+
+def boilerplate_lines(
+    docs: ray.data.Dataset,
+    min_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(line, df): the corpus's boilerplate lines — stripped lines that
+    occur in >= ``min_docs`` DISTINCT documents (the CCNet / C4
+    paragraph-dedup signal: navigation chrome, legal footers, cookie
+    banners repeat across pages; real content doesn't).
+
+    Shuffle shape: per-batch DISTINCT (line, doc) pairs (a doc counts
+    once per line however often it repeats it), per-batch partial
+    counts, then ONE line-bucket shuffle.  The result is small BY
+    DEFINITION — at most corpus_docs / min_docs lines can clear the
+    threshold, and real boilerplate is a tiny vocabulary — which is
+    what makes the downstream broadcast in :func:`remove_boilerplate`
+    sound at corpus scale."""
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    def line_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].astype(str).reset_index(drop=True)
+        ids = batch[id_col].reset_index(drop=True)
+        lines = text.str.split("\n").explode().str.strip(_LINE_STRIP)
+        return pd.DataFrame(
+            {"line": lines.to_numpy(),
+             id_col: ids.iloc[lines.index].to_numpy()}
+        ).drop_duplicates()
+
+    pairs = docs.select_columns([id_col, text_col]).map_batches(
+        line_pairs, batch_format="pandas"
+    )
+    counts = bucket_agg(pairs, ["line"], {"df": (id_col, "size")})
+
+    def thresh(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["df"] >= min_docs].reset_index(drop=True)
+
+    return counts.map_batches(thresh, batch_format="pandas")
+
+
+def remove_boilerplate(
+    docs: ray.data.Dataset,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, n_lines, n_boiler, clean_n_chars): strip corpus-level
+    boilerplate lines (see :func:`boilerplate_lines`) from every
+    document.  ``n_lines`` counts the document's stripped lines,
+    ``n_boiler`` how many were removed, ``clean_n_chars`` the length of
+    the newline-join of the survivors — all exact integers, so the SQL
+    oracle matches bit-for-bit.
+
+    Two passes: the boilerplate vocabulary fits on every worker (small
+    by the min_docs pigeonhole — see boilerplate_lines), broadcast once
+    via ray.put as a SORTED string array; membership per batch is one
+    np.searchsorted, the decontaminate shape.  The corpus itself
+    streams — no shuffle in the scrub pass at all."""
+    import ray as _ray
+
+    boiler = (boilerplate_lines(docs, min_docs, text_col, id_col)
+              .to_pandas()["line"].to_numpy(dtype="str"))
+    ref = _ray.put(np.sort(boiler))
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        bset = _ray.get(ref)
+        text = batch[text_col].astype(str).reset_index(drop=True)
+        ids = batch[id_col].reset_index(drop=True)
+        lines = text.str.split("\n").explode().str.strip(_LINE_STRIP)
+        arr = lines.to_numpy(dtype="str")
+        d = lines.index.to_numpy()
+        if len(bset):
+            pos = np.minimum(np.searchsorted(bset, arr), len(bset) - 1)
+            hit = bset[pos] == arr
+        else:
+            hit = np.zeros(len(arr), dtype=bool)
+        lens = np.char.str_len(arr)
+        g = pd.DataFrame({"d": d, "hit": hit, "len": lens})
+        agg = g.groupby("d", sort=True).agg(
+            n_lines=("hit", "size"), n_boiler=("hit", "sum"),
+        )
+        kept = g[~g["hit"]].groupby("d", sort=True)["len"].agg(
+            ["sum", "size"]
+        )
+        n_kept = pd.Series(0, index=agg.index, dtype="int64")
+        kept_sum = pd.Series(0, index=agg.index, dtype="int64")
+        n_kept.loc[kept.index] = kept["size"].astype("int64")
+        kept_sum.loc[kept.index] = kept["sum"].astype("int64")
+        clean = kept_sum + np.maximum(n_kept - 1, 0)
+        return pd.DataFrame(
+            {id_col: ids.iloc[agg.index].to_numpy(),
+             "n_lines": agg["n_lines"].to_numpy(dtype="int64"),
+             "n_boiler": agg["n_boiler"].to_numpy(dtype="int64"),
+             "clean_n_chars": clean.to_numpy(dtype="int64")}
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        scrub, batch_format="pandas", batch_size=4096
+    )
+
+
+# ---- URL extraction --------------------------------------------------------
+
+_URL_DOMAIN_RE = re.compile(r"https?://([a-z0-9.-]+)")
+
+
+def url_domain_stats(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(domain, n_urls, n_docs): http(s) URLs extracted from every
+    document, aggregated per registrable host — the provenance /
+    source-mix census a web-corpus pipeline runs before domain-level
+    filtering (blocklists, per-domain caps a la C4/RefinedWeb).
+
+    ``n_urls`` counts occurrences, ``n_docs`` distinct documents.
+    Vectorized: one compiled-regex findall per batch (pandas
+    str.findall runs the C regex engine over the whole column), then
+    per-batch (domain, doc) partials — each doc lives in exactly one
+    batch, so pair rows are globally distinct and n_docs is a plain
+    per-domain row count after ONE domain-bucket shuffle.  The RE2-safe
+    pattern replays identically in DuckDB regexp_extract_all."""
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].astype(str).reset_index(drop=True)
+        ids = batch[id_col].reset_index(drop=True)
+        doms = text.str.findall(_URL_DOMAIN_RE).explode().dropna()
+        if not len(doms):
+            return pd.DataFrame(
+                {"domain": pd.Series(dtype="object"),
+                 id_col: pd.Series(dtype="int64"),
+                 "cnt": pd.Series(dtype="int64")}
+            )
+        g = pd.DataFrame(
+            {"domain": doms.to_numpy(),
+             id_col: ids.iloc[doms.index].to_numpy()}
+        )
+        return g.groupby(["domain", id_col], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+
+    parts = docs.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pandas"
+    )
+    return bucket_agg(
+        parts, ["domain"],
+        {"n_urls": ("cnt", "sum"), "n_docs": ("cnt", "size")},
+        pre=False,
+    )
+
+
+# ---- BM25 retrieval --------------------------------------------------------
+
+
+def bm25_topk(
+    docs: ray.data.Dataset,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.5,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, score, rank): the k best documents for a bag-of-words
+    query under Okapi BM25 (Robertson & Walker, SIGIR'94) — score =
+    sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with the
+    corpus-frequency idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).  The
+    relevance-ranking primitive for retrieval-based curation
+    (hard-negative mining, topic carve-outs, eval-set construction).
+
+    ONE tokenize pass over the corpus emits a tagged union — per-doc
+    hit rows (dl + per-term tf, only docs matching >= 1 term) plus one
+    stats partial per batch (doc count, int64 dl sum, per-term df) —
+    which is materialized ONCE (it is the term-filtered projection:
+    no text column, rows bounded by the posting-list size, the
+    standard IR working set).  The tiny stats rows reduce on the
+    driver to N/avgdl/idf (a handful of floats, broadcast in the
+    score closure); hits then score vectorized and merge through
+    ops/agg.global_topn's bounded-fan-in tree.
+
+    Float contract with the DuckDB oracle: dl/df/N are exact int64s
+    (int sums, no float accumulation), avgdl/idf/score follow the
+    identical left-associative expression on both engines, and the
+    driver compares floats at 6 decimals."""
+    from pyrdf2vec_ray.ops.agg import global_topn
+
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("terms must be non-empty and distinct")
+    m = len(terms)
+    tcols = [f"tf{i}" for i in range(m)]
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].astype(str).reset_index(drop=True)
+        ids = batch[id_col].reset_index(drop=True)
+        toks = text.str.split()
+        dl = toks.map(len).to_numpy(dtype=np.int64)
+        flat = toks.explode().dropna()
+        tf = np.zeros((len(text), m), dtype=np.int64)
+        if len(flat):
+            d = flat.index.to_numpy()
+            arr = flat.to_numpy()
+            for i, t in enumerate(terms):
+                np.add.at(tf[:, i], d[arr == t], 1)
+        hit = tf.sum(axis=1) > 0
+        rows = {
+            "kind": np.zeros(int(hit.sum()), dtype=np.int64),
+            id_col: ids.to_numpy()[hit],
+            "dl": dl[hit],
+            "n": np.zeros(int(hit.sum()), dtype=np.int64),
+        }
+        for i, c in enumerate(tcols):
+            rows[c] = tf[hit, i]
+        out = pd.DataFrame(rows)
+        stats = {
+            "kind": np.array([1], dtype=np.int64),
+            id_col: np.array([-1], dtype=np.int64),
+            "dl": np.array([int(dl.sum())], dtype=np.int64),
+            "n": np.array([len(text)], dtype=np.int64),
+        }
+        for i, c in enumerate(tcols):
+            stats[c] = np.array([int((tf[:, i] > 0).sum())],
+                                dtype=np.int64)
+        return pd.concat([out, pd.DataFrame(stats)], ignore_index=True)
+
+    tagged = docs.select_columns([id_col, text_col]).map_batches(
+        tag, batch_format="pandas"
+    ).materialize()
+
+    def only(kind: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["kind"] == kind].drop(columns=["kind"])
+        return f
+
+    sp = tagged.map_batches(only(1), batch_format="pandas").to_pandas()
+    n_docs = int(sp["n"].sum())
+    sum_dl = int(sp["dl"].sum())
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = float(sum_dl) / n_docs
+    df = [int(sp[c].sum()) for c in tcols]
+    import math
+    idf = [math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for d in df]
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        dl = batch["dl"].to_numpy(dtype=np.float64)
+        norm = k1 * ((1.0 - b) + b * (dl / avgdl))
+        s = np.zeros(len(batch), dtype=np.float64)
+        for i, c in enumerate(tcols):
+            tf = batch[c].to_numpy(dtype=np.float64)
+            s = s + (idf[i] * (tf * (k1 + 1.0))) / (tf + norm)
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(), "score": s}
+        )
+
+    hits = tagged.map_batches(only(0), batch_format="pandas")
+    scored = hits.map_batches(score, batch_format="pandas")
+    return global_topn(scored, k, "score", id_col, rank_col="rank")
+
+
+def bm25_topk_sql(
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.5,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`bm25_topk` — the identical
+    left-associative float expression over exact-int tf/dl/df/N."""
+    tf_exprs = ",\n".join(
+        f"         len(list_filter(tk, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ",\n".join(
+        f"         sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    # e-notation literals parse as DOUBLE in DuckDB (bare 0.5 would be
+    # DECIMAL and change every rounding) — the float contract depends
+    # on both engines doing identical IEEE double arithmetic.
+    k1s, bs = f"{k1!r}e0", f"{b!r}e0"
+    score = ""
+    for i in range(len(terms)):
+        term = (
+            f"(ln(1e0 + (s.n - s.df{i} + 0.5e0) / (s.df{i} + 0.5e0))"
+            f" * (t.tf{i} * ({k1s} + 1e0)))"
+            f" / (t.tf{i} + {k1s} * ((1e0 - {bs})"
+            f" + {bs} * (t.dl / (CAST(s.sumdl AS DOUBLE) / s.n))))"
+        )
+        score = term if i == 0 else f"({score} + {term})"
+    any_hit = " OR ".join(f"t.tf{i} > 0" for i in range(len(terms)))
+    return (
+        f"WITH toks AS (\n"
+        f"  SELECT {id_col},\n"
+        f"         regexp_split_to_array({text_col}, '\\s+') AS tk\n"
+        f"  FROM {table}\n"
+        f"),\n"
+        f"tf AS (\n"
+        f"  SELECT {id_col}, len(tk) AS dl,\n{tf_exprs}\n"
+        f"  FROM toks\n"
+        f"),\n"
+        f"stats AS (\n"
+        f"  SELECT count(*) AS n, sum(dl) AS sumdl,\n{df_exprs}\n"
+        f"  FROM tf\n"
+        f"),\n"
+        f"scored AS (\n"
+        f"  SELECT t.{id_col}, {score} AS score\n"
+        f"  FROM tf t, stats s\n"
+        f"  WHERE {any_hit}\n"
+        f")\n"
+        f"SELECT {id_col}, score,\n"
+        f"       ROW_NUMBER() OVER (ORDER BY score DESC, {id_col})\n"
+        f"         AS rank\n"
+        f"FROM scored ORDER BY score DESC, {id_col} LIMIT {k}"
+    )

@@ -69,3 +69,125 @@ def test_priority_sample_rejects_nonpositive_weights():
     df.loc[3, "n_chars"] = 0
     with pytest.raises(Exception):
         to_table(priority_sample(ray.data.from_pandas(df), 5, "n_chars"))
+
+
+# ---- global_topn -----------------------------------------------------------
+
+
+def test_global_topn_matches_pandas_and_partition_invariant():
+    from pyrdf2vec_ray.ops.agg import global_topn
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "score": rng.normal(size=300)})
+    exp = (df.sort_values(["score", "doc_id"], ascending=[False, True])
+           .head(12).reset_index(drop=True))
+    for parts in (1, 9):
+        got = (to_table(global_topn(
+            ray.data.from_pandas(df).repartition(parts), 12, "score",
+            "doc_id", rank_col="rank")).to_pandas())
+        assert got["rank"].tolist() == list(range(1, 13))
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "score"]].reset_index(drop=True), exp)
+
+
+# ---- boilerplate removal ---------------------------------------------------
+
+
+def test_remove_boilerplate_hand_computed():
+    from pyrdf2vec_ray.ops.text import remove_boilerplate
+
+    n = 20
+    rows = []
+    for i in range(n):
+        body = f"unique body text {i}"
+        lines = [body]
+        if i < 10:
+            lines.append("FOOTER LINE")          # df=10 -> boilerplate
+        lines.append(f"only in doc {i}")          # df=1 -> kept
+        rows.append({"doc_id": i, "text": "\n".join(lines)})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    got = (to_table(remove_boilerplate(ds, min_docs=5)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == n
+    for i in range(n):
+        r = got.iloc[i]
+        has_footer = i < 10
+        assert r["n_lines"] == (3 if has_footer else 2)
+        assert r["n_boiler"] == (1 if has_footer else 0)
+        kept = [f"unique body text {i}", f"only in doc {i}"]
+        assert r["clean_n_chars"] == len("\n".join(kept))
+
+
+def test_boilerplate_lines_threshold():
+    from pyrdf2vec_ray.ops.text import boilerplate_lines
+
+    rows = [{"doc_id": i, "text": "COMMON\nrare " + str(i)}
+            for i in range(8)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = to_table(boilerplate_lines(ds, min_docs=8)).to_pandas()
+    assert got["line"].tolist() == ["COMMON"]
+    assert got["df"].tolist() == [8]
+
+
+# ---- URL domain stats ------------------------------------------------------
+
+
+def test_url_domain_stats_counts():
+    from pyrdf2vec_ray.ops.text import url_domain_stats
+
+    rows = [
+        {"doc_id": 0, "text": "x https://a.com/p http://a.com/q y"},
+        {"doc_id": 1, "text": "see https://b.org/r"},
+        {"doc_id": 2, "text": "https://a.com/z no more"},
+        {"doc_id": 3, "text": "no urls at all"},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)
+    got = (to_table(url_domain_stats(ds)).to_pandas()
+           .sort_values("domain").reset_index(drop=True))
+    assert got["domain"].tolist() == ["a.com", "b.org"]
+    assert got["n_urls"].tolist() == [3, 1]
+    assert got["n_docs"].tolist() == [2, 1]
+
+
+# ---- BM25 ------------------------------------------------------------------
+
+
+def _bm25_corpus(n=120, seed=13) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+             for _ in range(n)]
+    # make 'rareterm' appear in exactly 3 docs
+    for i in (5, 50, 100):
+        if i < n:
+            texts[i] = texts[i] + " rareterm"
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+
+
+def test_bm25_matches_duckdb():
+    from pyrdf2vec_ray.ops.text import bm25_topk, bm25_topk_sql
+
+    df = _bm25_corpus()
+    terms = ["alpha", "rareterm"]
+    got = (to_table(bm25_topk(ray.data.from_pandas(df).repartition(5),
+                              terms, k=15)).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(bm25_topk_sql(terms, k=15)).fetchdf()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=0, atol=0)
+    # rare-term docs dominate the ranking (idf contrast)
+    assert set(got.head(3)["doc_id"]) == {5, 50, 100}
+
+
+def test_bm25_rejects_bad_terms():
+    from pyrdf2vec_ray.ops.text import bm25_topk
+
+    ds = ray.data.from_pandas(_bm25_corpus(20))
+    with pytest.raises(ValueError):
+        bm25_topk(ds, [])
+    with pytest.raises(ValueError):
+        bm25_topk(ds, ["a", "a"])
