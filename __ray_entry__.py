@@ -1339,6 +1339,37 @@ def q_doc_boilerplate(sf_dir: str):
     )
 
 
+def q_kg_comentions(sf_dir: str):
+    """Entity co-mention graph (pipelines/construct.comention_edges):
+    the corpus-derived relatedness layer on top of the asserted KG —
+    an undirected weighted edge per entity pair mentioned in the same
+    document.  Doc-bucket co-location, vectorized self-merge pair
+    generation, pair-bucket count.  Oracle: distinct-mention self-join
+    with the a < b half."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.pipelines.construct import comention_edges
+
+    docs = _docs(sf_dir)
+
+    def mentions(batch: pd.DataFrame) -> pd.DataFrame:
+        text = " " + batch["text"].astype(str) + " "
+        ids = batch["doc_id"].astype("int64")
+        outs = []
+        for w in _MENTION_WORDS:
+            m = text.str.contains(f" {w} ", regex=False)
+            if m.any():
+                outs.append(pd.DataFrame(
+                    {"doc_id": ids[m].to_numpy(), "ent": w}))
+        if not outs:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "ent": pd.Series(dtype="object")})
+        return pd.concat(outs, ignore_index=True)
+
+    return comention_edges(
+        docs.map_batches(mentions, batch_format="pandas"))
+
+
 _BM25_TERMS = ["hash", "dup", "vector", "sort"]
 
 
@@ -2491,6 +2522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate": q_doc_boilerplate,
         "doc_url_domains": q_doc_url_domains,
         "doc_bm25": q_doc_bm25,
+        "kg_comentions": q_kg_comentions,
         "events_funnel": q_events_funnel,
         "lineitem_pricing": q_lineitem_pricing,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2755,6 +2787,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
         "doc_priority_sample": priority_sample_sql(40, seed=7),
         "doc_bm25": bm25_topk_sql(_BM25_TERMS, k=20),
+        "kg_comentions": """
+            WITH m AS (
+              SELECT DISTINCT doc_id, w AS ent
+              FROM documents,
+                   (VALUES ('customer'),('part'),('order'),('supplier'),
+                           ('query'),('table')) words(w)
+              WHERE contains(' ' || text || ' ', ' ' || w || ' ')
+            )
+            SELECT a.ent AS ent_a, b.ent AS ent_b,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.ent < b.ent
+            GROUP BY a.ent, b.ent
+        """,
         "doc_url_domains": r"""
             WITH planted AS (
               SELECT doc_id,

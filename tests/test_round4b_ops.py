@@ -191,3 +191,29 @@ def test_bm25_rejects_bad_terms():
         bm25_topk(ds, [])
     with pytest.raises(ValueError):
         bm25_topk(ds, ["a", "a"])
+
+
+# ---- co-mention graph ------------------------------------------------------
+
+
+def test_comention_edges_hand_computed_and_capped():
+    from pyrdf2vec_ray.pipelines.construct import comention_edges
+
+    rows = [
+        {"doc_id": 0, "ent": "a"}, {"doc_id": 0, "ent": "b"},
+        {"doc_id": 0, "ent": "c"}, {"doc_id": 0, "ent": "a"},  # dup
+        {"doc_id": 1, "ent": "a"}, {"doc_id": 1, "ent": "b"},
+        {"doc_id": 2, "ent": "c"},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    got = (to_table(comention_edges(ds)).to_pandas()
+           .sort_values(["ent_a", "ent_b"]).reset_index(drop=True))
+    exp = pd.DataFrame({"ent_a": ["a", "a", "b"],
+                        "ent_b": ["b", "c", "c"],
+                        "n_docs": np.array([2, 1, 1], dtype=np.int64)})
+    pd.testing.assert_frame_equal(got, exp)
+    # cap keeps the lexicographically first 2 ents per doc: doc0 -> a,b
+    capped = (to_table(comention_edges(ds, max_per_doc=2)).to_pandas()
+              .sort_values(["ent_a", "ent_b"]).reset_index(drop=True))
+    assert capped[["ent_a", "ent_b"]].values.tolist() == [["a", "b"]]
+    assert capped["n_docs"].tolist() == [2]
