@@ -1339,6 +1339,38 @@ def q_doc_boilerplate(sf_dir: str):
     )
 
 
+def q_events_window_topk(sf_dir: str):
+    """Windowed leaderboard (ops/events.windowed_topk): the 3 busiest
+    users per tumbling hour — partial (window, user) counts, one
+    bucket shuffle, then the grouped top-k combiner.  All-integer;
+    ties break by user_id asc on both engines."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import windowed_topk
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return windowed_topk(ev, k=3, freq="h")
+
+
+def q_embedding_clusters(sf_dir: str):
+    """Nearest-centroid routing (ops/similarity.cluster_assign): every
+    corpus vector assigned to its closest of 8 anchor centroids (the
+    first 8 embeddings — same data on both engines) by cosine — the
+    IVF/SemDeDup partitioning step.  Broadcast centroids, one matmul
+    per batch, no shuffle.  Oracle: cross join + row_number, ids only
+    (the knn_bruteforce float discipline)."""
+    import numpy as np
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.similarity import cluster_assign
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cdf = emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id")
+    return cluster_assign(emb, np.stack(cdf["embedding"].to_numpy()))
+
+
 def q_kg_comentions(sf_dir: str):
     """Entity co-mention graph (pipelines/construct.comention_edges):
     the corpus-derived relatedness layer on top of the asserted KG —
@@ -2523,6 +2555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_url_domains": q_doc_url_domains,
         "doc_bm25": q_doc_bm25,
         "kg_comentions": q_kg_comentions,
+        "embedding_clusters": q_embedding_clusters,
+        "events_window_topk": q_events_window_topk,
         "events_funnel": q_events_funnel,
         "lineitem_pricing": q_lineitem_pricing,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2787,6 +2821,33 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
         "doc_priority_sample": priority_sample_sql(40, seed=7),
         "doc_bm25": bm25_topk_sql(_BM25_TERMS, k=20),
+        "events_window_topk": """
+            SELECT window_start, user_id, n_events, rank FROM (
+              SELECT date_trunc('hour', ts) AS window_start, user_id,
+                     count(*) AS n_events,
+                     row_number() OVER (
+                       PARTITION BY date_trunc('hour', ts)
+                       ORDER BY count(*) DESC, user_id ASC
+                     ) AS rank
+              FROM events GROUP BY date_trunc('hour', ts), user_id
+            ) WHERE rank <= 3
+        """,
+        "embedding_clusters": """
+            WITH c AS (
+              SELECT vec_id AS cluster, embedding FROM embeddings
+              WHERE vec_id < 8
+            )
+            SELECT vec_id, cluster FROM (
+              SELECT e.vec_id, c.cluster,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding,
+                                                       c.embedding) DESC,
+                                c.cluster ASC
+                     ) AS rn
+              FROM embeddings e CROSS JOIN c
+            ) WHERE rn = 1
+        """,
         "kg_comentions": """
             WITH m AS (
               SELECT DISTINCT doc_id, w AS ent

@@ -485,3 +485,37 @@ def retention_cohorts(
                       batch_format="pandas")
     return bucket_agg(ck, ["cohort", "k"], {"users": ("k", "size")},
                       num_buckets=4)
+
+
+def windowed_topk(
+    events: ray.data.Dataset,
+    k: int = 3,
+    freq: str = "h",
+    by: str = "user_id",
+) -> ray.data.Dataset:
+    """(window_start, <by>, n_events, rank): the k busiest ``by`` keys
+    inside every tumbling window — "top talkers per hour", the standard
+    streaming-analytics leaderboard.
+
+    Composition of the two existing primitives: per-batch partial
+    (window, key) counts collapse in ONE bucket shuffle (bucket_agg),
+    then ops/agg.topk_by_group runs its combiner + ONE window-bucket
+    shuffle over the already-shrunken count table.  All-integer
+    arithmetic — the oracle (GROUP BY + ROW_NUMBER) matches exactly;
+    count ties break by key asc on both engines."""
+    from pyrdf2vec_ray.ops.agg import topk_by_group
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[[by, "ts"]].copy()
+        b["window_start"] = b["ts"].dt.floor(freq).astype("datetime64[us]")
+        return (b.groupby(["window_start", by], as_index=False)
+                .agg(cnt=(by, "size")))
+
+    counts = bucket_agg(
+        events.select_columns([by, "ts"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536),
+        ["window_start", by], {"n_events": ("cnt", "sum")}, pre=False,
+    )
+    out = topk_by_group(counts, "window_start", "n_events", k, id_col=by)
+    return out

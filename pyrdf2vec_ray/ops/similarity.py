@@ -270,3 +270,44 @@ def knn_ivf(
     )
     merged = _merge_topk(partials, k, nq=len(qn))
     return _finalize(merged, query_ids, k)
+
+
+def cluster_assign(
+    emb: ray.data.Dataset,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """(id, cluster): nearest-centroid assignment under cosine — the
+    routing step of IVF search and SemDeDup-style cluster-then-dedup
+    (Abbas et al. 2023) exposed standalone, so callers can partition a
+    corpus by semantic cluster with THEIR centroids (kmeans fit,
+    taxonomy anchors, ...).
+
+    The centroid matrix is small by definition: normalized once on the
+    driver, ray.put ONCE, zero-copy numpy in every task; per batch the
+    work is a single (B, d) @ (d, K) matmul + argmax.  Streaming map,
+    NO shuffle — the output co-partitions with the input, which is
+    what downstream per-cluster ops bucket on.  Ties (equal cosine)
+    resolve to the LOWEST cluster index, matching the SQL oracle's
+    row_number ORDER BY sim DESC, cluster ASC."""
+    import ray as _ray
+
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    if C.ndim != 2 or not len(C):
+        raise ValueError("centroids must be a non-empty (K, d) matrix")
+    ref = _ray.put(np.ascontiguousarray(C.T))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        Ct = _ray.get(ref)
+        V = _normalize(np.stack(batch[vec_col].to_numpy()).astype(
+            np.float64))
+        cl = (V @ Ct).argmax(axis=1)
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(),
+             "cluster": cl.astype(np.int64)}
+        )
+
+    return emb.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pandas"
+    )

@@ -217,3 +217,65 @@ def test_comention_edges_hand_computed_and_capped():
               .sort_values(["ent_a", "ent_b"]).reset_index(drop=True))
     assert capped[["ent_a", "ent_b"]].values.tolist() == [["a", "b"]]
     assert capped["n_docs"].tolist() == [2]
+
+
+# ---- cluster assignment ----------------------------------------------------
+
+
+def test_cluster_assign_matches_numpy_and_ties_to_lowest():
+    from pyrdf2vec_ray.ops.similarity import cluster_assign
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(200, 16))
+    C = rng.normal(size=(5, 16))
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                       "embedding": list(V)})
+    got = (to_table(cluster_assign(
+        ray.data.from_pandas(df).repartition(4), C)).to_pandas()
+        .sort_values("vec_id").reset_index(drop=True))
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    exp = (Vn @ Cn.T).argmax(axis=1)
+    np.testing.assert_array_equal(got["cluster"].to_numpy(), exp)
+    # duplicate centroid -> tie resolves to the lowest cluster index
+    C2 = np.vstack([C[0], C[0], C[1]])
+    one = pd.DataFrame({"vec_id": np.array([0], dtype=np.int64),
+                        "embedding": [C[0]]})
+    got2 = to_table(cluster_assign(ray.data.from_pandas(one), C2)).to_pandas()
+    assert got2["cluster"].tolist() == [0]
+
+
+def test_cluster_assign_rejects_empty_centroids():
+    from pyrdf2vec_ray.ops.similarity import cluster_assign
+
+    df = pd.DataFrame({"vec_id": [0], "embedding": [np.ones(4)]})
+    with pytest.raises(ValueError):
+        cluster_assign(ray.data.from_pandas(df), np.zeros((0, 4)))
+
+
+# ---- windowed top-k --------------------------------------------------------
+
+
+def test_windowed_topk_hand_computed():
+    from pyrdf2vec_ray.ops.events import windowed_topk
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # hour 0: user 1 x3, user 2 x2, user 3 x1  -> top2 = [1, 2]
+    for u, c in ((1, 3), (2, 2), (3, 1)):
+        for j in range(c):
+            rows.append({"user_id": u,
+                         "ts": base + pd.Timedelta(minutes=5 * j)})
+    # hour 1: users 4 and 5 tie at 2 -> tie breaks to lower id first
+    for u in (4, 5):
+        for j in range(2):
+            rows.append({"user_id": u,
+                         "ts": base + pd.Timedelta(hours=1, minutes=j)})
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    got = (to_table(windowed_topk(
+        ray.data.from_pandas(df).repartition(3), k=2)).to_pandas()
+        .sort_values(["window_start", "rank"]).reset_index(drop=True))
+    assert got["user_id"].tolist() == [1, 2, 4, 5]
+    assert got["n_events"].tolist() == [3, 2, 2, 2]
+    assert got["rank"].tolist() == [1, 2, 1, 2]
