@@ -1975,6 +1975,37 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(emb.union(planted), threshold=0.95)
 
 
+def q_semdedup_planted(sf_dir: str):
+    """SemDeDup (ops/dedup.semdedup): cluster-then-dedup with planted
+    exact duplicates — every vec_id < 25 cloned verbatim at id+1M.  An
+    identical vector routes to the same centroid and sits at cosine 1.0
+    to its lower-id original, so at threshold 0.8 (max natural
+    within-cluster cosine at this sf is 0.49) kept=0 exactly for the 25
+    clones.  Output is the full per-row decision table (vec_id,
+    cluster, kept) so a routing or keep-order regression flips hashed
+    values, not just counts.  Oracle: row_number routing + a
+    NOT EXISTS lower-id-within-threshold self-join."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.dedup import semdedup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cdf = emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id")
+
+    def clone(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = batch.filter(pc.less(batch["vec_id"], 25))
+        return pa.table(
+            {"vec_id": pc.add(kept["vec_id"], 1_000_000),
+             "embedding": kept["embedding"]}
+        )
+
+    planted = emb.map_batches(clone, batch_format="pyarrow")
+    return semdedup(emb.union(planted),
+                    np.stack(cdf["embedding"].to_numpy()), threshold=0.8)
+
+
 def q_knn_ivf(sf_dir: str):
     import ray.data
 
@@ -2602,6 +2633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w2v_vocab": q_w2v_vocab,
         "construct_mentions_checkpointed": q_construct_mentions_checkpointed,
         "embedding_exact_planted": q_embedding_exact_planted,
+        "semdedup_planted": q_semdedup_planted,
         "minhash_exact_planted": q_minhash_exact_planted,
         "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
         "doc_quantiles_sampled": q_doc_quantiles_sampled,
@@ -2831,6 +2863,38 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rank
               FROM events GROUP BY date_trunc('hour', ts), user_id
             ) WHERE rank <= 3
+        """,
+        "semdedup_planted": """
+            WITH e AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings
+              WHERE vec_id < 25
+            ),
+            c AS (
+              SELECT vec_id AS cluster, embedding FROM embeddings
+              WHERE vec_id < 8
+            ),
+            asg AS (
+              SELECT vec_id, cluster, embedding FROM (
+                SELECT e.vec_id, c.cluster, e.embedding,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding,
+                                                         c.embedding) DESC,
+                                  c.cluster ASC
+                       ) AS rn
+                FROM e CROSS JOIN c
+              ) WHERE rn = 1
+            )
+            SELECT a.vec_id, a.cluster,
+                   CAST(NOT EXISTS (
+                     SELECT 1 FROM asg b
+                     WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+                       AND list_cosine_similarity(a.embedding,
+                                                  b.embedding) >= 0.8
+                   ) AS BIGINT) AS kept
+            FROM asg a
         """,
         "embedding_clusters": """
             WITH c AS (

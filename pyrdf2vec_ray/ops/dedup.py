@@ -451,3 +451,65 @@ def embedding_neardup_pairs(
         pairs, ["id_a", "id_b"], dedup_bucket, num_buckets=None,
         batch_format="pandas",
     )
+
+
+def semdedup(
+    emb: ray.data.Dataset,
+    centroids: np.ndarray,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) cluster-then-dedup:
+    route every vector to its nearest centroid by cosine
+    (:func:`pyrdf2vec_ray.ops.similarity.cluster_assign`), then within
+    each cluster drop a vector when ANY lower-id member of the same
+    cluster is within ``threshold`` cosine — the paper's
+    max-over-predecessors rule, with ascending id standing in for its
+    similarity-to-centroid keep order (float-free and identical across
+    engines; the paper reports the keep-order choice barely moves
+    downstream quality).
+
+    Scale shape: routing is one broadcast matmul per batch with NO
+    shuffle; then exactly ONE int-bucket shuffle on the cluster id.
+    Per-cluster work is the O(c²) similarity matrix the algorithm is
+    defined by, so size ``len(centroids)`` to the corpus (k ≈ √N keeps
+    expected cluster size ≈ √N).  Output is a (id, cluster, kept)
+    Dataset — decisions for every row, never collected to the driver;
+    filter ``kept == 1`` downstream to materialize the surviving set.
+    """
+    from pyrdf2vec_ray.ops.similarity import cluster_assign
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    routed = cluster_assign(emb, centroids, id_col=id_col,
+                            vec_col=vec_col, keep_vec=True)
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cl, grp in g.groupby("cluster"):
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            v = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+            norm = np.linalg.norm(v, axis=1, keepdims=True)
+            norm[norm == 0] = 1
+            vn = v / norm
+            sims = vn @ vn.T
+            # max similarity to any strict predecessor in id order;
+            # -inf mask so row 0 (no predecessors) is always kept even
+            # at threshold <= 0
+            masked = np.full_like(sims, -np.inf)
+            lo = np.tril_indices(len(ids), k=-1)
+            masked[lo] = sims[lo]
+            kept = masked.max(axis=1) < threshold
+            outs.append(pd.DataFrame(
+                {id_col: ids, "cluster": np.int64(cl),
+                 "kept": kept.astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame(
+                {id_col: pd.array([], dtype="int64"),
+                 "cluster": pd.array([], dtype="int64"),
+                 "kept": pd.array([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_apply(routed, ["cluster"], dedup_cluster,
+                        num_buckets=None, batch_format="pandas")

@@ -277,6 +277,7 @@ def cluster_assign(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> ray.data.Dataset:
     """(id, cluster): nearest-centroid assignment under cosine — the
     routing step of IVF search and SemDeDup-style cluster-then-dedup
@@ -290,7 +291,9 @@ def cluster_assign(
     NO shuffle — the output co-partitions with the input, which is
     what downstream per-cluster ops bucket on.  Ties (equal cosine)
     resolve to the LOWEST cluster index, matching the SQL oracle's
-    row_number ORDER BY sim DESC, cluster ASC."""
+    row_number ORDER BY sim DESC, cluster ASC.  ``keep_vec`` carries
+    the embedding through for consumers that need it next to the
+    cluster id (e.g. :func:`pyrdf2vec_ray.ops.dedup.semdedup`)."""
     import ray as _ray
 
     C = _normalize(np.asarray(centroids, dtype=np.float64))
@@ -303,10 +306,11 @@ def cluster_assign(
         V = _normalize(np.stack(batch[vec_col].to_numpy()).astype(
             np.float64))
         cl = (V @ Ct).argmax(axis=1)
-        return pd.DataFrame(
-            {id_col: batch[id_col].to_numpy(),
-             "cluster": cl.astype(np.int64)}
-        )
+        out = {id_col: batch[id_col].to_numpy(),
+               "cluster": cl.astype(np.int64)}
+        if keep_vec:
+            out[vec_col] = batch[vec_col].reset_index(drop=True)
+        return pd.DataFrame(out)
 
     return emb.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pandas"

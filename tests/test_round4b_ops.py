@@ -279,3 +279,63 @@ def test_windowed_topk_hand_computed():
     assert got["user_id"].tolist() == [1, 2, 4, 5]
     assert got["n_events"].tolist() == [3, 2, 2, 2]
     assert got["rank"].tolist() == [1, 2, 1, 2]
+
+
+# ---- SemDeDup --------------------------------------------------------------
+
+
+def _semdedup_frame():
+    """4 well-separated anchor directions + planted near-dups."""
+    rng = np.random.default_rng(7)
+    base = np.eye(4, 8)  # 4 orthogonal anchors in 8-d
+    rows, ids = [], []
+    nxt = 100
+    for c in range(4):
+        for j in range(5):
+            v = base[c] + rng.normal(0, 0.05, 8)  # tight around anchor
+            rows.append(v)
+            ids.append(nxt)
+            nxt += 1
+    return pd.DataFrame({"vec_id": np.array(ids, dtype=np.int64),
+                         "embedding": rows}), base
+
+
+def test_semdedup_drops_higher_id_members():
+    """All 5 members of a tight cluster are within 0.9 cosine of each
+    other -> only the lowest id survives per cluster."""
+    from pyrdf2vec_ray.ops.dedup import semdedup
+
+    df, C = _semdedup_frame()
+    got = (to_table(semdedup(ray.data.from_pandas(df).repartition(3), C,
+                             threshold=0.9))
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(got) == 20
+    kept = got[got["kept"] == 1]["vec_id"].tolist()
+    # lowest id of each 5-block survives
+    assert kept == [100, 105, 110, 115]
+    # every vector routed to its generating anchor
+    assert got["cluster"].tolist() == sum([[c] * 5 for c in range(4)], [])
+
+
+def test_semdedup_keeps_all_below_threshold():
+    from pyrdf2vec_ray.ops.dedup import semdedup
+
+    df, C = _semdedup_frame()
+    got = to_table(semdedup(ray.data.from_pandas(df), C,
+                            threshold=1.01)).to_pandas()
+    assert (got["kept"] == 1).all()
+
+
+def test_semdedup_exact_duplicate_pair():
+    """An exact clone (same vector, higher id) is dropped; the original
+    kept — the planted-duplicate contract of the driver query."""
+    from pyrdf2vec_ray.ops.dedup import semdedup
+
+    df, C = _semdedup_frame()
+    clone = df.iloc[[0]].assign(vec_id=np.int64(10_000))
+    got = (to_table(semdedup(
+        ray.data.from_pandas(pd.concat([df, clone], ignore_index=True)),
+        C, threshold=0.999))
+        .to_pandas().set_index("vec_id"))
+    assert got.loc[10_000, "kept"] == 0
+    assert got.loc[100, "kept"] == 1
