@@ -1353,6 +1353,21 @@ def q_events_window_topk(sf_dir: str):
     return windowed_topk(ev, k=3, freq="h")
 
 
+def q_events_running_totals(sf_dir: str):
+    """Per-user running totals (ops/events.running_totals): sequence
+    number + cumulative value per event, ordered (ts, event_id) within
+    user.  ONE user-bucket shuffle, vectorized cumsum per bucket.
+    Oracle: row_number / SUM OVER the same window."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import running_totals
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    return running_totals(ev)
+
+
 def q_embedding_clusters(sf_dir: str):
     """Nearest-centroid routing (ops/similarity.cluster_assign): every
     corpus vector assigned to its closest of 8 anchor centroids (the
@@ -1369,6 +1384,47 @@ def q_embedding_clusters(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     cdf = emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id")
     return cluster_assign(emb, np.stack(cdf["embedding"].to_numpy()))
+
+
+def q_order_triangles(sf_dir: str):
+    """Per-vertex triangle counts (ops/graph.triangle_counts) over the
+    order co-purchase graph: an undirected edge per pair of orders
+    sharing a customer.  Degree-oriented wedge closing (Schank–Wagner)
+    — O(m^1.5), hub-safe — all bucket-keyed exchanges.  Oracle: the
+    same orientation + wedge-close expressed as row-value-comparison
+    self-joins."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.graph import triangle_counts
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def pairs(g):
+        j = g.merge(g, on="o_custkey", suffixes=("_a", "_b"))
+        j = j[j["o_orderkey_a"] < j["o_orderkey_b"]]
+        return j.rename(columns={"o_orderkey_a": "a",
+                                 "o_orderkey_b": "b"})[["a", "b"]]
+
+    edges = bucket_apply(orders, ["o_custkey"], pairs,
+                         batch_format="pandas")
+    return triangle_counts(edges)
+
+
+def q_kmeans_step(sf_dir: str):
+    """Distributed k-means M-step (ops/similarity.centroid_update):
+    route every corpus vector to the nearest of 8 anchor centroids by
+    cosine, emit per-cluster per-dim means long-form.  Per-batch
+    combiner (k·d floats per block), one tiny cluster reduce.  Oracle:
+    row_number routing + zipped-unnest per-dim AVG."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.similarity import centroid_update
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cdf = emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id")
+    return centroid_update(emb, np.stack(cdf["embedding"].to_numpy()))
 
 
 def q_kg_comentions(sf_dir: str):
@@ -2587,7 +2643,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": q_doc_bm25,
         "kg_comentions": q_kg_comentions,
         "embedding_clusters": q_embedding_clusters,
+        "kmeans_step": q_kmeans_step,
+        "order_triangles": q_order_triangles,
         "events_window_topk": q_events_window_topk,
+        "events_running_totals": q_events_running_totals,
         "events_funnel": q_events_funnel,
         "lineitem_pricing": q_lineitem_pricing,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2853,6 +2912,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_exact": sample_exact_per_group_sql(5, seed=21),
         "doc_priority_sample": priority_sample_sql(40, seed=7),
         "doc_bm25": bm25_topk_sql(_BM25_TERMS, k=20),
+        "events_running_totals": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS seq,
+                   SUM(value) OVER w AS cum_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         "events_window_topk": """
             SELECT window_start, user_id, n_events, rank FROM (
               SELECT date_trunc('hour', ts) AS window_start, user_id,
@@ -2863,6 +2929,74 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rank
               FROM events GROUP BY date_trunc('hour', ts), user_id
             ) WHERE rank <= 3
+        """,
+        "order_triangles": """
+            WITH e0 AS (
+              SELECT a.o_orderkey AS a, b.o_orderkey AS b
+              FROM orders a JOIN orders b
+                ON a.o_custkey = b.o_custkey
+               AND a.o_orderkey < b.o_orderkey
+            ),
+            deg AS (
+              SELECT v, count(*) AS d FROM (
+                SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0
+              ) GROUP BY v
+            ),
+            de AS (
+              SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b)
+                          THEN e0.a ELSE e0.b END AS u,
+                     CASE WHEN (da.d, e0.a) < (db.d, e0.b)
+                          THEN e0.b ELSE e0.a END AS w,
+                     CASE WHEN (da.d, e0.a) < (db.d, e0.b)
+                          THEN db.d ELSE da.d END AS dw
+              FROM e0 JOIN deg da ON da.v = e0.a
+                      JOIN deg db ON db.v = e0.b
+            ),
+            wed AS (
+              SELECT w1.w AS p, w2.w AS q, w1.u AS center
+              FROM de w1 JOIN de w2 ON w1.u = w2.u
+              WHERE (w1.dw, w1.w) < (w2.dw, w2.w)
+            ),
+            tri AS (
+              SELECT wed.p, wed.q, wed.center
+              FROM wed JOIN de ON de.u = wed.p AND de.w = wed.q
+            ),
+            pv AS (
+              SELECT v, count(*) AS n_tri FROM (
+                SELECT p AS v FROM tri UNION ALL SELECT q FROM tri
+                UNION ALL SELECT center FROM tri
+              ) GROUP BY v
+            )
+            SELECT deg.v, CAST(deg.d AS BIGINT) AS degree,
+                   CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri
+            FROM deg LEFT JOIN pv ON pv.v = deg.v
+        """,
+        "kmeans_step": """
+            WITH c AS (
+              SELECT vec_id AS cluster, embedding FROM embeddings
+              WHERE vec_id < 8
+            ),
+            asg AS (
+              SELECT vec_id, cluster, embedding FROM (
+                SELECT e.vec_id, c.cluster, e.embedding,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding,
+                                                         c.embedding) DESC,
+                                  c.cluster ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN c
+              ) WHERE rn = 1
+            ),
+            u AS (
+              SELECT cluster,
+                     unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                     unnest(embedding) AS val
+              FROM asg
+            )
+            SELECT cluster, CAST(dim AS BIGINT) AS dim,
+                   avg(val) AS val
+            FROM u GROUP BY cluster, dim
         """,
         "semdedup_planted": """
             WITH e AS (

@@ -519,3 +519,41 @@ def windowed_topk(
     )
     out = topk_by_group(counts, "window_start", "n_events", k, id_col=by)
     return out
+
+
+def running_totals(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Per-user running totals: for every event, its 1-based sequence
+    number within the user's timeline and the cumulative sum of
+    ``value_col`` up to and including it — the standard
+    ``SUM(...) OVER (PARTITION BY user ORDER BY ts, id)`` window, the
+    feature-engineering primitive behind lifetime-value and
+    activity-curve features.
+
+    Shuffle shape: events already carry everything the window needs,
+    so this is ONE user-bucket shuffle (co-partitioning every user's
+    rows) followed by a vectorized per-bucket sort + groupby cumsum /
+    cumcount — no iteration, no driver state.  Ordering ties break on
+    ``id_col`` so the output is deterministic across engines.  The
+    exchange moves each event row exactly once; at corpus scale the
+    bucket count autosizes to the data (shuffle.bucket_apply)."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    cols = [id_col, user_col, ts_col, value_col]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col])
+        grp = g.groupby(user_col, sort=False)
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(),
+             user_col: g[user_col].to_numpy(),
+             "seq": (grp.cumcount() + 1).to_numpy(),
+             "cum_value": grp[value_col].cumsum().to_numpy()})
+
+    return bucket_apply(events.select_columns(cols), [user_col],
+                        per_bucket, batch_format="pandas")

@@ -315,3 +315,69 @@ def cluster_assign(
     return emb.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pandas"
     )
+
+
+def centroid_update(
+    emb: ray.data.Dataset,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """One k-means M-step over the corpus: route every vector to its
+    nearest centroid (cosine, ties to the lowest index — the
+    :func:`cluster_assign` contract) and emit the new centroids as the
+    per-cluster per-dimension mean, long-form ``(cluster, dim, val)``.
+    Chained with :func:`cluster_assign` this is Lloyd's iteration; run
+    it to fixpoint for distributed k-means, or once to refresh an IVF
+    codebook.
+
+    Scale shape: assignment is a broadcast matmul per batch; the mean
+    is a per-batch COMBINER (per-cluster vector sum + count, so the
+    exchange carries k·d floats per block, never the corpus) followed
+    by one tiny cluster-bucket reduce.  No full-payload shuffle, no
+    driver collect."""
+    import ray as _ray
+
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    if C.size == 0:
+        raise ValueError("centroids must be non-empty")
+    c_ref = _ray.put(C.T)
+    d = C.shape[1]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        Ct = _ray.get(c_ref)
+        V = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(V, axis=1, keepdims=True)
+        norm[norm == 0] = 1
+        cl = ((V / norm) @ Ct).argmax(axis=1)
+        uniq, inv = np.unique(cl, return_inverse=True)
+        sums = np.zeros((len(uniq), V.shape[1]))
+        np.add.at(sums, inv, V)
+        counts = np.bincount(inv).astype(np.int64)
+        return pd.DataFrame(
+            {"cluster": uniq.astype(np.int64),
+             "n": counts, "s": list(sums)})
+
+    parts = emb.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pandas")
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cl, grp in g.groupby("cluster"):
+            s = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
+            n = int(grp["n"].sum())
+            outs.append(pd.DataFrame(
+                {"cluster": np.int64(cl),
+                 "dim": np.arange(d, dtype=np.int64),
+                 "val": s / n}))
+        if not outs:
+            return pd.DataFrame(
+                {"cluster": pd.array([], dtype="int64"),
+                 "dim": pd.array([], dtype="int64"),
+                 "val": pd.array([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_apply(parts, ["cluster"], reduce_bucket,
+                        batch_format="pandas")
