@@ -1386,6 +1386,47 @@ def q_embedding_clusters(sf_dir: str):
     return cluster_assign(emb, np.stack(cdf["embedding"].to_numpy()))
 
 
+def q_embedding_quantize(sf_dir: str):
+    """8-bit scalar quantization (ops/similarity.quantize_fit +
+    scalar_quantize): per-dim min-max fit via per-block combiner, then
+    a pure-map transform; exploded long-form so the oracle value-checks
+    every code.  One expression shape in float64 on both engines →
+    bit-identical codes."""
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.similarity import quantize_fit, scalar_quantize
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    lo, hi = quantize_fit(emb)
+    q = scalar_quantize(emb, lo, hi, bits=8)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        Q = np.stack(batch["q"].to_numpy())
+        n, d = Q.shape
+        return pd.DataFrame(
+            {"vec_id": np.repeat(batch["vec_id"].to_numpy(), d),
+             "dim": np.tile(np.arange(d, dtype=np.int64), n),
+             "code": Q.reshape(-1)})
+
+    return q.map_batches(explode, batch_format="pandas")
+
+
+def q_part_er_pairs(sf_dir: str):
+    """Entity-resolution candidate pairs (ops/er.er_match_pairs):
+    parts whose names are within 2 Levenshtein edits, blocked on the
+    head noun (last token) so the quadratic step stays within blocks.
+    Batched numpy DP, one block-bucket shuffle.  Oracle: DuckDB
+    levenshtein over the same blocked self-join."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.er import er_match_pairs
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    return er_match_pairs(parts, "p_partkey", "p_name", max_dist=2)
+
+
 def q_order_triangles(sf_dir: str):
     """Per-vertex triangle counts (ops/graph.triangle_counts) over the
     order co-purchase graph: an undirected edge per pair of orders
@@ -2645,6 +2686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "kmeans_step": q_kmeans_step,
         "order_triangles": q_order_triangles,
+        "part_er_pairs": q_part_er_pairs,
+        "embedding_quantize": q_embedding_quantize,
         "events_window_topk": q_events_window_topk,
         "events_running_totals": q_events_running_totals,
         "events_funnel": q_events_funnel,
@@ -2929,6 +2972,40 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rank
               FROM events GROUP BY date_trunc('hour', ts), user_id
             ) WHERE rank <= 3
+        """,
+        "embedding_quantize": """
+            WITH u AS (
+              SELECT vec_id,
+                     unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                     unnest(embedding) AS val
+              FROM embeddings
+            ),
+            mm AS (
+              -- cast BEFORE the subtraction: the engine computes
+              -- (hi - lo) in float64, so the oracle must too
+              SELECT dim, CAST(min(val) AS DOUBLE) AS lo,
+                     CAST(max(val) AS DOUBLE) AS hi
+              FROM u GROUP BY dim
+            )
+            SELECT u.vec_id, CAST(u.dim AS BIGINT) AS dim,
+                   CAST(CASE WHEN mm.hi = mm.lo THEN 0
+                        ELSE least(255.0, greatest(0.0,
+                          floor((CAST(u.val AS DOUBLE) - mm.lo)
+                                / (mm.hi - mm.lo) * 255.0)))
+                        END AS BIGINT) AS code
+            FROM u JOIN mm USING (dim)
+        """,
+        "part_er_pairs": """
+            WITH p AS (
+              SELECT p_partkey, p_name,
+                     regexp_extract(p_name, '([^ ]+)$', 1) AS blk
+              FROM part
+            )
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM p a JOIN p b
+              ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
         """,
         "order_triangles": """
             WITH e0 AS (

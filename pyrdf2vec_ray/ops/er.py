@@ -1,0 +1,129 @@
+"""Entity resolution: blocking + pairwise string-distance matching.
+
+The KG-construction pipeline links mentions to a candidate index
+(stages/link.py); entity RESOLUTION is the complementary step —
+finding records that denote the same real-world entity so they can be
+canonicalized to one node before graph materialization (the reference
+pipeline assumes pre-canonicalized IRIs; at corpus scale dirty names
+must be resolved first).
+
+Design: the classic blocking architecture.  A cheap deterministic
+block key (default: the name's last token) partitions candidates so
+the quadratic pairwise step runs only within blocks — ONE bucket
+shuffle on the block key, then a vectorized batched Levenshtein DP
+across all pair candidates of the bucket at once (no per-pair Python
+DP).  Pair volume is sum-of-C(block,2); pick the block function to
+keep blocks bounded, exactly as for LSH bands (ops/dedup.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+__all__ = ["batched_levenshtein", "er_match_pairs"]
+
+
+def batched_levenshtein(sa, sb) -> np.ndarray:
+    """Exact Levenshtein distance for n string pairs at once: one DP
+    over the padded (maxlen_a × maxlen_b) grid, every cell update
+    vectorized across the pair axis — O(L²) numpy steps instead of n
+    Python DPs.  Matches DuckDB's ``levenshtein`` (unit costs) so the
+    SQL oracle shares the definition bit-for-bit."""
+    sa = [str(s) for s in sa]
+    sb = [str(s) for s in sb]
+    n = len(sa)
+    if n != len(sb):
+        raise ValueError("sa and sb must have equal length")
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.array([len(s) for s in sa], dtype=np.int32)
+    lb = np.array([len(s) for s in sb], dtype=np.int32)
+    ml_a, ml_b = int(la.max()), int(lb.max())
+    A = np.zeros((n, max(ml_a, 1)), dtype=np.uint32)
+    B = np.zeros((n, max(ml_b, 1)), dtype=np.uint32)
+    for i, s in enumerate(sa):
+        if s:
+            A[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32)
+    for i, s in enumerate(sb):
+        if s:
+            B[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32)
+
+    out = np.empty(n, dtype=np.int64)
+    prev = np.broadcast_to(
+        np.arange(ml_b + 1, dtype=np.int32), (n, ml_b + 1)).copy()
+    sel0 = la == 0
+    out[sel0] = lb[sel0]
+    idx = np.arange(n)
+    for i in range(1, ml_a + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, ml_b + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int32)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost)
+        sel = la == i
+        if sel.any():
+            out[sel] = cur[idx[sel], lb[sel]]
+        prev = cur
+    return out
+
+
+def er_match_pairs(
+    records: ray.data.Dataset,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 2,
+    block_fn=None,
+) -> ray.data.Dataset:
+    """(id_a, id_b, dist): candidate duplicate-entity pairs — records
+    whose names are within ``max_dist`` Levenshtein edits, compared
+    only within blocks.  ``block_fn(pd.Series[str]) -> pd.Series[str]``
+    maps names to a block key (default: the last whitespace token —
+    the head noun for "adjective noun"-style names).  Pairs are
+    ordered ``id_a < id_b``; the same pair can never surface twice
+    because a record has exactly one block key (unlike multi-table
+    LSH, no cross-table dedup pass is needed)."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    if block_fn is None:
+        def block_fn(names: pd.Series) -> pd.Series:
+            return names.str.split().str[-1].fillna("")
+
+    def add_block(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(),
+             name_col: batch[name_col].to_numpy(),
+             "blk": block_fn(batch[name_col]).to_numpy()})
+
+    blocked = records.select_columns([id_col, name_col]).map_batches(
+        add_block, batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("blk"):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            names = grp[name_col].to_numpy()
+            ia, ib = np.triu_indices(len(ids), k=1)
+            dist = batched_levenshtein(names[ia], names[ib])
+            keep = dist <= max_dist
+            if keep.any():
+                outs.append(pd.DataFrame(
+                    {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                     "dist": dist[keep]}))
+        if not outs:
+            return pd.DataFrame(
+                {"id_a": pd.array([], dtype="int64"),
+                 "id_b": pd.array([], dtype="int64"),
+                 "dist": pd.array([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_apply(blocked, ["blk"], per_bucket,
+                        batch_format="pandas")

@@ -1,0 +1,126 @@
+"""Round-4 fourth-wave operators: entity-resolution candidate pairs
+(blocked batched Levenshtein) and scalar quantization of embeddings.
+
+Hand-computable invariants + a pure-Python Levenshtein cross-check,
+same discipline as the driver gate."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from pyrdf2vec_ray.util import to_table
+
+
+# ---- batched Levenshtein ---------------------------------------------------
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook scalar DP, the definition the batch kernel must match."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_batched_levenshtein_matches_scalar_dp():
+    from pyrdf2vec_ray.ops.er import batched_levenshtein
+
+    rng = np.random.default_rng(7)
+    alpha = list("abcde ")
+    sa = ["".join(rng.choice(alpha, rng.integers(0, 9))) for _ in range(60)]
+    sb = ["".join(rng.choice(alpha, rng.integers(0, 9))) for _ in range(60)]
+    got = batched_levenshtein(sa, sb)
+    exp = np.array([_lev_ref(a, b) for a, b in zip(sa, sb)])
+    assert (got == exp).all()
+
+
+def test_batched_levenshtein_edges():
+    from pyrdf2vec_ray.ops.er import batched_levenshtein
+
+    got = batched_levenshtein(
+        ["", "kitten", "same", "", "unicodé"],
+        ["abc", "sitting", "same", "", "unicode"])
+    assert got.tolist() == [3, 3, 0, 0, 1]
+    assert batched_levenshtein([], []).tolist() == []
+
+
+# ---- er_match_pairs --------------------------------------------------------
+
+
+def test_er_match_pairs_blocked():
+    from pyrdf2vec_ray.ops.er import er_match_pairs
+
+    df = pd.DataFrame(
+        {"rid": np.arange(6, dtype=np.int64),
+         "name": ["navy blue widget", "navy blu widget", "red widget",
+                  "navy blue gadget", "navy blue gadget", "widget"]})
+    got = (to_table(er_match_pairs(
+        ray.data.from_pandas(df).repartition(3), "rid", "name",
+        max_dist=2)).to_pandas()
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    # block "widget": {0,1,2,5}; pairs within 2 edits: (0,1) dist 1.
+    # (0,2)=8, (0,5)=10 etc are out.  block "gadget": {3,4} dist 0.
+    assert list(zip(got["id_a"], got["id_b"], got["dist"])) == [
+        (0, 1, 1), (3, 4, 0)]
+
+
+def test_er_match_pairs_no_matches_schema():
+    from pyrdf2vec_ray.ops.er import er_match_pairs
+
+    df = pd.DataFrame({"rid": np.array([1, 2], dtype=np.int64),
+                       "name": ["aaaa xx", "bbbb yy"]})
+    got = to_table(er_match_pairs(
+        ray.data.from_pandas(df), "rid", "name", max_dist=1)).to_pandas()
+    assert len(got) == 0
+    # Ray may drop the schema of an all-empty map_groups output; if any
+    # columns survive they must be the operator's contract.
+    assert sorted(got.columns) in ([], ["dist", "id_a", "id_b"])
+
+
+# ---- scalar quantization ---------------------------------------------------
+
+
+def _emb_ds(V: np.ndarray) -> ray.data.Dataset:
+    return ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(len(V), dtype=np.int64),
+         "embedding": list(V.astype(np.float32))})).repartition(2)
+
+
+def test_quantize_fit_and_transform():
+    from pyrdf2vec_ray.ops.similarity import quantize_fit, scalar_quantize
+
+    V = np.array([[0.0, -1.0, 5.0],
+                  [1.0, 1.0, 5.0],
+                  [0.5, 0.0, 5.0],
+                  [0.25, -0.5, 5.0]], dtype=np.float32)
+    ds = _emb_ds(V)
+    lo, hi = quantize_fit(ds)
+    assert lo.tolist() == [0.0, -1.0, 5.0]
+    assert hi.tolist() == [1.0, 1.0, 5.0]
+    q = (to_table(scalar_quantize(ds, lo, hi, bits=8)).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    Q = np.stack(q["q"].to_numpy())
+    # dim0: v=0→0, 1→255, .5→floor(127.5)=127, .25→floor(63.75)=63
+    assert Q[:, 0].tolist() == [0, 255, 127, 63]
+    # dim1 spans [-1,1]: -1→0, 1→255, 0→127, -0.5→63
+    assert Q[:, 1].tolist() == [0, 255, 127, 63]
+    # degenerate dim2 (hi == lo) → all 0
+    assert Q[:, 2].tolist() == [0, 0, 0, 0]
+
+
+def test_quantize_bits_4():
+    from pyrdf2vec_ray.ops.similarity import quantize_fit, scalar_quantize
+
+    V = np.linspace(0, 1, 16, dtype=np.float32).reshape(-1, 1)
+    ds = _emb_ds(V)
+    lo, hi = quantize_fit(ds)
+    q = (to_table(scalar_quantize(ds, lo, hi, bits=4)).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    codes = np.stack(q["q"].to_numpy())[:, 0]
+    assert codes.min() == 0 and codes.max() == 15
+    assert (np.diff(codes) >= 0).all()
