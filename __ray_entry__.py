@@ -1427,6 +1427,75 @@ def q_part_er_pairs(sf_dir: str):
     return er_match_pairs(parts, "p_partkey", "p_name", max_dist=2)
 
 
+def q_part_er_resolve(sf_dir: str):
+    """Full entity resolution (ops/er.er_resolve): every part mapped to
+    the smallest partkey transitively reachable through <=2-edit name
+    matches — blocked pair generation, connected components over the
+    match graph, identity union for singletons.  Oracle: recursive-CTE
+    transitive closure over the same levenshtein self-join."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.er import er_resolve
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    return er_resolve(parts, "p_partkey", "p_name", max_dist=2)
+
+
+def q_doc_line_dedup(sf_dir: str):
+    """Global line-level dedup (ops/text.dedup_lines): a line survives
+    only at its first corpus-wide occurrence by (doc_id, position) —
+    the C4/RefinedWeb hygiene pass.  Duplicate lines are PLANTED
+    deterministically on BOTH engines (a corpus-wide tagline, a
+    mod-3 promo, a mod-5 within-doc repeat of the doc's unique
+    footer), so the keep-first rule does real work across docs AND
+    inside one doc."""
+    import numpy as np
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.text import dedup_lines
+
+    docs = _docs(sf_dir)
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        s = ids.astype(str)
+        promo = np.where(ids % 3 == 0, "\nLimited time offer inside", "")
+        footer = "\nUnique footer " + s
+        again = np.where(ids % 5 == 0, "\nUnique footer " + s, "")
+        text = (batch["text"].astype(str)
+                + "\nShared tagline for everyone" + promo + footer + again)
+        return pd.DataFrame({"doc_id": ids, "text": text})
+
+    return dedup_lines(docs.map_batches(plant, batch_format="pandas"))
+
+
+def q_doc_collocations(sf_dir: str):
+    """PMI collocations (ops/text.collocations_pmi): adjacent-token
+    pairs with count >= 5 scored log2(P(w1,w2)/(P(w1)P(w2))) — partial
+    counts, token-bucket joins for the unigram frequencies, one shared
+    float64 expression shape on both engines."""
+    from pyrdf2vec_ray.ops.text import collocations_pmi
+
+    return collocations_pmi(_docs(sf_dir), min_count=5)
+
+
+def q_events_interarrival(sf_dir: str):
+    """Per-user inter-arrival gaps (ops/events.interarrival): for each
+    event, microseconds since the user's previous event (ordered by
+    ts, event_id); first event = -1.  One user-bucket shuffle,
+    vectorized per-user diff; all-integer so the LAG oracle is
+    bit-exact."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import interarrival
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"])
+    return interarrival(ev)
+
+
 def q_order_triangles(sf_dir: str):
     """Per-vertex triangle counts (ops/graph.triangle_counts) over the
     order co-purchase graph: an undirected edge per pair of orders
@@ -2687,7 +2756,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step": q_kmeans_step,
         "order_triangles": q_order_triangles,
         "part_er_pairs": q_part_er_pairs,
+        "part_er_resolve": q_part_er_resolve,
         "embedding_quantize": q_embedding_quantize,
+        "doc_line_dedup": q_doc_line_dedup,
+        "doc_collocations": q_doc_collocations,
+        "events_interarrival": q_events_interarrival,
         "events_window_topk": q_events_window_topk,
         "events_running_totals": q_events_running_totals,
         "events_funnel": q_events_funnel,
@@ -3006,6 +3079,104 @@ def oracle_sql() -> dict[str, str]:
             FROM p a JOIN p b
               ON a.blk = b.blk AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "part_er_resolve": """
+            WITH RECURSIVE p AS (
+              SELECT p_partkey AS id, p_name,
+                     regexp_extract(p_name, '([^ ]+)$', 1) AS blk
+              FROM part
+            ),
+            e AS (
+              SELECT a.id AS u, b.id AS v
+              FROM p a JOIN p b
+                ON a.blk = b.blk AND a.id <> b.id
+              WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            ),
+            mn AS (SELECT u AS id, min(v) AS m FROM reach GROUP BY u)
+            SELECT p.id AS p_partkey,
+                   CAST(least(p.id, coalesce(mn.m, p.id)) AS BIGINT)
+                     AS canonical
+            FROM p LEFT JOIN mn ON mn.id = p.id
+        """,
+        "doc_line_dedup": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || chr(10) || 'Shared tagline for everyone'
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || 'Limited time offer inside'
+                             ELSE '' END
+                     || chr(10) || 'Unique footer ' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || 'Unique footer '
+                                  || CAST(doc_id AS VARCHAR)
+                             ELSE '' END
+                       AS t
+              FROM documents
+            ),
+            lx AS (
+              SELECT doc_id,
+                     generate_subscripts(parts, 1) - 1 AS pos,
+                     trim(unnest(parts), ' ' || chr(9) || chr(13)) AS line
+              FROM (SELECT doc_id, string_split(t, chr(10)) AS parts
+                    FROM planted)
+            ),
+            marked AS (
+              SELECT doc_id, pos, line,
+                     ROW_NUMBER() OVER (PARTITION BY line
+                                        ORDER BY doc_id, pos) AS rn
+              FROM lx
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text
+            FROM marked GROUP BY doc_id
+        """,
+        "doc_collocations": """
+            WITH toks AS (
+              SELECT doc_id,
+                     generate_subscripts(parts, 1) AS pos,
+                     unnest(parts) AS w
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\\s+') AS parts
+                    FROM documents)
+            ),
+            t AS (SELECT * FROM toks WHERE w <> ''),
+            bg AS (
+              SELECT a.w AS w1, b.w AS w2
+              FROM t a JOIN t b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            big AS (
+              SELECT w1, w2, count(*) AS c12
+              FROM bg GROUP BY w1, w2 HAVING count(*) >= 5
+            ),
+            uni AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+            bb AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bg)
+            SELECT big.w1, big.w2, CAST(big.c12 AS BIGINT) AS c12,
+                   log2((big.c12 / bb.b)
+                        / ((u1.c / nn.n) * (u2.c / nn.n))) AS pmi
+            FROM big
+            JOIN uni u1 ON u1.w = big.w1
+            JOIN uni u2 ON u2.w = big.w2
+            CROSS JOIN nn CROSS JOIN bb
+        """,
+        "events_interarrival": """
+            SELECT event_id, user_id,
+                   CAST(coalesce(date_diff('microsecond',
+                          LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id), ts),
+                        -1) AS BIGINT) AS gap_us
+            FROM events
         """,
         "order_triangles": """
             WITH e0 AS (

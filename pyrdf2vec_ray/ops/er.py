@@ -127,3 +127,50 @@ def er_match_pairs(
 
     return bucket_apply(blocked, ["blk"], per_bucket,
                         batch_format="pandas")
+
+
+def er_resolve(
+    records: ray.data.Dataset,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 2,
+    block_fn=None,
+) -> ray.data.Dataset:
+    """(id, canonical): every record mapped to its cluster's canonical
+    representative — the smallest record id transitively reachable
+    through :func:`er_match_pairs` matches.  Records with no match map
+    to themselves.  This is the full entity-resolution pass: blocked
+    pairwise matching, then connected components over the match graph
+    (``ops/components.connected_components`` — distributed neighbor-min
+    label propagation), then an identity union so singletons surface.
+
+    The canonical id replaces dirty surface forms BEFORE a KG build
+    materializes one node per entity; the reference assumes
+    pre-canonicalized IRIs (/root/reference/pyrdf2vec/graphs/kg.py
+    stores vertex names verbatim) so this stage has no analog there.
+
+    Scale shape: pair generation is the er_match_pairs block shuffle;
+    CC is O(diameter) rounds of bucket exchanges over the PAIR table
+    (match graphs are tiny next to the record table); the final merge
+    is one node-bucket min-aggregation of components ∪ identity — the
+    record table itself is never joined row-by-row against anything."""
+    from pyrdf2vec_ray.ops.components import connected_components
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    pairs = er_match_pairs(records, id_col, name_col,
+                           max_dist=max_dist, block_fn=block_fn)
+    comp = connected_components(pairs, "id_a", "id_b")
+
+    def comp_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: batch["node"].astype("int64"),
+             "canonical": batch["component"].astype("int64")})
+
+    def identity_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64")
+        return pd.DataFrame({id_col: ids, "canonical": ids})
+
+    both = (comp.map_batches(comp_rows, batch_format="pandas")
+            .union(records.select_columns([id_col]).map_batches(
+                identity_rows, batch_format="pandas")))
+    return bucket_agg(both, [id_col], {"canonical": ("canonical", "min")})

@@ -557,3 +557,38 @@ def running_totals(
 
     return bucket_apply(events.select_columns(cols), [user_col],
                         per_bucket, batch_format="pandas")
+
+
+def interarrival(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """(event_id, user_id, gap_us): microseconds since the user's
+    PREVIOUS event — the ``ts - LAG(ts) OVER (PARTITION BY user ORDER
+    BY ts, id)`` window, the raw signal behind churn/recency features
+    and bot detection (suspiciously regular gaps).  A user's first
+    event gets ``gap_us = -1`` (not 0: a genuine zero gap — two events
+    at the same microsecond — must stay distinguishable).
+
+    Shuffle shape: ONE user-bucket exchange co-partitioning each
+    user's rows, then a vectorized sort + per-user diff per bucket.
+    All-integer (timestamps are datetime64[us]), so the SQL oracle
+    matches bit-for-bit."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    cols = [id_col, user_col, ts_col]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col])
+        prev = g.groupby(user_col, sort=False)[ts_col].shift(1)
+        gap = (g[ts_col] - prev).dt.total_seconds() * 1e6
+        gap = gap.round().fillna(-1).astype("int64")
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(),
+             user_col: g[user_col].to_numpy(),
+             "gap_us": gap.to_numpy()})
+
+    return bucket_apply(events.select_columns(cols), [user_col],
+                        per_bucket, batch_format="pandas")

@@ -1128,3 +1128,138 @@ def bm25_topk_sql(
         f"         AS rank\n"
         f"FROM scored ORDER BY score DESC, {id_col} LIMIT {k}"
     )
+
+
+# ---- global line-level deduplication ----------------------------------------
+
+
+def dedup_lines(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, n_lines, n_dup, text): global exact line-level
+    deduplication — every distinct stripped line is kept only at its
+    FIRST occurrence corpus-wide (smallest ``(doc_id, position)``);
+    every later occurrence, including repeats inside the same
+    document, is dropped and the document reassembled from its
+    survivors in original order (the C4 / RefinedWeb exact line-dedup
+    pass; the reference corpus assumes pre-cleaned text —
+    /root/reference/pyrdf2vec has no corpus hygiene stage at all).
+
+    Scale shape: explode to (line, doc, pos) occurrence rows, then
+    exactly TWO hash-bucket exchanges of those rows — one on the line
+    (the winner per line is found with a vectorized duplicated() scan,
+    no per-line tasks) and one on the doc to reassemble survivors.
+    Unlike :func:`remove_boilerplate` there is NO broadcast: the line
+    vocabulary here is corpus-sized by definition, so membership must
+    travel with the shuffle, not to every worker."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    def occurrences(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].astype(str).reset_index(drop=True)
+        ids = batch[id_col].reset_index(drop=True)
+        lines = text.str.split("\n").explode().str.strip(_LINE_STRIP)
+        pos = lines.groupby(level=0).cumcount()
+        return pd.DataFrame(
+            {"line": lines.to_numpy(),
+             id_col: ids.iloc[lines.index].to_numpy(),
+             "pos": pos.to_numpy().astype("int64")})
+
+    occ = docs.select_columns([id_col, text_col]).map_batches(
+        occurrences, batch_format="pandas")
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["line", id_col, "pos"], kind="mergesort")
+        return g.assign(kept=(~g["line"].duplicated()).to_numpy())
+
+    marked = bucket_apply(occ, ["line"], mark, batch_format="pandas")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        g = g.assign(dup=(~g["kept"]).astype(np.int64))
+        agg = g.groupby(id_col, as_index=False).agg(
+            n_lines=("pos", "size"), n_dup=("dup", "sum"))
+        text = (g[g["kept"]].groupby(id_col)["line"]
+                .agg("\n".join).rename("text"))
+        out = agg.merge(text, on=id_col, how="left")
+        out["text"] = out["text"].fillna("")
+        return out
+
+    return bucket_apply(marked, [id_col], rebuild, batch_format="pandas")
+
+
+# ---- PMI collocations --------------------------------------------------------
+
+
+def collocations_pmi(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> ray.data.Dataset:
+    """(w1, w2, c12, pmi): pointwise mutual information of adjacent
+    whitespace-token pairs over the corpus — the classic collocation
+    score ``log2(P(w1,w2) / (P(w1)·P(w2)))`` with ``P(w1,w2) = c12/B``
+    (B = total bigrams) and ``P(w) = c/N`` (N = total tokens); pairs
+    below ``min_count`` are pruned BEFORE the frequency joins, the
+    standard sparsity guard.
+
+    Scale shape: per-batch partial counts feed one (w1,w2)-bucket and
+    one token-bucket aggregation; the surviving bigram table (small by
+    the min_count pigeonhole: ≤ B/min_count rows) then picks up c1 and
+    c2 via two token-bucket hash joins — the tfidf_topk shape, never a
+    driver-resident vocabulary.  N and B are two scalar aggregates.
+    PMI is evaluated with ONE float64 expression shape mirrored by the
+    SQL oracle."""
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    def bigram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].astype(str).str.split().explode().dropna()
+        w = toks.to_numpy(dtype=object)
+        same_doc = toks.index.to_numpy()
+        if len(w) < 2:
+            return pd.DataFrame({"w1": pd.array([], dtype=object),
+                                 "w2": pd.array([], dtype=object)})
+        sel = same_doc[1:] == same_doc[:-1]
+        return pd.DataFrame({"w1": w[:-1][sel], "w2": w[1:][sel]})
+
+    def token_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].astype(str).str.split().explode().dropna()
+        return pd.DataFrame({"w": toks.to_numpy(dtype=object)})
+
+    cols = docs.select_columns([text_col])
+    bigrams = cols.map_batches(bigram_rows, batch_format="pandas")
+    tokens = cols.map_batches(token_rows, batch_format="pandas")
+
+    big = bucket_agg(bigrams, ["w1", "w2"], {"c12": ("w1", "size")})
+    uni = bucket_agg(tokens, ["w"], {"c": ("w", "size")})
+
+    n_tokens = int(tokens.count())
+    n_bigrams = int(bigrams.count())
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["c12"] >= min_count].reset_index(drop=True)
+
+    big = big.map_batches(prune, batch_format="pandas")
+
+    u1 = uni.map_batches(
+        lambda b: pd.DataFrame({"w1": b["w"], "c1": b["c"]}),
+        batch_format="pandas")
+    u2 = uni.map_batches(
+        lambda b: pd.DataFrame({"w2": b["w"], "c2": b["c"]}),
+        batch_format="pandas")
+    joined = hash_join(hash_join(big, u1, on=["w1"]), u2, on=["w2"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        c12 = batch["c12"].to_numpy(np.float64)
+        c1 = batch["c1"].to_numpy(np.float64)
+        c2 = batch["c2"].to_numpy(np.float64)
+        B = float(n_bigrams)
+        N = float(n_tokens)
+        pmi = np.log2((c12 / B) / ((c1 / N) * (c2 / N)))
+        return pd.DataFrame({"w1": batch["w1"], "w2": batch["w2"],
+                             "c12": batch["c12"].astype("int64"),
+                             "pmi": pmi})
+
+    return joined.map_batches(score, batch_format="pandas")

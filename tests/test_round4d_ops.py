@@ -124,3 +124,97 @@ def test_quantize_bits_4():
     codes = np.stack(q["q"].to_numpy())[:, 0]
     assert codes.min() == 0 and codes.max() == 15
     assert (np.diff(codes) >= 0).all()
+
+
+# ---- er_resolve --------------------------------------------------------------
+
+
+def test_er_resolve_transitive_chain():
+    from pyrdf2vec_ray.ops.er import er_resolve
+
+    # 10<->11 (1 edit), 11<->12 (1 edit), but 10<->12 is 2 edits — all
+    # one component transitively; 13 shares the block but matches
+    # nothing; 14 sits in its own block.
+    df = pd.DataFrame(
+        {"rid": np.array([10, 11, 12, 13, 14], dtype=np.int64),
+         "name": ["aaaa widget", "aaab widget", "aabb widget",
+                  "zzzz widget", "aaaa gadget"]})
+    got = (to_table(er_resolve(
+        ray.data.from_pandas(df).repartition(2), "rid", "name",
+        max_dist=1)).to_pandas()
+        .sort_values("rid").reset_index(drop=True))
+    assert got["rid"].tolist() == [10, 11, 12, 13, 14]
+    assert got["canonical"].tolist() == [10, 10, 10, 13, 14]
+
+
+# ---- dedup_lines -------------------------------------------------------------
+
+
+def test_dedup_lines_keep_first():
+    from pyrdf2vec_ray.ops.text import dedup_lines
+
+    df = pd.DataFrame(
+        {"doc_id": np.array([1, 2, 3], dtype=np.int64),
+         "text": ["shared\nonly one",
+                  "shared\nonly two\nonly two",   # within-doc repeat
+                  "only three\nshared"]})
+    got = (to_table(dedup_lines(ray.data.from_pandas(df).repartition(2)))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["n_lines"].tolist() == [2, 3, 2]
+    # doc 2 loses "shared" (first seen in doc 1) AND its own repeat of
+    # "only two"; doc 3 loses only "shared".
+    assert got["n_dup"].tolist() == [0, 2, 1]
+    assert got["text"].tolist() == [
+        "shared\nonly one", "only two", "only three"]
+
+
+def test_dedup_lines_strips_and_orders():
+    from pyrdf2vec_ray.ops.text import dedup_lines
+
+    # "  x \t" and "x" are the same stripped line; survivor order is by
+    # original position, not alphabetical.
+    df = pd.DataFrame(
+        {"doc_id": np.array([5, 6], dtype=np.int64),
+         "text": ["b\na\n  x \t", "x\nz"]})
+    got = (to_table(dedup_lines(ray.data.from_pandas(df)))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["text"].tolist() == ["b\na\nx", "z"]
+    assert got["n_dup"].tolist() == [0, 1]
+
+
+# ---- collocations_pmi --------------------------------------------------------
+
+
+def test_collocations_pmi_hand_computed():
+    from pyrdf2vec_ray.ops.text import collocations_pmi
+
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64),
+         "text": ["new york", "new york", "new jersey", "york new"]}))
+    got = (to_table(collocations_pmi(docs, min_count=2)).to_pandas()
+           .sort_values(["w1", "w2"]).reset_index(drop=True))
+    # tokens: new x4, york x3, jersey x1 → N=8; bigrams: 4 total,
+    # (new,york) c12=2 survives min_count=2.
+    assert list(zip(got["w1"], got["w2"], got["c12"])) == [
+        ("new", "york", 2)]
+    expected = np.log2((2 / 4) / ((4 / 8) * (3 / 8)))
+    assert abs(got["pmi"].iloc[0] - expected) < 1e-12
+
+
+# ---- interarrival ------------------------------------------------------------
+
+
+def test_interarrival_gaps():
+    from pyrdf2vec_ray.ops.events import interarrival
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {"event_id": np.arange(5, dtype=np.int64),
+         "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+         "ts": [base, base + pd.Timedelta(seconds=2),
+                base + pd.Timedelta(seconds=2),       # tie → id order
+                base, base + pd.Timedelta(microseconds=7)]})
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    got = (to_table(interarrival(ray.data.from_pandas(df).repartition(2)))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert got["gap_us"].tolist() == [-1, 2_000_000, 0, -1, 7]
