@@ -1496,6 +1496,73 @@ def q_events_interarrival(sf_dir: str):
     return interarrival(ev)
 
 
+def q_kg_link_predict(sf_dir: str):
+    """Adamic–Adar + neighborhood-Jaccard link prediction
+    (ops/graph.link_scores) over the TPC-H KG's undirected edge set:
+    non-adjacent vertex pairs sharing >= 2 neighbors, scored through
+    centers of degree <= 50 only (the documented hub guard — nation
+    and supplier hubs are pruned BEFORE the O(d^2) wedge fan-out,
+    while Jaccard/AA denominators keep full degrees).  Oracle: the
+    same adjacency self-join + anti-join in SQL."""
+    from pyrdf2vec_ray.ops.graph import link_scores
+
+    triples = _triples(sf_dir)
+
+    def as_edges(batch):
+        import pandas as pd
+
+        return pd.DataFrame({"a": batch["subj"], "b": batch["obj"]})
+
+    edges = triples.map_batches(as_edges, batch_format="pandas")
+    return link_scores(edges, max_center_degree=50, min_common=2)
+
+
+def q_embedding_neighbor_mean(sf_dir: str):
+    """GNN-style one-hop mean aggregation
+    (ops/graph.neighbor_mean_features): per-vertex per-dimension mean
+    of out-neighbor embeddings over a deterministic 4-out ring+skip
+    graph planted on vec_id (dst = v+1, v+2, 3v, 7v mod N, self-loops
+    dropped) — identical on both engines, so the feature join and the
+    (v, dim)-bucket reduce are what's actually tested.  Long-form
+    output (v, dim, nbr_mean)."""
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.graph import neighbor_mean_features
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n = emb.count()  # parquet metadata fast path, not a data scan
+
+    def edges_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["vec_id"].to_numpy()
+        import numpy as np
+
+        parts = [pd.DataFrame({"src": v, "dst": (v * m + a) % n})
+                 for m, a in ((1, 1), (1, 2), (3, 0), (7, 0))]
+        e = pd.concat(parts, ignore_index=True)
+        e = e[e["src"] != e["dst"]]
+        return e.drop_duplicates().reset_index(drop=True)
+
+    edges = emb.select_columns(["vec_id"]).map_batches(
+        edges_batch, batch_format="pandas")
+    return neighbor_mean_features(edges, emb)
+
+
+def q_events_transitions(sf_dir: str):
+    """First-order Markov transitions between consecutive event types
+    per user (ops/events.event_transitions): counts are bit-exact vs
+    the LAG oracle; p is one shared c/tot float64 division."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import event_transitions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    return event_transitions(ev)
+
+
 def q_order_triangles(sf_dir: str):
     """Per-vertex triangle counts (ops/graph.triangle_counts) over the
     order co-purchase graph: an undirected edge per pair of orders
@@ -2755,6 +2822,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "kmeans_step": q_kmeans_step,
         "order_triangles": q_order_triangles,
+        "kg_link_predict": q_kg_link_predict,
+        "embedding_neighbor_mean": q_embedding_neighbor_mean,
+        "events_transitions": q_events_transitions,
         "part_er_pairs": q_part_er_pairs,
         "part_er_resolve": q_part_er_resolve,
         "embedding_quantize": q_embedding_quantize,
@@ -3177,6 +3247,84 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts, event_id), ts),
                         -1) AS BIGINT) AS gap_us
             FROM events
+        """,
+        "kg_link_predict": _TRIPLES_CTE + """,
+            e AS (
+              SELECT DISTINCT least(subj, obj) AS a,
+                     greatest(subj, obj) AS b
+              FROM triples WHERE subj <> obj
+            ),
+            adj AS (
+              SELECT a AS z, b AS v FROM e
+              UNION ALL SELECT b, a FROM e
+            ),
+            deg AS (SELECT z, count(*) AS d FROM adj GROUP BY z),
+            ctr AS (
+              SELECT adj.z, adj.v, deg.d
+              FROM adj JOIN deg ON deg.z = adj.z
+              WHERE deg.d <= 50
+            ),
+            sc AS (
+              SELECT x.v AS u, y.v AS w,
+                     CAST(count(*) AS BIGINT) AS n_common,
+                     sum(1.0 / ln(x.d)) AS aa
+              FROM ctr x JOIN ctr y ON x.z = y.z AND x.v < y.v
+              GROUP BY x.v, y.v HAVING count(*) >= 2
+            ),
+            nonadj AS (
+              SELECT sc.* FROM sc
+              LEFT JOIN e ON sc.u = e.a AND sc.w = e.b
+              WHERE e.a IS NULL
+            )
+            SELECT nonadj.u, nonadj.w, n_common, aa,
+                   CAST(n_common AS DOUBLE)
+                     / (du.d + dw.d - n_common) AS jaccard
+            FROM nonadj
+            JOIN deg du ON du.z = nonadj.u
+            JOIN deg dw ON dw.z = nonadj.w
+        """,
+        "embedding_neighbor_mean": """
+            WITH nn AS (SELECT count(*) AS n FROM embeddings),
+            e0 AS (
+              SELECT vec_id AS src, (vec_id + 1) % nn.n AS dst
+              FROM embeddings, nn
+              UNION
+              SELECT vec_id, (vec_id + 2) % nn.n FROM embeddings, nn
+              UNION
+              SELECT vec_id, (vec_id * 3) % nn.n FROM embeddings, nn
+              UNION
+              SELECT vec_id, (vec_id * 7) % nn.n FROM embeddings, nn
+            ),
+            e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+            f AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) - 1
+                          AS BIGINT) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+              FROM embeddings
+            )
+            SELECT e.src AS v, f.dim, avg(f.val) AS nbr_mean
+            FROM e JOIN f ON f.vec_id = e.dst
+            GROUP BY e.src, f.dim
+        """,
+        "events_transitions": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                       AS prev_type
+              FROM events
+            ),
+            c AS (
+              SELECT prev_type, event_type AS next_type,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM seq WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, event_type
+            ),
+            t AS (SELECT prev_type, sum(c) AS tot FROM c GROUP BY prev_type)
+            SELECT c.prev_type, c.next_type, c.c,
+                   CAST(c.c AS DOUBLE) / t.tot AS p
+            FROM c JOIN t ON t.prev_type = c.prev_type
         """,
         "order_triangles": """
             WITH e0 AS (

@@ -592,3 +592,60 @@ def interarrival(
 
     return bucket_apply(events.select_columns(cols), [user_col],
                         per_bucket, batch_format="pandas")
+
+
+def event_transitions(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> ray.data.Dataset:
+    """(prev_type, next_type, c, p): first-order Markov transition
+    counts and conditional probabilities between CONSECUTIVE events of
+    the same user (ordered by ts, then event id for ties) — the
+    behavioral-sequence model behind next-action prediction and
+    anomaly scoring.  ``p = c / Σ_next c`` per prev_type, one shared
+    float64 division on both engines.
+
+    Shuffle shape: one user-bucket exchange (each user's rows
+    co-partitioned), vectorized per-user shift to form the transition
+    pairs, per-bucket partial counts, then ONE pair-bucket reduce over
+    the tiny (prev, next) table; the row-total per prev_type is a
+    second reduce over that already-aggregated table, not over events.
+    """
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
+
+    cols = [id_col, user_col, ts_col, type_col]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col])
+        prev_t = g.groupby(user_col, sort=False)[type_col].shift(1)
+        keep = prev_t.notna()
+        out = pd.DataFrame({"prev_type": prev_t[keep].to_numpy(),
+                            "next_type": g[type_col][keep].to_numpy()})
+        out["c"] = 1
+        return out.groupby(["prev_type", "next_type"],
+                           as_index=False).agg(c=("c", "sum"))
+
+    partial = bucket_apply(events.select_columns(cols), [user_col],
+                           pairs, batch_format="pandas")
+    counts = bucket_agg(partial, ["prev_type", "next_type"],
+                        {"c": ("c", "sum")}, pre=False)
+    totals = bucket_agg(counts, ["prev_type"],
+                        {"tot": ("c", "sum")}, pre=False)
+
+    out = hash_join(counts, totals, on=["prev_type"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"prev_type": batch["prev_type"],
+             "next_type": batch["next_type"],
+             "c": batch["c"].to_numpy().astype(np.int64),
+             "p": batch["c"].to_numpy(np.float64)
+             / batch["tot"].to_numpy(np.float64)})
+
+    return out.map_batches(finish, batch_format="pandas")

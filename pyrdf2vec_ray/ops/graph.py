@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-__all__ = ["triangle_counts"]
+__all__ = ["triangle_counts", "link_scores", "neighbor_mean_features"]
 
 
 def triangle_counts(
@@ -139,3 +139,192 @@ def triangle_counts(
              "n_tri": batch["n_tri"].fillna(0).to_numpy(dtype=np.int64)})
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def link_scores(
+    edges: ray.data.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_center_degree: int | None = None,
+    min_common: int = 1,
+) -> ray.data.Dataset:
+    """Link-prediction scores for NON-adjacent vertex pairs sharing at
+    least ``min_common`` neighbors: ``(u, w, n_common, aa, jaccard)``
+    with Adamic–Adar ``aa = Σ_z 1/ln(deg(z))`` over the common
+    neighbors z and neighborhood Jaccard ``n_common / (deg(u) + deg(w)
+    - n_common)`` — the standard unsupervised candidate generators for
+    KG completion, run AFTER the graph the reference only walks over
+    has been materialized (the reference has no link-prediction stage;
+    its walks assume the edge set is final).
+
+    Skew control is explicit, not hoped-for: pair generation through a
+    common neighbor z is O(deg(z)^2), so hub centers (the KG's
+    nation-/supplier-degree hubs) would dominate the wedge volume while
+    contributing ~nothing to aa (1/ln(d) → 0).  ``max_center_degree``
+    drops them BEFORE fan-out — the documented mitigation (Jaccard/AA
+    denominators still use FULL degrees), mirroring how production
+    link-prediction prunes super-nodes.  ``min_common`` prunes the pair
+    table before the scoring joins (support threshold).
+
+    Shuffle shape: one distinct, one degree count, one center-bucket
+    wedge generation over the CAPPED adjacency, one pair-bucket
+    aggregation, one pair-bucket anti-join against the edge set, two
+    vertex-bucket degree joins — all key-bucketed exchanges
+    (shuffle.bucket_apply); nothing global-sorts and nothing reaches
+    the driver."""
+    from pyrdf2vec_ray.ops.join import hash_join, hash_semi_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply, distinct
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[a_col].to_numpy()
+        b = batch[b_col].to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    # e and deg each feed two consumers (wedges + anti-join; centers +
+    # final jaccard joins): materialize once into the object store —
+    # the multi-consumer pattern, not a driver collect.
+    e = distinct(edges.map_batches(canon, batch_format="pandas"),
+                 ["a", "b"]).materialize()
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"z": np.concatenate([batch["a"].to_numpy(),
+                                  batch["b"].to_numpy()]),
+             "v": np.concatenate([batch["b"].to_numpy(),
+                                  batch["a"].to_numpy()])})
+
+    adj = e.map_batches(both_dirs, batch_format="pandas")
+    deg = bucket_agg(adj, ["z"], {"d": ("z", "size")}).materialize()
+
+    ctr = hash_join(adj, deg, on=["z"])
+    if max_center_degree is not None:
+        cap = int(max_center_degree)
+
+        def capped(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["d"] <= cap].reset_index(drop=True)
+
+        ctr = ctr.map_batches(capped, batch_format="pandas")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["z", "v", "d"]]
+        j = m.merge(m[["z", "v"]], on="z", suffixes=("", "_2"))
+        j = j[j["v"] < j["v_2"]]
+        return pd.DataFrame(
+            {"u": j["v"].to_numpy(), "w": j["v_2"].to_numpy(),
+             "invlog": 1.0 / np.log(j["d"].to_numpy(np.float64))})
+
+    wed = bucket_apply(ctr, ["z"], wedges, batch_format="pandas")
+    sc = bucket_agg(wed, ["u", "w"],
+                    {"n_common": ("u", "size"), "aa": ("invlog", "sum")})
+
+    if min_common > 1:
+        mc = int(min_common)
+
+        def support(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["n_common"] >= mc].reset_index(drop=True)
+
+        sc = sc.map_batches(support, batch_format="pandas")
+
+    def as_ab(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"u": "a", "w": "b"})
+
+    nonadj = hash_semi_join(
+        sc.map_batches(as_ab, batch_format="pandas"), e,
+        on=["a", "b"], anti=True)
+
+    def rn(new_z, new_d):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={"z": new_z, "d": new_d})
+        return fn
+
+    out = hash_join(nonadj, deg.map_batches(rn("a", "du"),
+                                            batch_format="pandas"),
+                    on=["a"])
+    out = hash_join(out, deg.map_batches(rn("b", "dw"),
+                                         batch_format="pandas"),
+                    on=["b"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        nc = batch["n_common"].to_numpy(np.float64)
+        du = batch["du"].to_numpy(np.float64)
+        dw = batch["dw"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {"u": batch["a"].to_numpy(), "w": batch["b"].to_numpy(),
+             "n_common": batch["n_common"].to_numpy().astype(np.int64),
+             "aa": batch["aa"].to_numpy(np.float64),
+             "jaccard": nc / (du + dw - nc)})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def neighbor_mean_features(
+    edges: ray.data.Dataset,
+    feats: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> ray.data.Dataset:
+    """GNN-style one-hop mean aggregation: for every source vertex,
+    the per-dimension mean of its out-neighbors' feature vectors —
+    ``(v, dim, nbr_mean)`` long-form (one row per vertex × dimension),
+    the message-passing primitive behind GraphSAGE-mean / R-GCN layers
+    over a materialized KG.  The reference embeds via walks + Word2Vec
+    only; a Ray-native engine also needs the direct neighborhood-
+    aggregation path for feature-bearing graphs.
+
+    Shuffle shape: the feature table is exploded to scalar (id, dim,
+    val) rows FIRST — tensor-extension list columns cannot ride the
+    shuffle's typed union fillers, and scalar rows make the exchange
+    zero-copy Arrow — then ONE hash join keyed on the neighbor id (the
+    feature table never broadcasts: at corpus scale it is the big
+    side), a per-batch partial (v, dim)-sum combiner, and one (v, dim)-
+    bucket sum/count reduce.  Long-form output avoids list-column
+    reassembly; callers needing vectors regroup per v downstream."""
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    def as_nbr(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": batch[src_col].to_numpy(),
+                             id_col: batch[dst_col].to_numpy()})
+
+    nbr = edges.map_batches(as_nbr, batch_format="pandas")
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({id_col: pd.array([], dtype="int64"),
+                                 "dim": pd.array([], dtype="int64"),
+                                 "val": pd.array([], dtype="float64")})
+        vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        n, d = vecs.shape
+        return pd.DataFrame(
+            {id_col: np.repeat(batch[id_col].to_numpy(), d),
+             "dim": np.tile(np.arange(d, dtype=np.int64), n),
+             "val": vecs.ravel()})
+
+    feats_long = feats.select_columns([id_col, vec_col]).map_batches(
+        explode, batch_format="pandas")
+    joined = hash_join(nbr, feats_long, on=[id_col])
+
+    def partial_sums(batch: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({"v": batch["v"].to_numpy(),
+                             "dim": batch["dim"].to_numpy(),
+                             "s": batch["val"].to_numpy(np.float64)})
+        part["c"] = 1
+        return part.groupby(["v", "dim"], as_index=False).agg(
+            s=("s", "sum"), c=("c", "sum"))
+
+    partial = joined.map_batches(partial_sums, batch_format="pandas")
+    sums = bucket_agg(partial, ["v", "dim"],
+                      {"s": ("s", "sum"), "c": ("c", "sum")}, pre=False)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": batch["v"].to_numpy(),
+             "dim": batch["dim"].to_numpy().astype(np.int64),
+             "nbr_mean": batch["s"].to_numpy(np.float64)
+             / batch["c"].to_numpy(np.float64)})
+
+    return sums.map_batches(finish, batch_format="pandas")

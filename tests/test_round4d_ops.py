@@ -218,3 +218,92 @@ def test_interarrival_gaps():
     got = (to_table(interarrival(ray.data.from_pandas(df).repartition(2)))
            .to_pandas().sort_values("event_id").reset_index(drop=True))
     assert got["gap_us"].tolist() == [-1, 2_000_000, 0, -1, 7]
+
+
+# ---- link_scores --------------------------------------------------------------
+
+
+def test_link_scores_path_graph():
+    from pyrdf2vec_ray.ops.graph import link_scores
+
+    # path 1-2-3-4-5: non-adjacent pairs sharing a neighbor are the
+    # distance-2 pairs, each through one degree-2 center.
+    df = pd.DataFrame({"a": np.array([1, 2, 3, 4], dtype=np.int64),
+                       "b": np.array([2, 3, 4, 5], dtype=np.int64)})
+    got = (to_table(link_scores(ray.data.from_pandas(df).repartition(2)))
+           .to_pandas().sort_values(["u", "w"]).reset_index(drop=True))
+    assert list(zip(got["u"], got["w"])) == [(1, 3), (2, 4), (3, 5)]
+    assert got["n_common"].tolist() == [1, 1, 1]
+    inv_log2 = 1.0 / np.log(2.0)
+    assert np.allclose(got["aa"], inv_log2)
+    # deg(1)=1, deg(3)=2 → jaccard(1,3) = 1/(1+2-1) = 0.5
+    assert np.allclose(got["jaccard"], [0.5, 1 / 3, 0.5])
+
+
+def test_link_scores_hub_cap_and_min_common():
+    from pyrdf2vec_ray.ops.graph import link_scores
+
+    # star hub 100 with leaves 1..5, plus a square 1-2-6-7 path making
+    # (1, 6) share exactly the two centers 2 and 7.
+    edges = [(100, i) for i in range(1, 6)] + [(1, 2), (2, 6), (6, 7), (7, 1)]
+    df = pd.DataFrame({"a": np.array([e[0] for e in edges], dtype=np.int64),
+                       "b": np.array([e[1] for e in edges], dtype=np.int64)})
+    ds = ray.data.from_pandas(df)
+
+    # hub capped out (deg 5 > 4): only centers of degree <= 4 generate
+    # pairs.  The 1-2-6-7 square is symmetric: (1, 6) shares centers
+    # {2, 7} and (2, 7) shares centers {1, 6} — both survive
+    # min_common=2; star-leaf pairs (only the capped hub in common)
+    # are gone.
+    got = (to_table(link_scores(ds, max_center_degree=4, min_common=2))
+           .to_pandas().sort_values(["u", "w"]).reset_index(drop=True))
+    assert list(zip(got["u"], got["w"])) == [(1, 6), (2, 7)]
+    # deg(2) = {100, 1, 6} = 3, deg(7) = {6, 1} = 2; deg(1) = 3,
+    # deg(6) = 2 — each pair's centers have degrees {3, 2}.
+    expected_aa = 1 / np.log(3.0) + 1 / np.log(2.0)
+    assert np.allclose(got["aa"], [expected_aa, expected_aa])
+    # 2 / (3 + 2 - 2) for both pairs
+    assert np.allclose(got["jaccard"], [2 / 3, 2 / 3])
+
+
+# ---- neighbor_mean_features ---------------------------------------------------
+
+
+def test_neighbor_mean_features_hand_computed():
+    from pyrdf2vec_ray.ops.graph import neighbor_mean_features
+
+    feats = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(3, dtype=np.int64),
+         "embedding": [np.array([1.0, 10.0], dtype=np.float32),
+                       np.array([2.0, 20.0], dtype=np.float32),
+                       np.array([4.0, 40.0], dtype=np.float32)]}))
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"src": np.array([0, 0, 1], dtype=np.int64),
+         "dst": np.array([1, 2, 2], dtype=np.int64)}))
+    got = (to_table(neighbor_mean_features(edges, feats))
+           .to_pandas().sort_values(["v", "dim"]).reset_index(drop=True))
+    assert list(zip(got["v"], got["dim"])) == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    assert np.allclose(got["nbr_mean"], [3.0, 30.0, 4.0, 40.0])
+
+
+# ---- event_transitions --------------------------------------------------------
+
+
+def test_event_transitions_counts_and_probs():
+    from pyrdf2vec_ray.ops.events import event_transitions
+
+    base = pd.Timestamp("2024-01-01")
+    # user 1: a→b→a; user 2: a→b.  Transitions: a→b x2, b→a x1.
+    df = pd.DataFrame(
+        {"event_id": np.arange(5, dtype=np.int64),
+         "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+         "ts": [base + pd.Timedelta(seconds=i) for i in range(5)],
+         "event_type": ["a", "b", "a", "a", "b"]})
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    got = (to_table(event_transitions(ray.data.from_pandas(df)
+                                      .repartition(2)))
+           .to_pandas().sort_values(["prev_type", "next_type"])
+           .reset_index(drop=True))
+    assert list(zip(got["prev_type"], got["next_type"],
+                    got["c"])) == [("a", "b", 2), ("b", "a", 1)]
+    assert np.allclose(got["p"], [1.0, 1.0])
