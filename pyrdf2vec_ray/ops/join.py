@@ -40,6 +40,20 @@ def _np_dtypes(schema) -> dict:
     return out
 
 
+def _dtypes_of(ds, hint) -> dict:
+    """Schema hint resolution.  ``Dataset.schema()`` on a LAZY plan
+    executes the upstream chain just to learn the columns — on a plan
+    containing an all-to-all that is a full extra shuffle, and a chain
+    of joins pays it at every hop.  Callers that know their columns
+    pass ``hint`` as an ordered ``{col: numpy-dtype-like}`` dict (or a
+    schema object) and the input stays lazy + single-execution."""
+    if hint is None:
+        return _np_dtypes(ds.schema())
+    if isinstance(hint, dict):
+        return {k: np.dtype(v) for k, v in hint.items()}
+    return _np_dtypes(hint)
+
+
 def _zeros(n: int, dt: np.dtype, index) -> pd.Series:
     if dt == np.dtype("O"):
         return pd.Series([""] * n, dtype=object, index=index)
@@ -53,31 +67,36 @@ def hash_join(
     how: str = "inner",
     rsuffix: str = "_r",
     num_buckets: int | None = None,
+    lschema=None,
+    rschema=None,
 ) -> ray.data.Dataset:
     """Equi-join ``left`` ⋈ ``right`` on the shared key columns ``on``.
     ``how`` ∈ {"inner", "left"}.  Non-key right columns colliding with
     left names get ``rsuffix``.  For ``how="left"``, unmatched right
     columns surface as pandas NA of the joined dtype (callers needing
-    typed output fill them downstream)."""
+    typed output fill them downstream).  ``lschema``/``rschema`` are
+    optional schema hints (ordered ``{col: dtype}``) — pass them when a
+    side is a lazy shuffle chain so the join does not execute it just
+    to read ``.schema()`` (see ``_dtypes_of``)."""
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
-    lschema = left.schema()
-    rschema = right.schema()
-    lcols = list(lschema.names)
+    ldt_named = _dtypes_of(left, lschema)
+    rdt_named = _dtypes_of(right, rschema)
+    lcols = list(ldt_named)
     for key in on:
-        if key not in lcols or key not in rschema.names:
+        if key not in lcols or key not in rdt_named:
             raise ValueError(f"join key {key!r} missing from a side")
     rmap = {
         c: (c + rsuffix if c in lcols and c not in on else c)
-        for c in rschema.names
+        for c in rdt_named
     }
-    rcols = [rmap[c] for c in rschema.names if c not in on]
+    rcols = [rmap[c] for c in rdt_named if c not in on]
     l_extra = [c for c in lcols if c not in on]
 
     # typed fillers derived from each side's own dtypes, so the union
     # sees ONE schema (PandasBlockSchema equality is dtype-strict)
-    ldt = _np_dtypes(lschema)
-    rdt = {rmap[c]: t for c, t in _np_dtypes(rschema).items()}
+    ldt = ldt_named
+    rdt = {rmap[c]: t for c, t in rdt_named.items()}
 
     def tag(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -132,6 +151,8 @@ def hash_semi_join(
     on: list[str],
     anti: bool = False,
     num_buckets: int | None = None,
+    lschema=None,
+    rschema=None,
 ) -> ray.data.Dataset:
     """Semi-join (``anti=False``: left rows WITH a key match in right)
     or anti-join (``anti=True``: left rows WITHOUT one), returning left
@@ -142,13 +163,15 @@ def hash_semi_join(
 
     Right is reduced to DISTINCT keys per batch BEFORE the shuffle (a
     semi-join never needs right's payload or multiplicity), so the
-    right side of the exchange is bounded by its distinct-key count."""
-    lschema = left.schema()
+    right side of the exchange is bounded by its distinct-key count.
+    ``lschema``/``rschema`` are optional schema hints as in
+    :func:`hash_join`."""
+    ldt = _dtypes_of(left, lschema)
+    rnames = list(_dtypes_of(right, rschema))
     for key in on:
-        if key not in lschema.names or key not in right.schema().names:
+        if key not in ldt or key not in rnames:
             raise ValueError(f"join key {key!r} missing from a side")
-    l_extra = [c for c in lschema.names if c not in on]
-    ldt = _np_dtypes(lschema)
+    l_extra = [c for c in ldt if c not in on]
 
     def keys_only(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[on].drop_duplicates()
