@@ -1563,6 +1563,57 @@ def q_events_transitions(sf_dir: str):
     return event_transitions(ev)
 
 
+def q_kg_kcore(sf_dir: str):
+    """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
+    KG: 3 peel rounds at k=3; output = surviving vertices with residual
+    degree.  The SQL oracle unrolls the identical rounds, so the
+    iterative anti-join loop is value-checked end-to-end (Ray may stop
+    early at the fixpoint — extra unrolled rounds are the identity)."""
+    from pyrdf2vec_ray.ops.graph import kcore_bounded
+
+    triples = _triples(sf_dir)
+
+    def as_edges(batch):
+        import pandas as pd
+
+        return pd.DataFrame({"a": batch["subj"], "b": batch["obj"]})
+
+    edges = triples.map_batches(as_edges, batch_format="pandas")
+    return kcore_bounded(edges, k=3, rounds=3)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled bounded-peel oracle matching ops/graph.kcore_bounded."""
+    parts = [
+        _TRIPLES_CTE,
+        """,
+            e0 AS (
+              SELECT DISTINCT least(subj, obj) AS a,
+                     greatest(subj, obj) AS b
+              FROM triples WHERE subj <> obj
+            )""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+            d{r} AS (
+              SELECT v, count(*) AS d
+              FROM (SELECT a AS v FROM e{r}
+                    UNION ALL SELECT b FROM e{r}) GROUP BY v
+            ),
+            r{r} AS (SELECT v FROM d{r} WHERE d < {k}),
+            e{r + 1} AS (
+              SELECT e{r}.a, e{r}.b FROM e{r}
+              LEFT JOIN r{r} ra ON e{r}.a = ra.v
+              LEFT JOIN r{r} rb ON e{r}.b = rb.v
+              WHERE ra.v IS NULL AND rb.v IS NULL
+            )""")
+    parts.append(f"""
+            SELECT v, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS v FROM e{rounds}
+                  UNION ALL SELECT b FROM e{rounds}) GROUP BY v""")
+    return "".join(parts)
+
+
 def q_order_triangles(sf_dir: str):
     """Per-vertex triangle counts (ops/graph.triangle_counts) over the
     order co-purchase graph: an undirected edge per pair of orders
@@ -2823,6 +2874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step": q_kmeans_step,
         "order_triangles": q_order_triangles,
         "kg_link_predict": q_kg_link_predict,
+        "kg_kcore": q_kg_kcore,
         "embedding_neighbor_mean": q_embedding_neighbor_mean,
         "events_transitions": q_events_transitions,
         "part_er_pairs": q_part_er_pairs,
@@ -3248,6 +3300,7 @@ def oracle_sql() -> dict[str, str]:
                         -1) AS BIGINT) AS gap_us
             FROM events
         """,
+        "kg_kcore": _kcore_sql(3, 3),
         "kg_link_predict": _TRIPLES_CTE + """,
             e AS (
               SELECT DISTINCT least(subj, obj) AS a,

@@ -289,12 +289,16 @@ def approx_quantiles_by_sample(
     # the sampled side and the final quantile stage are k x groups
     # rows — a handful of buckets beats the CPU-count default's
     # per-task fixed overhead (see shuffle.default_num_buckets)
-    from pyrdf2vec_ray.ops.join import hash_semi_join
+    from pyrdf2vec_ray.ops.join import _dtypes_of, hash_semi_join
 
+    left = ds.select_columns([group_col, id_col, value_col])
+    # rschema hint: sampled_ids is a lazy shuffle chain whose schema is
+    # known from the input — don't execute it twice just to read it
     sample_rows = hash_semi_join(
-        ds.select_columns([group_col, id_col, value_col]),
+        left,
         sampled_ids.select_columns([id_col]),
         on=[id_col],
+        rschema={id_col: _dtypes_of(left, None)[id_col]},
     )
     return grouped_quantiles(sample_rows.select_columns(
         [group_col, value_col]), group_col, value_col, qs,

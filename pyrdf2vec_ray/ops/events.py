@@ -633,12 +633,17 @@ def event_transitions(
 
     partial = bucket_apply(events.select_columns(cols), [user_col],
                            pairs, batch_format="pandas")
+    # the transition table is tiny (|types|^2 rows) and feeds BOTH the
+    # totals and the join: pin it once so the event-scale shuffle runs
+    # exactly once (a lazy .schema() hop would re-execute it)
     counts = bucket_agg(partial, ["prev_type", "next_type"],
-                        {"c": ("c", "sum")}, pre=False)
+                        {"c": ("c", "sum")}, pre=False).materialize()
     totals = bucket_agg(counts, ["prev_type"],
                         {"tot": ("c", "sum")}, pre=False)
 
-    out = hash_join(counts, totals, on=["prev_type"])
+    o, i8 = np.dtype("O"), np.dtype("int64")
+    out = hash_join(counts, totals, on=["prev_type"],
+                    rschema={"prev_type": o, "tot": i8})
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -19,7 +19,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-__all__ = ["triangle_counts", "link_scores", "neighbor_mean_features"]
+__all__ = ["triangle_counts", "link_scores", "neighbor_mean_features",
+           "kcore_bounded"]
 
 
 def triangle_counts(
@@ -356,3 +357,78 @@ def neighbor_mean_features(
              / batch["c"].to_numpy(np.float64)})
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def kcore_bounded(
+    edges: ray.data.Dataset,
+    k: int,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> ray.data.Dataset:
+    """Bounded k-core peeling: run exactly ``rounds`` peel iterations —
+    each drops every vertex of current degree < k together with its
+    edges — and return ``(v, deg)`` for the vertices of the surviving
+    subgraph with their residual degrees.  With ``rounds`` large enough
+    this is the exact k-core (the densest-region extractor used to
+    seed community detection and to prune walk corpora of tree-like
+    fringe); bounding the round count keeps the operator deterministic
+    and bit-reproducible in SQL (the oracle unrolls the same rounds),
+    the same contract as the bounded LPA sweep and PageRank step.
+
+    Scale shape per round: one vertex-bucket degree count over the
+    CURRENT edge set, then two key-bucket anti-joins removing edges
+    with a low endpoint — the edge set only shrinks, every exchange is
+    key-bucketed, and the surviving-edge Dataset is pinned per round
+    (it feeds the degree count AND the next round's anti-joins: the
+    multi-consumer pattern).  O(rounds) sequential exchanges, the same
+    dependency depth as the reference-free iterative fits (WL, LPA)."""
+    from pyrdf2vec_ray.ops.join import _dtypes_of, hash_semi_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[a_col].to_numpy()
+        b = batch[b_col].to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    cur = distinct(edges.map_batches(canon, batch_format="pandas"),
+                   ["a", "b"]).materialize()
+    vd = _dtypes_of(cur, None)["a"]
+
+    def ends(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": np.concatenate([batch["a"].to_numpy(),
+                                  batch["b"].to_numpy()])})
+
+    def degrees(es: ray.data.Dataset) -> ray.data.Dataset:
+        return bucket_agg(es.map_batches(ends, batch_format="pandas"),
+                          ["v"], {"d": ("v", "size")})
+
+    for _ in range(rounds):
+        deg = degrees(cur)
+
+        def low_only(batch: pd.DataFrame) -> pd.DataFrame:
+            keep = batch[batch["d"] < k]
+            return pd.DataFrame({"v": keep["v"].to_numpy()})
+
+        low = deg.map_batches(low_only, batch_format="pandas").materialize()
+        if low.count() == 0:
+            break  # fixpoint: later rounds are identity on both engines
+
+        def as_key(col):
+            def fn(batch: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({col: batch["v"].to_numpy()})
+            return fn
+
+        e_schema = {"a": vd, "b": vd}
+        cur = hash_semi_join(
+            cur, low.map_batches(as_key("a"), batch_format="pandas"),
+            on=["a"], anti=True, lschema=e_schema, rschema={"a": vd})
+        cur = hash_semi_join(
+            cur, low.map_batches(as_key("b"), batch_format="pandas"),
+            on=["b"], anti=True, lschema=e_schema,
+            rschema={"b": vd}).materialize()
+
+    return degrees(cur)

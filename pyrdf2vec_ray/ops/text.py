@@ -1205,12 +1205,15 @@ def collocations_pmi(
     standard sparsity guard.
 
     Scale shape: per-batch partial counts feed one (w1,w2)-bucket and
-    one token-bucket aggregation; the surviving bigram table (small by
-    the min_count pigeonhole: ≤ B/min_count rows) then picks up c1 and
-    c2 via two token-bucket hash joins — the tfidf_topk shape, never a
-    driver-resident vocabulary.  N and B are two scalar aggregates.
-    PMI is evaluated with ONE float64 expression shape mirrored by the
-    SQL oracle."""
+    one token-bucket aggregation, each materialized ONCE (they are the
+    count tables every downstream consumer needs — totals, prune,
+    frequency joins — so the token explosion runs exactly once, and N
+    and B come from summing the count tables, not extra corpus
+    passes); the surviving bigram table (small by the min_count
+    pigeonhole: ≤ B/min_count rows) then picks up c1 and c2 via two
+    token-bucket hash joins — the tfidf_topk shape, never a
+    driver-resident vocabulary.  PMI is evaluated with ONE float64
+    expression shape mirrored by the SQL oracle."""
     from pyrdf2vec_ray.ops.join import hash_join
     from pyrdf2vec_ray.shuffle import bucket_agg
 
@@ -1232,16 +1235,18 @@ def collocations_pmi(
     bigrams = cols.map_batches(bigram_rows, batch_format="pandas")
     tokens = cols.map_batches(token_rows, batch_format="pandas")
 
-    big = bucket_agg(bigrams, ["w1", "w2"], {"c12": ("w1", "size")})
-    uni = bucket_agg(tokens, ["w"], {"c": ("w", "size")})
+    big = bucket_agg(bigrams, ["w1", "w2"],
+                     {"c12": ("w1", "size")}).materialize()
+    uni = bucket_agg(tokens, ["w"], {"c": ("w", "size")}).materialize()
 
-    n_tokens = int(tokens.count())
-    n_bigrams = int(bigrams.count())
+    # scalar totals from the count tables — no second corpus pass
+    n_tokens = int(uni.sum("c"))
+    n_bigrams = int(big.sum("c12"))
 
     def prune(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[batch["c12"] >= min_count].reset_index(drop=True)
 
-    big = big.map_batches(prune, batch_format="pandas")
+    big_p = big.map_batches(prune, batch_format="pandas")
 
     u1 = uni.map_batches(
         lambda b: pd.DataFrame({"w1": b["w"], "c1": b["c"]}),
@@ -1249,7 +1254,13 @@ def collocations_pmi(
     u2 = uni.map_batches(
         lambda b: pd.DataFrame({"w2": b["w"], "c2": b["c"]}),
         batch_format="pandas")
-    joined = hash_join(hash_join(big, u1, on=["w1"]), u2, on=["w2"])
+    o, i8 = np.dtype("O"), np.dtype("int64")
+    j1 = hash_join(big_p, u1, on=["w1"],
+                   lschema={"w1": o, "w2": o, "c12": i8},
+                   rschema={"w1": o, "c1": i8})
+    joined = hash_join(j1, u2, on=["w2"],
+                       lschema={"w1": o, "w2": o, "c12": i8, "c1": i8},
+                       rschema={"w2": o, "c2": i8})
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         c12 = batch["c12"].to_numpy(np.float64)

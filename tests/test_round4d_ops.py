@@ -307,3 +307,29 @@ def test_event_transitions_counts_and_probs():
     assert list(zip(got["prev_type"], got["next_type"],
                     got["c"])) == [("a", "b", 2), ("b", "a", 1)]
     assert np.allclose(got["p"], [1.0, 1.0])
+
+
+# ---- kcore_bounded ------------------------------------------------------------
+
+
+def test_kcore_bounded_peels_tree_fringe():
+    from pyrdf2vec_ray.ops.graph import kcore_bounded
+
+    # square 1-2-3-4 (the 2-core) with pendant chain 4-5-6: round 1
+    # removes 6 (deg 1), round 2 removes 5 — two rounds to the fixpoint.
+    df = pd.DataFrame(
+        {"a": np.array([1, 2, 3, 4, 4, 5], dtype=np.int64),
+         "b": np.array([2, 3, 4, 1, 5, 6], dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(2)
+
+    got = (to_table(kcore_bounded(ds, k=2, rounds=3)).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    assert got["v"].tolist() == [1, 2, 3, 4]
+    assert got["d"].tolist() == [2, 2, 2, 2]
+
+    # a single bounded round only strips vertex 6 — 5 still shows
+    # with its residual degree 1
+    one = (to_table(kcore_bounded(ds, k=2, rounds=1)).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    assert one["v"].tolist() == [1, 2, 3, 4, 5]
+    assert one["d"].tolist() == [2, 2, 2, 3, 1]
