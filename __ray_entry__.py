@@ -1563,6 +1563,58 @@ def q_events_transitions(sf_dir: str):
     return event_transitions(ev)
 
 
+def q_doc_winsorize(sf_dir: str):
+    """Per-language winsorization (ops/agg.winsorize_by_group): n_chars
+    clipped into each lang's exact discrete [p5, p95] — histogram-fit
+    quantiles, broadcast cut table, stateless clamp; integer domain so
+    the quantile_disc + least/greatest oracle is bit-exact."""
+    from pyrdf2vec_ray.ops.agg import winsorize_by_group
+
+    docs = _docs(sf_dir, columns=("doc_id", "lang", "n_chars"))
+    return winsorize_by_group(docs, "lang", "n_chars", "doc_id",
+                              q_lo=0.05, q_hi=0.95)
+
+
+def q_doc_dedup_best(sf_dir: str):
+    """Keep-BEST exact dedup (ops/dedup.dedup_keep_best): per identical
+    text, the duplicate with the largest n_chars survives (ties by
+    smallest doc_id) — canonical-representative selection, not
+    keep-first.  Duplicates are PLANTED (every doc_id % 4 == 0 shares a
+    template keyed by doc_id % 50 while keeping its ORIGINAL n_chars as
+    the score) identically on both engines, so the argmax does real
+    work."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.dedup import dedup_keep_best
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "n_chars"))
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        tmpl = "Shared template " + (ids % 50).astype(str)
+        text = batch["text"].astype(str).where(ids % 4 != 0, tmpl)
+        return pd.DataFrame({"doc_id": ids, "text": text,
+                             "n_chars": batch["n_chars"].astype("int64")})
+
+    return dedup_keep_best(docs.map_batches(plant, batch_format="pandas"),
+                           score_col="n_chars")
+
+
+def q_events_rolling(sf_dir: str):
+    """Daily totals + trailing 7-day rolling sum (ops/events.
+    rolling_daily): integer-cents daily reduce, k-fold replication of
+    the tiny daily table, second day reduce, inner join back — the SQL
+    RANGE-window oracle is bit-exact because only the final output
+    divides cents back to float."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import rolling_daily
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return rolling_daily(ev, window_days=7)
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -2856,6 +2908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q_events_sliding,
         "doc_quality": q_doc_quality,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_dedup_best": q_doc_dedup_best,
+        "doc_winsorize": q_doc_winsorize,
         "hll_registers": q_hll_registers,
         "events_hll_daily": q_events_hll_daily,
         "doc_lang_id": q_doc_lang_id,
@@ -2872,9 +2926,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_comentions": q_kg_comentions,
         "embedding_clusters": q_embedding_clusters,
         "kmeans_step": q_kmeans_step,
-        "order_triangles": q_order_triangles,
-        "kg_link_predict": q_kg_link_predict,
-        "kg_kcore": q_kg_kcore,
         "embedding_neighbor_mean": q_embedding_neighbor_mean,
         "events_transitions": q_events_transitions,
         "part_er_pairs": q_part_er_pairs,
@@ -2892,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_order": q_doc_shuffle_order,
         "doc_ecdf": q_doc_ecdf,
         "events_hourly": q_events_hourly,
+        "events_rolling": q_events_rolling,
         "tokens_distinct_by_lang": q_tokens_distinct_by_lang,
         "doc_zscore": q_doc_zscore,
         "events_retention": q_events_retention,
@@ -2947,6 +2999,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walks_all_vertices": q_walks_all_vertices,
         "bfs_walks_checkpointed": q_bfs_walks_checkpointed,
         # rows-only (non-SQL-expressible)
+        "order_triangles": q_order_triangles,
+        "kg_link_predict": q_kg_link_predict,
+        "kg_kcore": q_kg_kcore,
         "construct_triples": q_construct_triples,
         "media_resized": q_media_resized,
         "media_frames": q_media_frames,
@@ -3094,6 +3149,38 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
             FROM documents GROUP BY md5(text)
+        """,
+        "doc_dedup_best": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN 'Shared template '
+                               || CAST(doc_id % 50 AS VARCHAR)
+                          ELSE text END AS text,
+                     n_chars
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, md5(text) AS text_hash, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                        ORDER BY n_chars DESC, doc_id)
+                       AS rn
+              FROM planted
+            )
+            SELECT doc_id, text_hash, CAST(n_chars AS BIGINT) AS n_chars
+            FROM ranked WHERE rn = 1
+        """,
+        "doc_winsorize": """
+            WITH cuts AS (
+              SELECT lang,
+                     quantile_disc(n_chars, 0.05) AS lo,
+                     quantile_disc(n_chars, 0.95) AS hi
+              FROM documents GROUP BY lang
+            )
+            SELECT d.lang, d.doc_id, d.n_chars,
+                   CAST(least(greatest(d.n_chars, c.lo), c.hi) AS BIGINT)
+                     AS clipped
+            FROM documents d JOIN cuts c USING (lang)
         """,
         "doc_tfidf": r"""
             WITH toks AS (
@@ -4076,6 +4163,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_rolling": """
+            WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     sum(CAST(round(value * 100) AS BIGINT)) AS c
+              FROM events GROUP BY 1
+            )
+            SELECT day, c / 100.0 AS total,
+                   (sum(c) OVER (ORDER BY day
+                                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                 AND CURRENT ROW)) / 100.0 AS rolling
+            FROM daily
         """,
         "events_interval_join": """
             WITH d AS (

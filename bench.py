@@ -391,6 +391,24 @@ def run_benchmarks() -> dict:
 
     timed("knn_bruteforce", bench_knn)
 
+    # 8. graph analytics: bounded k-core peeling over the full KG edge
+    # set (3 rounds of degree-count + two anti-joins, edge set pinned
+    # per round) — the iterative-graph stage of the ops/graph family
+    # (new in round 4 — NOT part of the round-1-comparable subset)
+    def bench_graph():
+        import pandas as pd
+
+        from pyrdf2vec_ray.ops.graph import kcore_bounded
+
+        def as_ab(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"a": batch["subj"], "b": batch["obj"]})
+
+        edges = tpch_triples(SF_DIR).map_batches(
+            as_ab, batch_format="pandas")
+        return kcore_bounded(edges, k=3, rounds=3).count()
+
+    timed("graph_analytics", bench_graph, max_repeat=2)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "kg_construct+walks+dataops wall time",

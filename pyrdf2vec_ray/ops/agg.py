@@ -457,3 +457,54 @@ def global_topn(
     merged = bucket_apply(parts, ["_salt"], per_salt,
                           num_buckets=num_salt, batch_format="pandas")
     return merged.repartition(1).map_batches(final, batch_format="pandas")
+
+
+def winsorize_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """(group, id, value, clipped): per-group winsorization — values
+    clipped into the group's exact discrete [q_lo, q_hi] quantile range
+    (``quantile_disc`` rank rule, same as :func:`grouped_quantiles`),
+    the standard outlier-capping transform before length/quality
+    features feed a model.  On an integer value domain the output is
+    bit-reproducible in SQL.
+
+    Scale shape: the quantile fit is the histogram shuffle of
+    :func:`grouped_quantiles` (bounded by the value domain); the cut
+    table is groups x 2 (driver-scale by construction), broadcast once
+    via ``ray.put``; the corpus itself clips in a stateless map with no
+    shuffle — the :func:`filter_by_group_quantile` shape with a clamp
+    instead of a filter."""
+    import ray
+
+    from pyrdf2vec_ray.util import to_table
+
+    qt = to_table(grouped_quantiles(
+        ds.select_columns([group_col, value_col]), group_col, value_col,
+        (q_lo, q_hi), num_buckets=num_buckets,
+    )).to_pandas()
+    lo_t = qt[qt["q"] == q_lo].sort_values(group_col)
+    hi_t = qt[qt["q"] == q_hi].sort_values(group_col)
+    keys = lo_t[group_col].to_numpy().astype(np.str_)
+    lo = lo_t[value_col].to_numpy()
+    hi = hi_t[value_col].to_numpy()
+    ref = ray.put((keys, lo, hi))
+
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        k, lo_a, hi_a = ray.get(ref)
+        idx = np.searchsorted(k, batch[group_col].to_numpy().astype(np.str_))
+        v = batch[value_col].to_numpy()
+        return pd.DataFrame(
+            {group_col: batch[group_col].to_numpy(),
+             id_col: batch[id_col].to_numpy(),
+             value_col: v,
+             "clipped": np.minimum(np.maximum(v, lo_a[idx]), hi_a[idx])})
+
+    return ds.select_columns([group_col, id_col, value_col]).map_batches(
+        clip, batch_format="pandas")

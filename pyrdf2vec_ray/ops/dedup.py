@@ -513,3 +513,42 @@ def semdedup(
 
     return bucket_apply(routed, ["cluster"], dedup_cluster,
                         num_buckets=None, batch_format="pandas")
+
+
+def dedup_keep_best(
+    docs: ray.data.Dataset,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, text_hash, score): exact dedup that keeps the BEST
+    duplicate instead of the first — per identical text, the row with
+    the highest ``score_col`` (ties by smallest id).  This is canonical-
+    representative selection: after scoring (quality, length, source
+    rank), the curation pass keeps one high-quality copy per content
+    group rather than an arbitrary one — :func:`exact_dedup`'s contract
+    upgraded from min-id to argmax-score.
+
+    Scale shape identical to exact_dedup: content hash, ONE int-bucket
+    shuffle, vectorized per-bucket argmax via a (score desc, id asc)
+    sort + drop_duplicates — no sort-based string groupby, no driver
+    state."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    def h(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[id_col, score_col]].copy()
+        out["text_hash"] = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in batch["text"].astype(str)
+        ]
+        return out
+
+    hashed = docs.map_batches(h, batch_format="pandas", batch_size=8192)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_hash", score_col, id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.drop_duplicates("text_hash")
+        return out[[id_col, "text_hash", score_col]].reset_index(drop=True)
+
+    return bucket_apply(hashed, ["text_hash"], per_bucket,
+                        batch_format="pandas")

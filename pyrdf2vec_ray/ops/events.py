@@ -654,3 +654,69 @@ def event_transitions(
              / batch["tot"].to_numpy(np.float64)})
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def rolling_daily(
+    events: ray.data.Dataset,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> ray.data.Dataset:
+    """(day, total, rolling): daily value totals plus the trailing
+    ``window_days``-day rolling sum (the ``SUM OVER (ORDER BY day RANGE
+    k-1 PRECEDING)`` window) — the revenue/traffic trend feature.
+    Money math is exact: values aggregate as integer cents
+    (``round(value*100)``) and only the final output divides back to
+    float, so the SQL window oracle matches bit-for-bit.
+
+    Shuffle shape: per-batch partial (epoch-day, cents) sums, ONE tiny
+    day-bucket reduce (the daily table is date-range-bounded, not
+    event-bounded), then each day's total REPLICATES to its next
+    ``window_days`` day slots — k tiny rows per day, never a re-scan of
+    events — and a second day-bucket reduce; the inner join back onto
+    the daily table keeps exactly the days that exist (RANGE window
+    semantics).  Events are read once."""
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (batch[ts_col].dt.floor("D").astype("datetime64[s]")
+               .astype("int64") // 86400)
+        cents = np.round(
+            batch[value_col].to_numpy(np.float64) * 100).astype(np.int64)
+        return (pd.DataFrame({"day": day.to_numpy(), "c": cents})
+                .groupby("day", as_index=False).agg(c=("c", "sum")))
+
+    partials = events.select_columns([ts_col, value_col]).map_batches(
+        partial, batch_format="pandas", batch_size=65536)
+    daily = bucket_agg(partials, ["day"], {"c": ("c", "sum")},
+                       pre=False).materialize()
+
+    k = int(window_days)
+
+    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["day"].to_numpy()
+        c = batch["c"].to_numpy()
+        return pd.DataFrame(
+            {"day": np.repeat(d, k) + np.tile(np.arange(k, dtype=np.int64),
+                                              len(d)),
+             "rc": np.repeat(c, k)})
+
+    roll = bucket_agg(daily.map_batches(replicate, batch_format="pandas"),
+                      ["day"], {"rc": ("rc", "sum")})
+
+    i8 = np.dtype("int64")
+    out = hash_join(daily, roll, on=["day"],
+                    rschema={"day": i8, "rc": i8})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (batch["day"].to_numpy() * 86400).astype(
+            "datetime64[s]").astype("datetime64[us]")
+        return pd.DataFrame(
+            {"day": day,
+             "total": batch["c"].to_numpy(np.float64) / 100.0,
+             "rolling": batch["rc"].to_numpy(np.float64) / 100.0})
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -333,3 +333,66 @@ def test_kcore_bounded_peels_tree_fringe():
            .sort_values("v").reset_index(drop=True))
     assert one["v"].tolist() == [1, 2, 3, 4, 5]
     assert one["d"].tolist() == [2, 2, 2, 3, 1]
+
+
+# ---- winsorize_by_group -------------------------------------------------------
+
+
+def test_winsorize_clips_to_group_quantiles():
+    from pyrdf2vec_ray.ops.agg import winsorize_by_group
+
+    # group a: values 1..10 → p5 cut = ceil(10*.05)=1st element = 1?
+    # use q 0.2/0.8: lo = ceil(10*0.2)=2nd = 2, hi = ceil(10*0.8)=8th = 8
+    df = pd.DataFrame(
+        {"g": ["a"] * 10 + ["b"] * 3,
+         "i": np.arange(13, dtype=np.int64),
+         "v": np.r_[np.arange(1, 11), [100, 200, 300]].astype(np.int64)})
+    got = (to_table(winsorize_by_group(
+        ray.data.from_pandas(df).repartition(3), "g", "v", "i",
+        q_lo=0.2, q_hi=0.8)).to_pandas()
+        .sort_values("i").reset_index(drop=True))
+    a = got[got["g"] == "a"]["clipped"].tolist()
+    assert a == [2, 2, 3, 4, 5, 6, 7, 8, 8, 8]
+    # group b: lo = ceil(3*.2)=1st = 100, hi = ceil(3*.8)=3rd = 300
+    assert got[got["g"] == "b"]["clipped"].tolist() == [100, 200, 300]
+
+
+# ---- dedup_keep_best ----------------------------------------------------------
+
+
+def test_dedup_keep_best_argmax_and_ties():
+    from pyrdf2vec_ray.ops.dedup import dedup_keep_best
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(5, dtype=np.int64),
+         "text": ["same", "same", "same", "other", "other"],
+         "score": np.array([3, 9, 9, 5, 5], dtype=np.int64)})
+    got = (to_table(dedup_keep_best(
+        ray.data.from_pandas(df).repartition(2), score_col="score"))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # "same": max score 9 tie between ids 1 and 2 → id 1;
+    # "other": tie at 5 → id 3
+    assert got["doc_id"].tolist() == [1, 3]
+    assert got["score"].tolist() == [9, 5]
+
+
+# ---- rolling_daily ------------------------------------------------------------
+
+
+def test_rolling_daily_window_sums():
+    from pyrdf2vec_ray.ops.events import rolling_daily
+
+    base = pd.Timestamp("2024-03-01")
+    # days 0, 1, 2 and a gap to day 5: the 3-day window at day 5 only
+    # reaches back to day 3 — days 0-2 fall out.
+    df = pd.DataFrame(
+        {"ts": [base, base + pd.Timedelta(days=1),
+                base + pd.Timedelta(days=2), base + pd.Timedelta(days=5)],
+         "value": [1.25, 2.50, 4.00, 8.00]})
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    got = (to_table(rolling_daily(ray.data.from_pandas(df).repartition(2),
+                                  window_days=3))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    assert got["total"].tolist() == [1.25, 2.50, 4.00, 8.00]
+    # rolling(3): d0=1.25, d1=3.75, d2=7.75, d5=8.0 (gap breaks reach)
+    assert got["rolling"].tolist() == [1.25, 3.75, 7.75, 8.00]
