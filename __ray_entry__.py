@@ -1615,6 +1615,31 @@ def q_events_rolling(sf_dir: str):
     return rolling_daily(ev, window_days=7)
 
 
+def q_doc_temperature_sample(sf_dir: str):
+    """sqrt-temperature multilingual resampling (ops/curate.
+    temperature_sample): expected kept count per lang proportional to
+    sqrt(n_lang), capped at rate 1 — all-integer thresholds (Python
+    bigints vs HUGEINT) over the shared splitmix64 hash, bit-exact."""
+    from pyrdf2vec_ray.ops.curate import temperature_sample
+
+    docs = _docs(sf_dir, columns=("doc_id", "lang"))
+    return temperature_sample(docs, "lang", target=300, seed=5)
+
+
+def q_events_hot_users(sf_dir: str):
+    """Skew diagnostic (ops/agg.hot_keys): the 10 heaviest user_ids in
+    the event stream with counts and corpus share — what a 100-TB job
+    runs before choosing between plain bucket shuffles, salting and
+    broadcast."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import hot_keys
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hot_keys(ev, "user_id", k=10)
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -2899,6 +2924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_redact_pii": q_doc_redact_pii,
         "doc_splits": q_doc_splits,
         "doc_sample_stratified": q_doc_sample_stratified,
+        "doc_temperature_sample": q_doc_temperature_sample,
+        "events_hot_users": q_events_hot_users,
         "doc_repetition": q_doc_repetition,
         "doc_normalize": q_doc_normalize,
         "doc_text_stats": q_doc_text_stats,
@@ -3042,6 +3069,7 @@ def oracle_sql() -> dict[str, str]:
         assign_splits_sql,
         chunk_documents_sql,
         sample_by_hash_sql,
+        temperature_sample_sql,
         budget_sample_sql,
         interleave_sources_sql,
         sample_exact_per_group_sql,
@@ -3214,6 +3242,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_splits": assign_splits_sql(seed=7),
+        "doc_temperature_sample": temperature_sample_sql(
+            target=300, seed=5),
+        "events_hot_users": """
+            WITH c AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id
+            ),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c)
+            SELECT user_id, n, n / tot.t AS share
+            FROM c, tot ORDER BY n DESC, user_id LIMIT 10
+        """,
         "doc_sample_stratified": sample_by_hash_sql(
             rates_by="lang", rates=_SAMPLE_RATES, default_rate=1.0, seed=11
         ),

@@ -508,3 +508,38 @@ def winsorize_by_group(
 
     return ds.select_columns([group_col, id_col, value_col]).map_batches(
         clip, batch_format="pandas")
+
+
+def hot_keys(
+    ds: ray.data.Dataset,
+    key_col: str,
+    k: int = 10,
+) -> ray.data.Dataset:
+    """(key, n, share): the k heaviest keys of a column with their row
+    counts and corpus share — the skew DIAGNOSTIC the shuffle operators'
+    partitioning contracts assume you run first ("a hot key's rows all
+    land in one bucket; callers salt hot keys").  Surfacing the top
+    offenders and their mass is how a 100-TB job decides between plain
+    bucket shuffles, salting, and broadcast before launching the
+    expensive stage.
+
+    Scale shape: per-batch partial counts → one key-bucket reduce (the
+    count table is key-cardinality-sized, already aggregated) → the
+    bounded-fan-in :func:`global_topn` merge; the total for `share` sums
+    the count table, never re-scanning rows.  Ties on n break by key
+    ascending (cast to string for cross-type determinism)."""
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    counts = bucket_agg(ds.select_columns([key_col]), [key_col],
+                        {"n": (key_col, "size")}).materialize()
+    total = int(counts.sum("n"))
+
+    top = global_topn(counts, k, score_col="n", id_col=key_col)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {key_col: batch[key_col],
+             "n": batch["n"].to_numpy().astype(np.int64),
+             "share": batch["n"].to_numpy(np.float64) / float(total)})
+
+    return top.map_batches(finish, batch_format="pandas")

@@ -1068,3 +1068,85 @@ def priority_sample_sql(
         f"SELECT {key}, {weight_col}, priority FROM pri\n"
         f"ORDER BY priority DESC, {key} LIMIT {n}"
     )
+
+
+def temperature_sample(
+    docs: ray.data.Dataset,
+    group_col: str,
+    target: int,
+    seed: int = 0,
+    key: str = "doc_id",
+) -> ray.data.Dataset:
+    """sqrt-temperature multilingual resampling (the alpha = 0.5 point
+    of the mBERT/XLM-R temperature family): sample so the EXPECTED kept
+    count per group is ``target * sqrt(n_g) / sum_m sqrt(n_m)`` — rare
+    groups are upweighted relative to their corpus share, capped at
+    keeping every row (rate <= 1).  Alpha is fixed at 0.5 deliberately:
+    IEEE-754 specifies sqrt exactly (bit-identical on every engine)
+    while pow() is libm-dependent, so this is the one temperature whose
+    thresholds are bit-reproducible in SQL.
+
+    Determinism contract of the sample_by_hash family: keep a row iff
+    ``splitmix64(key ^ seed) % 10000 < t_g`` with
+    ``t_g = min(10000, (10000 * target * isqrt(n_g)) // (n_g * D))``,
+    ``D = sum isqrt(n)`` — ALL-INTEGER arithmetic (Python bigints here,
+    HUGEINT in the oracle), so no float sum-order hazard anywhere.
+
+    Scale shape: ONE group-count shuffle (groups-scale table to the
+    driver — languages, not rows), then a stateless per-row hash filter;
+    no corpus shuffle, stable under repartition/resume."""
+    from pyrdf2vec_ray.shuffle import bucket_count
+    from pyrdf2vec_ray.util import to_table
+
+    counts = to_table(bucket_count(
+        docs.select_columns([group_col]), [group_col], "n")).to_pandas()
+    n_by = {g: int(n) for g, n in zip(counts[group_col], counts["n"])}
+    s_by = {g: int(np.floor(np.sqrt(float(n)))) for g, n in n_by.items()}
+    den = sum(s_by.values())
+    thr = {
+        g: min(_N_BUCKETS,
+               (_N_BUCKETS * int(target) * s_by[g]) // (n_by[g] * den))
+        for g in n_by
+    }
+
+    def samp(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[key].to_numpy(dtype=np.int64).view(np.uint64)
+        h = (splitmix64(ids ^ np.uint64(seed))
+             % np.uint64(_N_BUCKETS)).astype(np.int64)
+        t = batch[group_col].map(lambda v: thr.get(v, 0)).to_numpy(
+            dtype=np.int64)
+        out = pd.DataFrame({key: batch[key].reset_index(drop=True),
+                            group_col: batch[group_col].reset_index(
+                                drop=True)})
+        return out[h < t].reset_index(drop=True)
+
+    return docs.select_columns([key, group_col]).map_batches(
+        samp, batch_format="pandas")
+
+
+def temperature_sample_sql(
+    table: str = "documents",
+    group_col: str = "lang",
+    target: int = 300,
+    seed: int = 0,
+    key: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`temperature_sample` — counts, isqrt and
+    the integer-division thresholds computed IN SQL (HUGEINT), shared
+    splitmix64 fragment."""
+    return (
+        f"WITH _sm_in AS (SELECT {key}, {group_col} FROM {table}),\n"
+        f"{splitmix64_sql(key, seed)},\n"
+        f"b AS (SELECT {key}, {group_col}, "
+        f"CAST(h % {_N_BUCKETS} AS BIGINT) AS b FROM s3),\n"
+        f"cnt AS (SELECT {group_col}, count(*) AS n FROM {table} "
+        f"GROUP BY {group_col}),\n"
+        f"sq AS (SELECT {group_col}, n, "
+        f"CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s FROM cnt),\n"
+        f"dd AS (SELECT CAST(sum(s) AS HUGEINT) AS d FROM sq),\n"
+        f"thr AS (SELECT {group_col}, least(CAST({_N_BUCKETS} AS HUGEINT), "
+        f"(CAST({_N_BUCKETS} AS HUGEINT) * {int(target)} * s) "
+        f"// (CAST(n AS HUGEINT) * dd.d)) AS t FROM sq, dd)\n"
+        f"SELECT b.{key}, b.{group_col} FROM b "
+        f"JOIN thr USING ({group_col}) WHERE b.b < thr.t"
+    )

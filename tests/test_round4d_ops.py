@@ -396,3 +396,65 @@ def test_rolling_daily_window_sums():
     assert got["total"].tolist() == [1.25, 2.50, 4.00, 8.00]
     # rolling(3): d0=1.25, d1=3.75, d2=7.75, d5=8.0 (gap breaks reach)
     assert got["rolling"].tolist() == [1.25, 3.75, 7.75, 8.00]
+
+
+# ---- temperature_sample -------------------------------------------------------
+
+
+def test_temperature_sample_rates_and_caps():
+    from pyrdf2vec_ray.ops.curate import temperature_sample
+
+    # 160 'big' docs and 10 'rare' docs; target 40.
+    # isqrt: s_big=12, s_rare=3, D=15.
+    # t_big = (10000*40*12)//(160*15) = 2000 → rate 0.2
+    # t_rare = (10000*40*3)//(10*15) = 8000 → rate 0.8 (rare upweighted)
+    n_big, n_rare = 160, 10
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n_big + n_rare, dtype=np.int64),
+         "lang": ["big"] * n_big + ["rare"] * n_rare})
+    got = (to_table(temperature_sample(
+        ray.data.from_pandas(df).repartition(3), "lang", target=40,
+        seed=5)).to_pandas())
+    kept = got["lang"].value_counts()
+    # the hash filter is deterministic: verify exact membership by
+    # recomputing the thresholds locally
+    from pyrdf2vec_ray.ops.curate import _N_BUCKETS, splitmix64
+
+    h = (splitmix64(np.arange(n_big + n_rare, dtype=np.int64)
+                    .view(np.uint64) ^ np.uint64(5))
+         % np.uint64(_N_BUCKETS)).astype(np.int64)
+    exp_big = int((h[:n_big] < 2000).sum())
+    exp_rare = int((h[n_big:] < 8000).sum())
+    assert kept.get("big", 0) == exp_big
+    assert kept.get("rare", 0) == exp_rare
+    # and the rare group is kept at a much higher RATE than the big one
+    assert exp_rare / n_rare > exp_big / n_big
+
+
+def test_temperature_sample_rate_capped_at_one():
+    from pyrdf2vec_ray.ops.curate import temperature_sample
+
+    # target larger than the corpus: every row's rate caps at 1
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                       "lang": ["a", "a", "a", "b", "b", "b"]})
+    got = to_table(temperature_sample(
+        ray.data.from_pandas(df), "lang", target=1000)).to_pandas()
+    assert len(got) == 6
+
+
+# ---- hot_keys -----------------------------------------------------------------
+
+
+def test_hot_keys_counts_share_and_ties():
+    from pyrdf2vec_ray.ops.agg import hot_keys
+
+    df = pd.DataFrame({"k": np.array(
+        [1] * 5 + [2] * 3 + [3] * 3 + [4] * 1, dtype=np.int64)})
+    got = (to_table(hot_keys(ray.data.from_pandas(df).repartition(3),
+                             "k", k=3)).to_pandas()
+           .sort_values(["n", "k"], ascending=[False, True])
+           .reset_index(drop=True))
+    # tie between keys 2 and 3 at n=3 → both kept, key asc
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["n"].tolist() == [5, 3, 3]
+    assert np.allclose(got["share"], [5 / 12, 3 / 12, 3 / 12])
