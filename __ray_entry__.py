@@ -1640,6 +1640,21 @@ def q_events_hot_users(sf_dir: str):
     return hot_keys(ev, "user_id", k=10)
 
 
+def q_basket_lift(sf_dir: str):
+    """Market-basket association mining (ops/mining.basket_lift): part
+    pairs co-purchased in >= 3 orders, with lift and confidence —
+    distinct (order, part), order-bucket pair generation, min-support
+    prune BEFORE the item-frequency joins.  Oracle: the same self-join
+    + frequency joins with one shared float expression per score."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.mining import basket_lift
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    return basket_lift(li, "l_orderkey", "l_partkey", min_support=3)
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -3025,10 +3040,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_walks_customers": q_bfs_walks_customers,
         "walks_all_vertices": q_walks_all_vertices,
         "bfs_walks_checkpointed": q_bfs_walks_checkpointed,
-        # rows-only (non-SQL-expressible)
+        # heavy oracled graph queries (run after the cheap oracles)
+        "basket_lift": q_basket_lift,
         "order_triangles": q_order_triangles,
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
+        # rows-only (non-SQL-expressible)
         "construct_triples": q_construct_triples,
         "media_resized": q_media_resized,
         "media_frames": q_media_frames,
@@ -3425,6 +3442,27 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts, event_id), ts),
                         -1) AS BIGINT) AS gap_us
             FROM events
+        """,
+        "basket_lift": """
+            WITH d AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem
+            ),
+            nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM d),
+            pc AS (
+              SELECT x.i AS item_a, y.i AS item_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM d x JOIN d y ON x.b = y.b AND x.i < y.i
+              GROUP BY x.i, y.i HAVING count(*) >= 3
+            ),
+            ic AS (SELECT i, CAST(count(*) AS DOUBLE) AS n FROM d GROUP BY i)
+            SELECT pc.item_a, pc.item_b, pc.n_ab,
+                   (CAST(pc.n_ab AS DOUBLE) * nb.n) / (ia.n * ib.n) AS lift,
+                   CAST(pc.n_ab AS DOUBLE) / ia.n AS confidence
+            FROM pc
+            JOIN ic ia ON ia.i = pc.item_a
+            JOIN ic ib ON ib.i = pc.item_b
+            CROSS JOIN nb
         """,
         "kg_kcore": _kcore_sql(3, 3),
         "kg_link_predict": _TRIPLES_CTE + """,

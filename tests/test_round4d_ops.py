@@ -458,3 +458,26 @@ def test_hot_keys_counts_share_and_ties():
     assert got["k"].tolist() == [1, 2, 3]
     assert got["n"].tolist() == [5, 3, 3]
     assert np.allclose(got["share"], [5 / 12, 3 / 12, 3 / 12])
+
+
+# ---- basket_lift --------------------------------------------------------------
+
+
+def test_basket_lift_hand_computed():
+    from pyrdf2vec_ray.ops.mining import basket_lift
+
+    # 4 baskets; pair (1,2) in baskets 10,20,30; (1,3) only in 10.
+    # duplicate (10,1) row must collapse before pair generation.
+    df = pd.DataFrame(
+        {"b": np.array([10, 10, 10, 10, 20, 20, 30, 30, 40],
+                       dtype=np.int64),
+         "i": np.array([1, 1, 2, 3, 1, 2, 1, 2, 3], dtype=np.int64)})
+    got = (to_table(basket_lift(ray.data.from_pandas(df).repartition(3),
+                                "b", "i", min_support=2))
+           .to_pandas().sort_values(["item_a", "item_b"])
+           .reset_index(drop=True))
+    assert list(zip(got["item_a"], got["item_b"], got["n_ab"])) == [
+        (1, 2, 3)]
+    # N=4 baskets, n_1=3, n_2=3 → lift = 3*4/(3*3); conf = 3/3
+    assert abs(got["lift"].iloc[0] - 12 / 9) < 1e-12
+    assert got["confidence"].iloc[0] == 1.0
