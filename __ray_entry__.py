@@ -1655,6 +1655,26 @@ def q_basket_lift(sf_dir: str):
     return basket_lift(li, "l_orderkey", "l_partkey", min_support=3)
 
 
+def q_kg_vertex_ids(sf_dir: str):
+    """Deterministic dictionary encoding (shuffle.dense_ids): every KG
+    vertex gets a dense int64 id = its rank under (md5(name), name) —
+    partition-count- and cluster-independent, resume-stable.  Oracle:
+    ROW_NUMBER over the same ordering."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.shuffle import dense_ids
+
+    triples = _triples(sf_dir)
+
+    def verts(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame({"v": np.concatenate(
+            [batch["subj"].to_numpy(), batch["obj"].to_numpy()])})
+
+    return dense_ids(triples.map_batches(verts, batch_format="pandas"), "v")
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -3042,6 +3062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_walks_checkpointed": q_bfs_walks_checkpointed,
         # heavy oracled graph queries (run after the cheap oracles)
         "basket_lift": q_basket_lift,
+        "kg_vertex_ids": q_kg_vertex_ids,
         "order_triangles": q_order_triangles,
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
@@ -3463,6 +3484,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN ic ia ON ia.i = pc.item_a
             JOIN ic ib ON ib.i = pc.item_b
             CROSS JOIN nb
+        """,
+        "kg_vertex_ids": _TRIPLES_CTE + """,
+            verts AS (
+              SELECT subj AS v FROM triples
+              UNION SELECT obj FROM triples
+            )
+            SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY md5(v), v) - 1
+                           AS BIGINT) AS vid
+            FROM verts
         """,
         "kg_kcore": _kcore_sql(3, 3),
         "kg_link_predict": _TRIPLES_CTE + """,

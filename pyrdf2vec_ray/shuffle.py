@@ -197,3 +197,63 @@ def segment_spans(part_sorted):
     starts = np.concatenate([[0], np.nonzero(np.diff(part_sorted))[0] + 1])
     lens = np.diff(np.concatenate([starts, [len(part_sorted)]]))
     return starts, lens
+
+
+def dense_ids(
+    ds: ray.data.Dataset,
+    col: str,
+    parts_pow2: int = 6,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """(col, vid): deterministic dense int64 ids for a string column's
+    DISTINCT values — ``vid`` = 0-based rank when the distinct values
+    are sorted by ``(md5(value), value)``.  Dictionary encoding for
+    pipelines whose keys are IRIs/strings: encode once, run every
+    downstream exchange (wedges, pair aggregations, joins) on int64
+    keys, decode only the output.  Ids depend ONLY on the value set —
+    not on partitioning, bucket count, or cluster size — so they are
+    resume-stable and bit-reproducible in SQL
+    (``ROW_NUMBER() OVER (ORDER BY md5(v), v) - 1``).
+
+    Distributed rank without a global sort (the shuffle_order
+    technique, ops/curate.py): md5 is uniform, so its top
+    ``parts_pow2`` bits range-partition the values into near-equal
+    parts; per-part counts are a 2**parts_pow2-row aggregate (driver
+    prefix sum), then ONE bucket shuffle ranks each part locally and
+    adds its base.  The md5 loop mirrors ops/dedup.add_text_hash
+    (per-value C calls; vertex tables are distinct-value-scale, not
+    row-scale)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    n_parts = 1 << parts_pow2
+
+    d = distinct(ds.select_columns([col]), [col],
+                 num_buckets=num_buckets)
+
+    def hashed(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[col].astype(str)
+        hx = [hashlib.md5(v.encode()).hexdigest() for v in vals]
+        prefix = np.array([int(h[:16], 16) for h in hx], dtype=np.uint64)
+        part = (prefix >> np.uint64(64 - parts_pow2)).astype(np.int64)
+        return pd.DataFrame({col: vals.to_numpy(), "hx": hx, "part": part})
+
+    hs = d.map_batches(hashed, batch_format="pandas",
+                       batch_size=8192).materialize()
+    base_ref = part_prefix_bases(hs, "part", None, n_parts)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        bases = _ray.get(base_ref)
+        order = np.lexsort((g[col].to_numpy(), g["hx"].to_numpy(),
+                            g["part"].to_numpy()))
+        g = g.iloc[order].reset_index(drop=True)
+        part = g["part"].to_numpy(dtype=np.int64)
+        starts, lens = segment_spans(part)
+        within = np.arange(len(g), dtype=np.int64) - np.repeat(starts, lens)
+        return pd.DataFrame({col: g[col], "vid": bases[part] + within})
+
+    return bucket_apply(hs, ["part"], per_bucket, batch_format="pandas")

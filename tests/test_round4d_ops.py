@@ -481,3 +481,29 @@ def test_basket_lift_hand_computed():
     # N=4 baskets, n_1=3, n_2=3 → lift = 3*4/(3*3); conf = 3/3
     assert abs(got["lift"].iloc[0] - 12 / 9) < 1e-12
     assert got["confidence"].iloc[0] == 1.0
+
+
+# ---- dense_ids ----------------------------------------------------------------
+
+
+def test_dense_ids_rank_and_stability():
+    import hashlib
+
+    from pyrdf2vec_ray.shuffle import dense_ids
+
+    vals = [f"iri:{i}" for i in range(120)] + ["iri:7", "iri:8"]  # dups
+    df = pd.DataFrame({"v": vals})
+    got = (to_table(dense_ids(ray.data.from_pandas(df).repartition(4),
+                              "v")).to_pandas()
+           .sort_values("vid").reset_index(drop=True))
+    exp = sorted(set(vals),
+                 key=lambda v: (hashlib.md5(v.encode()).hexdigest(), v))
+    assert got["v"].tolist() == exp
+    assert got["vid"].tolist() == list(range(len(exp)))
+
+    # ids are partitioning-independent: a different repartition gives
+    # the identical mapping
+    again = (to_table(dense_ids(ray.data.from_pandas(df).repartition(9),
+                                "v")).to_pandas()
+             .sort_values("vid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
