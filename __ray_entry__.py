@@ -1675,6 +1675,28 @@ def q_kg_vertex_ids(sf_dir: str):
     return dense_ids(triples.map_batches(verts, batch_format="pandas"), "v")
 
 
+def q_kg_closure(sf_dir: str):
+    """Transitive closure (ops/graph.transitive_closure) of the KG's
+    hierarchy-shaped relations — placed_by / in_nation / in_region
+    chains (order -> customer -> nation -> region), a DAG of depth 3,
+    closed exactly in 2 doubling rounds.  Oracle: recursive-CTE
+    reachability over the same edge subset."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.graph import transitive_closure
+
+    triples = _triples(sf_dir)
+
+    def hierarchy(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["pred"].isin(["placed_by", "in_nation", "in_region"])
+        b = batch[keep]
+        return pd.DataFrame({"a": b["subj"].to_numpy(),
+                             "b": b["obj"].to_numpy()})
+
+    edges = triples.map_batches(hierarchy, batch_format="pandas")
+    return transitive_closure(edges, rounds=2)
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -3063,6 +3085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # heavy oracled graph queries (run after the cheap oracles)
         "basket_lift": q_basket_lift,
         "kg_vertex_ids": q_kg_vertex_ids,
+        "kg_closure": q_kg_closure,
         "order_triangles": q_order_triangles,
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
@@ -3493,6 +3516,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY md5(v), v) - 1
                            AS BIGINT) AS vid
             FROM verts
+        """,
+        "kg_closure": _TRIPLES_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1) + """,
+            e AS (
+              SELECT subj AS src, obj AS dst FROM triples
+              WHERE pred IN ('placed_by', 'in_nation', 'in_region')
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+            )
+            SELECT src, dst FROM reach
         """,
         "kg_kcore": _kcore_sql(3, 3),
         "kg_link_predict": _TRIPLES_CTE + """,

@@ -20,7 +20,7 @@ import pandas as pd
 import ray.data
 
 __all__ = ["triangle_counts", "link_scores", "neighbor_mean_features",
-           "kcore_bounded"]
+           "kcore_bounded", "transitive_closure"]
 
 
 def triangle_counts(
@@ -432,3 +432,71 @@ def kcore_bounded(
             rschema={"b": vd}).materialize()
 
     return degrees(cur)
+
+
+def transitive_closure(
+    edges: ray.data.Dataset,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> ray.data.Dataset:
+    """All ordered pairs (src, dst) with a directed path src → dst of
+    length >= 1 — the transitive-closure primitive behind RDFS-style
+    reasoning (subClassOf / skos:broader chains), materialized-path
+    ancestry tables, and reachability features.  Path DOUBLING: round i
+    composes the current relation with itself (R ← R ∪ R∘R), so paths
+    up to length 2^rounds are covered in ``rounds`` join rounds —
+    O(log diameter) sequential exchanges instead of the
+    O(diameter) of naive frontier expansion (the reference only ever
+    walks paths; it has no closure operator).
+
+    EXACT when ``2^rounds >= the longest simple path`` (the TPC-H KG is
+    a DAG of depth 4, so rounds=3 closes it); with fewer rounds this is
+    the documented bounded-depth closure, same contract as
+    :func:`kcore_bounded`'s bounded peel.
+
+    Scale shape per round: one mid-vertex-bucket hash join (schema-
+    hinted, single-execution) + one pair-distinct; the relation is
+    pinned per round (it feeds both join sides and the union).  Ceiling
+    is the closure ITSELF: reachability pair counts grow quadratically
+    in dense graphs — closure is for hierarchy-shaped (DAG-ish, bounded
+    fan-in) relations, not social graphs."""
+    from pyrdf2vec_ray.ops.join import _dtypes_of, hash_join
+    from pyrdf2vec_ray.shuffle import distinct
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": batch[a_col].to_numpy(),
+                             "dst": batch[b_col].to_numpy()})
+
+    cur = distinct(edges.map_batches(canon, batch_format="pandas"),
+                   ["src", "dst"]).materialize()
+    vd = _dtypes_of(cur, None)["src"]
+    pair_schema = {"src": vd, "dst": vd}
+
+    for _ in range(int(rounds)):
+        def as_left(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"src": batch["src"].to_numpy(),
+                                 "m": batch["dst"].to_numpy()})
+
+        def as_right(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"m": batch["src"].to_numpy(),
+                                 "dst": batch["dst"].to_numpy()})
+
+        comp = hash_join(
+            cur.map_batches(as_left, batch_format="pandas"),
+            cur.map_batches(as_right, batch_format="pandas"),
+            on=["m"], lschema={"src": vd, "m": vd},
+            rschema={"m": vd, "dst": vd})
+
+        def drop_m(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["src", "dst"]]
+            return out[out["src"] != out["dst"]].reset_index(drop=True)
+
+        nxt = distinct(
+            cur.union(comp.map_batches(drop_m, batch_format="pandas")),
+            ["src", "dst"]).materialize()
+        if nxt.count() == cur.count():
+            return nxt  # fixpoint: further rounds are the identity
+        cur = nxt
+
+    return cur

@@ -507,3 +507,27 @@ def test_dense_ids_rank_and_stability():
                                 "v")).to_pandas()
              .sort_values("vid").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, again)
+
+
+# ---- transitive_closure -------------------------------------------------------
+
+
+def test_transitive_closure_chain_and_dag():
+    from pyrdf2vec_ray.ops.graph import transitive_closure
+
+    # chain 1->2->3->4->5 plus a shortcut 2->4: closure is every
+    # (i, j) with i < j reachable — here all i<j pairs on the chain.
+    df = pd.DataFrame({"a": np.array([1, 2, 3, 4, 2], dtype=np.int64),
+                       "b": np.array([2, 3, 4, 5, 4], dtype=np.int64)})
+    got = (to_table(transitive_closure(
+        ray.data.from_pandas(df).repartition(2), rounds=3)).to_pandas()
+        .sort_values(["src", "dst"]).reset_index(drop=True))
+    exp = sorted((i, j) for i in range(1, 6) for j in range(i + 1, 6))
+    assert list(zip(got["src"], got["dst"])) == exp
+
+    # bounded depth: one doubling round covers paths of length <= 2
+    one = (to_table(transitive_closure(ray.data.from_pandas(df),
+                                       rounds=1)).to_pandas())
+    pairs = set(zip(one["src"].astype(int), one["dst"].astype(int)))
+    assert (1, 3) in pairs and (1, 4) in pairs  # len 2 via chain+shortcut
+    assert (1, 5) not in pairs                  # needs length 3
