@@ -1697,6 +1697,25 @@ def q_kg_closure(sf_dir: str):
     return transitive_closure(edges, rounds=2)
 
 
+def q_kg_negative_edges(sf_dir: str):
+    """Deterministic negative-edge sampling (ops/graph.negative_edges):
+    2 hash-derived corruption targets per KG vertex in the dense-id
+    space, self-loops skipped, true edges anti-joined away — the
+    KG-embedding training companion to the positive triple stream.
+    Oracle: the same splitmix64/dense-id arithmetic in SQL."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.graph import negative_edges
+
+    triples = _triples(sf_dir)
+
+    def as_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["subj"], "b": batch["obj"]})
+
+    edges = triples.map_batches(as_edges, batch_format="pandas")
+    return negative_edges(edges, k=2, seed=9)
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -3086,6 +3105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_lift": q_basket_lift,
         "kg_vertex_ids": q_kg_vertex_ids,
         "kg_closure": q_kg_closure,
+        "kg_negative_edges": q_kg_negative_edges,
         "order_triangles": q_order_triangles,
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
@@ -3516,6 +3536,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY md5(v), v) - 1
                            AS BIGINT) AS vid
             FROM verts
+        """,
+        "kg_negative_edges": _TRIPLES_CTE + """,
+            verts AS (
+              SELECT subj AS v FROM triples
+              UNION SELECT obj FROM triples
+            ),
+            ids AS (
+              SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY md5(v), v) - 1
+                             AS BIGINT) AS vid
+              FROM verts
+            ),
+            vv AS (SELECT CAST(count(*) AS UBIGINT) AS nv FROM ids),
+            c0 AS (
+              SELECT ids.v AS src, ids.vid AS sid, gs.i
+              FROM ids CROSS JOIN (SELECT unnest(range(2)) AS i) gs
+            ),
+        """ + splitmix64_sql("(sid * 2 + i)", 9, src="c0") + """,
+            did AS (
+              SELECT src, sid, i,
+                     CAST(h % (SELECT nv FROM vv) AS BIGINT) AS did
+              FROM s3
+            ),
+            named AS (
+              SELECT d.src, x.v AS dst, d.i
+              FROM did d JOIN ids x ON x.vid = d.did
+              WHERE d.did <> d.sid
+            ),
+            e AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples)
+            SELECT n.src, n.dst, CAST(n.i AS BIGINT) AS i
+            FROM named n
+            LEFT JOIN e ON n.src = e.src AND n.dst = e.dst
+            WHERE e.src IS NULL
         """,
         "kg_closure": _TRIPLES_CTE.replace(
             "WITH ", "WITH RECURSIVE ", 1) + """,

@@ -20,7 +20,7 @@ import pandas as pd
 import ray.data
 
 __all__ = ["triangle_counts", "link_scores", "neighbor_mean_features",
-           "kcore_bounded", "transitive_closure"]
+           "kcore_bounded", "transitive_closure", "negative_edges"]
 
 
 def triangle_counts(
@@ -500,3 +500,83 @@ def transitive_closure(
         cur = nxt
 
     return cur
+
+
+def negative_edges(
+    edges: ray.data.Dataset,
+    k: int,
+    seed: int = 0,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> ray.data.Dataset:
+    """(src, dst, i): k DETERMINISTIC negative samples per vertex —
+    candidate targets drawn by hashing into the dense vertex-id space
+    (``dst_id = splitmix64((src_id*k + i) ^ seed) % V``), self-loops
+    skipped, true directed edges anti-joined away.  The corruption-
+    sampling primitive KG-embedding training objectives (TransE-style
+    margin losses, SGNS over graphs) need NEXT to the positive edge
+    stream; hash-derived like every sampler in this engine, so the
+    negative set is reproducible under any partitioning/resume and in
+    SQL — no RNG stream, no driver state.
+
+    Scale shape: one :func:`pyrdf2vec_ray.shuffle.dense_ids` encoding
+    (the iterative-reuse regime that utility is for), a stateless k-fold
+    candidate expansion over the vertex-id table (vertex-scale, not
+    edge-scale), one vid-bucket decode join and one pair-bucket
+    anti-join against the true edges.  Expected output ≈ V·k minus
+    accidental-hit and self-loop losses; callers needing EXACTLY k per
+    vertex oversample and top-k per src downstream."""
+    from pyrdf2vec_ray.ops.curate import splitmix64
+    from pyrdf2vec_ray.ops.join import _dtypes_of, hash_join, hash_semi_join
+    from pyrdf2vec_ray.shuffle import dense_ids, distinct
+
+    def verts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": np.concatenate(
+            [batch[a_col].to_numpy(), batch[b_col].to_numpy()])})
+
+    vmap = dense_ids(edges.map_batches(verts, batch_format="pandas"),
+                     "v").materialize()
+    n_verts = int(vmap.count())
+    kk = int(k)
+
+    def gen(batch: pd.DataFrame) -> pd.DataFrame:
+        sid = batch["vid"].to_numpy(dtype=np.int64)
+        src = np.repeat(batch["v"].to_numpy(), kk)
+        sid_r = np.repeat(sid, kk)
+        i = np.tile(np.arange(kk, dtype=np.int64), len(sid))
+        key = (sid_r * kk + i).view(np.uint64)
+        did = (splitmix64(key ^ np.uint64(seed))
+               % np.uint64(n_verts)).astype(np.int64)
+        keep = did != sid_r
+        return pd.DataFrame({"src": src[keep], "vid": did[keep],
+                             "i": i[keep]})
+
+    cands = vmap.map_batches(gen, batch_format="pandas")
+    vd = _dtypes_of(vmap, None)["v"]
+    i8 = np.dtype("int64")
+
+    def as_dst(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vid": batch["vid"].to_numpy(),
+                             "dst": batch["v"].to_numpy()})
+
+    named = hash_join(cands, vmap.map_batches(as_dst,
+                                              batch_format="pandas"),
+                      on=["vid"], lschema={"src": vd, "vid": i8, "i": i8},
+                      rschema={"vid": i8, "dst": vd})
+
+    def pair_cols(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": batch["src"].to_numpy(),
+                             "dst": batch["dst"].to_numpy(),
+                             "i": batch["i"].to_numpy()})
+
+    def true_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": batch[a_col].to_numpy(),
+                             "dst": batch[b_col].to_numpy()})
+
+    e = distinct(edges.map_batches(true_pairs, batch_format="pandas"),
+                 ["src", "dst"])
+    return hash_semi_join(
+        named.map_batches(pair_cols, batch_format="pandas"), e,
+        on=["src", "dst"], anti=True,
+        lschema={"src": vd, "dst": vd, "i": i8},
+        rschema={"src": vd, "dst": vd})

@@ -531,3 +531,41 @@ def test_transitive_closure_chain_and_dag():
     pairs = set(zip(one["src"].astype(int), one["dst"].astype(int)))
     assert (1, 3) in pairs and (1, 4) in pairs  # len 2 via chain+shortcut
     assert (1, 5) not in pairs                  # needs length 3
+
+
+# ---- negative_edges -----------------------------------------------------------
+
+
+def test_negative_edges_deterministic_and_disjoint():
+    import hashlib
+
+    from pyrdf2vec_ray.ops.curate import splitmix64
+    from pyrdf2vec_ray.ops.graph import negative_edges
+
+    df = pd.DataFrame({"a": ["x", "y", "z", "x"],
+                       "b": ["y", "z", "w", "w"]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    got = (to_table(negative_edges(ds, k=3, seed=4)).to_pandas()
+           .sort_values(["src", "i"]).reset_index(drop=True))
+
+    # reference: dense ids by (md5, name), then the same hash chain
+    verts = sorted({"x", "y", "z", "w"},
+                   key=lambda v: (hashlib.md5(v.encode()).hexdigest(), v))
+    vid = {v: n for n, v in enumerate(verts)}
+    edges = {("x", "y"), ("y", "z"), ("z", "w"), ("x", "w")}
+    exp = set()
+    for v in verts:
+        for i in range(3):
+            key = np.uint64(vid[v] * 3 + i)
+            did = int(splitmix64(np.array([key ^ np.uint64(4)]))[0]
+                      % np.uint64(4))
+            dst = verts[did]
+            if dst != v and (v, dst) not in edges:
+                exp.add((v, dst, i))
+    assert set(zip(got["src"], got["dst"], got["i"])) == exp
+    # every emitted pair is a TRUE negative
+    assert not (set(zip(got["src"], got["dst"])) & edges)
+    # rerun under a different partitioning: identical sample
+    again = (to_table(negative_edges(ray.data.from_pandas(df), k=3,
+                                     seed=4)).to_pandas())
+    assert set(zip(again["src"], again["dst"], again["i"])) == exp
