@@ -1716,6 +1716,39 @@ def q_kg_negative_edges(sf_dir: str):
     return negative_edges(edges, k=2, seed=9)
 
 
+def q_customer_nation_broadcast(sf_dir: str):
+    """Broadcast equi-join (ops/join.broadcast_join): customers against
+    the 25-row nation dimension — ZERO shuffles, the strategy
+    complement to hash_join for dimension-table sides.  Oracle: plain
+    SQL join."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.join import broadcast_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"])
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+
+    def key(batch):
+        import pandas as pd
+
+        return pd.DataFrame({"c_custkey": batch["c_custkey"],
+                             "c_name": batch["c_name"],
+                             "nationkey": batch["c_nationkey"]})
+
+    def nkey(batch):
+        import pandas as pd
+
+        return pd.DataFrame({"nationkey": batch["n_nationkey"],
+                             "n_name": batch["n_name"]})
+
+    return broadcast_join(cust.map_batches(key, batch_format="pandas"),
+                          nat.map_batches(nkey, batch_format="pandas"),
+                          on=["nationkey"])
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -3070,6 +3103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_sweep1": q_lpa_sweep1,
         "pagerank_iter1": q_pagerank_iter1,
         "join_orders_customer": q_join_orders_customer,
+        "customer_nation_broadcast": q_customer_nation_broadcast,
         "media_features_milli": q_media_features_milli,
         "events_interval_join": q_events_interval_join,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3536,6 +3570,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY md5(v), v) - 1
                            AS BIGINT) AS vid
             FROM verts
+        """,
+        "customer_nation_broadcast": """
+            SELECT c.c_custkey, c.c_name,
+                   c.c_nationkey AS nationkey, n.n_name
+            FROM customer c JOIN nation n
+              ON n.n_nationkey = c.c_nationkey
         """,
         "kg_negative_edges": _TRIPLES_CTE + """,
             verts AS (

@@ -201,3 +201,44 @@ def hash_semi_join(
 
     return bucket_apply(tagged, on, filter_bucket,
                         num_buckets=num_buckets, batch_format="pandas")
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    how: str = "inner",
+    rsuffix: str = "_r",
+) -> ray.data.Dataset:
+    """Equi-join where ``right`` is SMALL (dimension-table scale): the
+    right side is collected once, ``ray.put`` into the object store,
+    and every left batch merges against the shared copy in a stateless
+    map — ZERO shuffles, the strategy complement to :func:`hash_join`
+    (both-sides-large, one co-partitioning exchange).  This is the
+    same broadcast discipline as the entity-linker's candidate index
+    (stages/link.CandidateIndex) promoted to a general join: use it
+    when ``right`` fits comfortably in one worker's heap (dimension
+    tables, fitted cut/stat tables), hash_join otherwise.
+
+    The driver holds the right table exactly once (bounded by
+    definition of "small side"); workers read the broadcast zero-copy
+    from the object store, never per batch."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    import ray
+
+    from pyrdf2vec_ray.util import to_table
+
+    rdf = to_table(right).to_pandas()
+    for key in on:
+        if key not in rdf.columns:
+            raise ValueError(f"join key {key!r} missing from right")
+    ref = ray.put(rdf)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        rmap = {c: (c + rsuffix if c in batch.columns and c not in on
+                    else c) for c in r.columns}
+        return batch.merge(r.rename(columns=rmap), on=on, how=how)
+
+    return left.map_batches(merge, batch_format="pandas")

@@ -569,3 +569,28 @@ def test_negative_edges_deterministic_and_disjoint():
     again = (to_table(negative_edges(ray.data.from_pandas(df), k=3,
                                      seed=4)).to_pandas())
     assert set(zip(again["src"], again["dst"], again["i"])) == exp
+
+
+# ---- broadcast_join -----------------------------------------------------------
+
+
+def test_broadcast_join_inner_left_and_collision_suffix():
+    from pyrdf2vec_ray.ops.join import broadcast_join
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.array([1, 2, 3], dtype=np.int64),
+         "x": ["a", "b", "c"]})).repartition(2)
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.array([1, 3], dtype=np.int64),
+         "x": ["R1", "R3"]}))
+
+    inner = (to_table(broadcast_join(left, right, on=["k"]))
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    assert inner["k"].tolist() == [1, 3]
+    assert inner["x"].tolist() == ["a", "c"]       # left keeps its name
+    assert inner["x_r"].tolist() == ["R1", "R3"]   # right gets suffix
+
+    lj = (to_table(broadcast_join(left, right, on=["k"], how="left"))
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    assert lj["k"].tolist() == [1, 2, 3]
+    assert lj["x_r"].isna().tolist() == [False, True, False]
