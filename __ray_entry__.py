@@ -4402,7 +4402,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": """
             WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                     sum(CAST(round(value * 100) AS BIGINT)) AS c
+                     sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
               FROM events GROUP BY 1
             )
             SELECT day, c / 100.0 AS total,

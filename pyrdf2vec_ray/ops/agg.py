@@ -187,9 +187,13 @@ def zscore_by_group(
         [group_col],
         {"n": ("n", "sum"), "s": ("s", "sum"), "ss": ("ss", "sum")},
         pre=False,
-    )).to_pandas().sort_values(group_col)
+    )).to_pandas()
+    # sort under STRING order to match the str-cast searchsorted lookup
+    # (numeric group columns sort differently: '10' < '2')
+    stats = stats.assign(
+        _k=stats[group_col].astype(str)).sort_values("_k")
 
-    keys = stats[group_col].to_numpy().astype(np.str_)
+    keys = stats["_k"].to_numpy().astype(np.str_)
     n = stats["n"].to_numpy(dtype=np.int64)
     s = stats["s"].to_numpy(dtype=np.int64)
     ss = stats["ss"].to_numpy(dtype=np.int64)
@@ -394,8 +398,11 @@ def filter_by_group_quantile(
 
     qt = to_table(grouped_quantiles(
         ds, group_col, value_col, (q,), num_buckets=num_buckets,
-    )).to_pandas().sort_values(group_col)
-    keys = qt[group_col].to_numpy().astype(np.str_)
+    )).to_pandas()
+    # sort under STRING order — the lookup keys are str-cast, and
+    # numeric group columns sort differently ('10' < '2')
+    qt = qt.assign(_k=qt[group_col].astype(str)).sort_values("_k")
+    keys = qt["_k"].to_numpy().astype(np.str_)
     cuts = qt[value_col].to_numpy()
     ref = ray.put((keys, cuts))
 
@@ -438,8 +445,16 @@ def global_topn(
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.sort_values(by, ascending=asc).head(n).copy()
-        b["_salt"] = (b[id_col].to_numpy(dtype=np.int64)
-                      % np.int64(num_salt))
+        ids = b[id_col]
+        if ids.dtype.kind in "iu":
+            salt = ids.to_numpy(dtype=np.int64) % np.int64(num_salt)
+        else:
+            # string/other ids: deterministic pandas hash (fixed key),
+            # so the salted round works for ANY id dtype — salting only
+            # needs spread, not order
+            salt = (pd.util.hash_pandas_object(ids, index=False)
+                    .to_numpy() % np.uint64(num_salt)).astype(np.int64)
+        b["_salt"] = salt
         return b
 
     def per_salt(g: pd.DataFrame) -> pd.DataFrame:
@@ -489,9 +504,13 @@ def winsorize_by_group(
         ds.select_columns([group_col, value_col]), group_col, value_col,
         (q_lo, q_hi), num_buckets=num_buckets,
     )).to_pandas()
-    lo_t = qt[qt["q"] == q_lo].sort_values(group_col)
-    hi_t = qt[qt["q"] == q_hi].sort_values(group_col)
-    keys = lo_t[group_col].to_numpy().astype(np.str_)
+    # the lookup searchsorted runs on STRING keys, so the cut arrays
+    # must be sorted under string order too (numeric group columns
+    # sort differently: '10' < '2')
+    qt = qt.assign(_k=qt[group_col].astype(str)).sort_values("_k")
+    lo_t = qt[qt["q"] == q_lo]
+    hi_t = qt[qt["q"] == q_hi]
+    keys = lo_t["_k"].to_numpy().astype(np.str_)
     lo = lo_t[value_col].to_numpy()
     hi = hi_t[value_col].to_numpy()
     ref = ray.put((keys, lo, hi))
@@ -532,7 +551,9 @@ def hot_keys(
 
     counts = bucket_agg(ds.select_columns([key_col]), [key_col],
                         {"n": (key_col, "size")}).materialize()
-    total = int(counts.sum("n"))
+    # Dataset.sum on an EMPTY dataset returns None — or-0 keeps the
+    # empty-stream diagnostic returning an empty result
+    total = int(counts.sum("n") or 0)
 
     top = global_topn(counts, k, score_col="n", id_col=key_col)
 

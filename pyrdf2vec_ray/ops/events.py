@@ -666,8 +666,10 @@ def rolling_daily(
     ``window_days``-day rolling sum (the ``SUM OVER (ORDER BY day RANGE
     k-1 PRECEDING)`` window) — the revenue/traffic trend feature.
     Money math is exact: values aggregate as integer cents
-    (``round(value*100)``) and only the final output divides back to
-    float, so the SQL window oracle matches bit-for-bit.
+    (``floor(value*100 + 0.5)`` — explicit half-up, since np.round is
+    half-to-even and DuckDB round() half-away-from-zero) and only the
+    final output divides back to float, so the SQL window oracle
+    matches bit-for-bit.
 
     Shuffle shape: per-batch partial (epoch-day, cents) sums, ONE tiny
     day-bucket reduce (the daily table is date-range-bounded, not
@@ -684,8 +686,13 @@ def rolling_daily(
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         day = (batch[ts_col].dt.floor("D").astype("datetime64[s]")
                .astype("int64") // 86400)
-        cents = np.round(
-            batch[value_col].to_numpy(np.float64) * 100).astype(np.int64)
+        # floor(x + 0.5): an EXPLICIT half-up in IEEE ops shared with
+        # the SQL oracle — np.round is half-to-even while DuckDB
+        # round() is half-away-from-zero, so neither builtin is
+        # bit-portable on exact .5 products
+        cents = np.floor(
+            batch[value_col].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
         return (pd.DataFrame({"day": day.to_numpy(), "c": cents})
                 .groupby("day", as_index=False).agg(c=("c", "sum")))
 

@@ -233,6 +233,21 @@ def broadcast_join(
     for key in on:
         if key not in rdf.columns:
             raise ValueError(f"join key {key!r} missing from right")
+    if how == "left":
+        # same hazard hash_join.join_bucket guards: batches with
+        # unmatched keys promote plain int/uint right columns to
+        # float64 (splitting the block schema across batches AND
+        # corrupting uint64 >= 2^53) — nullable extension dtypes
+        # merge without promotion, so EVERY batch emits one schema
+        _nullable = {"i": "Int64", "u": "UInt64", "f": "Float64",
+                     "b": "boolean"}
+        rdf = rdf.copy()
+        for c in rdf.columns:
+            if c in on:
+                continue
+            ext = _nullable.get(rdf[c].dtype.kind)
+            if ext is not None:
+                rdf[c] = rdf[c].astype(ext)
     ref = ray.put(rdf)
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:

@@ -1240,8 +1240,10 @@ def collocations_pmi(
     uni = bucket_agg(tokens, ["w"], {"c": ("w", "size")}).materialize()
 
     # scalar totals from the count tables — no second corpus pass
-    n_tokens = int(uni.sum("c"))
-    n_bigrams = int(big.sum("c12"))
+    # (Dataset.sum on an EMPTY dataset returns None: or-0 keeps the
+    # degenerate corpus flowing to an empty result instead of crashing)
+    n_tokens = int(uni.sum("c") or 0)
+    n_bigrams = int(big.sum("c12") or 0)
 
     def prune(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[batch["c12"] >= min_count].reset_index(drop=True)

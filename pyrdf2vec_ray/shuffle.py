@@ -234,11 +234,17 @@ def dense_ids(
                  num_buckets=num_buckets)
 
     def hashed(batch: pd.DataFrame) -> pd.DataFrame:
-        vals = batch[col].astype(str)
-        hx = [hashlib.md5(v.encode()).hexdigest() for v in vals]
+        # hash the STRING FORM but keep the column's original dtype —
+        # integer-keyed callers (e.g. ops/graph.negative_edges over an
+        # int edge list) must get their own dtype back for downstream
+        # joins; the SQL parity form for non-string columns is
+        # md5(CAST(v AS VARCHAR))
+        hx = [hashlib.md5(str(v).encode()).hexdigest()
+              for v in batch[col]]
         prefix = np.array([int(h[:16], 16) for h in hx], dtype=np.uint64)
         part = (prefix >> np.uint64(64 - parts_pow2)).astype(np.int64)
-        return pd.DataFrame({col: vals.to_numpy(), "hx": hx, "part": part})
+        return pd.DataFrame({col: batch[col].to_numpy(), "hx": hx,
+                             "part": part})
 
     hs = d.map_batches(hashed, batch_format="pandas",
                        batch_size=8192).materialize()

@@ -170,3 +170,97 @@ def test_neighbor_mean_matches_numpy():
         exp_vec = V[nbrs].astype(np.float64).mean(axis=0)
         gv = got[got["v"] == v].sort_values("dim")["nbr_mean"].to_numpy()
         assert np.allclose(gv, exp_vec, atol=1e-12)
+
+
+# ---- code-review regression pins ---------------------------------------------
+
+
+def test_winsorize_numeric_group_column():
+    from pyrdf2vec_ray.ops.agg import winsorize_by_group
+
+    # numeric group keys whose STRING order differs from numeric order
+    # ('10' < '2'): the cut lookup must still route each row to its own
+    # group's cuts
+    df = pd.DataFrame(
+        {"g": np.array([2] * 10 + [10] * 10, dtype=np.int64),
+         "i": np.arange(20, dtype=np.int64),
+         "v": np.r_[np.arange(1, 11), np.arange(101, 111)].astype(np.int64)})
+    got = (to_table(winsorize_by_group(
+        ray.data.from_pandas(df).repartition(3), "g", "v", "i",
+        q_lo=0.2, q_hi=0.8)).to_pandas()
+        .sort_values("i").reset_index(drop=True))
+    assert got[got["g"] == 2]["clipped"].tolist() == [
+        2, 2, 3, 4, 5, 6, 7, 8, 8, 8]
+    assert got[got["g"] == 10]["clipped"].tolist() == [
+        102, 102, 103, 104, 105, 106, 107, 108, 108, 108]
+
+
+def test_zscore_numeric_group_column():
+    from pyrdf2vec_ray.ops.agg import zscore_by_group
+
+    df = pd.DataFrame(
+        {"g": np.array([2, 2, 2, 10, 10, 10], dtype=np.int64),
+         "i": np.arange(6, dtype=np.int64),
+         "v": np.array([1, 2, 3, 100, 200, 300], dtype=np.int64)})
+    got = (to_table(zscore_by_group(
+        ray.data.from_pandas(df).repartition(2), "g", "v", "i"))
+        .to_pandas().sort_values("i").reset_index(drop=True))
+    # each group standardizes against ITS OWN mean/std
+    assert np.allclose(got[got["g"] == 2]["zscore"], [-1.0, 0.0, 1.0])
+    assert np.allclose(got[got["g"] == 10]["zscore"], [-1.0, 0.0, 1.0])
+
+
+def test_hot_keys_string_column():
+    from pyrdf2vec_ray.ops.agg import hot_keys
+
+    df = pd.DataFrame({"lang": ["en"] * 5 + ["de"] * 3 + ["fr"] * 2})
+    got = (to_table(hot_keys(ray.data.from_pandas(df).repartition(2),
+                             "lang", k=2)).to_pandas()
+           .sort_values("n", ascending=False).reset_index(drop=True))
+    assert got["lang"].tolist() == ["en", "de"]
+    assert got["n"].tolist() == [5, 3]
+
+
+def test_negative_edges_int_vertices():
+    from pyrdf2vec_ray.ops.graph import negative_edges
+
+    df = pd.DataFrame({"a": np.array([1, 2, 3], dtype=np.int64),
+                       "b": np.array([2, 3, 4], dtype=np.int64)})
+    got = to_table(negative_edges(
+        ray.data.from_pandas(df).repartition(2), k=4, seed=1)).to_pandas()
+    assert got["src"].dtype.kind == "i" and got["dst"].dtype.kind == "i"
+    edges = {(1, 2), (2, 3), (3, 4)}
+    assert not (set(zip(got["src"].astype(int),
+                        got["dst"].astype(int))) & edges)
+    assert (got["src"] != got["dst"]).all()
+
+
+def test_broadcast_join_left_int_dtype_stability():
+    from pyrdf2vec_ray.ops.join import broadcast_join
+
+    big = 9223372036854775807 - 8  # near int64 max: float64 would corrupt
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.array([1, 2, 3], dtype=np.int64)})).repartition(3)
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.array([1, 3], dtype=np.int64),
+         "pay": np.array([big, big - 1], dtype=np.int64)}))
+    got = (to_table(broadcast_join(left, right, on=["k"], how="left"))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # matched values survive EXACTLY (no float64 promotion), miss is NA
+    assert got["pay"].iloc[0] == big
+    assert got["pay"].iloc[2] == big - 1
+    assert pd.isna(got["pay"].iloc[1])
+
+
+def test_collocations_and_hot_keys_empty_input():
+    from pyrdf2vec_ray.ops.agg import hot_keys
+    from pyrdf2vec_ray.ops.text import collocations_pmi
+
+    empty_docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": pd.array([], dtype="int64"),
+         "text": pd.array([], dtype=str)}))
+    assert to_table(collocations_pmi(empty_docs)).num_rows == 0
+
+    empty_keys = ray.data.from_pandas(pd.DataFrame(
+        {"k": pd.array([], dtype="int64")}))
+    assert to_table(hot_keys(empty_keys, "k")).num_rows == 0
