@@ -1749,6 +1749,27 @@ def q_customer_nation_broadcast(sf_dir: str):
                           on=["nationkey"])
 
 
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: predicted vs labeled language
+    counts — the evaluation-style composition (ops/text.lang_id ∘
+    hash_join ∘ bucket_count) a curation pipeline runs to validate its
+    classifier against a labeled slice.  Oracle: the shared lang-ID SQL
+    joined back to the labels."""
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.ops.text import lang_id
+    from pyrdf2vec_ray.shuffle import bucket_count
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+    pred = lang_id(docs)
+    o, i8 = np.dtype("O"), np.dtype("int64")
+    joined = hash_join(
+        docs.select_columns(["doc_id", "lang"]), pred, on=["doc_id"],
+        rschema={"doc_id": i8, "lang_pred": o})
+    return bucket_count(joined, ["lang", "lang_pred"], "n")
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -3049,6 +3070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": q_hll_registers,
         "events_hll_daily": q_events_hll_daily,
         "doc_lang_id": q_doc_lang_id,
+        "lang_confusion": q_lang_confusion,
         "orders_by_month": q_orders_by_month,
         "knn_bruteforce": q_knn_bruteforce,
         "doc_topk_by_lang": q_doc_topk_by_lang,
@@ -3176,6 +3198,29 @@ WITH triples AS (
   UNION
   SELECT 'part:' || l_partkey, 'supplied_by', 'supplier:' || l_suppkey FROM lineitem
 )
+"""
+
+
+_LANG_ID_SQL = """
+    WITH h AS (
+      SELECT doc_id,
+        len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+            t -> t IN ('der','die','und','das','ist','nicht','ein','mit','von','zu'))) AS de,
+        len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+            t -> t IN ('the','and','of','to','a','in','is','it','that','was'))) AS en,
+        len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+            t -> t IN ('el','la','de','que','los','una','es','por','con','para'))) AS es,
+        len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+            t -> t IN ('le','la','et','les','des','un','une','est','que','pour'))) AS fr
+      FROM documents
+    )
+    SELECT doc_id, CASE
+      WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de'
+      WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+      WHEN es >= fr AND es > 0 THEN 'es'
+      WHEN fr > 0 THEN 'fr'
+      ELSE 'und' END AS lang_pred
+    FROM h
 """
 
 
@@ -4465,27 +4510,12 @@ def oracle_sql() -> dict[str, str]:
             FROM l ASOF JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
-        "doc_lang_id": """
-            WITH h AS (
-              SELECT doc_id,
-                len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
-                    t -> t IN ('der','die','und','das','ist','nicht','ein','mit','von','zu'))) AS de,
-                len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
-                    t -> t IN ('the','and','of','to','a','in','is','it','that','was'))) AS en,
-                len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
-                    t -> t IN ('el','la','de','que','los','una','es','por','con','para'))) AS es,
-                len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
-                    t -> t IN ('le','la','et','les','des','un','une','est','que','pour'))) AS fr
-              FROM documents
-            )
-            SELECT doc_id, CASE
-              WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de'
-              WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
-              WHEN es >= fr AND es > 0 THEN 'es'
-              WHEN fr > 0 THEN 'fr'
-              ELSE 'und' END AS lang_pred
-            FROM h
-        """,
+        "doc_lang_id": _LANG_ID_SQL,
+        "lang_confusion": (
+            "SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents d JOIN (" + _LANG_ID_SQL + ") p "
+            "ON p.doc_id = d.doc_id GROUP BY d.lang, p.lang_pred"
+        ),
         "doc_quality": """
             WITH w AS (
               SELECT doc_id, text,
