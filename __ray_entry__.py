@@ -1770,6 +1770,42 @@ def q_lang_confusion(sf_dir: str):
     return bucket_count(joined, ["lang", "lang_pred"], "n")
 
 
+def q_kg_training_pairs(sf_dir: str):
+    """Link-prediction training-set assembly: every distinct directed
+    KG edge as a positive (label 1) unioned with the deterministic
+    negative samples (label 0, k=2, seed=9) — the labeled-pair table a
+    KG-embedding trainer consumes.  Pure composition of kg_triples'
+    distinct edges and ops/graph.negative_edges; the oracle unions the
+    same two definitions."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.graph import negative_edges
+    from pyrdf2vec_ray.shuffle import distinct
+
+    triples = _triples(sf_dir)
+
+    def as_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["subj"], "b": batch["obj"]})
+
+    edges = triples.map_batches(as_edges, batch_format="pandas")
+
+    def pos(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": batch["a"], "dst": batch["b"]})
+        out["label"] = 1
+        return out
+
+    def neg(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": batch["src"], "dst": batch["dst"]})
+        out["label"] = 0
+        return out
+
+    positives = distinct(edges, ["a", "b"]).map_batches(
+        pos, batch_format="pandas")
+    negatives = negative_edges(edges, k=2, seed=9).map_batches(
+        neg, batch_format="pandas")
+    return positives.union(negatives)
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -3162,6 +3198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_vertex_ids": q_kg_vertex_ids,
         "kg_closure": q_kg_closure,
         "kg_negative_edges": q_kg_negative_edges,
+        "kg_training_pairs": q_kg_training_pairs,
         "order_triangles": q_order_triangles,
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
@@ -3221,6 +3258,42 @@ _LANG_ID_SQL = """
       WHEN fr > 0 THEN 'fr'
       ELSE 'und' END AS lang_pred
     FROM h
+"""
+
+
+from pyrdf2vec_ray.ops.curate import splitmix64_sql  # noqa: E402  (module-level: _NEG_EDGES_SQL composes it)
+
+_NEG_EDGES_SQL = _TRIPLES_CTE + """,
+    verts AS (
+      SELECT subj AS v FROM triples
+      UNION SELECT obj FROM triples
+    ),
+    ids AS (
+      SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY md5(v), v) - 1
+                     AS BIGINT) AS vid
+      FROM verts
+    ),
+    vv AS (SELECT CAST(count(*) AS UBIGINT) AS nv FROM ids),
+    c0 AS (
+      SELECT ids.v AS src, ids.vid AS sid, gs.i
+      FROM ids CROSS JOIN (SELECT unnest(range(2)) AS i) gs
+    ),
+""" + splitmix64_sql("(sid * 2 + i)", 9, src="c0") + """,
+    did AS (
+      SELECT src, sid, i,
+             CAST(h % (SELECT nv FROM vv) AS BIGINT) AS did
+      FROM s3
+    ),
+    named AS (
+      SELECT d.src, x.v AS dst, d.i
+      FROM did d JOIN ids x ON x.vid = d.did
+      WHERE d.did <> d.sid
+    ),
+    e AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples)
+    SELECT n.src, n.dst, CAST(n.i AS BIGINT) AS i
+    FROM named n
+    LEFT JOIN e ON n.src = e.src AND n.dst = e.dst
+    WHERE e.src IS NULL
 """
 
 
@@ -3622,38 +3695,15 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c JOIN nation n
               ON n.n_nationkey = c.c_nationkey
         """,
-        "kg_negative_edges": _TRIPLES_CTE + """,
-            verts AS (
-              SELECT subj AS v FROM triples
-              UNION SELECT obj FROM triples
-            ),
-            ids AS (
-              SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY md5(v), v) - 1
-                             AS BIGINT) AS vid
-              FROM verts
-            ),
-            vv AS (SELECT CAST(count(*) AS UBIGINT) AS nv FROM ids),
-            c0 AS (
-              SELECT ids.v AS src, ids.vid AS sid, gs.i
-              FROM ids CROSS JOIN (SELECT unnest(range(2)) AS i) gs
-            ),
-        """ + splitmix64_sql("(sid * 2 + i)", 9, src="c0") + """,
-            did AS (
-              SELECT src, sid, i,
-                     CAST(h % (SELECT nv FROM vv) AS BIGINT) AS did
-              FROM s3
-            ),
-            named AS (
-              SELECT d.src, x.v AS dst, d.i
-              FROM did d JOIN ids x ON x.vid = d.did
-              WHERE d.did <> d.sid
-            ),
-            e AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples)
-            SELECT n.src, n.dst, CAST(n.i AS BIGINT) AS i
-            FROM named n
-            LEFT JOIN e ON n.src = e.src AND n.dst = e.dst
-            WHERE e.src IS NULL
-        """,
+        "kg_negative_edges": _NEG_EDGES_SQL,
+        "kg_training_pairs": (
+            "SELECT src, dst, CAST(1 AS BIGINT) AS label FROM ("
+            + _TRIPLES_CTE
+            + " SELECT DISTINCT subj AS src, obj AS dst FROM triples) "
+            "UNION ALL "
+            "SELECT src, dst, CAST(0 AS BIGINT) AS label FROM ("
+            + _NEG_EDGES_SQL + ")"
+        ),
         "kg_closure": _TRIPLES_CTE.replace(
             "WITH ", "WITH RECURSIVE ", 1) + """,
             e AS (
