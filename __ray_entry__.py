@@ -581,6 +581,17 @@ def _mention_batches(words: list[str]):
     return mentions
 
 
+def _kg_edges(sf_dir: str):
+    """(a, b) directed edge projection of the KG triples — the shared
+    input of the graph-analytics queries."""
+    import pandas as pd
+
+    def as_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["subj"], "b": batch["obj"]})
+
+    return _triples(sf_dir).map_batches(as_edges, batch_format="pandas")
+
+
 def q_construct_doc_mentions(sf_dir: str):
     """Construction stage value-checked END-TO-END on the real documents
     table (G7 linking + dedup; pipelines/construct.py): vectorized
@@ -1506,15 +1517,8 @@ def q_kg_link_predict(sf_dir: str):
     same adjacency self-join + anti-join in SQL."""
     from pyrdf2vec_ray.ops.graph import link_scores
 
-    triples = _triples(sf_dir)
-
-    def as_edges(batch):
-        import pandas as pd
-
-        return pd.DataFrame({"a": batch["subj"], "b": batch["obj"]})
-
-    edges = triples.map_batches(as_edges, batch_format="pandas")
-    return link_scores(edges, max_center_degree=50, min_common=2)
+    return link_scores(_kg_edges(sf_dir), max_center_degree=50,
+                       min_common=2)
 
 
 def q_embedding_neighbor_mean(sf_dir: str):
@@ -1707,13 +1711,7 @@ def q_kg_negative_edges(sf_dir: str):
 
     from pyrdf2vec_ray.ops.graph import negative_edges
 
-    triples = _triples(sf_dir)
-
-    def as_edges(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"a": batch["subj"], "b": batch["obj"]})
-
-    edges = triples.map_batches(as_edges, batch_format="pandas")
-    return negative_edges(edges, k=2, seed=9)
+    return negative_edges(_kg_edges(sf_dir), k=2, seed=9)
 
 
 def q_customer_nation_broadcast(sf_dir: str):
@@ -1761,8 +1759,10 @@ def q_lang_confusion(sf_dir: str):
     from pyrdf2vec_ray.ops.text import lang_id
     from pyrdf2vec_ray.shuffle import bucket_count
 
-    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
-    pred = lang_id(docs)
+    # two consumers of one read: pin it once; the lang_id branch gets
+    # only the columns it uses
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang")).materialize()
+    pred = lang_id(docs.select_columns(["doc_id", "text"]))
     o, i8 = np.dtype("O"), np.dtype("int64")
     joined = hash_join(
         docs.select_columns(["doc_id", "lang"]), pred, on=["doc_id"],
@@ -1782,12 +1782,10 @@ def q_kg_training_pairs(sf_dir: str):
     from pyrdf2vec_ray.ops.graph import negative_edges
     from pyrdf2vec_ray.shuffle import distinct
 
-    triples = _triples(sf_dir)
-
-    def as_edges(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"a": batch["subj"], "b": batch["obj"]})
-
-    edges = triples.map_batches(as_edges, batch_format="pandas")
+    # dedup ONCE and feed both branches: negative_edges' internal
+    # distinct is idempotent on an already-distinct edge set, so the
+    # edge-scale shuffle runs once, not twice
+    edges = distinct(_kg_edges(sf_dir), ["a", "b"]).materialize()
 
     def pos(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"src": batch["a"], "dst": batch["b"]})
@@ -1799,8 +1797,7 @@ def q_kg_training_pairs(sf_dir: str):
         out["label"] = 0
         return out
 
-    positives = distinct(edges, ["a", "b"]).map_batches(
-        pos, batch_format="pandas")
+    positives = edges.map_batches(pos, batch_format="pandas")
     negatives = negative_edges(edges, k=2, seed=9).map_batches(
         neg, batch_format="pandas")
     return positives.union(negatives)
@@ -1814,15 +1811,7 @@ def q_kg_kcore(sf_dir: str):
     early at the fixpoint — extra unrolled rounds are the identity)."""
     from pyrdf2vec_ray.ops.graph import kcore_bounded
 
-    triples = _triples(sf_dir)
-
-    def as_edges(batch):
-        import pandas as pd
-
-        return pd.DataFrame({"a": batch["subj"], "b": batch["obj"]})
-
-    edges = triples.map_batches(as_edges, batch_format="pandas")
-    return kcore_bounded(edges, k=3, rounds=3)
+    return kcore_bounded(_kg_edges(sf_dir), k=3, rounds=3)
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -3308,7 +3297,6 @@ def oracle_sql() -> dict[str, str]:
         sample_exact_per_group_sql,
         priority_sample_sql,
         shuffle_order_sql,
-        splitmix64_sql,
     )
     from pyrdf2vec_ray.ops.agg import grouped_quantiles_sql, zscore_by_group_sql
     from pyrdf2vec_ray.ops.text import bm25_topk_sql
