@@ -1803,6 +1803,83 @@ def q_kg_training_pairs(sf_dir: str):
     return positives.union(negatives)
 
 
+def q_media_wav_real(sf_dir: str):
+    """REAL audio decode (ops/multimodal.WavDecoder): each doc gets a
+    genuine RIFF/WAV payload — stdlib `wave` ENCODES a square wave
+    whose amplitude/length derive from doc_id — and the actor pool
+    DECODES it back (stdlib wave + numpy PCM view).  The oracle knows
+    only the planting formulas, so a decoder that misparses the
+    container (header, sample rate, frame count, PCM byte order)
+    mismatches: n = 800 + (id%5)*160 samples at 8 kHz, amplitude
+    A = 1000 + (id%7)*500, period-16 square wave → rms = A exactly,
+    zero_crossings = n//8 - 1."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from pyrdf2vec_ray.ops.multimodal import wav_features
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    def synth(batch: pd.DataFrame) -> pa.Table:
+        ids, payloads = [], []
+        for did in batch["doc_id"].astype("int64"):
+            n = 800 + (int(did) % 5) * 160
+            amp = 1000 + (int(did) % 7) * 500
+            sig = np.repeat(np.tile(np.array([amp, -amp], np.int16),
+                                    n // 16), 8)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(sig.tobytes())
+            ids.append(int(did))
+            payloads.append(buf.getvalue())
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary())})
+
+    payloads = docs.map_batches(synth, batch_format="pandas")
+    return wav_features(payloads)
+
+
+def q_media_pgm_real(sf_dir: str):
+    """REAL image decode + resize (ops/multimodal.PgmResizer): each doc
+    gets a genuine binary PGM (P5) payload with formula pixels
+    ((x*7 + y*13 + id) % 256, dims from id), the actor pool parses the
+    PNM header + raw grid with numpy and nearest-resizes to 8x8; the
+    oracle recomputes the resized checksum from the formulas alone."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.multimodal import pgm_resized
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    def synth(batch: pd.DataFrame) -> pa.Table:
+        ids, payloads = [], []
+        for did in batch["doc_id"].astype("int64"):
+            did = int(did)
+            w = 20 + (did % 4) * 10
+            h = 16 + (did % 3) * 8
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((x * 7 + y * 13 + did) % 256).astype(np.uint8)
+            payloads.append(b"P5\n%d %d\n255\n" % (w, h) + img.tobytes())
+            ids.append(did)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary())})
+
+    payloads = docs.map_batches(synth, batch_format="pandas")
+    return pgm_resized(payloads, width=8, height=8)
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -3142,6 +3219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": q_doc_length_quantiles,
         "events_asof": q_events_asof,
         "media_resized_dims": q_media_resized_dims,
+        "media_wav_real": q_media_wav_real,
+        "media_pgm_real": q_media_pgm_real,
         "media_frames_milli": q_media_frames_milli,
         "doc_bigram_lm": q_doc_bigram_lm,
         "orders_anti_join": q_orders_anti_join,
@@ -4645,6 +4724,34 @@ def oracle_sql() -> dict[str, str]:
                   + (strpos('0123456789abcdef', substr(h, p+8, 1))-1))*16777216
               ) % 1000 AS milli
             FROM pos
+        """,
+        "media_wav_real": """
+            SELECT doc_id,
+                   CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_samples,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(1000 + (doc_id % 7) * 500 AS DOUBLE) AS rms,
+                   CAST((800 + (doc_id % 5) * 160) // 8 - 1 AS BIGINT)
+                     AS zero_crossings
+            FROM documents
+        """,
+        "media_pgm_real": """
+            WITH g AS (SELECT unnest(range(8)) AS i),
+            dims AS (
+              SELECT doc_id, 20 + (doc_id % 4) * 10 AS w,
+                     16 + (doc_id % 3) * 8 AS h
+              FROM documents
+            ),
+            px AS (
+              SELECT d.doc_id, d.w, d.h,
+                     ((gx.i * d.w // 8) * 7 + (gy.i * d.h // 8) * 13
+                      + d.doc_id) % 256 AS p
+              FROM dims d CROSS JOIN g gx CROSS JOIN g gy
+            )
+            SELECT doc_id, CAST(w AS BIGINT) AS src_width,
+                   CAST(h AS BIGINT) AS src_height,
+                   CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+                   CAST(sum(p) AS BIGINT) AS pix_sum
+            FROM px GROUP BY doc_id, w, h
         """,
         "media_resized_dims": """
             WITH refs AS (

@@ -259,3 +259,143 @@ def sample_frames(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---- REAL codecs for stdlib/numpy-decodable containers ----------------------
+#
+# The compressed-format codecs above stay stubbed (no PIL/ffmpeg in this
+# container), but WAV is decodable with the stdlib `wave` module and
+# binary PGM (P5) with ~15 lines of numpy — so for THESE containers the
+# decode is real: the stages below parse genuine RIFF/PNM payload bytes
+# from a binary column.  Their driver queries plant payloads whose
+# generation parameters are recoverable ONLY by actually parsing the
+# container, which makes the decode oracle-checkable in SQL.
+
+WAV_FEATURES = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_samples", pa.int64()),
+        ("sample_rate", pa.int64()),
+        ("rms", pa.float64()),
+        ("zero_crossings", pa.int64()),
+    ]
+)
+
+
+class WavDecoder:
+    """Actor-pool REAL audio decode: stdlib ``wave`` parses the RIFF
+    container (fmt chunk, sample rate, frame count), numpy views the
+    int16 PCM frames, and the features are exact integer/float64
+    kernels — n_samples, sample_rate, RMS, zero-crossing count (the
+    standard cheap audio quality/VAD signals).  Small batches: audio
+    payloads are large (memory-aware layout per the task brief)."""
+
+    def __init__(self):
+        import wave  # stdlib; bound once per actor
+
+        self._wave = wave
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        out = {"doc_id": [], "n_samples": [], "sample_rate": [],
+               "rms": [], "zero_crossings": []}
+        for did, payload in zip(batch["doc_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            with self._wave.open(io.BytesIO(payload), "rb") as w:
+                sr = w.getframerate()
+                n = w.getnframes()
+                raw = w.readframes(n)
+            s = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+            rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
+            zc = int(np.count_nonzero(s[1:] * s[:-1] < 0)) if n > 1 else 0
+            out["doc_id"].append(did)
+            out["n_samples"].append(n)
+            out["sample_rate"].append(sr)
+            out["rms"].append(rms)
+            out["zero_crossings"].append(zc)
+        return pa.Table.from_pydict(out, schema=WAV_FEATURES)
+
+
+def wav_features(
+    payloads: ray.data.Dataset, concurrency=(1, 4), batch_size: int = 256,
+) -> ray.data.Dataset:
+    """(doc_id, payload: binary WAV) → decoded audio features."""
+    return payloads.map_batches(
+        WavDecoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+PGM_RESIZED = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("src_width", pa.int64()),
+        ("src_height", pa.int64()),
+        ("width", pa.int64()),
+        ("height", pa.int64()),
+        ("pix_sum", pa.int64()),
+    ]
+)
+
+
+class PgmResizer:
+    """Actor-pool REAL image decode + resize: parses binary PGM (P5)
+    — magic, whitespace-separated width/height/maxval header, raw
+    8-bit rows — into a numpy grid, then the same nearest-neighbor
+    index-grid resize as :class:`ImageResizer`.  Emits the resized
+    pixel checksum next to the recovered source dims so the whole
+    decode→resize path is value-checkable."""
+
+    def __init__(self, width: int = 8, height: int = 8):
+        self.w = width
+        self.h = height
+
+    @staticmethod
+    def _parse_p5(payload: bytes):
+        import re
+
+        # header: b"P5", width, height, maxval, then EXACTLY ONE
+        # whitespace byte before the raw rows.  The raw section must be
+        # located by header length, NOT bytes.split() — split(None)
+        # also strips LEADING whitespace off the remainder, silently
+        # eating pixel values 0x09-0x0D/0x20 at the start of the grid
+        # (the classic PNM parsing pitfall).
+        m = re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        if m is None:
+            raise ValueError("not a binary PGM (P5) payload")
+        w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        if maxval > 255:
+            raise ValueError("16-bit PGM not supported")
+        raw = payload[m.end():]
+        img = np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w)
+        return img
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "src_width": [], "src_height": [],
+               "width": [], "height": [], "pix_sum": []}
+        for did, payload in zip(batch["doc_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            img = self._parse_p5(payload)
+            ys = np.arange(self.h) * img.shape[0] // self.h
+            xs = np.arange(self.w) * img.shape[1] // self.w
+            resized = img[np.ix_(ys, xs)]
+            out["doc_id"].append(did)
+            out["src_width"].append(img.shape[1])
+            out["src_height"].append(img.shape[0])
+            out["width"].append(self.w)
+            out["height"].append(self.h)
+            out["pix_sum"].append(int(resized.astype(np.int64).sum()))
+        return pa.Table.from_pydict(out, schema=PGM_RESIZED)
+
+
+def pgm_resized(
+    payloads: ray.data.Dataset, width: int = 8, height: int = 8,
+    concurrency=(1, 4), batch_size: int = 256,
+) -> ray.data.Dataset:
+    """(doc_id, payload: binary PGM) → decoded + resized checksums."""
+    return payloads.map_batches(
+        PgmResizer, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"width": width, "height": height},
+        concurrency=concurrency,
+    )

@@ -594,3 +594,53 @@ def test_broadcast_join_inner_left_and_collision_suffix():
           .to_pandas().sort_values("k").reset_index(drop=True))
     assert lj["k"].tolist() == [1, 2, 3]
     assert lj["x_r"].isna().tolist() == [False, True, False]
+
+
+# ---- real media codecs (WAV / PGM) ---------------------------------------------
+
+
+def test_wav_decoder_parses_real_riff():
+    import io
+    import wave
+
+    from pyrdf2vec_ray.ops.multimodal import wav_features
+
+    sig = np.array([100, -100, 100, -100, 0, 50], dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([7], dtype=np.int64),
+         "payload": [buf.getvalue()]}))
+    got = to_table(wav_features(ds)).to_pandas()
+    assert got["n_samples"].tolist() == [6]
+    assert got["sample_rate"].tolist() == [16000]
+    exp_rms = float(np.sqrt(np.mean(sig.astype(np.float64) ** 2)))
+    assert abs(got["rms"].iloc[0] - exp_rms) < 1e-12
+    # sign flips: 100→-100 x3 (indices 0-3), -100→0 is NOT a crossing
+    # (product == 0), 0→50 not a crossing
+    assert got["zero_crossings"].tolist() == [3]
+
+
+def test_pgm_resizer_whitespace_pixels_and_errors():
+    from pyrdf2vec_ray.ops.multimodal import PgmResizer, pgm_resized
+
+    # first pixel byte 0x0A (newline): the classic PNM parse pitfall —
+    # the raw grid must be located by header length, not whitespace split
+    img = np.full((8, 8), 0x0A, dtype=np.uint8)
+    payload = b"P5\n8 8\n255\n" + img.tobytes()
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([1], dtype=np.int64), "payload": [payload]}))
+    got = to_table(pgm_resized(ds, width=4, height=4)).to_pandas()
+    assert got["src_width"].tolist() == [8]
+    assert got["pix_sum"].tolist() == [0x0A * 16]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        PgmResizer._parse_p5(b"P6\n2 2\n255\n" + b"\x00" * 12)
+    with pytest.raises(ValueError):
+        PgmResizer._parse_p5(b"P5\n2 2\n65535\n" + b"\x00" * 8)
