@@ -4731,7 +4731,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8000 AS BIGINT) AS sample_rate,
                    CAST(1000 + (doc_id % 7) * 500 AS DOUBLE) AS rms,
                    CAST((800 + (doc_id % 5) * 160) // 8 - 1 AS BIGINT)
-                     AS zero_crossings
+                     AS zero_crossings,
+                   CAST(500 AS DOUBLE) AS dominant_freq
             FROM documents
         """,
         "media_pgm_real": """

@@ -278,6 +278,7 @@ WAV_FEATURES = pa.schema(
         ("sample_rate", pa.int64()),
         ("rms", pa.float64()),
         ("zero_crossings", pa.int64()),
+        ("dominant_freq", pa.float64()),
     ]
 )
 
@@ -299,7 +300,7 @@ class WavDecoder:
         import io
 
         out = {"doc_id": [], "n_samples": [], "sample_rate": [],
-               "rms": [], "zero_crossings": []}
+               "rms": [], "zero_crossings": [], "dominant_freq": []}
         for did, payload in zip(batch["doc_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
             with self._wave.open(io.BytesIO(payload), "rb") as w:
@@ -309,11 +310,20 @@ class WavDecoder:
             s = np.frombuffer(raw, dtype="<i2").astype(np.float64)
             rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
             zc = int(np.count_nonzero(s[1:] * s[:-1] < 0)) if n > 1 else 0
+            if n:
+                # real DSP: magnitude spectrum peak (DC excluded) →
+                # dominant frequency in Hz = argmax_bin * sr / n
+                mag = np.abs(np.fft.rfft(s))
+                mag[0] = 0.0
+                dom = float(int(np.argmax(mag)) * sr / n)
+            else:
+                dom = 0.0
             out["doc_id"].append(did)
             out["n_samples"].append(n)
             out["sample_rate"].append(sr)
             out["rms"].append(rms)
             out["zero_crossings"].append(zc)
+            out["dominant_freq"].append(dom)
         return pa.Table.from_pydict(out, schema=WAV_FEATURES)
 
 

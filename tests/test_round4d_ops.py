@@ -623,6 +623,9 @@ def test_wav_decoder_parses_real_riff():
     # sign flips: 100→-100 x3 (indices 0-3), -100→0 is NOT a crossing
     # (product == 0), 0→50 not a crossing
     assert got["zero_crossings"].tolist() == [3]
+    # dominant frequency: alternating ±100 at 16 kHz → Nyquist-adjacent
+    # peak at bin n/2 = 3 → 3 * 16000 / 6 = 8000 Hz
+    assert got["dominant_freq"].tolist() == [8000.0]
 
 
 def test_pgm_resizer_whitespace_pixels_and_errors():
