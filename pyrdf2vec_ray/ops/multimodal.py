@@ -1,9 +1,12 @@
 """Multimodal span handling: media spans are opaque `binary`/ref columns
 with typed metadata; decode/feature-extract are actor-pool stages whose
 Ray-side plumbing (schema, batch size, actor signature, output layout)
-is real, while the codec itself is stubbed — the image/audio libraries
-are not in this container (task brief: stub the decode step, keep the
-pipeline real).
+is real.  Codecs come in two tiers: COMPRESSED formats (JPEG/MP4/...)
+stay stubbed behind `mode="strict"` NotImplementedError seams — those
+libraries are not in this container (task brief: stub the decode step,
+keep the pipeline real) — while stdlib/numpy-decodable containers are
+REAL: `WavDecoder` parses RIFF/WAV PCM via the stdlib `wave` module and
+`PgmResizer` parses binary PGM (P5), both oracle-checked end to end.
 """
 
 from __future__ import annotations
