@@ -3099,6 +3099,31 @@ def q_walks_community_noteleport(sf_dir: str):
     return _joined_walks(gi, entities, spec)
 
 
+def q_walks_node2vec(sf_dir: str):
+    """node2vec biased second-order walks (functions/node2vec — Grover
+    & Leskovec 2016) run THROUGH the open walker plugin surface
+    (walkers.register_walker) on the sharded index: p=2 discourages
+    immediate backtracking, q=0.5 favors outward exploration.
+    Seeded per (entity, walk) — rows-only checked (seeded RNG is not
+    SQL-expressible) and pytest-pinned for determinism, validity and
+    the p/q limit behaviors."""
+    from pyrdf2vec_ray.functions.node2vec import register_node2vec
+    from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
+
+    import ray.data
+
+    name = register_node2vec("node2vec_kg", p=2.0, q=0.5, n_walks=6,
+                             depth=3, seed=11)
+    gi = _graph_index(sf_dir, sharded=True)
+    # order roots: out-degree ~5 (customer + line parts), so the biased
+    # second-order choice actually branches (customers have out-deg 1)
+    keys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]).take(200)
+    entities = [f"order:{r['o_orderkey']}" for r in keys]
+    spec = WalkerSpec(strategy=name, max_depth=3)
+    return explode_walks(extract_walks(gi, entities, spec, batch_size=64))
+
+
 def q_walks_dfs_sampled(sf_dir: str):
     """PageRank-sampled DFS on the SHARDED index (name-keyed sampler
     stats fitted from the parquet-backed triples Dataset)."""
@@ -3280,6 +3305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "fasttext_embeddings": q_fasttext_embeddings,
         "walks_dfs_sampled": q_walks_dfs_sampled,
+        "walks_node2vec": q_walks_node2vec,
         "construct_checkpointed": q_construct_checkpointed,
         "rdf2vec_embeddings": q_rdf2vec_embeddings,
         "rdf2vec_scale_path": q_rdf2vec_scale_path,
