@@ -3124,6 +3124,42 @@ def q_walks_node2vec(sf_dir: str):
     return explode_walks(extract_walks(gi, entities, spec, batch_size=64))
 
 
+def q_walks_metapath(sf_dir: str):
+    """Exhaustive metapath walks (functions/node2vec.make_metapath_
+    walker — metapath2vec's typed-path constraint, enumerated instead
+    of sampled): every order -> contains -> part -> supplied_by ->
+    supplier -> in_nation -> nation path for roots o_orderkey < 200,
+    via the open walker plugin surface on the sharded index.  RNG-free,
+    so the oracle is a chain of relational joins — the walk family's
+    second fully SQL-checked strategy after BFS."""
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.functions.node2vec import register_metapath
+    from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
+
+    name = register_metapath(
+        "metapath_kg", ["contains", "supplied_by", "in_nation"])
+    gi = _graph_index(sf_dir, sharded=True)
+    keys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).filter(expr="o_orderkey < 200").take_all()
+    entities = [f"order:{r['o_orderkey']}" for r in keys]
+    spec = WalkerSpec(strategy=name, max_depth=3)
+    walks = extract_walks(gi, entities, spec, batch_size=64)
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for e, ws in zip(batch["entity"], batch["walks"]):
+            for w in ws:
+                if len(w) == 7:  # complete metapath only
+                    rows.append((e, w[1], w[2], w[3], w[4], w[5], w[6]))
+        return pd.DataFrame(
+            rows, columns=["entity", "p1", "e1", "p2", "e2", "p3", "e3"])
+
+    return walks.map_batches(widen, batch_format="pandas")
+
+
 def q_walks_dfs_sampled(sf_dir: str):
     """PageRank-sampled DFS on the SHARDED index (name-keyed sampler
     stats fitted from the parquet-backed triples Dataset)."""
@@ -3306,6 +3342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fasttext_embeddings": q_fasttext_embeddings,
         "walks_dfs_sampled": q_walks_dfs_sampled,
         "walks_node2vec": q_walks_node2vec,
+        "walks_metapath": q_walks_metapath,
         "construct_checkpointed": q_construct_checkpointed,
         "rdf2vec_embeddings": q_rdf2vec_embeddings,
         "rdf2vec_scale_path": q_rdf2vec_scale_path,
@@ -3442,6 +3479,23 @@ def oracle_sql() -> dict[str, str]:
                    'in_region' AS p2,
                    'region:' || n_regionkey AS e2
             FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "walks_metapath": _TRIPLES_CTE + """,
+            roots AS (
+              SELECT 'order:' || o_orderkey AS v FROM orders
+              WHERE o_orderkey < 200
+            ),
+            t1 AS (SELECT * FROM triples WHERE pred = 'contains'),
+            t2 AS (SELECT * FROM triples WHERE pred = 'supplied_by'),
+            t3 AS (SELECT * FROM triples WHERE pred = 'in_nation')
+            SELECT r.v AS entity,
+                   'contains' AS p1, t1.obj AS e1,
+                   'supplied_by' AS p2, t2.obj AS e2,
+                   'in_nation' AS p3, t3.obj AS e3
+            FROM roots r
+            JOIN t1 ON t1.subj = r.v
+            JOIN t2 ON t2.subj = t1.obj
+            JOIN t3 ON t3.subj = t2.obj
         """,
         "bfs_walks_customers": """
             SELECT 'customer:' || c_custkey AS e0,

@@ -108,3 +108,42 @@ def register_node2vec(
     register_walker(name, make_node2vec_walker(
         p=p, q=q, n_walks=n_walks, depth=depth, seed=seed))
     return name
+
+
+def make_metapath_walker(preds: list[str]):
+    """Exhaustive metapath walker (metapath2vec's path constraint,
+    Dong et al. 2017, with exhaustive enumeration instead of sampling):
+    from each root, follow ONLY edges whose predicate matches the next
+    element of ``preds``, branching over all matches; emit every
+    complete-length path ``(root, p1, e1, ..., pk, ek)``.  Heterogeneous
+    KGs use this to keep walk corpora semantically typed (e.g.
+    order→part→supplier→nation) — and because it is RNG-free it is
+    exactly reproducible as a chain of relational joins, giving the
+    walk family one more SQL-oracled member.  Roots with no complete
+    match emit the bare root (the engine's dead-end retention
+    convention); callers wanting full paths only filter by length."""
+    preds = [str(p) for p in preds]
+
+    def metapath_walker(graph, entity, spec):
+        paths = [(str(entity),)]
+        for pred in preds:
+            nxt = []
+            for path in paths:
+                ps, os_ = graph.get_hops(path[-1])
+                for p, o in zip(ps, os_):
+                    if p == pred:
+                        nxt.append(path + (p, o))
+            if not nxt:
+                return [(str(entity),)]
+            paths = nxt
+        return paths
+
+    return metapath_walker
+
+
+def register_metapath(name: str, preds: list[str]) -> str:
+    """Register an exhaustive metapath plugin under ``name``."""
+    from pyrdf2vec_ray.walkers import register_walker
+
+    register_walker(name, make_metapath_walker(preds))
+    return name

@@ -70,3 +70,23 @@ def test_node2vec_high_q_backtracks_low_q_explores():
                             depth=4, seed=5)
     w_out = _walks(gi, out, [root])[root]
     assert all(set(w) & leafs for w in w_out)
+
+
+def test_metapath_exhaustive_enumeration():
+    from pyrdf2vec_ray.functions.node2vec import register_metapath
+
+    gi = _gi()
+    root = synth.IRI_PREFIX + "H"
+    # pattern ["to", "to"]: H -to-> spoke -to-> leaf; the spokes' "back"
+    # edges must NOT be followed
+    name = register_metapath("mp_t1", ["to", "to"])
+    got = _walks(gi, name, [root])[root]
+    exp = {(root, "to", synth.IRI_PREFIX + s, "to",
+            synth.IRI_PREFIX + s + "leaf") for s in ("A", "B", "C")}
+    assert set(got) == exp
+
+    # a pattern with no match falls back to the bare root (dead-end
+    # retention convention)
+    none = register_metapath("mp_t2", ["nope"])
+    got2 = _walks(gi, none, [root])[root]
+    assert got2 == [(root,)]
