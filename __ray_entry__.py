@@ -3160,6 +3160,45 @@ def q_walks_metapath(sf_dir: str):
     return walks.map_batches(widen, batch_format="pandas")
 
 
+def q_ppr_customers_iter1(sf_dir: str):
+    """PERSONALIZED PageRank, one exact iteration (A5 extension —
+    samplers._pagerank_from_pairs with a restart vector): teleport mass
+    uniform over the customer vertices only, the seed-set relevance
+    primitive ("which entities matter to customers").  Same closed-form
+    SQL shape as pagerank_iter1 with p concentrated on the seeds; no
+    customer is dangling, so the dangling term is exactly 0 on both
+    engines."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from pyrdf2vec_ray.samplers import _pagerank_from_pairs
+    from pyrdf2vec_ray.shuffle import distinct
+    from pyrdf2vec_ray.util import to_table
+
+    triples = _graph_index(sf_dir, sharded=True).triples_dataset()
+    pairs = to_table(distinct(triples, ["subj", "obj"]))
+    src = np.asarray(pairs["subj"].to_numpy(zero_copy_only=False))
+    dst = np.asarray(pairs["obj"].to_numpy(zero_copy_only=False))
+    codes, uniq = pd.factorize(np.concatenate([src, dst]), sort=True)
+    ents = np.asarray(uniq).astype(np.str_)
+    n = len(ents)
+    s_id = codes[: len(src)].astype(np.int64)
+    d_id = codes[len(src):].astype(np.int64)
+    pair_key = np.unique(s_id * n + d_id)
+    seeds = np.char.startswith(ents, "customer:")
+    p = np.where(seeds, 1.0 / seeds.sum(), 0.0)
+    pr = _pagerank_from_pairs(
+        (pair_key // n).astype(np.int64), (pair_key % n).astype(np.int64),
+        np.ones(n, dtype=bool), n, alpha=0.85, max_iter=1,
+        personalization=p,
+    )
+    return pa.table(
+        {"name": pa.array([str(e) for e in ents], pa.string()),
+         "ppr": pa.array(pr, pa.float64())}
+    )
+
+
 def q_walks_dfs_sampled(sf_dir: str):
     """PageRank-sampled DFS on the SHARDED index (name-keyed sampler
     stats fitted from the parquet-backed triples Dataset)."""
@@ -3289,6 +3328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walks_split": q_walks_split,
         "lpa_sweep1": q_lpa_sweep1,
         "pagerank_iter1": q_pagerank_iter1,
+        "ppr_customers_iter1": q_ppr_customers_iter1,
         "join_orders_customer": q_join_orders_customer,
         "customer_nation_broadcast": q_customer_nation_broadcast,
         "media_features_milli": q_media_features_milli,
@@ -4900,6 +4940,27 @@ def oracle_sql() -> dict[str, str]:
             e AS (SELECT subj AS a, obj AS b FROM t
                   UNION ALL SELECT obj, subj FROM t)
             SELECT a AS name, min(b) AS label FROM e GROUP BY a
+        """,
+        "ppr_customers_iter1": _TRIPLES_CTE + """
+            , t AS (SELECT DISTINCT subj, obj FROM triples),
+            nodes AS (SELECT subj AS name FROM t UNION SELECT obj AS name FROM t),
+            ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM nodes
+                   WHERE name LIKE 'customer:%'),
+            outdeg AS (SELECT subj, CAST(count(*) AS DOUBLE) AS od
+                       FROM t GROUP BY subj),
+            contrib AS (
+              SELECT t.obj AS name,
+                     sum((1.0 / (SELECT s FROM ns)) / o.od) AS c
+              FROM t JOIN outdeg o ON t.subj = o.subj
+              WHERE t.subj LIKE 'customer:%'
+              GROUP BY t.obj
+            )
+            SELECT nodes.name AS name,
+                   0.85 * coalesce(contrib.c, 0)
+                   + CASE WHEN nodes.name LIKE 'customer:%'
+                          THEN 0.15 * (1.0 / (SELECT s FROM ns))
+                          ELSE 0.0 END AS ppr
+            FROM nodes LEFT JOIN contrib ON nodes.name = contrib.name
         """,
         "pagerank_iter1": _TRIPLES_CTE + """
             , t AS (SELECT DISTINCT subj, obj FROM triples),

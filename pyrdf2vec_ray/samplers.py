@@ -40,12 +40,19 @@ class SamplerSpec:
 def _pagerank_from_pairs(
     src_u: np.ndarray, dst_u: np.ndarray, is_entity: np.ndarray, nv: int,
     alpha: float = 0.85, tol: float = 1e-6, max_iter: int = 100,
+    personalization: np.ndarray | None = None,
 ) -> np.ndarray:
     """Shared power-iteration core over UNIQUE SORTED (src, dst) id pairs.
     Both graph backends (broadcast CSR and sharded-parquet) reduce their
     edges to the same sorted pair list over the same global vocabulary, so
     the scores are bit-identical regardless of backend — which keeps
-    pagerank-sampled DFS walks reproducible across the two paths."""
+    pagerank-sampled DFS walks reproducible across the two paths.
+
+    ``personalization`` (optional, length = #entity nodes, must sum to
+    1): the restart/teleport vector of PERSONALIZED PageRank (nx
+    semantics: start, teleport and dangling mass all use it).  None →
+    the uniform vector, i.e. classic PageRank — the default path is
+    bit-identical to before the parameter existed."""
     nodes = np.flatnonzero(is_entity)
     n = len(nodes)
     if n == 0:
@@ -56,8 +63,13 @@ def _pagerank_from_pairs(
     out_deg = np.zeros(n)
     np.add.at(out_deg, s, 1.0)
 
-    x = np.full(n, 1.0 / n)
-    p = np.full(n, 1.0 / n)
+    if personalization is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        p = np.asarray(personalization, dtype=np.float64)
+        if p.shape != (n,):
+            raise ValueError("personalization length must equal node count")
+    x = p.copy()
     dangling = out_deg == 0
     for _ in range(max_iter):
         x_last = x

@@ -133,3 +133,34 @@ def test_get_literals_matrix(graphs):
     ]
     assert res[1] == [IRI + "Casper"]
     assert len(res[2]) == 1 and np.isnan(res[2][0])
+
+
+def test_personalized_pagerank_core():
+    import numpy as np
+
+    from pyrdf2vec_ray.samplers import _pagerank_from_pairs
+
+    # triangle 0->1->2->0 plus pendant 2->3 (3 dangling)
+    src = np.array([0, 1, 2, 2], dtype=np.int64)
+    dst = np.array([1, 2, 0, 3], dtype=np.int64)
+    ent = np.ones(4, dtype=bool)
+
+    # personalization=None is bit-identical to the pre-parameter path
+    base = _pagerank_from_pairs(src, dst, ent, 4, max_iter=50)
+    unif = _pagerank_from_pairs(src, dst, ent, 4, max_iter=50,
+                                personalization=np.full(4, 0.25))
+    assert (base == unif).all()
+
+    # seed mass on node 0 only: scores sum to 1 and concentrate on the
+    # seed's forward orbit (0 -> 1 -> 2), not the pendant
+    p = np.array([1.0, 0, 0, 0])
+    ppr = _pagerank_from_pairs(src, dst, ent, 4, max_iter=100,
+                               personalization=p)
+    assert abs(ppr.sum() - 1.0) < 1e-9
+    assert ppr[0] > ppr[3] and ppr[1] > ppr[3]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _pagerank_from_pairs(src, dst, ent, 4,
+                             personalization=np.array([1.0, 0.0]))
