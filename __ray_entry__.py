@@ -3199,6 +3199,39 @@ def q_ppr_customers_iter1(sf_dir: str):
     )
 
 
+def q_hits_iter1(sf_dir: str):
+    """HITS hubs/authorities, one exact un-normalized iteration from
+    the all-ones start (Kleinberg 1999): authority a1(v) = in-degree,
+    hub h1(v) = sum of a1 over out-neighbors — the bidirectional
+    centrality companion to PageRank over the distinct KG edge set;
+    integer-valued at iteration 1, so the oracle is bit-exact."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from pyrdf2vec_ray.shuffle import distinct
+    from pyrdf2vec_ray.util import to_table
+
+    triples = _graph_index(sf_dir, sharded=True).triples_dataset()
+    pairs = to_table(distinct(triples, ["subj", "obj"]))
+    src = np.asarray(pairs["subj"].to_numpy(zero_copy_only=False))
+    dst = np.asarray(pairs["obj"].to_numpy(zero_copy_only=False))
+    codes, uniq = pd.factorize(np.concatenate([src, dst]), sort=True)
+    ents = np.asarray(uniq).astype(np.str_)
+    n = len(ents)
+    s_id = codes[: len(src)].astype(np.int64)
+    d_id = codes[len(src):].astype(np.int64)
+    auth = np.zeros(n, dtype=np.int64)
+    np.add.at(auth, d_id, 1)
+    hub = np.zeros(n, dtype=np.int64)
+    np.add.at(hub, s_id, auth[d_id])
+    return pa.table(
+        {"name": pa.array([str(e) for e in ents], pa.string()),
+         "authority": pa.array(auth, pa.int64()),
+         "hub": pa.array(hub, pa.int64())}
+    )
+
+
 def q_walks_dfs_sampled(sf_dir: str):
     """PageRank-sampled DFS on the SHARDED index (name-keyed sampler
     stats fitted from the parquet-backed triples Dataset)."""
@@ -3329,6 +3362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_sweep1": q_lpa_sweep1,
         "pagerank_iter1": q_pagerank_iter1,
         "ppr_customers_iter1": q_ppr_customers_iter1,
+        "hits_iter1": q_hits_iter1,
         "join_orders_customer": q_join_orders_customer,
         "customer_nation_broadcast": q_customer_nation_broadcast,
         "media_features_milli": q_media_features_milli,
@@ -4940,6 +4974,23 @@ def oracle_sql() -> dict[str, str]:
             e AS (SELECT subj AS a, obj AS b FROM t
                   UNION ALL SELECT obj, subj FROM t)
             SELECT a AS name, min(b) AS label FROM e GROUP BY a
+        """,
+        "hits_iter1": _TRIPLES_CTE + """
+            , t AS (SELECT DISTINCT subj, obj FROM triples),
+            nodes AS (SELECT subj AS name FROM t UNION SELECT obj AS name FROM t),
+            auth AS (SELECT obj AS name, CAST(count(*) AS BIGINT) AS a
+                     FROM t GROUP BY obj),
+            hub AS (
+              SELECT t.subj AS name, CAST(sum(coalesce(a.a, 0)) AS BIGINT) AS h
+              FROM t LEFT JOIN auth a ON a.name = t.obj
+              GROUP BY t.subj
+            )
+            SELECT nodes.name AS name,
+                   coalesce(auth.a, 0) AS authority,
+                   coalesce(hub.h, 0) AS hub
+            FROM nodes
+            LEFT JOIN auth ON auth.name = nodes.name
+            LEFT JOIN hub ON hub.name = nodes.name
         """,
         "ppr_customers_iter1": _TRIPLES_CTE + """
             , t AS (SELECT DISTINCT subj, obj FROM triples),
