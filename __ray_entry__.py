@@ -452,21 +452,9 @@ def q_lpa_sweep1(sf_dir: str):
     pairs, so no neighbor label is double-counted; deeper sweeps only
     repeat the same grouped-mode step, pinned by the vectorized-vs-loop
     pytest.)"""
-    import pandas as pd
-
-    from pyrdf2vec_ray.shuffle import distinct
     from pyrdf2vec_ray.stages.community import _lpa_labels
-    from pyrdf2vec_ray.util import to_table
 
-    triples = _graph_index(sf_dir, sharded=True).triples_dataset()
-    pairs = to_table(distinct(triples, ["subj", "obj"]))
-    src = np.asarray(pairs["subj"].to_numpy(zero_copy_only=False))
-    dst = np.asarray(pairs["obj"].to_numpy(zero_copy_only=False))
-    codes, uniq = pd.factorize(np.concatenate([src, dst]), sort=True)
-    ents = np.asarray(uniq).astype(np.str_)
-    n = len(ents)
-    u = codes[: len(src)].astype(np.int64)
-    v = codes[len(src):].astype(np.int64)
+    ents, u, v, n = _edge_ids(sf_dir)
     labels = _lpa_labels(u, v, n, np.arange(n), max_sweeps=1)
     return pa.table(
         {"name": pa.array([str(e) for e in ents], pa.string()),
@@ -474,18 +462,14 @@ def q_lpa_sweep1(sf_dir: str):
     )
 
 
-def q_pagerank_iter1(sf_dir: str):
-    """PageRank power-iteration step value-checked (A5, reference
-    samplers/pagerank.py:52-90 nx semantics): one iteration from the
-    uniform start over the distinct entity→entity edge list — the exact
-    building blocks the sampler fit runs (distinct-pair shuffle, sorted
-    factorize id mapping, dangling-mass redistribution) with the
-    iterative tail cut so the scores are closed-form in SQL.  Deeper
-    iterations only repeat this step (pinned by pytest bounds/parity
-    tests)."""
+def _edge_ids(sf_dir: str):
+    """Shared edge-encoding for the centrality/community queries:
+    distinct (subj, obj) pairs from the sharded triples, sorted
+    factorize to dense ids.  Returns (ents, s_id, d_id, n) — the one
+    definition lpa/pagerank/ppr/hits must agree on."""
+    import numpy as np
     import pandas as pd
 
-    from pyrdf2vec_ray.samplers import _pagerank_from_pairs
     from pyrdf2vec_ray.shuffle import distinct
     from pyrdf2vec_ray.util import to_table
 
@@ -498,6 +482,21 @@ def q_pagerank_iter1(sf_dir: str):
     n = len(ents)
     s_id = codes[: len(src)].astype(np.int64)
     d_id = codes[len(src):].astype(np.int64)
+    return ents, s_id, d_id, n
+
+
+def q_pagerank_iter1(sf_dir: str):
+    """PageRank power-iteration step value-checked (A5, reference
+    samplers/pagerank.py:52-90 nx semantics): one iteration from the
+    uniform start over the distinct entity→entity edge list — the exact
+    building blocks the sampler fit runs (distinct-pair shuffle, sorted
+    factorize id mapping, dangling-mass redistribution) with the
+    iterative tail cut so the scores are closed-form in SQL.  Deeper
+    iterations only repeat this step (pinned by pytest bounds/parity
+    tests)."""
+    from pyrdf2vec_ray.samplers import _pagerank_from_pairs
+
+    ents, s_id, d_id, n = _edge_ids(sf_dir)
     pair_key = np.unique(s_id * n + d_id)
     pr = _pagerank_from_pairs(
         (pair_key // n).astype(np.int64), (pair_key % n).astype(np.int64),
@@ -3169,22 +3168,11 @@ def q_ppr_customers_iter1(sf_dir: str):
     customer is dangling, so the dangling term is exactly 0 on both
     engines."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
 
     from pyrdf2vec_ray.samplers import _pagerank_from_pairs
-    from pyrdf2vec_ray.shuffle import distinct
-    from pyrdf2vec_ray.util import to_table
 
-    triples = _graph_index(sf_dir, sharded=True).triples_dataset()
-    pairs = to_table(distinct(triples, ["subj", "obj"]))
-    src = np.asarray(pairs["subj"].to_numpy(zero_copy_only=False))
-    dst = np.asarray(pairs["obj"].to_numpy(zero_copy_only=False))
-    codes, uniq = pd.factorize(np.concatenate([src, dst]), sort=True)
-    ents = np.asarray(uniq).astype(np.str_)
-    n = len(ents)
-    s_id = codes[: len(src)].astype(np.int64)
-    d_id = codes[len(src):].astype(np.int64)
+    ents, s_id, d_id, n = _edge_ids(sf_dir)
     pair_key = np.unique(s_id * n + d_id)
     seeds = np.char.startswith(ents, "customer:")
     p = np.where(seeds, 1.0 / seeds.sum(), 0.0)
@@ -3206,21 +3194,9 @@ def q_hits_iter1(sf_dir: str):
     centrality companion to PageRank over the distinct KG edge set;
     integer-valued at iteration 1, so the oracle is bit-exact."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
 
-    from pyrdf2vec_ray.shuffle import distinct
-    from pyrdf2vec_ray.util import to_table
-
-    triples = _graph_index(sf_dir, sharded=True).triples_dataset()
-    pairs = to_table(distinct(triples, ["subj", "obj"]))
-    src = np.asarray(pairs["subj"].to_numpy(zero_copy_only=False))
-    dst = np.asarray(pairs["obj"].to_numpy(zero_copy_only=False))
-    codes, uniq = pd.factorize(np.concatenate([src, dst]), sort=True)
-    ents = np.asarray(uniq).astype(np.str_)
-    n = len(ents)
-    s_id = codes[: len(src)].astype(np.int64)
-    d_id = codes[len(src):].astype(np.int64)
+    ents, s_id, d_id, n = _edge_ids(sf_dir)
     auth = np.zeros(n, dtype=np.int64)
     np.add.at(auth, d_id, 1)
     hub = np.zeros(n, dtype=np.int64)

@@ -48,25 +48,39 @@ def make_node2vec_walker(
         raise ValueError("p and q must be positive")
 
     def node2vec_walker(graph, entity, spec):
+        # per-entity caches: forward hop lists (each node's hops fetch
+        # ONCE across all n_walks — on the sharded backend a get_hops
+        # is a shard lookup) and the undirected neighborhoods
+        hop_cache: dict[str, tuple] = {}
         nbr_cache: dict[str, frozenset] = {}
+
+        def hops(name: str) -> tuple:
+            got = hop_cache.get(name)
+            if got is None:
+                got = graph.get_hops(name)
+                hop_cache[name] = got
+            return got
 
         def neighborhood(name: str) -> frozenset:
             got = nbr_cache.get(name)
             if got is None:
-                _, out = graph.get_hops(name)
+                _, out = hops(name)
                 _, rev = graph.get_hops(name, is_reverse=True)
                 got = frozenset(out) | frozenset(rev)
                 nbr_cache[name] = got
             return got
 
+        # WalkerSpec.max_depth wins over the factory default, so a
+        # registered strategy behaves like built-ins under the spec
+        steps = getattr(spec, "max_depth", None) or depth
         walks = set()
         for wi in range(n_walks):
             rng = _walk_rng(str(entity), wi, seed)
             walk = [str(entity)]
             prev = None
             cur = str(entity)
-            for _ in range(depth):
-                preds, objs = graph.get_hops(cur)
+            for _ in range(steps):
+                preds, objs = hops(cur)
                 if not preds:
                     break
                 if prev is None:

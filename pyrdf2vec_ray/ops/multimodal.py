@@ -307,6 +307,14 @@ class WavDecoder:
         for did, payload in zip(batch["doc_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
             with self._wave.open(io.BytesIO(payload), "rb") as w:
+                # a REAL decoder must check the format it claims to
+                # decode: anything but mono 16-bit PCM would silently
+                # view interleaved/misaligned bytes as samples
+                if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                    raise ValueError(
+                        "WavDecoder supports mono 16-bit PCM only; got "
+                        f"{w.getnchannels()} ch x {w.getsampwidth()*8} bit"
+                    )
                 sr = w.getframerate()
                 n = w.getnframes()
                 raw = w.readframes(n)
@@ -368,13 +376,17 @@ class PgmResizer:
     def _parse_p5(payload: bytes):
         import re
 
-        # header: b"P5", width, height, maxval, then EXACTLY ONE
-        # whitespace byte before the raw rows.  The raw section must be
-        # located by header length, NOT bytes.split() — split(None)
-        # also strips LEADING whitespace off the remainder, silently
-        # eating pixel values 0x09-0x0D/0x20 at the start of the grid
-        # (the classic PNM parsing pitfall).
-        m = re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        # header: b"P5", width, height, maxval — with PNM "#" comment
+        # lines allowed between tokens — then EXACTLY ONE whitespace
+        # byte before the raw rows.  The raw section must be located by
+        # header length, NOT bytes.split(): split(None) also strips
+        # LEADING whitespace off the remainder, silently eating pixel
+        # values 0x09-0x0D/0x20 at the start of the grid (the classic
+        # PNM parsing pitfall).
+        tok = rb"(?:\s+|#[^\n]*\n)+"
+        m = re.match(
+            rb"P5" + tok + rb"(\d+)" + tok + rb"(\d+)" + tok
+            + rb"(\d+)\s", payload)
         if m is None:
             raise ValueError("not a binary PGM (P5) payload")
         w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))

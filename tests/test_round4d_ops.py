@@ -647,3 +647,33 @@ def test_pgm_resizer_whitespace_pixels_and_errors():
         PgmResizer._parse_p5(b"P6\n2 2\n255\n" + b"\x00" * 12)
     with pytest.raises(ValueError):
         PgmResizer._parse_p5(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+
+
+def test_wav_decoder_rejects_non_mono16():
+    import io
+    import wave
+
+    import pytest
+
+    from pyrdf2vec_ray.ops.multimodal import WavDecoder
+    import pyarrow as pa
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)  # stereo: must be REFUSED, not misdecoded
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(8, dtype=np.int16).tobytes())
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([buf.getvalue()], pa.binary())})
+    with pytest.raises(ValueError, match="mono 16-bit"):
+        WavDecoder()(batch)
+
+
+def test_pgm_parser_accepts_header_comments():
+    from pyrdf2vec_ray.ops.multimodal import PgmResizer
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    payload = b"P5\n# created by GIMP\n4 4\n255\n" + img.tobytes()
+    got = PgmResizer._parse_p5(payload)
+    assert (got == img).all()
