@@ -1879,6 +1879,97 @@ def q_media_pgm_real(sf_dir: str):
     return pgm_resized(payloads, width=8, height=8)
 
 
+def q_customer_rfm(sf_dir: str):
+    """RFM segmentation (recency / frequency / monetary) per customer —
+    the classic CRM feature triple, all-integer so the oracle is
+    bit-exact: recency_days = days from the customer's last order date
+    to the corpus max date, frequency = order count, monetary_cents =
+    total spend in integer cents.  One partial-aggregate shuffle
+    (per-batch combiner over max-date/count/cents), one broadcast
+    scalar (global max date)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (batch["o_orderdate"].astype("datetime64[s]")
+               .astype("int64") // 86400)
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"custkey": batch["o_custkey"].astype("int64"),
+                          "last_day": day.to_numpy(), "n": 1, "c": cents})
+        return g.groupby("custkey", as_index=False).agg(
+            last_day=("last_day", "max"), n=("n", "sum"), c=("c", "sum"))
+
+    parts = orders.map_batches(partial, batch_format="pandas")
+    agg = bucket_agg(parts, ["custkey"],
+                     {"last_day": ("last_day", "max"), "n": ("n", "sum"),
+                      "c": ("c", "sum")}, pre=False).materialize()
+    max_day = int(agg.max("last_day"))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": batch["custkey"].to_numpy().astype(np.int64),
+             "recency_days": max_day
+             - batch["last_day"].to_numpy().astype(np.int64),
+             "frequency": batch["n"].to_numpy().astype(np.int64),
+             "monetary_cents": batch["c"].to_numpy().astype(np.int64)})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def q_cohort_ltv(sf_dir: str):
+    """Cohort lifetime value: customers grouped by FIRST-order month,
+    revenue summed per (cohort_month, order_month) — the acquisition-
+    cohort revenue matrix.  Exact integer cents; one customer-bucket
+    first-order reduce, one broadcast-free join back, one pair reduce.
+    Oracle: window MIN over the same month truncations."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def base(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"]
+        month = (d.dt.year * 100 + d.dt.month).astype("int64")
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame({"custkey": batch["o_custkey"].astype("int64"),
+                             "month": month.to_numpy(), "c": cents})
+
+    rows = orders.map_batches(base, batch_format="pandas").materialize()
+    first = bucket_agg(rows, ["custkey"], {"cohort": ("month", "min")})
+    i8 = np.dtype("int64")
+    joined = hash_join(rows, first, on=["custkey"],
+                       lschema={"custkey": i8, "month": i8, "c": i8},
+                       rschema={"custkey": i8, "cohort": i8})
+    out = bucket_agg(joined, ["cohort", "month"],
+                     {"revenue_cents": ("c", "sum")})
+
+    def typed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cohort": batch["cohort"].to_numpy().astype(np.int64),
+             "month": batch["month"].to_numpy().astype(np.int64),
+             "revenue_cents": batch["revenue_cents"].to_numpy()
+             .astype(np.int64)})
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -3283,6 +3374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": q_doc_lang_id,
         "lang_confusion": q_lang_confusion,
         "orders_by_month": q_orders_by_month,
+        "customer_rfm": q_customer_rfm,
+        "cohort_ltv": q_cohort_ltv,
         "knn_bruteforce": q_knn_bruteforce,
         "doc_topk_by_lang": q_doc_topk_by_lang,
         "doc_budget_sample": q_doc_budget_sample,
@@ -3913,6 +4006,42 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
             )
             SELECT src, dst FROM reach
+        """,
+        "customer_rfm": """
+            WITH o AS (
+              SELECT o_custkey AS custkey,
+                     CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                       AS day,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders
+            ),
+            agg AS (
+              SELECT custkey, max(day) AS last_day,
+                     CAST(count(*) AS BIGINT) AS frequency,
+                     CAST(sum(cents) AS BIGINT) AS monetary_cents
+              FROM o GROUP BY custkey
+            ),
+            mx AS (SELECT max(last_day) AS maxd FROM agg)
+            SELECT custkey, mx.maxd - agg.last_day AS recency_days,
+                   frequency, monetary_cents
+            FROM agg, mx
+        """,
+        "cohort_ltv": """
+            WITH o AS (
+              SELECT o_custkey AS custkey,
+                     CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                          AS BIGINT) AS month,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders
+            ),
+            f AS (SELECT custkey, min(month) AS cohort FROM o
+                  GROUP BY custkey)
+            SELECT f.cohort, o.month,
+                   CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+            FROM o JOIN f ON f.custkey = o.custkey
+            GROUP BY f.cohort, o.month
         """,
         "kg_kcore": _kcore_sql(3, 3),
         "kg_link_predict": _TRIPLES_CTE + """,
