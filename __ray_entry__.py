@@ -1970,6 +1970,67 @@ def q_cohort_ltv(sf_dir: str):
     return out.map_batches(typed, batch_format="pandas")
 
 
+def q_revenue_concentration(sf_dir: str):
+    """Revenue concentration: the share of total revenue held by
+    customers at or above the spend p90 (quantile_disc cut) — the
+    Pareto diagnostic behind "top decile of customers" claims.  Spend
+    reduces to integer cents per customer (combiner + one reduce); the
+    cut comes from the exact histogram-quantile machinery over the
+    customer-scale aggregate; the shares are one float64 division per
+    side.  Single-row output (n_customers, cut_cents, top_cents,
+    total_cents, top_share)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import grouped_quantiles
+    from pyrdf2vec_ray.shuffle import bucket_agg
+    from pyrdf2vec_ray.util import to_table
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"custkey": batch["o_custkey"].astype("int64"),
+                          "c": cents})
+        return g.groupby("custkey", as_index=False).agg(c=("c", "sum"))
+
+    spend = bucket_agg(orders.map_batches(partial, batch_format="pandas"),
+                       ["custkey"], {"c": ("c", "sum")},
+                       pre=False).materialize()
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["one"] = "all"
+        return out
+
+    qt = to_table(grouped_quantiles(
+        spend.map_batches(tag, batch_format="pandas"), "one", "c",
+        (0.9,))).to_pandas()
+    cut = int(qt["c"].iloc[0])
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["c"].to_numpy(np.int64)
+        top = c >= cut
+        return pd.DataFrame({"n": [len(c)], "total": [int(c.sum())],
+                             "top": [int(c[top].sum())]})
+
+    sums = to_table(spend.map_batches(
+        partials, batch_format="pandas")).to_pandas().sum()
+    import pyarrow as pa
+
+    return pa.table(
+        {"n_customers": pa.array([int(sums["n"])], pa.int64()),
+         "cut_cents": pa.array([cut], pa.int64()),
+         "top_cents": pa.array([int(sums["top"])], pa.int64()),
+         "total_cents": pa.array([int(sums["total"])], pa.int64()),
+         "top_share": pa.array(
+             [float(sums["top"]) / float(sums["total"])], pa.float64())})
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -3376,6 +3437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": q_orders_by_month,
         "customer_rfm": q_customer_rfm,
         "cohort_ltv": q_cohort_ltv,
+        "revenue_concentration": q_revenue_concentration,
         "knn_bruteforce": q_knn_bruteforce,
         "doc_topk_by_lang": q_doc_topk_by_lang,
         "doc_budget_sample": q_doc_budget_sample,
@@ -4042,6 +4104,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(o.cents) AS BIGINT) AS revenue_cents
             FROM o JOIN f ON f.custkey = o.custkey
             GROUP BY f.cohort, o.month
+        """,
+        "revenue_concentration": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS c
+              FROM orders GROUP BY o_custkey
+            ),
+            cut AS (SELECT quantile_disc(c, 0.9) AS q FROM spend)
+            SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(cut.q AS BIGINT) AS cut_cents,
+                   CAST(sum(CASE WHEN c >= cut.q THEN c ELSE 0 END)
+                        AS BIGINT) AS top_cents,
+                   CAST(sum(c) AS BIGINT) AS total_cents,
+                   CAST(sum(CASE WHEN c >= cut.q THEN c ELSE 0 END)
+                        AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
+            FROM spend, cut GROUP BY cut.q
         """,
         "kg_kcore": _kcore_sql(3, 3),
         "kg_link_predict": _TRIPLES_CTE + """,
