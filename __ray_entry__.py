@@ -2031,6 +2031,84 @@ def q_revenue_concentration(sf_dir: str):
              [float(sums["top"]) / float(sums["total"])], pa.float64())})
 
 
+def q_events_pivot(sf_dir: str):
+    """Long → wide pivot (ops/agg.pivot_counts): per-user event-type
+    count matrix over the five known event types — one combiner pass,
+    one user-bucket shuffle, vectorized per-bucket pivot_table."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import pivot_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return pivot_counts(
+        events, "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"])
+
+
+def q_table_profile(sf_dir: str):
+    """Column census (ops/agg.profile_columns) over documents: per
+    column (n_rows, n_null, n_distinct) — exact distinct via one
+    (column,value)-bucket dedup of per-batch distinct partials."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import profile_columns
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"])
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+def q_orders_upsert(sf_dir: str):
+    """CDC compaction (ops/dedup.upsert_latest): base snapshot = every
+    order at version 0 in integer cents; change stream = orders with
+    o_orderkey % 7 == 0 re-priced (+100000 cents) at version 1; merged
+    snapshot keeps the highest version per key.  One key-bucket shuffle
+    of the unioned rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.dedup import upsert_latest
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def snap(version: int, delta: int, keep_mod7: bool):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            keys = batch["o_orderkey"].to_numpy().astype(np.int64)
+            cents = np.floor(
+                batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+            ).astype(np.int64)
+            out = pd.DataFrame(
+                {"o_orderkey": keys, "cents": cents + delta,
+                 "version": np.int64(version)})
+            if keep_mod7:
+                out = out[keys % 7 == 0]
+            return out
+        return f
+
+    base = orders.map_batches(snap(0, 0, False), batch_format="pandas")
+    updates = orders.map_batches(snap(1, 100000, True),
+                                 batch_format="pandas")
+    return upsert_latest(base, updates, ["o_orderkey"], "version")
+
+
+def q_doc_chunks(sf_dir: str):
+    """Sliding-window chunking (ops/text.chunk_documents): 20-token
+    windows advancing by 15 (5-token overlap) over every document —
+    stateless flat-map, no shuffle; token algebra is bit-portable to
+    string_split(text, ' ')."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.text import chunk_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(docs, size=20, stride=15)
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -3438,6 +3516,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": q_customer_rfm,
         "cohort_ltv": q_cohort_ltv,
         "revenue_concentration": q_revenue_concentration,
+        "events_pivot": q_events_pivot,
+        "table_profile": q_table_profile,
+        "orders_upsert": q_orders_upsert,
+        "doc_chunks": q_doc_chunks,
         "knn_bruteforce": q_knn_bruteforce,
         "doc_topk_by_lang": q_doc_topk_by_lang,
         "doc_budget_sample": q_doc_budget_sample,
@@ -4121,6 +4203,94 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c >= cut.q THEN c ELSE 0 END)
                         AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
             FROM spend, cut GROUP BY cut.q
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events
+            WHERE event_type IN
+                  ('click', 'error', 'purchase', 'signup', 'view')
+            GROUP BY user_id
+        """,
+        "table_profile": """
+            SELECT 'doc_id' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+            FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT lang) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'source', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT n_chars) AS BIGINT)
+            FROM documents
+        """,
+        "orders_upsert": """
+            WITH b AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                     CAST(0 AS BIGINT) AS version
+              FROM orders
+            ),
+            u AS (
+              SELECT o_orderkey, cents + 100000 AS cents,
+                     CAST(1 AS BIGINT) AS version
+              FROM b WHERE o_orderkey % 7 = 0
+            ),
+            merged AS (
+              SELECT * FROM b UNION ALL SELECT * FROM u
+            ),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+              FROM merged
+            )
+            SELECT o_orderkey, cents, version FROM r WHERE rn = 1
+        """,
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents
+            ),
+            c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            g AS (
+              SELECT doc_id, toks, n,
+                     unnest(generate_series(
+                       0, CASE WHEN n <= 20 THEN 0
+                          ELSE CAST(ceil(CAST(n - 20 AS DOUBLE) / 15)
+                               AS BIGINT) END)) AS chunk_id
+              FROM c
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(least(chunk_id * 15 + 20, n) - chunk_id * 15
+                        AS BIGINT) AS n_tokens,
+                   array_to_string(
+                     toks[chunk_id * 15 + 1
+                          : least(chunk_id * 15 + 20, n)], ' ') AS chunk
+            FROM g
         """,
         "kg_kcore": _kcore_sql(3, 3),
         "kg_link_predict": _TRIPLES_CTE + """,

@@ -29,6 +29,7 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -564,3 +565,121 @@ def hot_keys(
              "share": batch["n"].to_numpy(np.float64) / float(total)})
 
     return top.map_batches(finish, batch_format="pandas")
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    row_col: str,
+    pivot_col: str,
+    values: Sequence[str],
+    prefix: str = "n_",
+) -> ray.data.Dataset:
+    """Long → wide count matrix: one row per ``row_col`` key, one int64
+    column per entry of ``values`` holding the number of input rows with
+    that ``pivot_col`` value (absent combinations are 0).  This is the
+    feature-matrix pivot behind "events per user by type" / "documents
+    per source by language" tables that feed classifiers and dashboards.
+
+    ``values`` is the EXPLICIT closed column list — the caller names the
+    pivot domain up front (run :func:`hot_keys` / a distinct first if it
+    is unknown), so the output schema is fixed and no driver pass is
+    spent discovering it.  Rows whose pivot value is not in ``values``
+    are dropped (they would have no column).
+
+    Scale shape: per-batch partial (row, pivot) counts — the combiner
+    bounds shuffle volume by keys-per-batch, not rows — then ONE
+    row-key bucket shuffle whose per-bucket kernel is a vectorized
+    pandas pivot_table.  The wide output is row-key-cardinality-sized.
+    """
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    vals = list(values)
+    keep = set(vals)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.select([row_col, pivot_col]).to_pandas()
+        df = df[df[pivot_col].isin(keep)]
+        g = df.groupby([row_col, pivot_col], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([row_col, pivot_col], as_index=False).agg(
+            n=("n", "sum"))
+        wide = g.pivot_table(index=row_col, columns=pivot_col,
+                             values="n", fill_value=0, aggfunc="sum")
+        out = pd.DataFrame({row_col: wide.index.to_numpy()})
+        for v in vals:
+            col = (wide[v] if v in wide.columns
+                   else pd.Series(0, index=wide.index))
+            out[prefix + str(v)] = col.to_numpy().astype(np.int64)
+        return out.reset_index(drop=True)
+
+    return bucket_apply(ds.select_columns([row_col, pivot_col]),
+                        [row_col], per_bucket, batch_format="pandas",
+                        pre=pre)
+
+
+def profile_columns(
+    ds: ray.data.Dataset,
+    columns: Sequence[str],
+) -> ray.data.Dataset:
+    """Schema profiling: one output row per named column with
+    ``(column, n_rows, n_null, n_distinct)`` — the pre-flight data-
+    quality census a pipeline runs before committing a 100-TB job to a
+    partitioning or join plan (nullable join keys and key cardinality
+    are exactly what decide broadcast vs shuffle vs salt).
+
+    Exactness contract: ``n_distinct`` is EXACT (nulls excluded, values
+    compared by their string form — within one column this is injective
+    for the int/str/date columns it is meant for).  For corpus-scale
+    free-text columns where an exact per-column distinct shuffle is not
+    worth it, use the mergeable HLL sketch (:mod:`ops/sketch`) instead;
+    this operator is the exact small-domain complement.
+
+    Scale shape: per-batch melt to distinct (column, value) partials —
+    the combiner dedups within the batch, so the ONE bucket shuffle
+    carries distinct-partial volume, not rows — then a per-bucket dedup
+    and a tiny per-column count reduce.  Null/row counts ride a
+    separate O(columns) per-batch partial that sums on the driver
+    (columns × batches scalars, never data)."""
+    from pyrdf2vec_ray.shuffle import bucket_count, distinct
+    from pyrdf2vec_ray.util import to_table
+
+    cols = list(columns)
+
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            s = batch[c]
+            nn = s[s.notna()]
+            u = pd.unique(nn.astype(str))
+            frames.append(pd.DataFrame({"column": c, "value": u}))
+        out = pd.concat(frames, ignore_index=True)
+        return out
+
+    def null_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"column": cols,
+             "rows": [int(len(batch))] * len(cols),
+             "nulls": [int(batch[c].isna().sum()) for c in cols]})
+
+    pairs = distinct(
+        ds.select_columns(cols).map_batches(melt, batch_format="pandas"),
+        ["column", "value"])
+    ndist = bucket_count(pairs, ["column"], count_col="n_distinct")
+
+    nulls = (to_table(ds.select_columns(cols).map_batches(
+        null_partial, batch_format="pandas")).to_pandas()
+        .groupby("column", as_index=False).agg(
+            n_rows=("rows", "sum"), n_null=("nulls", "sum")))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch.merge(nulls, on="column", how="left")
+        return pd.DataFrame(
+            {"column": m["column"].astype(str),
+             "n_rows": m["n_rows"].to_numpy().astype(np.int64),
+             "n_null": m["n_null"].to_numpy().astype(np.int64),
+             "n_distinct": m["n_distinct"].to_numpy().astype(np.int64)})
+
+    return ndist.map_batches(finish, batch_format="pandas")

@@ -552,3 +552,50 @@ def dedup_keep_best(
 
     return bucket_apply(hashed, ["text_hash"], per_bucket,
                         batch_format="pandas")
+
+
+def upsert_latest(
+    base: "ray.data.Dataset",
+    updates: "ray.data.Dataset",
+    key_cols: list[str],
+    version_col: str,
+) -> "ray.data.Dataset":
+    """CDC compaction / SCD-style upsert: union ``base`` and ``updates``
+    and keep, per key, the single row with the highest
+    ``(version_col, src)`` — updates beat base on version ties.  This is
+    the merge step every incrementally-maintained 100-TB table needs
+    (yesterday's compacted snapshot + today's change stream → today's
+    snapshot), the cross-table sibling of :func:`dedup_keep_best`.
+
+    Determinism contract: within each side, ``(key_cols, version_col)``
+    must be unique (a change stream with two same-version rows for one
+    key is ill-defined); under that, (version desc, src desc) is a total
+    order per key.  Both sides must share the payload schema.
+
+    Scale shape: ONE key-bucket shuffle of the unioned full rows (CDC
+    compaction moves payloads by definition — there is no combiner that
+    preserves arbitrary columns), per-bucket vectorized argmax via a
+    stable sort + drop_duplicates.  The output is snapshot-sized; write
+    it partitioned by the same key buckets so the next day's merge can
+    co-partition for free."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    def tag(src: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            out["__src"] = np.int64(src)
+            return out
+        return f
+
+    both = base.map_batches(tag(0), batch_format="pandas").union(
+        updates.map_batches(tag(1), batch_format="pandas"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            key_cols + [version_col, "__src"],
+            ascending=[True] * len(key_cols) + [False, False],
+            kind="mergesort")
+        out = g.drop_duplicates(key_cols)
+        return out.drop(columns=["__src"]).reset_index(drop=True)
+
+    return bucket_apply(both, key_cols, per_bucket, batch_format="pandas")

@@ -1,0 +1,132 @@
+"""Round-4 fifth-wave operators: long→wide pivot counts, column
+profiling, CDC upsert-merge, and sliding-window document chunking.
+
+Hand-computable fixtures pin the exact contracts the SQL oracles also
+encode (chunk-count algebra, version/src tie-breaks, null handling)."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from pyrdf2vec_ray.ops.agg import pivot_counts, profile_columns
+from pyrdf2vec_ray.ops.dedup import upsert_latest
+from pyrdf2vec_ray.ops.text import chunk_documents
+
+
+# ---- pivot_counts ----------------------------------------------------------
+
+
+def test_pivot_counts_matrix_and_zero_fill():
+    df = pd.DataFrame(
+        {"u": [1, 1, 1, 2, 2, 3],
+         "t": ["a", "a", "b", "b", "zzz", "a"]})
+    out = (pivot_counts(ray.data.from_pandas(df), "u", "t", ["a", "b"])
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    assert list(out.columns) == ["u", "n_a", "n_b"]
+    assert out["n_a"].tolist() == [2, 0, 1]
+    # user 2's 'zzz' row is outside the declared domain and dropped
+    assert out["n_b"].tolist() == [1, 1, 0]
+    assert out["n_a"].dtype == np.int64 and out["n_b"].dtype == np.int64
+
+
+def test_pivot_counts_value_never_seen_is_all_zero():
+    df = pd.DataFrame({"u": [7, 7], "t": ["x", "x"]})
+    out = pivot_counts(
+        ray.data.from_pandas(df), "u", "t", ["x", "ghost"]).to_pandas()
+    assert out["n_x"].tolist() == [2]
+    assert out["n_ghost"].tolist() == [0]
+
+
+# ---- profile_columns -------------------------------------------------------
+
+
+def test_profile_columns_counts_nulls_and_distinct():
+    df = pd.DataFrame(
+        {"k": [1, 2, 2, 3, None],
+         "s": ["a", "a", None, "b", None]})
+    out = (profile_columns(ray.data.from_pandas(df), ["k", "s"])
+           .to_pandas().set_index("column"))
+    assert out.loc["k", "n_rows"] == 5
+    assert out.loc["k", "n_null"] == 1
+    assert out.loc["k", "n_distinct"] == 3
+    assert out.loc["s", "n_null"] == 2
+    assert out.loc["s", "n_distinct"] == 2
+
+
+# ---- upsert_latest ---------------------------------------------------------
+
+
+def test_upsert_latest_updates_win_and_base_survives():
+    base = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3], "v": [10, 20, 30], "version": [0, 0, 0]}))
+    updates = ray.data.from_pandas(pd.DataFrame(
+        {"k": [2, 4], "v": [99, 44], "version": [1, 1]}))
+    out = (upsert_latest(base, updates, ["k"], "version")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["v"].tolist() == [10, 99, 30, 44]
+    assert "__src" not in out.columns
+
+
+def test_upsert_latest_version_tie_update_wins_and_newer_base_survives():
+    # same version on both sides for k=1 → the update row wins the tie;
+    # base holds a NEWER version for k=2 → base wins despite being base
+    base = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2], "v": [10, 20], "version": [5, 9]}))
+    updates = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2], "v": [11, 21], "version": [5, 8]}))
+    out = (upsert_latest(base, updates, ["k"], "version")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["v"].tolist() == [11, 20]
+    assert out["version"].tolist() == [5, 9]
+
+
+# ---- chunk_documents -------------------------------------------------------
+
+
+def _ref_chunks(text: str, size: int, stride: int):
+    toks = text.split(" ")
+    n = len(toks)
+    extra = 0 if n <= size else math.ceil((n - size) / stride)
+    return [(" ".join(toks[i * stride:i * stride + size]),
+             min(i * stride + size, n) - i * stride)
+            for i in range(extra + 1)]
+
+
+def test_chunk_documents_windows_and_overlap():
+    text = " ".join(str(i) for i in range(11))  # 11 tokens
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": [text]}))
+    out = (chunk_documents(docs, size=5, stride=3)
+           .to_pandas().sort_values("chunk_id").reset_index(drop=True))
+    ref = _ref_chunks(text, 5, 3)
+    assert len(out) == len(ref) == 3
+    assert out["chunk"].tolist() == [c for c, _ in ref]
+    assert out["n_tokens"].tolist() == [n for _, n in ref]
+    # overlap: chunk i starts at token i*stride
+    assert out["chunk"].iloc[1].split(" ")[0] == "3"
+
+
+def test_chunk_documents_short_empty_and_space_runs():
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": ["one two", "", "a  b"]}))  # doc 3 has a double space
+    out = chunk_documents(docs, size=4, stride=4).to_pandas()
+    by = out.set_index("doc_id")
+    # short and empty docs yield exactly one chunk, verbatim
+    assert by.loc[1, "chunk"] == "one two" and by.loc[1, "n_tokens"] == 2
+    assert by.loc[2, "chunk"] == "" and by.loc[2, "n_tokens"] == 1
+    # split on the single space KEEPS the empty token (SQL parity)
+    assert by.loc[3, "chunk"] == "a  b" and by.loc[3, "n_tokens"] == 3
+
+
+def test_chunk_documents_exact_multiple_no_empty_tail():
+    text = " ".join("abcdefghij")  # 10 tokens, size 5 stride 5
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": [text]}))
+    out = chunk_documents(docs, size=5, stride=5).to_pandas()
+    assert len(out) == 2
+    assert out["n_tokens"].tolist() == [5, 5]
