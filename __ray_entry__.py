@@ -2031,6 +2031,80 @@ def q_revenue_concentration(sf_dir: str):
              [float(sums["top"]) / float(sums["total"])], pa.float64())})
 
 
+def q_kg_bfs_distances(sf_dir: str):
+    """Multi-source shortest-path BFS (ops/graph.bfs_distances): exact
+    min-hop distances from three seeds (the smallest order, customer:1,
+    nation:3) to everything within 4 directed hops of the KG — frontier
+    hash-joins against the edge set, (seed,vertex) distinct, anti-join
+    vs visited per level.  Oracle: recursive CTE with min(dist)."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.graph import bfs_distances
+
+    omin = int(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        .min("o_orderkey"))
+    seeds = [f"order:{omin}", "customer:1", "nation:3"]
+    return bfs_distances(_kg_edges(sf_dir), seeds, max_depth=4)
+
+
+def q_orders_diff(sf_dir: str):
+    """Snapshot diff (ops/join.diff_tables): base order snapshot vs a
+    derived next-day snapshot (keys %5 dropped, %7 re-priced, %11
+    mirrored to new key+10^9 rows) — emits only the changed/added/
+    removed keys, the validation step after a CDC compaction."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.join import diff_tables
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def base(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch["o_orderkey"].to_numpy().astype(np.int64)
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame({"o_orderkey": keys, "cents": cents})
+
+    def nextday(batch: pd.DataFrame) -> pd.DataFrame:
+        b = base(batch)
+        keys = b["o_orderkey"].to_numpy()
+        cents = b["cents"].to_numpy()
+        keep = keys % 5 != 0
+        out = pd.DataFrame(
+            {"o_orderkey": keys[keep],
+             "cents": np.where(keys[keep] % 7 == 0,
+                               cents[keep] + 100000, cents[keep])})
+        newk = keys % 11 == 0
+        added = pd.DataFrame({"o_orderkey": keys[newk] + 1_000_000_000,
+                              "cents": cents[newk]})
+        return pd.concat([out, added], ignore_index=True)
+
+    i8 = np.dtype("int64")
+    return diff_tables(
+        orders.map_batches(base, batch_format="pandas"),
+        orders.map_batches(nextday, batch_format="pandas"),
+        key_cols=["o_orderkey"], compare_cols=["cents"],
+        aschema={"o_orderkey": i8, "cents": i8})
+
+
+def q_doc_rank_in_lang(sf_dir: str):
+    """Window-rank features (ops/agg.rank_in_group): every document's
+    RANK() and PERCENT_RANK() of n_chars within its language — one
+    group-bucket shuffle, vectorized per-bucket rank kernel."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import rank_in_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"])
+    return rank_in_group(docs, "lang", "n_chars", "doc_id")
+
+
 def q_events_pivot(sf_dir: str):
     """Long → wide pivot (ops/agg.pivot_counts): per-user event-type
     count matrix over the five known event types — one combiner pass,
@@ -3517,6 +3591,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv": q_cohort_ltv,
         "revenue_concentration": q_revenue_concentration,
         "events_pivot": q_events_pivot,
+        "kg_bfs_distances": q_kg_bfs_distances,
+        "orders_diff": q_orders_diff,
+        "doc_rank_in_lang": q_doc_rank_in_lang,
         "table_profile": q_table_profile,
         "orders_upsert": q_orders_upsert,
         "doc_chunks": q_doc_chunks,
@@ -4203,6 +4280,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c >= cut.q THEN c ELSE 0 END)
                         AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
             FROM spend, cut GROUP BY cut.q
+        """,
+        "kg_bfs_distances": _TRIPLES_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1) + """,
+            edges AS (SELECT subj AS a, obj AS b FROM triples),
+            seeds AS (
+              SELECT 'order:' || min(o_orderkey) AS s FROM orders
+              UNION ALL SELECT 'customer:1'
+              UNION ALL SELECT 'nation:3'
+            ),
+            bfs AS (
+              SELECT s AS seed, s AS vertex, 0 AS d FROM seeds
+              UNION
+              SELECT bfs.seed, e.b, bfs.d + 1
+              FROM bfs JOIN edges e ON e.a = bfs.vertex
+              WHERE bfs.d < 4
+            )
+            SELECT seed, vertex, CAST(min(d) AS BIGINT) AS dist
+            FROM bfs GROUP BY seed, vertex
+        """,
+        "orders_diff": """
+            WITH a AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders
+            ),
+            b AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN cents + 100000
+                          ELSE cents END AS cents
+              FROM a WHERE o_orderkey % 5 != 0
+              UNION ALL
+              SELECT o_orderkey + 1000000000, cents
+              FROM a WHERE o_orderkey % 11 = 0
+            )
+            SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                        WHEN a.o_orderkey IS NULL THEN 'added'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+            WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+                  OR a.cents != b.cents
+        """,
+        "doc_rank_in_lang": """
+            SELECT lang, doc_id, n_chars,
+                   CAST(RANK() OVER (
+                     PARTITION BY lang ORDER BY n_chars) AS BIGINT)
+                     AS rnk,
+                   PERCENT_RANK() OVER (
+                     PARTITION BY lang ORDER BY n_chars) AS pct_rank
+            FROM documents
         """,
         "events_pivot": """
             SELECT user_id,

@@ -683,3 +683,40 @@ def profile_columns(
              "n_distinct": m["n_distinct"].to_numpy().astype(np.int64)})
 
     return ndist.map_batches(finish, batch_format="pandas")
+
+
+def rank_in_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """SQL-window ``RANK() OVER (PARTITION BY group ORDER BY value)``
+    plus ``PERCENT_RANK()``, as a distributed operator: every input row
+    comes back with its 1-based min-rank within its group (ties share
+    the rank of their first member, gaps after — exactly SQL ``RANK``)
+    and pct = (rank-1)/(n-1) (0 for singleton groups, SQL
+    ``PERCENT_RANK``).  Rank features ("document's length percentile
+    within its language", "user's spend rank within cohort") are the
+    window-function family :mod:`ops/events`' running totals and LAG
+    gaps don't cover.
+
+    Scale shape: ONE group-bucket shuffle carrying (group, id, value)
+    — the payload stays behind — then a vectorized per-bucket
+    ``groupby().rank(method='min')``.  All rows of a group co-locate;
+    the usual hot-group contract applies (a group's rows must fit a
+    bucket — run :func:`hot_keys` first; for corpus-scale single
+    groups use :func:`grouped_quantiles`' histogram path instead)."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rnk = g.groupby(group_col)[value_col].rank(method="min")
+        n = g.groupby(group_col)[value_col].transform("size")
+        out = g[[group_col, id_col, value_col]].copy()
+        out["rnk"] = rnk.to_numpy().astype(np.int64)
+        denom = np.maximum(n.to_numpy().astype(np.int64) - 1, 1)
+        out["pct_rank"] = (out["rnk"].to_numpy() - 1) / denom
+        return out.reset_index(drop=True)
+
+    return bucket_apply(ds.select_columns([group_col, id_col, value_col]),
+                        [group_col], per_bucket, batch_format="pandas")

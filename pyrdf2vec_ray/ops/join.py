@@ -257,3 +257,64 @@ def broadcast_join(
         return batch.merge(r.rename(columns=rmap), on=on, how=how)
 
     return left.map_batches(merge, batch_format="pandas")
+
+
+def diff_tables(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    key_cols: list[str],
+    compare_cols: list[str],
+    num_buckets: int | None = None,
+    aschema=None,
+    bschema=None,
+) -> ray.data.Dataset:
+    """Snapshot diff: ``(key_cols..., status)`` for every key where the
+    two tables disagree — ``'removed'`` (in a only), ``'added'`` (in b
+    only), ``'changed'`` (in both, any ``compare_cols`` value differs).
+    Unchanged keys are omitted, so the output is change-volume-sized.
+    This is the validation complement of :func:`ops/dedup.upsert_latest`
+    — after compacting yesterday's snapshot with today's change stream,
+    diff the result against the source of truth (or two pipeline
+    versions against each other) before promoting it.
+
+    Contract: keys must be unique per side (snapshot semantics);
+    ``compare_cols`` values are compared by equality with NaN == NaN
+    (pandas isna on both sides).
+
+    Scale shape: both sides project to key + compare columns, tag, and
+    take ONE key-bucket shuffle; the per-bucket kernel is a vectorized
+    outer merge + column compare.  No driver state, no broadcast — a
+    full-outer join specialization whose output never exceeds the
+    change volume."""
+    adt = _dtypes_of(a, aschema)
+    cols = key_cols + compare_cols
+
+    def tag(side: bool):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[cols].copy()
+            out["_side"] = side
+            return out
+        return fn
+
+    tagged = a.map_batches(tag(True), batch_format="pandas").union(
+        b.map_batches(tag(False), batch_format="pandas"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        la = g[g["_side"]][cols]
+        lb = g[~g["_side"]][cols]
+        m = la.merge(lb, on=key_cols, how="outer",
+                     suffixes=("_a", "_b"), indicator=True)
+        status = np.where(
+            m["_merge"] == "left_only", "removed",
+            np.where(m["_merge"] == "right_only", "added", "changed"))
+        same = np.ones(len(m), dtype=bool)
+        for c in compare_cols:
+            ca, cb = m[c + "_a"], m[c + "_b"]
+            same &= ((ca == cb) | (ca.isna() & cb.isna())).to_numpy()
+        keep = (m["_merge"] != "both") | ~same
+        out = m[keep][key_cols].reset_index(drop=True)
+        out["status"] = status[keep.to_numpy()]
+        return out
+
+    return bucket_apply(tagged, key_cols, per_bucket,
+                        num_buckets=num_buckets, batch_format="pandas")

@@ -130,3 +130,81 @@ def test_chunk_documents_exact_multiple_no_empty_tail():
     out = chunk_documents(docs, size=5, stride=5).to_pandas()
     assert len(out) == 2
     assert out["n_tokens"].tolist() == [5, 5]
+
+
+# ---- diff_tables -----------------------------------------------------------
+
+
+def test_diff_tables_three_statuses_and_silence():
+    from pyrdf2vec_ray.ops.join import diff_tables
+
+    a = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]}))
+    b = ray.data.from_pandas(pd.DataFrame(
+        {"k": [2, 3, 4, 5], "v": [20, 99, 40, 50]}))
+    out = (diff_tables(a, b, ["k"], ["v"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # k=2 and k=4 are identical → omitted entirely
+    assert out["k"].tolist() == [1, 3, 5]
+    assert out["status"].tolist() == ["removed", "changed", "added"]
+
+
+def test_diff_tables_nan_equals_nan():
+    from pyrdf2vec_ray.ops.join import diff_tables
+
+    a = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2], "v": [np.nan, 1.0]}))
+    b = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2], "v": [np.nan, np.nan]}))
+    out = diff_tables(a, b, ["k"], ["v"]).to_pandas()
+    # k=1: NaN == NaN → unchanged; k=2: value → NaN is a change
+    assert out["k"].tolist() == [2]
+    assert out["status"].tolist() == ["changed"]
+
+
+# ---- rank_in_group ---------------------------------------------------------
+
+
+def test_rank_in_group_min_rank_ties_and_pct():
+    from pyrdf2vec_ray.ops.agg import rank_in_group
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"],
+                       "i": [1, 2, 3, 4, 5],
+                       "v": [10, 10, 20, 30, 7]})
+    out = (rank_in_group(ray.data.from_pandas(df), "g", "v", "i")
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    # SQL RANK(): ties share min rank, gap after → 1,1,3,4
+    assert out["rnk"].tolist() == [1, 1, 3, 4, 1]
+    # PERCENT_RANK() = (rank-1)/(n-1); singleton group → 0.0
+    assert out["pct_rank"].tolist() == [0.0, 0.0, 2 / 3, 1.0, 0.0]
+
+
+# ---- bfs_distances ---------------------------------------------------------
+
+
+def test_bfs_distances_levels_min_dist_and_early_exit():
+    from pyrdf2vec_ray.ops.graph import bfs_distances
+
+    # diamond with a shortcut: s->a->c, s->b->c, s->c (dist 1 wins), c->d
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"a": ["s", "s", "s", "a", "b", "c"],
+         "b": ["a", "b", "c", "c", "c", "d"]}))
+    out = (bfs_distances(edges, ["s"], max_depth=5)
+           .to_pandas().set_index("vertex"))
+    assert out.loc["s", "dist"] == 0
+    assert out.loc["a", "dist"] == 1 and out.loc["b", "dist"] == 1
+    # the direct s->c edge beats both 2-hop paths
+    assert out.loc["c", "dist"] == 1
+    assert out.loc["d", "dist"] == 2
+    assert len(out) == 5  # early-exited well before depth 5
+
+
+def test_bfs_distances_multi_seed_independent():
+    from pyrdf2vec_ray.ops.graph import bfs_distances
+
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"a": ["x", "y"], "b": ["y", "z"]}))
+    out = bfs_distances(edges, ["x", "y"], max_depth=2).to_pandas()
+    got = {(r.seed, r.vertex): r.dist for r in out.itertuples()}
+    assert got[("x", "z")] == 2 and got[("y", "z")] == 1
+    assert ("y", "x") not in got  # directed: no back-edge
