@@ -2031,6 +2031,33 @@ def q_revenue_concentration(sf_dir: str):
              [float(sums["top"]) / float(sums["total"])], pa.float64())})
 
 
+def q_doc_prefix_dups(sf_dir: str):
+    """Prefix-duplicate detection (ops/dedup.prefix_duplicates) over
+    documents ∪ planted half-length truncations (doc_id % 17 == 0 →
+    doc_id + 10^6, first floor(len/2) characters) — finds exactly the
+    planted truncated re-crawls via the first-k-chars bucket + adjacent
+    sorted scan, no global sort.  Oracle: the quadratic starts_with
+    self-join over the same corpus."""
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.dedup import prefix_duplicates
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def with_planted(batch: pd.DataFrame) -> pd.DataFrame:
+        planted = batch[batch["doc_id"] % 17 == 0]
+        planted = pd.DataFrame(
+            {"doc_id": planted["doc_id"].to_numpy() + 1_000_000,
+             "text": [t[: len(t) // 2] for t in planted["text"]]})
+        return pd.concat([batch[["doc_id", "text"]], planted],
+                         ignore_index=True)
+
+    corpus = docs.map_batches(with_planted, batch_format="pandas")
+    return prefix_duplicates(corpus, k=4)
+
+
 def q_kg_bfs_distances(sf_dir: str):
     """Multi-source shortest-path BFS (ops/graph.bfs_distances): exact
     min-hop distances from three seeds (the smallest order, customer:1,
@@ -3591,6 +3618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv": q_cohort_ltv,
         "revenue_concentration": q_revenue_concentration,
         "events_pivot": q_events_pivot,
+        "doc_prefix_dups": q_doc_prefix_dups,
         "kg_bfs_distances": q_kg_bfs_distances,
         "orders_diff": q_orders_diff,
         "doc_rank_in_lang": q_doc_rank_in_lang,
@@ -4280,6 +4308,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c >= cut.q THEN c ELSE 0 END)
                         AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
             FROM spend, cut GROUP BY cut.q
+        """,
+        "doc_prefix_dups": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     substr(text, 1,
+                            CAST(floor(length(text) / 2) AS INT))
+              FROM documents WHERE doc_id % 17 = 0
+            )
+            SELECT DISTINCT a.doc_id
+            FROM corpus a JOIN corpus b
+              ON a.doc_id != b.doc_id
+             AND length(b.text) > length(a.text)
+             AND starts_with(b.text, a.text)
         """,
         "kg_bfs_distances": _TRIPLES_CTE.replace(
             "WITH ", "WITH RECURSIVE ", 1) + """,

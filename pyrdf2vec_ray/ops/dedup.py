@@ -599,3 +599,125 @@ def upsert_latest(
         return out.drop(columns=["__src"]).reset_index(drop=True)
 
     return bucket_apply(both, key_cols, per_bucket, batch_format="pandas")
+
+
+def prefix_duplicates(
+    docs: "ray.data.Dataset",
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Prefix-duplicate detection: the ids of documents whose text is a
+    STRICT prefix of some other document's text — truncated re-crawls,
+    cut-off mirrors and partial scrapes that exact dedup (different
+    hash) and MinHash (high but sub-threshold Jaccard for short
+    prefixes) both miss.  Output: one ``(doc_id)`` row per prefix-dup.
+
+    Exactness argument: if ``a`` is a strict prefix of any document,
+    it is a prefix of its IMMEDIATE lexicographic successor (any
+    ``b`` with ``a < b <= c`` where ``c`` extends ``a`` must itself
+    extend ``a`` — at the first position where ``b`` differed from
+    ``a`` inside ``a``'s length, ``b`` would exceed ``c``).  And every
+    extension of ``a`` shares ``a``'s first ``k`` characters whenever
+    ``len(a) >= k`` — so bucketing by the first-``k``-char key
+    co-locates every candidate pair, and a per-bucket sort + adjacent
+    prefix check is EXACT for long docs.  No global sort.
+
+    Docs shorter than ``k`` can extend across buckets; they are
+    collected (corpus-rare by definition — a sub-k-char document;
+    their count is the broadcast bound, documented) and checked by one
+    broadcast pass over all docs.
+
+    Scale shape: ONE first-k-chars bucket shuffle carrying (id, text),
+    per-bucket vectorized numpy startswith scan; plus the tiny
+    short-doc broadcast.  Skew note: natural-language first-k keys are
+    Zipfian — raise ``k`` to spread hot prefixes (the usual salt-or-
+    resize contract; k only changes WHICH docs ride the short path,
+    never the result)."""
+    import ray
+
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: batch[id_col],
+                             "t": batch[text_col].astype(str)})
+
+    rows = docs.map_batches(project, batch_format="pandas")
+
+    def len_filter(short: bool):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            n = batch["t"].str.len()
+            return batch[n < k] if short else batch[n >= k]
+        return f
+
+    short_pd = rows.map_batches(
+        len_filter(True), batch_format="pandas").to_pandas()
+    if "t" not in short_pd.columns:  # all-empty blocks drop the schema
+        short_pd = pd.DataFrame({id_col: [], "t": []})
+    short_ref = ray.put(sorted(
+        zip(short_pd["t"].tolist(), short_pd[id_col].tolist())))
+
+    def long_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", id_col], kind="mergesort")
+        t = g["t"].to_numpy(dtype=object)
+        if len(t) < 2:
+            return pd.DataFrame({id_col: g[id_col].iloc[:0]})
+        # adjacent-pair startswith: a per-PAIR loop whose body is one
+        # C-level str.startswith — the ragged-string shape (like the
+        # minhash per-doc loop); everything around it is vectorized
+        is_prefix = np.fromiter(
+            (len(a) < len(b) and b.startswith(a)
+             for a, b in zip(t[:-1], t[1:])),
+            dtype=bool, count=len(t) - 1)
+        dup_mask = np.r_[is_prefix, False]
+        # equal texts sort adjacent; only the run's LAST member faces
+        # the next DISTINCT text, so every member inherits the run
+        # verdict (same string ⇒ same prefix relation) — vectorized
+        # backward propagation via a per-run max
+        run = pd.Series(np.r_[True, t[1:] != t[:-1]].cumsum())
+        dup_mask = (pd.Series(dup_mask).groupby(run)
+                    .transform("max").to_numpy())
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy()[dup_mask]})
+
+    def key_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["pk"] = out["t"].str.slice(0, k)
+        return out
+
+    longs = rows.map_batches(
+        len_filter(False), batch_format="pandas").map_batches(
+        key_batch, batch_format="pandas")
+
+    def strip_pk(g: pd.DataFrame) -> pd.DataFrame:
+        return long_bucket(g.drop(columns=["pk"]))
+
+    long_dups = bucket_apply(longs, ["pk"], strip_pk,
+                             batch_format="pandas")
+
+    class ShortScan:
+        """Broadcast pass: every doc vs the (tiny) short-doc list."""
+
+        def __init__(self, ref):
+            self.shorts = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            found: set = set()
+            texts = batch["t"].tolist()
+            for s, sid in self.shorts:
+                if sid in found:
+                    continue
+                for b in texts:
+                    if len(b) > len(s) and b.startswith(s):
+                        found.add(sid)
+                        break
+            return pd.DataFrame({id_col: sorted(found)})
+
+    if len(short_pd):
+        short_dups = rows.map_batches(
+            ShortScan, fn_constructor_args=(short_ref,),
+            batch_format="pandas", concurrency=(1, 4))
+        from pyrdf2vec_ray.shuffle import distinct
+
+        return distinct(long_dups.union(short_dups), [id_col])
+    return long_dups

@@ -208,3 +208,41 @@ def test_bfs_distances_multi_seed_independent():
     got = {(r.seed, r.vertex): r.dist for r in out.itertuples()}
     assert got[("x", "z")] == 2 and got[("y", "z")] == 1
     assert ("y", "x") not in got  # directed: no back-edge
+
+
+# ---- prefix_duplicates -----------------------------------------------------
+
+
+def _prefix_ref(texts: dict) -> set:
+    return {i for i, t in texts.items()
+            if any(j != i and len(u) > len(t) and u.startswith(t)
+                   for j, u in texts.items())}
+
+
+def test_prefix_duplicates_matches_quadratic_reference():
+    from pyrdf2vec_ray.ops.dedup import prefix_duplicates
+
+    texts = {1: "hello world", 2: "hello world again", 3: "abc",
+             4: "ab", 5: "xyz", 6: "hello world", 7: "hel",
+             8: "", 9: "h"}
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    got = set(prefix_duplicates(docs, k=4).to_pandas()["doc_id"])
+    # quadratic reference: 1 and 6 (equal texts, both prefix of 2),
+    # 4 ("ab"<"abc"), 7 ("hel", short path), 8 (empty string is a
+    # strict prefix of everything non-empty), 9 ("h" < "hel")
+    assert got == _prefix_ref(texts) == {1, 4, 6, 7, 8, 9}
+
+
+def test_prefix_duplicates_k_invariance():
+    from pyrdf2vec_ray.ops.dedup import prefix_duplicates
+
+    texts = {i: t for i, t in enumerate(
+        ["aaaa bbbb cccc", "aaaa bbbb", "aaaa", "aa", "bbbb cccc",
+         "bbbb cccc dddd eeee", "zz", "zz top", "q"])}
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    ref = _prefix_ref(texts)
+    for k in (1, 3, 8):
+        got = set(prefix_duplicates(docs, k=k).to_pandas()["doc_id"])
+        assert got == ref, f"k={k}"
