@@ -2031,6 +2031,20 @@ def q_revenue_concentration(sf_dir: str):
              [float(sums["top"]) / float(sums["total"])], pa.float64())})
 
 
+def q_doc_robust_stats(sf_dir: str):
+    """Median/MAD per language (ops/agg.robust_stats): the outlier-
+    resistant location/scale pair, two exact histogram-quantile passes
+    with a group-sized broadcast between them.  Oracle: quantile_disc
+    + quantile_disc(abs(x - med), 0.5)."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import robust_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return robust_stats(docs, "lang", "n_chars")
+
+
 def q_doc_prefix_dups(sf_dir: str):
     """Prefix-duplicate detection (ops/dedup.prefix_duplicates) over
     documents ∪ planted half-length truncations (doc_id % 17 == 0 →
@@ -3618,6 +3632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv": q_cohort_ltv,
         "revenue_concentration": q_revenue_concentration,
         "events_pivot": q_events_pivot,
+        "doc_robust_stats": q_doc_robust_stats,
         "doc_prefix_dups": q_doc_prefix_dups,
         "kg_bfs_distances": q_kg_bfs_distances,
         "orders_diff": q_orders_diff,
@@ -4308,6 +4323,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c >= cut.q THEN c ELSE 0 END)
                         AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
             FROM spend, cut GROUP BY cut.q
+        """,
+        "doc_robust_stats": """
+            WITH med AS (
+              SELECT lang, quantile_disc(n_chars, 0.5) AS m
+              FROM documents GROUP BY lang
+            )
+            SELECT d.lang, CAST(med.m AS BIGINT) AS median,
+                   CAST(quantile_disc(abs(d.n_chars - med.m), 0.5)
+                        AS BIGINT) AS mad
+            FROM documents d JOIN med ON med.lang = d.lang
+            GROUP BY d.lang, med.m
         """,
         "doc_prefix_dups": """
             WITH corpus AS (

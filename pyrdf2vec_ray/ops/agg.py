@@ -720,3 +720,50 @@ def rank_in_group(
 
     return bucket_apply(ds.select_columns([group_col, id_col, value_col]),
                         [group_col], per_bucket, batch_format="pandas")
+
+
+def robust_stats(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+) -> ray.data.Dataset:
+    """(group, median, mad): per-group median and median absolute
+    deviation — the outlier-RESISTANT location/scale pair
+    (:func:`zscore_by_group`'s mean/std break down exactly on the
+    heavy-tailed length/score distributions curation filters care
+    about; median/MAD don't).  MAD is genuinely two-pass (the deviation
+    needs the median first); both passes are EXACT via the
+    histogram-quantile machinery, so the result is bit-identical to
+    DuckDB ``quantile_disc`` / ``quantile_disc(abs(x - med), 0.5)``.
+
+    Scale shape: two (group, value)-histogram shuffles (each bounded by
+    the value DOMAIN, not the row count — grouped_quantiles' contract)
+    with the group→median table broadcast between them (group-
+    cardinality-sized, the same broadcast bound as zscore_by_group's
+    stats table).  Integer values in, integer median/MAD out."""
+    from pyrdf2vec_ray.util import to_table
+
+    med_pd = to_table(grouped_quantiles(
+        ds.select_columns([group_col, value_col]), group_col, value_col,
+        (0.5,))).to_pandas()
+    med = dict(zip(med_pd[group_col], med_pd[value_col]))
+
+    def deviations(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[group_col].map(med).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {group_col: batch[group_col],
+             "dev": np.abs(batch[value_col].to_numpy(np.int64) - m)})
+
+    mad_pd_ds = grouped_quantiles(
+        ds.select_columns([group_col, value_col]).map_batches(
+            deviations, batch_format="pandas"),
+        group_col, "dev", (0.5,))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[group_col]
+        return pd.DataFrame(
+            {group_col: g,
+             "median": g.map(med).to_numpy(dtype=np.int64),
+             "mad": batch["dev"].to_numpy().astype(np.int64)})
+
+    return mad_pd_ds.map_batches(finish, batch_format="pandas")

@@ -246,3 +246,23 @@ def test_prefix_duplicates_k_invariance():
     for k in (1, 3, 8):
         got = set(prefix_duplicates(docs, k=k).to_pandas()["doc_id"])
         assert got == ref, f"k={k}"
+
+
+# ---- robust_stats ----------------------------------------------------------
+
+
+def test_robust_stats_median_and_mad():
+    from pyrdf2vec_ray.ops.agg import robust_stats
+
+    # group a: values 1..5 + outlier 1000 → median/MAD ignore it where
+    # mean/std would not; quantile_disc median of even n is the LOWER
+    # middle (rank ceil(n*0.5))
+    df = pd.DataFrame({"g": ["a"] * 6 + ["b"] * 3,
+                       "v": [1, 2, 3, 4, 5, 1000, 10, 20, 90]})
+    out = (robust_stats(ray.data.from_pandas(df), "g", "v")
+           .to_pandas().set_index("g"))
+    assert out.loc["a", "median"] == 3       # rank ceil(6*.5)=3 → value 3
+    # devs from 3: [2,1,0,1,2,997] sorted [0,1,1,2,2,997] → rank 3 → 1
+    assert out.loc["a", "mad"] == 1
+    assert out.loc["b", "median"] == 20
+    assert out.loc["b", "mad"] == 10         # devs [10,0,70] → median 10
