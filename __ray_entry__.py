@@ -2308,6 +2308,30 @@ def q_kmeans_step(sf_dir: str):
     return centroid_update(emb, np.stack(cdf["embedding"].to_numpy()))
 
 
+def q_kmeans_fit3(sf_dir: str):
+    """Full distributed k-means (ops/similarity.kmeans_fit): 3 Lloyd
+    rounds from the same 8 anchors as kmeans_step — each round is one
+    combiner-bounded M-step pass, driver holds only the k·d centroid
+    table.  Rows-only (iterated float means aren't SQL-portable; the
+    single M-step IS bit-checked by kmeans_step's oracle, and pytest
+    pins this loop against a numpy Lloyd reference)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pyrdf2vec_ray.ops.similarity import kmeans_fit
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cdf = emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id")
+    C = kmeans_fit(emb, iters=3,
+                   init=np.stack(cdf["embedding"].to_numpy()))
+    k, d = C.shape
+    return pa.table(
+        {"cluster": pa.array(np.repeat(np.arange(k), d), pa.int64()),
+         "dim": pa.array(np.tile(np.arange(d), k), pa.int64()),
+         "val": pa.array(C.ravel(), pa.float64())})
+
+
 def q_kg_comentions(sf_dir: str):
     """Entity co-mention graph (pipelines/construct.comention_edges):
     the corpus-derived relatedness layer on top of the asserted KG —
@@ -3652,6 +3676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_comentions": q_kg_comentions,
         "embedding_clusters": q_embedding_clusters,
         "kmeans_step": q_kmeans_step,
+        "kmeans_fit3": q_kmeans_fit3,
         "embedding_neighbor_mean": q_embedding_neighbor_mean,
         "events_transitions": q_events_transitions,
         "part_er_pairs": q_part_er_pairs,

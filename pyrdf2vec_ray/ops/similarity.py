@@ -441,3 +441,52 @@ def scalar_quantize(
 
     return emb.select_columns([id_col, vec_col]).map_batches(
         tx, batch_format="pandas")
+
+
+def kmeans_fit(
+    emb: ray.data.Dataset,
+    k: int | None = None,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    init: np.ndarray | None = None,
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Full distributed k-means (Lloyd): deterministic init (the
+    :func:`_fit_centroids` hash-bottom sample, or an explicit ``init``)
+    followed by ``iters`` rounds of :func:`centroid_update`, stopping
+    early at a fixpoint.  Returns the final ``(k, d)`` centroid matrix
+    — the iterative ML-training loop (assign → mean → repeat) that
+    :func:`cluster_assign` / :func:`knn_ivf` / semdedup consume as a
+    codebook.
+
+    Driver state per round is the k·d centroid table ONLY (the M-step
+    reduce emits per-cluster means, combiner-bounded — see
+    centroid_update); the corpus never leaves the cluster.  The input
+    projection is materialized ONCE up front — deliberate: every Lloyd
+    round re-reads it, and re-executing a lazy upstream chain per round
+    would multiply the scan cost by ``iters`` (the iterative-reuse
+    regime; same rationale as transitive_closure's per-round pins).
+
+    Empty clusters keep their previous centroid (the standard
+    keep-old convention, deterministic).  Assignment is cosine with
+    ties to the lowest index; means are over RAW vectors (spherical
+    assignment, Euclidean mean — the IVF-codebook convention used by
+    cluster_assign)."""
+    if init is None:
+        C = _fit_centroids(emb, id_col, vec_col, k, seed, sample_size)
+    else:
+        C = np.asarray(init, dtype=np.float64)
+    work = emb.select_columns([id_col, vec_col]).materialize()
+    d = C.shape[1]
+    for _ in range(int(iters)):
+        upd = centroid_update(work, C, id_col, vec_col).to_pandas()
+        newC = C.copy()
+        cl = upd["cluster"].to_numpy().astype(np.int64)
+        dim = upd["dim"].to_numpy().astype(np.int64)
+        newC[cl, dim] = upd["val"].to_numpy(np.float64)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return C

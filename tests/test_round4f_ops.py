@@ -266,3 +266,50 @@ def test_robust_stats_median_and_mad():
     assert out.loc["a", "mad"] == 1
     assert out.loc["b", "median"] == 20
     assert out.loc["b", "mad"] == 10         # devs [10,0,70] → median 10
+
+
+# ---- kmeans_fit ------------------------------------------------------------
+
+
+def _lloyd_ref(V: np.ndarray, C: np.ndarray, iters: int) -> np.ndarray:
+    C = C.astype(np.float64).copy()
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True),
+                            1e-300)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                            1e-300)
+        cl = (Vn @ Cn.T).argmax(axis=1)
+        new = C.copy()
+        for j in range(len(C)):
+            m = cl == j
+            if m.any():
+                new[j] = V[m].mean(axis=0)
+        if np.array_equal(new, C):
+            break
+        C = new
+    return C
+
+
+def test_kmeans_fit_matches_numpy_lloyd_and_converges():
+    from pyrdf2vec_ray.ops.similarity import kmeans_fit
+
+    rng = np.random.RandomState(3)
+    # three well-separated blobs in 4-d
+    centers = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]],
+                       dtype=np.float64)
+    V = np.vstack([c + rng.randn(40, 4) * 0.2 for c in centers])
+    init = V[[0, 40, 80]]
+    emb = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(len(V)), "embedding": list(V)}))
+
+    C = kmeans_fit(emb, iters=6, init=init)
+    ref = _lloyd_ref(V, init, 6)
+    # distributed partial-sum order differs from numpy's single mean —
+    # equality up to float reassociation, not bitwise
+    assert np.allclose(C, ref, atol=1e-9)
+    # converged: each centroid sits on its blob center
+    assert np.allclose(np.sort(C.argmax(axis=1)), [0, 1, 2])
+    assert np.allclose(C.max(axis=1), 10, atol=0.2)
+    # determinism: a second run is byte-identical
+    C2 = kmeans_fit(emb, iters=6, init=init)
+    assert np.array_equal(C, C2)
