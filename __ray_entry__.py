@@ -2308,6 +2308,62 @@ def q_kmeans_step(sf_dir: str):
     return centroid_update(emb, np.stack(cdf["embedding"].to_numpy()))
 
 
+def q_kg_predicate_profile(sf_dir: str):
+    """KG schema census: per (predicate, subject-type, object-type)
+    triple counts, where type is the IRI's 'prefix:' namespace — the
+    domain/range profile an ontology-inference or KG-QA pass derives
+    before trusting a constructed graph.  Composition: vectorized
+    namespace split → one bucket_agg."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    triples = _triples(sf_dir)
+
+    def typed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pred": batch["pred"],
+             "subj_type": batch["subj"].str.split(":").str[0],
+             "obj_type": batch["obj"].str.split(":").str[0]})
+
+    rows = triples.map_batches(typed, batch_format="pandas")
+    out = bucket_agg(rows, ["pred", "subj_type", "obj_type"],
+                     {"n": ("pred", "size")})
+
+    def as_i64(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["n"] = batch["n"].astype("int64")
+        return batch
+
+    return out.map_batches(as_i64, batch_format="pandas")
+
+
+def q_kg_functional_preds(sf_dir: str):
+    """Functional-predicate detection: for each predicate, the max
+    out-fan per subject and whether it is 1 (a functional property —
+    the cardinality-constraint inference that decides which predicates
+    can key an entity).  Two pre-aggregated bucket reduces: (pred,
+    subj) distinct-object counts, then a per-pred max."""
+    import numpy as np
+    import pandas as pd
+
+    from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+
+    triples = _triples(sf_dir)
+    pairs = distinct(triples, ["pred", "subj", "obj"])
+    fan = bucket_agg(pairs, ["pred", "subj"],
+                     {"fan": ("obj", "size")})
+    out = bucket_agg(fan, ["pred"], {"max_fan": ("fan", "max")},
+                     pre=False)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        mf = batch["max_fan"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"pred": batch["pred"], "max_fan": mf,
+                             "functional": mf == 1})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_kmeans_fit3(sf_dir: str):
     """Full distributed k-means (ops/similarity.kmeans_fit): 3 Lloyd
     rounds from the same 8 anchors as kmeans_step — each round is one
@@ -3677,6 +3733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "kmeans_step": q_kmeans_step,
         "kmeans_fit3": q_kmeans_fit3,
+        "kg_predicate_profile": q_kg_predicate_profile,
+        "kg_functional_preds": q_kg_functional_preds,
         "embedding_neighbor_mean": q_embedding_neighbor_mean,
         "events_transitions": q_events_transitions,
         "part_er_pairs": q_part_er_pairs,
@@ -4513,6 +4571,22 @@ def oracle_sql() -> dict[str, str]:
                      toks[chunk_id * 15 + 1
                           : least(chunk_id * 15 + 20, n)], ' ') AS chunk
             FROM g
+        """,
+        "kg_predicate_profile": _TRIPLES_CTE + """
+            SELECT pred, split_part(subj, ':', 1) AS subj_type,
+                   split_part(obj, ':', 1) AS obj_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM triples GROUP BY 1, 2, 3
+        """,
+        "kg_functional_preds": _TRIPLES_CTE + """,
+            fan AS (
+              SELECT pred, subj, CAST(count(DISTINCT obj) AS BIGINT)
+                       AS fan
+              FROM triples GROUP BY pred, subj
+            )
+            SELECT pred, CAST(max(fan) AS BIGINT) AS max_fan,
+                   max(fan) = 1 AS functional
+            FROM fan GROUP BY pred
         """,
         "kg_kcore": _kcore_sql(3, 3),
         "kg_link_predict": _TRIPLES_CTE + """,
