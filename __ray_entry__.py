@@ -2308,6 +2308,22 @@ def q_kmeans_step(sf_dir: str):
     return centroid_update(emb, np.stack(cdf["embedding"].to_numpy()))
 
 
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA (ops/similarity.pca_fit/pca_transform): fit a
+    16-component basis from one sufficient-statistics pass (d+d² floats
+    per block), project the corpus with a broadcast matmul.  Rows-only
+    (float eigendecomposition isn't SQL-portable; pytest pins fit and
+    transform against a numpy reference)."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.similarity import pca_fit, pca_transform
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    mean, comps, _ = pca_fit(emb, n_components=16)
+    return pca_transform(emb, mean, comps)
+
+
 def q_kg_predicate_profile(sf_dir: str):
     """KG schema census: per (predicate, subject-type, object-type)
     triple counts, where type is the IRI's 'prefix:' namespace — the
@@ -3733,6 +3749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "kmeans_step": q_kmeans_step,
         "kmeans_fit3": q_kmeans_fit3,
+        "embedding_pca": q_embedding_pca,
         "kg_predicate_profile": q_kg_predicate_profile,
         "kg_functional_preds": q_kg_functional_preds,
         "embedding_neighbor_mean": q_embedding_neighbor_mean,

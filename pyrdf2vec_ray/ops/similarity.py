@@ -490,3 +490,80 @@ def kmeans_fit(
             break
         C = newC
     return C
+
+
+def pca_fit(
+    emb: ray.data.Dataset,
+    n_components: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA fit: ``(mean, components, explained_var)`` from
+    one corpus pass — the whitening / dimensionality-reduction step an
+    embedding pipeline runs before IVF bucketing or scalar
+    quantization.  Sufficient statistics only: each batch emits
+    ``(n, Σx, ΣxᵀX)`` — d + d² floats, combiner-bounded like
+    :func:`centroid_update`'s M-step — the driver sums the per-block
+    partials IN BLOCK ORDER (deterministic for a fixed input) and
+    eigendecomposes the d×d covariance.  The corpus never collects;
+    driver state is O(blocks·d²) partials then d².
+
+    Eigenvector sign is fixed (largest-|component| coordinate made
+    positive), so the basis is reproducible.  Covariance uses the
+    population convention (divide by n).  Components are rows, sorted
+    by descending eigenvalue."""
+    from pyrdf2vec_ray.util import to_table
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"n": [len(V)], "s": [V.sum(axis=0)],
+             "ss": [(V.T @ V).ravel()]})
+
+    parts = to_table(
+        emb.select_columns([id_col, vec_col]).map_batches(
+            partial, batch_format="pandas")).to_pandas()
+    n = int(parts["n"].sum())
+    if n == 0:
+        raise ValueError("empty input")
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    d = s.shape[0]
+    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T
+    # deterministic sign: the largest-|x| coordinate of each component
+    # is made positive (ties broken by lowest index via argmax)
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, w[order]
+
+
+def pca_transform(
+    emb: ray.data.Dataset,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Project every vector onto a fitted PCA basis: ``(id, proj)``
+    with ``proj = components @ (x - mean)``.  Stateless broadcast
+    matmul per batch (mean + components ride ``ray.put`` once), zero
+    shuffles — the transform half of :func:`pca_fit`."""
+    import ray as _ray
+
+    ref = _ray.put((np.asarray(mean, np.float64),
+                    np.asarray(components, np.float64).T))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        m, ct = _ray.get(ref)
+        V = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        P = (V - m) @ ct
+        return pd.DataFrame({id_col: batch[id_col], "proj": list(P)})
+
+    return emb.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pandas")

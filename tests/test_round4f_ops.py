@@ -313,3 +313,42 @@ def test_kmeans_fit_matches_numpy_lloyd_and_converges():
     # determinism: a second run is byte-identical
     C2 = kmeans_fit(emb, iters=6, init=init)
     assert np.array_equal(C, C2)
+
+
+# ---- PCA -------------------------------------------------------------------
+
+
+def test_pca_fit_matches_numpy_and_transform_roundtrip():
+    from pyrdf2vec_ray.ops.similarity import pca_fit, pca_transform
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: variance concentrated along two known axes
+    base = rng.randn(300, 2) * np.array([5.0, 2.0])
+    mix = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]])
+    V = base @ mix + rng.randn(300, 4) * 0.05 + np.array([1, 2, 3, 4])
+    emb = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(len(V)), "embedding": list(V)}))
+
+    mean, comps, var = pca_fit(emb, n_components=2)
+
+    # numpy reference: population covariance eigh, same sign fix
+    cov = np.cov(V.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    ref = v[:, order].T
+    for i in range(2):
+        j = int(np.abs(ref[i]).argmax())
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(mean, V.mean(axis=0), atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-8)
+    assert np.allclose(var, w[order], atol=1e-8)
+    # top component points along the high-variance axis (dim 0)
+    assert np.abs(comps[0, 0]) > 0.99
+
+    proj = (pca_transform(emb, mean, comps).to_pandas()
+            .sort_values("vec_id"))
+    P = np.stack(proj["proj"].to_numpy())
+    assert np.allclose(P, (V - V.mean(axis=0)) @ ref.T, atol=1e-8)
+    # projections onto an orthonormal basis preserve variance
+    assert np.allclose(P.var(axis=0), var, atol=1e-6)
