@@ -603,16 +603,17 @@ def bfs_distances(
     frontier starts as a tiny in-memory table and every expansion is
     distributed.
 
-    Scale shape per level: one mid-vertex-bucket hash join of the
-    frontier against the edge set (schema-hinted, single-execution),
-    one (seed, vertex) distinct to collapse parallel paths, one
-    anti-join against the visited set so each vertex settles at its
-    FIRST (= minimal) level — frontier and visited are materialized
-    per round (they feed two consumers each).  Empty frontier
-    short-circuits.  Naive frontier expansion (not doubling) is the
-    right call here: distances need every level anyway."""
-    from pyrdf2vec_ray.ops.join import _dtypes_of, hash_join, hash_semi_join
-    from pyrdf2vec_ray.shuffle import distinct
+    Scale shape per level: TWO exchanges only — one mid-vertex-bucket
+    hash join of the frontier against the edge set (schema-hinted,
+    single-execution), then one fused (seed, vertex)-bucket pass that
+    both collapses parallel paths (distinct) AND drops already-settled
+    vertices (anti vs visited) in the same kernel, so each vertex
+    settles at its FIRST (= minimal) level — frontier and visited are
+    materialized per round (they feed two consumers each).  Empty
+    frontier short-circuits.  Naive frontier expansion (not doubling)
+    is the right call here: distances need every level anyway."""
+    from pyrdf2vec_ray.ops.join import _dtypes_of, hash_join
+    from pyrdf2vec_ray.shuffle import bucket_apply
 
     def canon(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"m": batch[a_col].to_numpy(),
@@ -628,7 +629,6 @@ def bfs_distances(
     visited = frontier
     levels = [frontier]
 
-    fr_schema = {"seed": vd, "vertex": vd, "dist": np.dtype("int64")}
     for d in range(1, int(max_depth) + 1):
         def as_left(batch: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"seed": batch["seed"].to_numpy(),
@@ -639,24 +639,35 @@ def bfs_distances(
             on=["m"], lschema={"seed": vd, "m": vd},
             rschema={"m": vd, "nxt": vd})
 
-        def as_pair(batch: pd.DataFrame) -> pd.DataFrame:
+        def as_cand(batch: pd.DataFrame) -> pd.DataFrame:
+            # per-batch combiner: local dedup before the fused shuffle
+            return pd.DataFrame(
+                {"seed": batch["seed"].to_numpy(),
+                 "vertex": batch["nxt"].to_numpy(),
+                 "_new": True}).drop_duplicates(["seed", "vertex"])
+
+        def as_seen(batch: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"seed": batch["seed"].to_numpy(),
-                                 "vertex": batch["nxt"].to_numpy()})
+                                 "vertex": batch["vertex"].to_numpy(),
+                                 "_new": False})
 
-        cand = distinct(hop.map_batches(as_pair, batch_format="pandas"),
-                        ["seed", "vertex"])
-        fresh = hash_semi_join(
-            cand, visited, on=["seed", "vertex"], anti=True,
-            lschema={"seed": vd, "vertex": vd},
-            rschema=fr_schema)
+        tagged = hop.map_batches(as_cand, batch_format="pandas").union(
+            visited.map_batches(as_seen, batch_format="pandas"))
 
-        def stamp(batch: pd.DataFrame, _d=d) -> pd.DataFrame:
-            out = batch.copy()
+        def settle(g: pd.DataFrame, _d=d) -> pd.DataFrame:
+            # fused distinct + anti-join: keep candidate keys with no
+            # visited row, once each
+            seen = g[~g["_new"]][["seed", "vertex"]]
+            fresh = (g[g["_new"]][["seed", "vertex"]]
+                     .drop_duplicates(["seed", "vertex"])
+                     .merge(seen.assign(_hit=True),
+                            on=["seed", "vertex"], how="left"))
+            out = fresh[fresh["_hit"].isna()][["seed", "vertex"]].copy()
             out["dist"] = np.int64(_d)
-            return out
+            return out.reset_index(drop=True)
 
-        frontier = fresh.map_batches(
-            stamp, batch_format="pandas").materialize()
+        frontier = bucket_apply(tagged, ["seed", "vertex"], settle,
+                                batch_format="pandas").materialize()
         if frontier.count() == 0:
             break
         levels.append(frontier)
