@@ -2210,18 +2210,55 @@ def q_orders_upsert(sf_dir: str):
     return upsert_latest(base, updates, ["o_orderkey"], "version")
 
 
-def q_doc_chunks(sf_dir: str):
-    """Sliding-window chunking (ops/text.chunk_documents): 20-token
-    windows advancing by 15 (5-token overlap) over every document —
-    stateless flat-map, no shuffle; token algebra is bit-portable to
-    string_split(text, ' ')."""
+def q_orders_rollup(sf_dir: str):
+    """ROLLUP(status, priority) in one pass (ops/agg.grouping_sets_agg):
+    all three grouping levels share a single combiner pass + ONE bucket
+    shuffle, vs the UNION-of-GROUP-BYs plan that rescans per level.
+    grouping_id is the SQL GROUPING() bitmask; aggregated-away columns
+    carry 'ALL'; revenue summed in exact integer cents."""
+    import numpy as np
+    import pandas as pd
     import ray.data
 
-    from pyrdf2vec_ray.ops.text import chunk_documents
+    from pyrdf2vec_ray.ops.agg import grouping_sets_agg
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return chunk_documents(docs, size=20, stride=15)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderstatus": batch["o_orderstatus"],
+             "o_orderpriority": batch["o_orderpriority"],
+             "cents": np.round(batch["o_totalprice"].to_numpy()
+                               * 100).astype(np.int64)})
+
+    return grouping_sets_agg(
+        orders.map_batches(to_cents, batch_format="pandas"),
+        sets=[["o_orderstatus", "o_orderpriority"],
+              ["o_orderstatus"], []],
+        value_col="cents")
+
+
+def q_kg_bgp_match(sf_dir: str):
+    """SPARQL basic-graph-pattern evaluation (ops/bgp.bgp_match) inside
+    the engine — the query surface the reference only reaches through a
+    remote endpoint.  Six-pattern star+chain+cycle query: orders placed
+    by customers of region:0 nations, the parts they contain, and the
+    suppliers of those parts that sit in the SAME nation as the
+    customer (the cycle join binds two variables at once).  The greedy
+    planner seeds at the 2-constant region pattern so the chain narrows
+    before it widens; every hop is one bucket-hash-join shuffle."""
+    from pyrdf2vec_ray.ops.bgp import bgp_match
+
+    return bgp_match(_triples(sf_dir), [
+        ("?o", "placed_by", "?c"),
+        ("?c", "in_nation", "?n"),
+        ("?n", "in_region", "region:0"),
+        ("?o", "contains", "?p"),
+        ("?p", "supplied_by", "?s"),
+        ("?s", "in_nation", "?n"),
+    ])
 
 
 def q_kg_kcore(sf_dir: str):
@@ -3735,7 +3772,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank_in_lang": q_doc_rank_in_lang,
         "table_profile": q_table_profile,
         "orders_upsert": q_orders_upsert,
-        "doc_chunks": q_doc_chunks,
         "knn_bruteforce": q_knn_bruteforce,
         "doc_topk_by_lang": q_doc_topk_by_lang,
         "doc_budget_sample": q_doc_budget_sample,
@@ -3837,6 +3873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_training_pairs": q_kg_training_pairs,
         "order_triangles": q_order_triangles,
         "kg_link_predict": q_kg_link_predict,
+        "orders_rollup": q_orders_rollup,
+        "kg_bgp_match": q_kg_bgp_match,
         "kg_kcore": q_kg_kcore,
         # rows-only (non-SQL-expressible)
         "construct_triples": q_construct_triples,
@@ -4567,28 +4605,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT o_orderkey, cents, version FROM r WHERE rn = 1
         """,
-        "doc_chunks": """
-            WITH t AS (
-              SELECT doc_id, string_split(text, ' ') AS toks
-              FROM documents
-            ),
-            c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-            g AS (
-              SELECT doc_id, toks, n,
-                     unnest(generate_series(
-                       0, CASE WHEN n <= 20 THEN 0
-                          ELSE CAST(ceil(CAST(n - 20 AS DOUBLE) / 15)
-                               AS BIGINT) END)) AS chunk_id
-              FROM c
-            )
-            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-                   CAST(least(chunk_id * 15 + 20, n) - chunk_id * 15
-                        AS BIGINT) AS n_tokens,
-                   array_to_string(
-                     toks[chunk_id * 15 + 1
-                          : least(chunk_id * 15 + 20, n)], ' ') AS chunk
-            FROM g
-        """,
         "kg_predicate_profile": _TRIPLES_CTE + """
             SELECT pred, split_part(subj, ':', 1) AS subj_type,
                    split_part(obj, ':', 1) AS obj_type,
@@ -4604,6 +4620,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, CAST(max(fan) AS BIGINT) AS max_fan,
                    max(fan) = 1 AS functional
             FROM fan GROUP BY pred
+        """,
+        "orders_rollup": """
+            WITH base AS (
+              SELECT o_orderstatus AS st, o_orderpriority AS pri,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            )
+            SELECT st AS o_orderstatus, pri AS o_orderpriority,
+                   CAST(0 AS BIGINT) AS grouping_id,
+                   count(*) AS n, sum(cents) AS total
+            FROM base GROUP BY st, pri
+            UNION ALL
+            SELECT st, 'ALL', CAST(2 AS BIGINT), count(*), sum(cents)
+            FROM base GROUP BY st
+            UNION ALL
+            SELECT 'ALL', 'ALL', CAST(3 AS BIGINT), count(*), sum(cents)
+            FROM base
+        """,
+        "kg_bgp_match": _TRIPLES_CTE + """
+            SELECT t1.obj AS c, t2.obj AS n, t1.subj AS o,
+                   t4.obj AS p, t5.obj AS s
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_nation'
+            JOIN triples t3 ON t3.subj = t2.obj
+                           AND t3.pred = 'in_region'
+                           AND t3.obj = 'region:0'
+            JOIN triples t4 ON t4.subj = t1.subj
+                           AND t4.pred = 'contains'
+            JOIN triples t5 ON t5.subj = t4.obj
+                           AND t5.pred = 'supplied_by'
+            JOIN triples t6 ON t6.subj = t5.obj
+                           AND t6.pred = 'in_nation'
+                           AND t6.obj = t2.obj
+            WHERE t1.pred = 'placed_by'
         """,
         "kg_kcore": _kcore_sql(3, 3),
         "kg_link_predict": _TRIPLES_CTE + """,

@@ -767,3 +767,72 @@ def robust_stats(
              "mad": batch["dev"].to_numpy().astype(np.int64)})
 
     return mad_pd_ds.map_batches(finish, batch_format="pandas")
+
+
+def grouping_sets_agg(
+    ds: ray.data.Dataset,
+    sets: Sequence[Sequence[str]],
+    value_col: str,
+    all_label: str = "ALL",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY GROUPING SETS`` (rollup / cube) in one pass:
+    every grouping set's ``count(*)`` and ``sum(value_col)`` computed
+    together, with a ``grouping_id`` bitmask column (bit i set ⇔ column
+    i of the UNION of all sets is AGGREGATED AWAY in that row — the
+    SQL ``GROUPING()`` convention) and aggregated-away string columns
+    filled with ``all_label`` instead of NULL, so the output schema is
+    closed and null-free (nullable group columns would make 'ALL'
+    ambiguous — this operator requires non-null group keys).
+
+    The classic uses: ``sets=[[a,b],[a],[]]`` is ``ROLLUP(a,b)``;
+    all four subsets of ``{a,b}`` is ``CUBE(a,b)``.
+
+    Scale shape: ONE pass, ONE shuffle — a per-batch combiner
+    replicates each batch's partial aggregates once per grouping set
+    (output rows ≤ Σ_set keys-in-batch, not rows × sets), then a single
+    bucket shuffle keyed on (group cols, grouping_id) re-aggregates the
+    partials.  No second pass per level, unlike a UNION-of-GROUP-BYs
+    plan which rescans the input once per set.  ``value_col`` must be
+    integer-exact (cents, counts) so partial sums are order-independent.
+    """
+    sets = [list(s) for s in sets]
+    union_cols: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in union_cols:
+                union_cols.append(c)
+    gids = [sum((1 << i) for i, c in enumerate(union_cols) if c not in s)
+            for s in sets]
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.select(union_cols + [value_col]).to_pandas()
+        parts = []
+        for s, gid in zip(sets, gids):
+            if s:
+                g = df.groupby(s, as_index=False).agg(
+                    n=(value_col, "size"), total=(value_col, "sum"))
+            else:
+                g = pd.DataFrame(
+                    {"n": [len(df)], "total": [df[value_col].sum()]})
+            for c in union_cols:
+                if c not in s:
+                    g[c] = all_label
+            g["grouping_id"] = np.int64(gid)
+            parts.append(g[union_cols + ["grouping_id", "n", "total"]])
+        out = pd.concat(parts, ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        out["total"] = out["total"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    keys = union_cols + ["grouping_id"]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(keys, as_index=False).agg(
+            n=("n", "sum"), total=("total", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        out["total"] = out["total"].astype(np.int64)
+        return out
+
+    return bucket_apply(ds, keys, per_bucket, num_buckets=num_buckets,
+                        batch_format="pandas", pre=pre)

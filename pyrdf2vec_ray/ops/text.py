@@ -1277,60 +1277,3 @@ def collocations_pmi(
 
     return joined.map_batches(score, batch_format="pandas")
 
-
-def chunk_documents(
-    docs: ray.data.Dataset,
-    size: int,
-    stride: int,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> ray.data.Dataset:
-    """Sliding-window document chunking: split each document into
-    windows of ``size`` whitespace tokens advancing by ``stride``
-    (``stride < size`` ⇒ overlapping RAG-style chunks, ``stride ==
-    size`` ⇒ disjoint pretraining blocks).  Output one row per chunk:
-    ``(doc_id, chunk_id, n_tokens, chunk)``.
-
-    Token contract (bit-portable to SQL): tokens are the split on the
-    SINGLE space character — empty tokens from runs of spaces are KEPT,
-    exactly ``string_split(text, ' ')`` — so the chunk count is a pure
-    function of the text.  A document yields
-    ``1 + max(0, ceil((n - size) / stride))`` chunks; the last chunk may
-    be short, and ``chunk_id * stride`` is each chunk's 0-based token
-    offset, so a consumer can reassemble provenance without the parent
-    text.
-
-    Scale shape: embarrassingly parallel — a stateless per-batch
-    flat-map, no shuffle, output streams straight to the tokenizer or
-    sink.  The per-document loop inside the batch is over RAGGED token
-    lists (the same justified shape as minhash signatures); the join
-    per chunk is a C-level ``str.join`` on a slice, not per-token
-    Python."""
-    if size <= 0 or stride <= 0:
-        raise ValueError("size and stride must be positive")
-
-    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        ids_out: list = []
-        cid_out: list[int] = []
-        ntok_out: list[int] = []
-        txt_out: list[str] = []
-        for did, text in zip(batch[id_col].tolist(),
-                             batch[text_col].astype(str).tolist()):
-            toks = text.split(" ")
-            n = len(toks)
-            extra = 0 if n <= size else -((n - size) // -stride)
-            for i in range(extra + 1):
-                lo = i * stride
-                hi = min(lo + size, n)
-                ids_out.append(did)
-                cid_out.append(i)
-                ntok_out.append(hi - lo)
-                txt_out.append(" ".join(toks[lo:hi]))
-        return pd.DataFrame(
-            {id_col: ids_out,
-             "chunk_id": np.asarray(cid_out, dtype=np.int64),
-             "n_tokens": np.asarray(ntok_out, dtype=np.int64),
-             "chunk": txt_out})
-
-    return docs.select_columns([id_col, text_col]).map_batches(
-        per_batch, batch_format="pandas", batch_size=2048)

@@ -1,0 +1,99 @@
+"""BGP matcher: hand-computable pattern queries over a toy triple set.
+
+Pins the SPARQL-set semantics documented in ops/bgp.py: constant
+pushdown, repeated-variable equality, shared-variable natural joins,
+distinct projection under select, and the disconnected-BGP guard."""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data
+
+from pyrdf2vec_ray.ops.bgp import bgp_match
+
+TRIPLES = [
+    # people -> city -> country
+    ("alice", "lives_in", "ghent"),
+    ("bob", "lives_in", "ghent"),
+    ("carol", "lives_in", "paris"),
+    ("ghent", "in_country", "be"),
+    ("paris", "in_country", "fr"),
+    # friendships (directed)
+    ("alice", "knows", "bob"),
+    ("alice", "knows", "carol"),
+    ("bob", "knows", "alice"),
+    # a self-loop for the repeated-variable case
+    ("dave", "knows", "dave"),
+    ("dave", "lives_in", "paris"),
+]
+
+
+def _ds():
+    s, p, o = zip(*TRIPLES)
+    return ray.data.from_pandas(
+        pd.DataFrame({"subj": s, "pred": p, "obj": o}))
+
+
+def _rows(ds, cols):
+    df = ds.to_pandas()
+    assert sorted(df.columns) == sorted(cols)
+    return set(map(tuple, df[cols].itertuples(index=False)))
+
+
+def test_single_pattern_constant_pushdown():
+    out = bgp_match(_ds(), [("?w", "lives_in", "ghent")])
+    assert _rows(out, ["w"]) == {("alice",), ("bob",)}
+
+
+def test_chain_join_two_hops():
+    out = bgp_match(_ds(), [("?w", "lives_in", "?city"),
+                            ("?city", "in_country", "be")])
+    assert _rows(out, ["city", "w"]) == {("ghent", "alice"),
+                                         ("ghent", "bob")}
+
+
+def test_cycle_join_mutual_friends():
+    # ?a knows ?b and ?b knows ?a — second join runs on BOTH vars
+    out = bgp_match(_ds(), [("?a", "knows", "?b"),
+                            ("?b", "knows", "?a")])
+    got = _rows(out, ["a", "b"])
+    assert got == {("alice", "bob"), ("bob", "alice"),
+                   ("dave", "dave")}
+
+
+def test_repeated_variable_within_pattern():
+    out = bgp_match(_ds(), [("?x", "knows", "?x")])
+    assert _rows(out, ["x"]) == {("dave",)}
+
+
+def test_select_projects_with_distinct():
+    # both alice and bob live in a Belgian city -> country column alone
+    # must dedup to a single solution row
+    out = bgp_match(_ds(), [("?w", "lives_in", "?city"),
+                            ("?city", "in_country", "?cc")],
+                    select=["cc"])
+    assert _rows(out, ["cc"]) == {("be",), ("fr",)}
+
+
+def test_star_plus_chain():
+    # friends-of-alice who live in a city in France
+    out = bgp_match(_ds(), [("alice", "knows", "?f"),
+                            ("?f", "lives_in", "?city"),
+                            ("?city", "in_country", "fr")])
+    assert _rows(out, ["city", "f"]) == {("paris", "carol")}
+
+
+def test_disconnected_bgp_raises():
+    with pytest.raises(ValueError, match="disconnected"):
+        bgp_match(_ds(), [("?a", "knows", "?b"),
+                          ("?c", "in_country", "?d")])
+
+
+def test_constant_only_pattern_raises():
+    with pytest.raises(ValueError, match="no variables"):
+        bgp_match(_ds(), [("alice", "knows", "bob")])
+
+
+def test_unknown_select_var_raises():
+    with pytest.raises(ValueError, match="select vars"):
+        bgp_match(_ds(), [("?a", "knows", "?b")], select=["z"])

@@ -1,11 +1,11 @@
 """Round-4 fifth-wave operators: long→wide pivot counts, column
-profiling, CDC upsert-merge, and sliding-window document chunking.
+profiling, CDC upsert-merge, snapshot diff, window rank, multi-source
+BFS distances, prefix-duplicate detection, robust stats, k-means and
+PCA.
 
 Hand-computable fixtures pin the exact contracts the SQL oracles also
-encode (chunk-count algebra, version/src tie-breaks, null handling)."""
+encode (version/src tie-breaks, null handling, rank algebra)."""
 from __future__ import annotations
-
-import math
 
 import numpy as np
 import pandas as pd
@@ -13,7 +13,6 @@ import ray.data
 
 from pyrdf2vec_ray.ops.agg import pivot_counts, profile_columns
 from pyrdf2vec_ray.ops.dedup import upsert_latest
-from pyrdf2vec_ray.ops.text import chunk_documents
 
 
 # ---- pivot_counts ----------------------------------------------------------
@@ -82,54 +81,6 @@ def test_upsert_latest_version_tie_update_wins_and_newer_base_survives():
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert out["v"].tolist() == [11, 20]
     assert out["version"].tolist() == [5, 9]
-
-
-# ---- chunk_documents -------------------------------------------------------
-
-
-def _ref_chunks(text: str, size: int, stride: int):
-    toks = text.split(" ")
-    n = len(toks)
-    extra = 0 if n <= size else math.ceil((n - size) / stride)
-    return [(" ".join(toks[i * stride:i * stride + size]),
-             min(i * stride + size, n) - i * stride)
-            for i in range(extra + 1)]
-
-
-def test_chunk_documents_windows_and_overlap():
-    text = " ".join(str(i) for i in range(11))  # 11 tokens
-    docs = ray.data.from_pandas(
-        pd.DataFrame({"doc_id": [1], "text": [text]}))
-    out = (chunk_documents(docs, size=5, stride=3)
-           .to_pandas().sort_values("chunk_id").reset_index(drop=True))
-    ref = _ref_chunks(text, 5, 3)
-    assert len(out) == len(ref) == 3
-    assert out["chunk"].tolist() == [c for c, _ in ref]
-    assert out["n_tokens"].tolist() == [n for _, n in ref]
-    # overlap: chunk i starts at token i*stride
-    assert out["chunk"].iloc[1].split(" ")[0] == "3"
-
-
-def test_chunk_documents_short_empty_and_space_runs():
-    docs = ray.data.from_pandas(pd.DataFrame(
-        {"doc_id": [1, 2, 3],
-         "text": ["one two", "", "a  b"]}))  # doc 3 has a double space
-    out = chunk_documents(docs, size=4, stride=4).to_pandas()
-    by = out.set_index("doc_id")
-    # short and empty docs yield exactly one chunk, verbatim
-    assert by.loc[1, "chunk"] == "one two" and by.loc[1, "n_tokens"] == 2
-    assert by.loc[2, "chunk"] == "" and by.loc[2, "n_tokens"] == 1
-    # split on the single space KEEPS the empty token (SQL parity)
-    assert by.loc[3, "chunk"] == "a  b" and by.loc[3, "n_tokens"] == 3
-
-
-def test_chunk_documents_exact_multiple_no_empty_tail():
-    text = " ".join("abcdefghij")  # 10 tokens, size 5 stride 5
-    docs = ray.data.from_pandas(
-        pd.DataFrame({"doc_id": [1], "text": [text]}))
-    out = chunk_documents(docs, size=5, stride=5).to_pandas()
-    assert len(out) == 2
-    assert out["n_tokens"].tolist() == [5, 5]
 
 
 # ---- diff_tables -----------------------------------------------------------
