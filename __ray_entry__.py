@@ -2210,6 +2210,33 @@ def q_orders_upsert(sf_dir: str):
     return upsert_latest(base, updates, ["o_orderkey"], "version")
 
 
+def q_lineitem_regression(sf_dir: str):
+    """Per-returnflag OLS of line revenue (integer cents) on quantity
+    (ops/agg.grouped_linreg): corpus → per-group exact int64 sufficient
+    sums via a combiner + ONE tiny shuffle; the float64 closed form on
+    exact sums is bit-identical to the oracle's DOUBLE expression."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import grouped_linreg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def ints(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_returnflag": batch["l_returnflag"],
+             "qty": batch["l_quantity"].to_numpy(np.int64),
+             "cents": np.round(batch["l_extendedprice"].to_numpy()
+                               * 100).astype(np.int64)})
+
+    return grouped_linreg(
+        li.map_batches(ints, batch_format="pandas"),
+        "l_returnflag", "qty", "cents")
+
+
 def q_orders_rollup(sf_dir: str):
     """ROLLUP(status, priority) in one pass (ops/agg.grouping_sets_agg):
     all three grouping levels share a single combiner pass + ONE bucket
@@ -3873,6 +3900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_training_pairs": q_kg_training_pairs,
         "order_triangles": q_order_triangles,
         "kg_link_predict": q_kg_link_predict,
+        "lineitem_regression": q_lineitem_regression,
         "orders_rollup": q_orders_rollup,
         "kg_bgp_match": q_kg_bgp_match,
         "kg_kcore": q_kg_kcore,
@@ -4621,6 +4649,30 @@ def oracle_sql() -> dict[str, str]:
                    max(fan) = 1 AS functional
             FROM fan GROUP BY pred
         """,
+        "lineitem_regression": """
+            WITH base AS (
+              SELECT l_returnflag AS g,
+                     CAST(l_quantity AS BIGINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem
+            ),
+            s AS (
+              SELECT g, count(*) AS n,
+                     CAST(sum(x) AS DOUBLE) AS sx,
+                     CAST(sum(y) AS DOUBLE) AS sy,
+                     CAST(sum(x * y) AS DOUBLE) AS sxy,
+                     CAST(sum(x * x) AS DOUBLE) AS sxx
+              FROM base GROUP BY g
+            )
+            SELECT g AS l_returnflag, n,
+                   (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+                   (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                          / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                     / CAST(n AS DOUBLE) AS intercept
+            FROM s
+            WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        """,
         "orders_rollup": """
             WITH base AS (
               SELECT o_orderstatus AS st, o_orderpriority AS pri,
@@ -4628,14 +4680,16 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             SELECT st AS o_orderstatus, pri AS o_orderpriority,
-                   CAST(0 AS BIGINT) AS grouping_id,
-                   count(*) AS n, sum(cents) AS total
+                   CAST(0 AS BIGINT) AS grouping_id, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS total
             FROM base GROUP BY st, pri
             UNION ALL
-            SELECT st, 'ALL', CAST(2 AS BIGINT), count(*), sum(cents)
+            SELECT st, 'ALL', CAST(2 AS BIGINT), count(*),
+                   CAST(sum(cents) AS BIGINT)
             FROM base GROUP BY st
             UNION ALL
-            SELECT 'ALL', 'ALL', CAST(3 AS BIGINT), count(*), sum(cents)
+            SELECT 'ALL', 'ALL', CAST(3 AS BIGINT), count(*),
+                   CAST(sum(cents) AS BIGINT)
             FROM base
         """,
         "kg_bgp_match": _TRIPLES_CTE + """

@@ -836,3 +836,58 @@ def grouping_sets_agg(
 
     return bucket_apply(ds, keys, per_bucket, num_buckets=num_buckets,
                         batch_format="pandas", pre=pre)
+
+
+def grouped_linreg(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group ordinary-least-squares fit ``y ~ slope·x + intercept``
+    (SQL ``regr_slope``/``regr_intercept``) from sufficient statistics:
+    the corpus reduces to per-group ``(n, Σx, Σy, Σxy, Σx²)`` — a
+    per-batch combiner then ONE tiny bucket shuffle, never the rows —
+    and the closed form reads off the sums.  The same
+    sufficient-statistics shape as the distributed PCA/k-means fits,
+    specialized to the 1-feature exact-SQL-oracle case.
+
+    Determinism contract: ``x``/``y`` must be INTEGER-valued (counts,
+    cents) with per-group ``Σx·y`` < 2⁵³ — partial sums are exact int64
+    in any order, and the final float64 formula
+    ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` evaluated on those exact sums
+    is bit-identical to the oracle computing the same expression in
+    DOUBLE.  Zero-variance groups (all x equal) are dropped, matching
+    ``WHERE n·Σx² − (Σx)² > 0``."""
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, x_col, y_col]).to_pandas()
+        x = df[x_col].to_numpy(np.int64)
+        y = df[y_col].to_numpy(np.int64)
+        part = pd.DataFrame(
+            {group_col: df[group_col], "n": np.int64(1), "sx": x,
+             "sy": y, "sxy": x * y, "sxx": x * x})
+        return pa.Table.from_pandas(
+            part.groupby(group_col, as_index=False).sum(),
+            preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(group_col, as_index=False).sum()
+        n = s["n"].to_numpy(np.float64)
+        sx = s["sx"].to_numpy(np.float64)
+        sy = s["sy"].to_numpy(np.float64)
+        sxy = s["sxy"].to_numpy(np.float64)
+        sxx = s["sxx"].to_numpy(np.float64)
+        den = n * sxx - sx * sx
+        keep = den > 0
+        slope = (n * sxy - sx * sy)[keep] / den[keep]
+        return pd.DataFrame(
+            {group_col: s[group_col].to_numpy()[keep],
+             "n": s["n"].to_numpy(np.int64)[keep],
+             "slope": slope,
+             "intercept": (sy[keep] - slope * sx[keep]) / n[keep]})
+
+    return bucket_apply(ds, [group_col], per_bucket,
+                        num_buckets=num_buckets, batch_format="pandas",
+                        pre=pre)

@@ -1,0 +1,53 @@
+"""grouped_linreg: hand-computable OLS fixtures — exact closed form,
+zero-variance group drop, multi-batch partial-sum exactness."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from pyrdf2vec_ray.ops.agg import grouped_linreg
+
+
+def _fit(df, n_batches=1):
+    parts = np.array_split(df, n_batches)
+    ds = ray.data.from_pandas([p.reset_index(drop=True) for p in parts])
+    out = grouped_linreg(ds, "g", "x", "y").to_pandas()
+    return {r.g: (r.n, r.slope, r.intercept) for r in out.itertuples()}
+
+
+def test_exact_line_recovered():
+    # g=a: y = 3x + 7 exactly; g=b: y = -2x + 100 exactly
+    df = pd.DataFrame(
+        {"g": ["a"] * 4 + ["b"] * 3,
+         "x": [1, 2, 3, 4, 10, 20, 30],
+         "y": [10, 13, 16, 19, 80, 60, 40]})
+    got = _fit(df)
+    n, s, i = got["a"]
+    assert n == 4 and s == 3.0 and i == 7.0
+    n, s, i = got["b"]
+    assert n == 3 and s == -2.0 and i == 100.0
+
+
+def test_least_squares_not_interpolation():
+    # points (0,0),(1,1),(2,4): slope = cov/var = 2, intercept = 1/3
+    df = pd.DataFrame({"g": ["a"] * 3, "x": [0, 1, 2], "y": [0, 1, 4]})
+    n, s, i = _fit(df)["a"]
+    assert s == 2.0
+    assert abs(i - (5 / 3 - 2.0)) < 1e-12
+
+
+def test_zero_variance_group_dropped():
+    df = pd.DataFrame({"g": ["a", "a", "c", "c"],
+                       "x": [1, 2, 5, 5], "y": [1, 2, 9, 11]})
+    got = _fit(df)
+    assert set(got) == {"a"}
+
+
+def test_multibatch_sums_exact():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"g": rng.choice(["a", "b"], 400),
+         "x": rng.integers(0, 50, 400),
+         "y": rng.integers(0, 10_000, 400)})
+    assert _fit(df, n_batches=7) == _fit(df, n_batches=1)
