@@ -2210,6 +2210,23 @@ def q_orders_upsert(sf_dir: str):
     return upsert_latest(base, updates, ["o_orderkey"], "version")
 
 
+def q_doc_dsir_weights(sf_dir: str):
+    """DSIR importance weights (ops/curate.importance_weights; Xie et
+    al. 2023): target corpus = lang='de' documents, raw = all; hashed
+    unigram LMs over 256 md5 bins, logw = Σ ln p̂_t/p̂_r per token.
+    Two bounded histogram passes + one streaming scoring pass; the
+    driver holds 2×256 counters, never rows."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.curate import importance_weights
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+    target = docs.filter(expr="lang == 'de'")
+    return importance_weights(
+        docs.select_columns(["doc_id", "text"]),
+        target.select_columns(["doc_id", "text"]), n_bins=256)
+
+
 def q_lineitem_regression(sf_dir: str):
     """Per-returnflag OLS of line revenue (integer cents) on quantity
     (ops/agg.grouped_linreg): corpus → per-group exact int64 sufficient
@@ -2355,6 +2372,30 @@ def q_order_triangles(sf_dir: str):
     edges = bucket_apply(orders, ["o_custkey"], pairs,
                          batch_format="pandas")
     return triangle_counts(edges)
+
+
+def q_order_clustering(sf_dir: str):
+    """Local clustering coefficients (ops/graph.clustering_coefficients)
+    over the order co-purchase graph — the triangle pipeline's finisher:
+    cc = 2·n_tri/(d·(d−1)), 0 below degree 2; float64 on exact counts,
+    bit-identical in SQL."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.graph import clustering_coefficients
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def pairs(g):
+        j = g.merge(g, on="o_custkey", suffixes=("_a", "_b"))
+        j = j[j["o_orderkey_a"] < j["o_orderkey_b"]]
+        return j.rename(columns={"o_orderkey_a": "a",
+                                 "o_orderkey_b": "b"})[["a", "b"]]
+
+    edges = bucket_apply(orders, ["o_custkey"], pairs,
+                         batch_format="pandas")
+    return clustering_coefficients(edges)
 
 
 def q_kmeans_step(sf_dir: str):
@@ -3899,7 +3940,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_edges": q_kg_negative_edges,
         "kg_training_pairs": q_kg_training_pairs,
         "order_triangles": q_order_triangles,
+        "order_clustering": q_order_clustering,
         "kg_link_predict": q_kg_link_predict,
+        "doc_dsir_weights": q_doc_dsir_weights,
         "lineitem_regression": q_lineitem_regression,
         "orders_rollup": q_orders_rollup,
         "kg_bgp_match": q_kg_bgp_match,
@@ -3922,6 +3965,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walks_community": q_walks_community,
         "walks_wide_sampled": q_walks_wide_sampled,
     }.items()}
+
+
+_ORDER_TRI_CTES = """
+            WITH e0 AS (
+              SELECT a.o_orderkey AS a, b.o_orderkey AS b
+              FROM orders a JOIN orders b
+                ON a.o_custkey = b.o_custkey
+               AND a.o_orderkey < b.o_orderkey
+            ),
+            deg AS (
+              SELECT v, count(*) AS d FROM (
+                SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0
+              ) GROUP BY v
+            ),
+            de AS (
+              SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b)
+                          THEN e0.a ELSE e0.b END AS u,
+                     CASE WHEN (da.d, e0.a) < (db.d, e0.b)
+                          THEN e0.b ELSE e0.a END AS w,
+                     CASE WHEN (da.d, e0.a) < (db.d, e0.b)
+                          THEN db.d ELSE da.d END AS dw
+              FROM e0 JOIN deg da ON da.v = e0.a
+                      JOIN deg db ON db.v = e0.b
+            ),
+            wed AS (
+              SELECT w1.w AS p, w2.w AS q, w1.u AS center
+              FROM de w1 JOIN de w2 ON w1.u = w2.u
+              WHERE (w1.dw, w1.w) < (w2.dw, w2.w)
+            ),
+            tri AS (
+              SELECT wed.p, wed.q, wed.center
+              FROM wed JOIN de ON de.u = wed.p AND de.w = wed.q
+            ),
+            pv AS (
+              SELECT v, count(*) AS n_tri FROM (
+                SELECT p AS v FROM tri UNION ALL SELECT q FROM tri
+                UNION ALL SELECT center FROM tri
+              ) GROUP BY v
+            )
+"""
 
 
 _TRIPLES_CTE = """
@@ -4649,6 +4732,49 @@ def oracle_sql() -> dict[str, str]:
                    max(fan) = 1 AS functional
             FROM fan GROUP BY pred
         """,
+        "doc_dsir_weights": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z'']+'))
+                       AS t
+              FROM documents
+            ),
+            tb AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                       % 256 AS bin
+              FROM tok
+            ),
+            th AS (
+              SELECT bin, count(*) AS n FROM tb
+              WHERE doc_id IN (SELECT doc_id FROM documents
+                               WHERE lang = 'de')
+              GROUP BY bin
+            ),
+            rh AS (SELECT bin, count(*) AS n FROM tb GROUP BY bin),
+            lam AS (
+              SELECT b.bin,
+                     ln((CAST(coalesce(th.n, 0) AS DOUBLE) + 1.0)
+                        / ((SELECT CAST(coalesce(sum(n), 0) AS DOUBLE)
+                            FROM th) + 256.0))
+                   - ln((CAST(coalesce(rh.n, 0) AS DOUBLE) + 1.0)
+                        / ((SELECT CAST(coalesce(sum(n), 0) AS DOUBLE)
+                            FROM rh) + 256.0)) AS lam
+              FROM (SELECT DISTINCT bin FROM tb) b
+              LEFT JOIN th ON th.bin = b.bin
+              LEFT JOIN rh ON rh.bin = b.bin
+            ),
+            sc AS (
+              SELECT tb.doc_id, count(*) AS n_tokens,
+                     sum(lam.lam) AS logw
+              FROM tb JOIN lam ON lam.bin = tb.bin
+              GROUP BY tb.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   coalesce(sc.logw, 0.0) AS logw
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        """,
         "lineitem_regression": """
             WITH base AS (
               SELECT l_returnflag AS g,
@@ -4789,45 +4915,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.c AS DOUBLE) / t.tot AS p
             FROM c JOIN t ON t.prev_type = c.prev_type
         """,
-        "order_triangles": """
-            WITH e0 AS (
-              SELECT a.o_orderkey AS a, b.o_orderkey AS b
-              FROM orders a JOIN orders b
-                ON a.o_custkey = b.o_custkey
-               AND a.o_orderkey < b.o_orderkey
-            ),
-            deg AS (
-              SELECT v, count(*) AS d FROM (
-                SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0
-              ) GROUP BY v
-            ),
-            de AS (
-              SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b)
-                          THEN e0.a ELSE e0.b END AS u,
-                     CASE WHEN (da.d, e0.a) < (db.d, e0.b)
-                          THEN e0.b ELSE e0.a END AS w,
-                     CASE WHEN (da.d, e0.a) < (db.d, e0.b)
-                          THEN db.d ELSE da.d END AS dw
-              FROM e0 JOIN deg da ON da.v = e0.a
-                      JOIN deg db ON db.v = e0.b
-            ),
-            wed AS (
-              SELECT w1.w AS p, w2.w AS q, w1.u AS center
-              FROM de w1 JOIN de w2 ON w1.u = w2.u
-              WHERE (w1.dw, w1.w) < (w2.dw, w2.w)
-            ),
-            tri AS (
-              SELECT wed.p, wed.q, wed.center
-              FROM wed JOIN de ON de.u = wed.p AND de.w = wed.q
-            ),
-            pv AS (
-              SELECT v, count(*) AS n_tri FROM (
-                SELECT p AS v FROM tri UNION ALL SELECT q FROM tri
-                UNION ALL SELECT center FROM tri
-              ) GROUP BY v
-            )
+        "order_triangles": _ORDER_TRI_CTES + """
             SELECT deg.v, CAST(deg.d AS BIGINT) AS degree,
                    CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri
+            FROM deg LEFT JOIN pv ON pv.v = deg.v
+        """,
+        "order_clustering": _ORDER_TRI_CTES + """
+            SELECT deg.v, CAST(deg.d AS BIGINT) AS degree,
+                   CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri,
+                   CASE WHEN deg.d >= 2
+                        THEN (2.0 * coalesce(pv.n_tri, 0))
+                             / (CAST(deg.d AS DOUBLE)
+                                * (CAST(deg.d AS DOUBLE) - 1.0))
+                        ELSE 0.0 END AS cc
             FROM deg LEFT JOIN pv ON pv.v = deg.v
         """,
         "kmeans_step": """

@@ -28,9 +28,11 @@ md5-hex-prefix trick shared with `ops/text.fingerprint`.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -1150,3 +1152,107 @@ def temperature_sample_sql(
         f"SELECT b.{key}, b.{group_col} FROM b "
         f"JOIN thr USING ({group_col}) WHERE b.b < thr.t"
     )
+
+
+# ---- DSIR-style importance weighting ---------------------------------------
+
+_WORD_RE = re.compile(r"[a-z']+")
+
+
+def _binned_token_counts(
+    docs: ray.data.Dataset, n_bins: int, text_col: str,
+) -> "pd.DataFrame":
+    """Corpus → hashed-unigram bin histogram: per-batch vectorized
+    tokenize + md5-bin + bincount (combiner output ≤ n_bins rows per
+    batch), one tiny bucket reduce, driver-side table of ≤ n_bins rows
+    (a FIXED-size broadcast — bounded by the feature space, not the
+    corpus, so the collect is scale-sound)."""
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    def pre(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        toks: list[str] = []
+        for t in texts:
+            toks.extend(_WORD_RE.findall(str(t).lower()))
+        if toks:
+            codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+            uh = np.fromiter(
+                (int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+                 for u in uniq), dtype=np.int64, count=len(uniq))
+            bins = np.bincount(uh[codes] % n_bins, minlength=n_bins)
+        else:
+            bins = np.zeros(n_bins, dtype=np.int64)
+        nz = np.nonzero(bins)[0]
+        return pa.table({"bin": nz.astype(np.int64),
+                         "n": bins[nz].astype(np.int64)})
+
+    hist = bucket_agg(
+        docs.map_batches(pre, batch_format="pyarrow"),
+        ["bin"], {"n": ("n", "sum")}, pre=False).to_pandas()
+    return hist
+
+
+def importance_weights(
+    raw: ray.data.Dataset,
+    target: ray.data.Dataset,
+    n_bins: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how target-like it is under hashed
+    bag-of-words language models.  Tokens (the ``[a-z']+`` lowercase
+    contract shared with the lang-id oracle) hash into ``n_bins``
+    buckets via the md5-prefix hash (SQL-replayable); the target and
+    raw corpora each reduce to a ``n_bins``-bucket unigram histogram;
+    a document's log importance weight is
+
+        logw(d) = Σ_tokens [ ln p̂_target(bin) − ln p̂_raw(bin) ]
+
+    with add-one smoothing ``p̂(b) = (count_b + 1)/(total + n_bins)``.
+    Resample by logw (top-k or Gumbel top-k) to select target-like
+    training data.
+
+    Output: ``(doc_id, n_tokens, logw)`` for every raw document
+    (empty docs score 0).
+
+    Scale shape: two histogram passes (per-batch bincount combiner →
+    one ≤ n_bins-row reduce each) + one stateless scoring pass with the
+    2 × n_bins float table captured by value (a fixed-size broadcast);
+    no shuffle touches full rows, and the driver never holds more than
+    2 × n_bins counters.  The scoring pass streams — at 100 TB it is
+    the only pass over the raw corpus."""
+    t_hist = _binned_token_counts(target, n_bins, text_col)
+    r_hist = _binned_token_counts(raw, n_bins, text_col)
+
+    ct = np.zeros(n_bins, dtype=np.float64)
+    ct[t_hist["bin"].to_numpy()] = t_hist["n"].to_numpy(np.float64)
+    cr = np.zeros(n_bins, dtype=np.float64)
+    cr[r_hist["bin"].to_numpy()] = r_hist["n"].to_numpy(np.float64)
+    lam = (np.log((ct + 1.0) / (ct.sum() + float(n_bins)))
+           - np.log((cr + 1.0) / (cr.sum() + float(n_bins))))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].astype(str).tolist()
+        toks: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tt = _WORD_RE.findall(t.lower())
+            counts[i] = len(tt)
+            toks.extend(tt)
+        logw = np.zeros(len(texts), dtype=np.float64)
+        if toks:
+            codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+            uh = np.fromiter(
+                (int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+                 for u in uniq), dtype=np.int64, count=len(uniq))
+            vals = lam[uh[codes] % n_bins]
+            np.add.at(logw, np.repeat(np.arange(len(texts)), counts),
+                      vals)
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(),
+             "n_tokens": counts, "logw": logw})
+
+    return raw.map_batches(score, batch_format="pandas",
+                           batch_size=1024)

@@ -1,0 +1,51 @@
+"""importance_weights (DSIR-style): planted-vocabulary fixtures — docs
+drawn from the target vocabulary must outscore off-target docs, empty
+docs score zero, and weights are additive per token."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from pyrdf2vec_ray.ops.curate import importance_weights
+
+
+def _score(raw_texts, target_texts, n_bins=64):
+    raw = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(raw_texts), dtype=np.int64),
+         "text": raw_texts}))
+    tgt = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(target_texts), dtype=np.int64),
+         "text": target_texts}))
+    out = importance_weights(raw, tgt, n_bins=n_bins).to_pandas()
+    return out.set_index("doc_id").sort_index()
+
+
+def test_target_like_docs_outscore_off_target():
+    target = ["der hund und die katze"] * 3
+    raw = ["der hund und die katze",      # pure target vocabulary
+           "orbit vector matrix tensor",  # disjoint vocabulary
+           ""]                            # empty
+    out = _score(raw, target)
+    assert out.loc[0, "logw"] > out.loc[1, "logw"]
+    assert out.loc[2, "logw"] == 0.0 and out.loc[2, "n_tokens"] == 0
+
+
+def test_token_counts_follow_word_regex():
+    out = _score(["Don't STOP 99 now!"], ["x"])
+    # lowercased [a-z']+ tokens: don't / stop / now
+    assert out.loc[0, "n_tokens"] == 3
+
+
+def test_weights_additive_in_tokens():
+    target = ["alpha beta"] * 4
+    raw = ["alpha", "alpha alpha"]
+    out = _score(raw, target)
+    assert np.isclose(out.loc[1, "logw"], 2 * out.loc[0, "logw"])
+
+
+def test_every_raw_doc_scored_once():
+    target = ["a b c"]
+    raw = [f"doc number {i}" for i in range(7)]
+    out = _score(raw, target)
+    assert len(out) == 7
