@@ -2210,6 +2210,45 @@ def q_orders_upsert(sf_dir: str):
     return upsert_latest(base, updates, ["o_orderkey"], "version")
 
 
+def q_lineitem_mode(sf_dir: str):
+    """Per-returnflag modal quantity (ops/agg.grouped_mode): corpus →
+    (group, value) count combiner + one bucket reduce → argmax with
+    the deterministic (count desc, value asc) tie-break the oracle's
+    ROW_NUMBER replays (SQL mode() leaves ties unspecified)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import grouped_mode
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity"])
+
+    def ints(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_returnflag": batch["l_returnflag"],
+             "qty": batch["l_quantity"].to_numpy(np.int64)})
+
+    return grouped_mode(li.map_batches(ints, batch_format="pandas"),
+                        "l_returnflag", "qty")
+
+
+def q_events_debounce(sf_dir: str):
+    """Retry-storm suppression (ops/events.debounce): drop an event
+    when the previous same-(user,type) event is < 30 min older — lag
+    semantics, one key-bucket shuffle + vectorized sort/shift pass,
+    replayed exactly by the oracle's lag() window."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import debounce
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "event_id", "ts"])
+    return debounce(ev, min_gap_s=1800)
+
+
 def q_doc_dsir_weights(sf_dir: str):
     """DSIR importance weights (ops/curate.importance_weights; Xie et
     al. 2023): target corpus = lang='de' documents, raw = all; hashed
@@ -2303,6 +2342,22 @@ def q_kg_bgp_match(sf_dir: str):
         ("?p", "supplied_by", "?s"),
         ("?s", "in_nation", "?n"),
     ])
+
+
+def q_kg_bgp_optional(sf_dir: str):
+    """SPARQL OPTIONAL + FILTER through the BGP engine: in_nation
+    subjects (customers AND suppliers — variables are untyped, per
+    SPARQL) of region:1 nations minus customer:1, LEFT-extended by
+    their orders — rows with no order (every supplier, plus TPC-H's
+    planted order-less customers) fill the order slot with '' (the
+    documented closed-schema stand-in for SPARQL's unbound)."""
+    from pyrdf2vec_ray.ops.bgp import bgp_match
+
+    return bgp_match(
+        _triples(sf_dir),
+        [("?c", "in_nation", "?n"), ("?n", "in_region", "region:1")],
+        filters=[("c", "!=", "customer:1")],
+        optional=[[("?o", "placed_by", "?c")]])
 
 
 def q_kg_kcore(sf_dir: str):
@@ -3942,10 +3997,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_triangles": q_order_triangles,
         "order_clustering": q_order_clustering,
         "kg_link_predict": q_kg_link_predict,
+        "lineitem_mode": q_lineitem_mode,
+        "events_debounce": q_events_debounce,
         "doc_dsir_weights": q_doc_dsir_weights,
         "lineitem_regression": q_lineitem_regression,
         "orders_rollup": q_orders_rollup,
         "kg_bgp_match": q_kg_bgp_match,
+        "kg_bgp_optional": q_kg_bgp_optional,
         "kg_kcore": q_kg_kcore,
         # rows-only (non-SQL-expressible)
         "construct_triples": q_construct_triples,
@@ -4732,6 +4790,31 @@ def oracle_sql() -> dict[str, str]:
                    max(fan) = 1 AS functional
             FROM fan GROUP BY pred
         """,
+        "lineitem_mode": """
+            WITH c AS (
+              SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+                     count(*) AS n
+              FROM lineitem GROUP BY l_returnflag, v
+            ),
+            r AS (
+              SELECT l_returnflag, v, n,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY n DESC, v ASC) AS rn
+              FROM c
+            )
+            SELECT l_returnflag, v AS mode, n FROM r WHERE rn = 1
+        """,
+        "events_debounce": """
+            WITH r AS (
+              SELECT user_id, event_type, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT user_id, event_type, event_id, ts FROM r
+            WHERE prev IS NULL
+               OR epoch_us(ts) - epoch_us(prev) >= 1800 * 1000000
+        """,
         "doc_dsir_weights": """
             WITH tok AS (
               SELECT doc_id,
@@ -4835,6 +4918,18 @@ def oracle_sql() -> dict[str, str]:
                            AND t6.pred = 'in_nation'
                            AND t6.obj = t2.obj
             WHERE t1.pred = 'placed_by'
+        """,
+        "kg_bgp_optional": _TRIPLES_CTE + """
+            SELECT t1.subj AS c, t1.obj AS n,
+                   coalesce(t3.subj, '') AS o
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_region'
+                           AND t2.obj = 'region:1'
+            LEFT JOIN triples t3 ON t3.pred = 'placed_by'
+                                AND t3.obj = t1.subj
+            WHERE t1.pred = 'in_nation'
+              AND t1.subj <> 'customer:1'
         """,
         "kg_kcore": _kcore_sql(3, 3),
         "kg_link_predict": _TRIPLES_CTE + """,

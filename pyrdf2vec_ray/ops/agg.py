@@ -891,3 +891,37 @@ def grouped_linreg(
     return bucket_apply(ds, [group_col], per_bucket,
                         num_buckets=num_buckets, batch_format="pandas",
                         pre=pre)
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group modal value with a DETERMINISTIC tie-break (highest
+    count, then smallest value — SQL ``mode()`` leaves ties
+    unspecified, so the oracle is the explicit ROW_NUMBER form).
+    Output ``(group, mode, n)``.
+
+    Scale shape: the corpus reduces to a (group, value) count table via
+    the pre-aggregating bucket shuffle (combiner-bounded), then ONE
+    group-bucket exchange of count rows picks the argmax — rows never
+    move twice, and the second shuffle carries distinct (group, value)
+    pairs, not occurrences."""
+    counts = bucket_agg(ds.select_columns([group_col, value_col]),
+                        [group_col, value_col],
+                        {"n": (value_col, "size")},
+                        num_buckets=num_buckets)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        top = (g.sort_values([group_col, "n", value_col],
+                             ascending=[True, False, True])
+                .drop_duplicates(subset=[group_col], keep="first"))
+        return pd.DataFrame(
+            {group_col: top[group_col].to_numpy(),
+             "mode": top[value_col].to_numpy(),
+             "n": top["n"].to_numpy().astype(np.int64)})
+
+    return bucket_apply(counts, [group_col], pick,
+                        num_buckets=num_buckets, batch_format="pandas")

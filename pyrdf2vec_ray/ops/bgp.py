@@ -60,6 +60,16 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def _bgp_vars(patterns: list[tuple[str, str, str]]) -> list[str]:
+    """Ordered-unique variable names across a pattern group."""
+    out: list[str] = []
+    for p in patterns:
+        for t in p:
+            if _is_var(t) and t[1:] not in out:
+                out.append(t[1:])
+    return out
+
+
 def _pattern_scan(
     triples: ray.data.Dataset, pat: tuple[str, str, str]
 ) -> tuple[ray.data.Dataset, list[str]]:
@@ -102,17 +112,50 @@ def _pattern_scan(
     )
 
 
+_FILTER_OPS = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
 def bgp_match(
     triples: ray.data.Dataset,
     patterns: list[tuple[str, str, str]],
     select: list[str] | None = None,
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    filters: list[tuple[str, str, str]] | None = None,
+    unbound: str = "",
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Evaluate a conjunctive triple-pattern query (SPARQL BGP) over a
     deduplicated ``(subj, pred, obj)`` Dataset.  Output: one string
     column per distinct variable (without the ``?``), one row per
     solution mapping.  See the module docstring for semantics and the
-    distributed plan."""
+    distributed plan.
+
+    Extensions beyond the plain BGP:
+
+    * ``filters=[("c", "!=", "customer:1"), ("a", "<", "?b"), ...]`` —
+      SPARQL FILTER on bound variables; a value starting with ``?``
+      compares against another variable, anything else is a string
+      constant.  Applied as a vectorized row filter right after the
+      mandatory joins (before OPTIONAL, matching SPARQL's
+      group-then-extend evaluation order when the filter only touches
+      mandatory variables — filters over OPTIONAL vars are not
+      supported and raise).
+    * ``optional=[[pattern, ...], ...]`` — SPARQL OPTIONAL groups: each
+      group is evaluated as its own sub-BGP and LEFT-joined on the
+      variables it shares with the mandatory part (≥1 required —
+      SPARQL's unshared-OPTIONAL cartesian case raises).  Rows with no
+      match keep the mandatory binding and fill the group's new
+      variables with ``unbound`` (default ``""``) instead of NULL, so
+      the output schema stays closed and null-free — the documented
+      deviation from SPARQL's unbound-slot representation (oracle:
+      ``coalesce(col, '')``)."""
     if not patterns:
         raise ValueError("empty BGP")
     scans = [_pattern_scan(triples, p) for p in patterns]
@@ -151,6 +194,52 @@ def bgp_match(
         # hash_join column order: on + left-extra + right-extra
         acc_vars = (on + [v for v in acc_vars if v not in on]
                     + [v for v in svars if v not in on])
+
+    if filters:
+        for var, op, rhs in filters:
+            if op not in _FILTER_OPS:
+                raise ValueError(f"unsupported filter op {op!r}")
+            if var not in acc_vars:
+                raise ValueError(
+                    f"filter variable {var!r} not bound by the "
+                    f"mandatory patterns {sorted(acc_vars)}")
+            if _is_var(rhs) and rhs[1:] not in acc_vars:
+                raise ValueError(
+                    f"filter rhs {rhs!r} not bound by the mandatory "
+                    f"patterns {sorted(acc_vars)}")
+
+        def apply_filters(batch, _filters=list(filters)):
+            mask = None
+            for var, op, rhs in _filters:
+                rv = batch[rhs[1:]] if _is_var(rhs) else rhs
+                m = _FILTER_OPS[op](batch[var], rv)
+                mask = m if mask is None else (mask & m)
+            return batch[mask]
+
+        acc = acc.map_batches(apply_filters, batch_format="pandas")
+
+    for group in (optional or []):
+        sub = bgp_match(triples, group, num_buckets=num_buckets)
+        sub_vars = _bgp_vars(group)
+        on = [v for v in acc_vars if v in sub_vars]
+        if not on:
+            raise ValueError(
+                f"OPTIONAL group {group} shares no variable with the "
+                "mandatory patterns")
+        new = [v for v in sub_vars if v not in on]
+        acc = hash_join(acc, sub, on=on, how="left",
+                        num_buckets=num_buckets,
+                        lschema={v: o for v in acc_vars},
+                        rschema={v: o for v in sub_vars})
+        acc_vars = (on + [v for v in acc_vars if v not in on] + new)
+        if new:
+            def fill(batch, _new=list(new), _u=unbound):
+                batch = batch.copy()
+                for c in _new:
+                    batch[c] = batch[c].fillna(_u)
+                return batch
+
+            acc = acc.map_batches(fill, batch_format="pandas")
 
     if select is not None:
         unknown = [v for v in select if v not in acc_vars]

@@ -727,3 +727,43 @@ def rolling_daily(
              "rolling": batch["rc"].to_numpy(np.float64) / 100.0})
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def debounce(
+    events: ray.data.Dataset,
+    min_gap_s: int,
+    by: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Lag-debounce: drop an event when the PREVIOUS event of the same
+    ``by`` key (ordered by ``(ts, id)``) is less than ``min_gap_s``
+    seconds older — the double-fire/retry-storm suppressor.  These are
+    LAG semantics (each row compares to its immediate predecessor,
+    kept or not), which is vectorizable and replays exactly as a SQL
+    ``lag()`` window; the keep-first-of-burst variant (compare to the
+    last KEPT row) is a sequential scan with different semantics — use
+    ``sessionize`` for burst grouping.
+
+    Output: the surviving rows' ``(by..., id, ts)``.
+
+    Scale shape: ONE key-bucket shuffle (`shuffle.bucket_apply`), then
+    every key in the bucket is debounced in one vectorized sort + shift
+    pass.  Partitioning assumption (as sessionize): one key's events
+    fit one bucket task's heap."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    gap = pd.Timedelta(seconds=min_gap_s)
+    by = list(by)
+    cols = by + [id_col, ts_col]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(by + [ts_col, id_col], kind="mergesort")
+        new_key = (g[by].ne(g[by].shift()).any(axis=1)
+                   if len(by) > 1 else g[by[0]].ne(g[by[0]].shift()))
+        keep = new_key | (g[ts_col].diff() >= gap)
+        return g.loc[keep, cols]
+
+    return bucket_apply(events.select_columns(cols), by, per_bucket,
+                        num_buckets=num_buckets, batch_format="pandas")

@@ -97,3 +97,39 @@ def test_constant_only_pattern_raises():
 def test_unknown_select_var_raises():
     with pytest.raises(ValueError, match="select vars"):
         bgp_match(_ds(), [("?a", "knows", "?b")], select=["z"])
+
+
+def test_filter_constant_and_var():
+    out = bgp_match(_ds(), [("?a", "knows", "?b")],
+                    filters=[("a", "!=", "dave")])
+    assert _rows(out, ["a", "b"]) == {("alice", "bob"),
+                                      ("alice", "carol"),
+                                      ("bob", "alice")}
+    out = bgp_match(_ds(), [("?a", "knows", "?b")],
+                    filters=[("a", "<", "?b")])
+    assert _rows(out, ["a", "b"]) == {("alice", "bob"),
+                                      ("alice", "carol")}
+
+
+def test_optional_left_join_fills_unbound():
+    # everyone with a city; knowing someone is optional
+    out = bgp_match(_ds(), [("?w", "lives_in", "?city")],
+                    optional=[[("?w", "knows", "?f")]])
+    got = _rows(out, ["city", "f", "w"])
+    assert ("ghent", "bob", "alice") in got
+    assert ("ghent", "carol", "alice") in got
+    # carol knows nobody -> one row with f unbound ('')
+    assert ("paris", "", "carol") in got
+    assert ("paris", "dave", "dave") in got
+
+
+def test_optional_unshared_raises():
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        bgp_match(_ds(), [("?w", "lives_in", "?city")],
+                  optional=[[("?x", "in_country", "?y")]])
+
+
+def test_filter_unbound_var_raises():
+    with pytest.raises(ValueError, match="filter variable"):
+        bgp_match(_ds(), [("?a", "knows", "?b")],
+                  filters=[("z", "==", "x")])
