@@ -2360,6 +2360,66 @@ def q_kg_bgp_optional(sf_dir: str):
         optional=[[("?o", "placed_by", "?c")]])
 
 
+def q_kg_mis(sf_dir: str):
+    """Two bounded Luby MIS rounds (ops/graph.mis_bounded) over the
+    undirected KG: md5-priority local minima join the set in parallel,
+    neighbors drop out, edge set shrinks.  The oracle unrolls the same
+    rounds (LEFT-JOIN min-neighbor + EXCEPT), the kcore/LPA bounded-
+    iteration contract."""
+    from pyrdf2vec_ray.ops.graph import mis_bounded
+
+    return mis_bounded(_kg_edges(sf_dir), rounds=2)
+
+
+def _mis_sql(rounds: int) -> str:
+    """Unrolled Luby-round oracle matching ops/graph.mis_bounded."""
+    def p(col: str) -> str:
+        return f"CAST(concat('0x', substr(md5({col}), 1, 15)) AS BIGINT)"
+
+    parts = [_TRIPLES_CTE, """,
+        e0 AS (
+          SELECT DISTINCT least(subj, obj) AS a,
+                 greatest(subj, obj) AS b
+          FROM triples WHERE subj <> obj
+        ),
+        u0 AS (SELECT DISTINCT v FROM
+               (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0))"""]
+    for r in range(rounds):
+        parts.append(f""",
+        m{r} AS (
+          SELECT v, min(np) AS mn FROM (
+            SELECT a AS v, {p('b')} AS np FROM e{r}
+            UNION ALL SELECT b, {p('a')} FROM e{r}
+          ) GROUP BY v
+        ),
+        i{r} AS (
+          SELECT u.v FROM u{r} u LEFT JOIN m{r} m ON m.v = u.v
+          WHERE m.v IS NULL OR {p('u.v')} < m.mn
+        ),
+        o{r} AS (
+          SELECT DISTINCT n.w AS v FROM (
+            SELECT a AS v, b AS w FROM e{r}
+            UNION ALL SELECT b, a FROM e{r}
+          ) n JOIN i{r} i ON i.v = n.v
+        ),
+        u{r + 1} AS (
+          SELECT v FROM u{r}
+          EXCEPT SELECT v FROM i{r}
+          EXCEPT SELECT v FROM o{r}
+        ),
+        e{r + 1} AS (
+          SELECT e.a, e.b FROM e{r} e
+          JOIN u{r + 1} ua ON ua.v = e.a
+          JOIN u{r + 1} ub ON ub.v = e.b
+        )""")
+    sel = "\n            UNION ALL ".join(
+        [f"SELECT v, 'in' AS state FROM i{r}" for r in range(rounds)]
+        + [f"SELECT v, 'out' AS state FROM o{r}" for r in range(rounds)]
+        + [f"SELECT v, 'undecided' AS state FROM u{rounds}"])
+    parts.append("\n            " + sel)
+    return "".join(parts)
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded k-core peeling (ops/graph.kcore_bounded) over the TPC-H
     KG: 3 peel rounds at k=3; output = surviving vertices with residual
@@ -4004,6 +4064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": q_orders_rollup,
         "kg_bgp_match": q_kg_bgp_match,
         "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_mis": q_kg_mis,
         "kg_kcore": q_kg_kcore,
         # rows-only (non-SQL-expressible)
         "construct_triples": q_construct_triples,
@@ -4931,6 +4992,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE t1.pred = 'in_nation'
               AND t1.subj <> 'customer:1'
         """,
+        "kg_mis": _mis_sql(2),
         "kg_kcore": _kcore_sql(3, 3),
         "kg_link_predict": _TRIPLES_CTE + """,
             e AS (

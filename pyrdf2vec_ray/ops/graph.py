@@ -704,3 +704,156 @@ def clustering_coefficients(
         return out
 
     return tc.map_batches(finish, batch_format="pandas")
+
+
+def _md5_priority(vals: np.ndarray) -> np.ndarray:
+    """Deterministic per-vertex priority: first 15 md5 hex digits as
+    int64 (the SQL-replayable hash shared with ops/text.fingerprint),
+    computed once per distinct string via factorize."""
+    import hashlib
+
+    codes, uniq = pd.factorize(vals)
+    if not len(uniq):
+        return np.array([], dtype=np.int64)
+    uh = np.fromiter(
+        (int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+         for u in uniq), dtype=np.int64, count=len(uniq))
+    return uh[codes]
+
+
+def mis_bounded(
+    edges: ray.data.Dataset,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> ray.data.Dataset:
+    """Deterministic Luby-style maximal-independent-set rounds (Luby
+    1986): vertex priorities are the md5-prefix hash (no RNG stream —
+    any worker recomputes any priority, and the SQL oracle replays it),
+    and each round decides, IN PARALLEL, every undecided vertex whose
+    priority is strictly below all undecided neighbors' (local minima
+    join the set; their neighbors drop out).  After exactly ``rounds``
+    iterations — the bounded-round contract shared with kcore/LPA so
+    the oracle can unroll — returns ``(v, state)`` for EVERY vertex,
+    state ∈ {'in', 'out', 'undecided'}.  With enough rounds the
+    'undecided' class empties and in/out is a maximal independent set.
+
+    Ties: distinct-vertex md5 collisions are ~2⁻⁶⁰·m improbable; on a
+    collision neither endpoint is a strict local minimum, both stay
+    undecided that round — identical on both engines, so determinism
+    holds even then.
+
+    Scale shape per round: neighbor-minimum is ONE vertex-bucket
+    pre-aggregated reduce over the current edge set (priorities are
+    recomputed from the vertex string inside the batch — no join to
+    attach them); removals are key-bucket anti-joins; the edge set
+    only shrinks.  O(rounds) sequential exchanges; Luby's theorem
+    makes O(log n) rounds enough with high probability."""
+    from pyrdf2vec_ray.ops.join import _dtypes_of, hash_semi_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply, distinct
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[a_col].to_numpy()
+        b = batch[b_col].to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    cur = distinct(edges.map_batches(canon, batch_format="pandas"),
+                   ["a", "b"]).materialize()
+    vd = _dtypes_of(cur, None)["a"]
+    e_schema = {"a": vd, "b": vd}
+
+    def ends(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": np.concatenate([batch["a"].to_numpy(),
+                                  batch["b"].to_numpy()])})
+
+    undecided = distinct(cur.map_batches(ends, batch_format="pandas"),
+                         ["v"]).materialize()
+    states: list[tuple[ray.data.Dataset, str]] = []
+
+    for _ in range(rounds):
+        if undecided.count() == 0:
+            break
+
+        # (v, min neighbor priority) over the current edge set
+        def nbr(batch: pd.DataFrame) -> pd.DataFrame:
+            a = batch["a"].to_numpy()
+            b = batch["b"].to_numpy()
+            return pd.DataFrame(
+                {"v": np.concatenate([a, b]),
+                 "np": np.concatenate([_md5_priority(b),
+                                       _md5_priority(a)])})
+
+        mins = bucket_agg(cur.map_batches(nbr, batch_format="pandas"),
+                          ["v"], {"mn": ("np", "min")})
+
+        # local minima among undecided (vertices with no current edge
+        # have no mins row -> unconditionally IN)
+        from pyrdf2vec_ray.ops.join import hash_join
+
+        j = hash_join(undecided, mins, on=["v"], how="left",
+                      lschema={"v": vd},
+                      rschema={"v": vd, "mn": np.dtype("int64")})
+
+        def local_min(batch: pd.DataFrame) -> pd.DataFrame:
+            p = _md5_priority(batch["v"].to_numpy())
+            # exact int64 compare (a float cast of ~2^60 hashes could
+            # flip the strict < near 256-ulp coincidences)
+            isolated = batch["mn"].isna().to_numpy()
+            mn = batch["mn"].fillna(0).to_numpy(np.int64)
+            keep = isolated | (p < mn)
+            return pd.DataFrame({"v": batch["v"].to_numpy()[keep]})
+
+        in_v = j.map_batches(local_min,
+                             batch_format="pandas").materialize()
+        states.append((in_v, "in"))
+
+        # neighbors of IN drop out
+        def tagged(col, out):
+            def fn(batch: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({out: batch[col].to_numpy()})
+            return fn
+
+        half1 = hash_semi_join(
+            cur, in_v.map_batches(tagged("v", "a"),
+                                  batch_format="pandas"),
+            on=["a"], lschema=e_schema, rschema={"a": vd})
+        half2 = hash_semi_join(
+            cur, in_v.map_batches(tagged("v", "b"),
+                                  batch_format="pandas"),
+            on=["b"], lschema=e_schema, rschema={"b": vd})
+        out_v = distinct(
+            half1.map_batches(tagged("b", "v"), batch_format="pandas")
+            .union(half2.map_batches(tagged("a", "v"),
+                                     batch_format="pandas")),
+            ["v"]).materialize()
+        states.append((out_v, "out"))
+
+        decided = in_v.union(out_v)
+        undecided = hash_semi_join(
+            undecided, decided, on=["v"], anti=True,
+            lschema={"v": vd}, rschema={"v": vd}).materialize()
+        cur = hash_semi_join(
+            cur, undecided.map_batches(tagged("v", "a"),
+                                       batch_format="pandas"),
+            on=["a"], lschema=e_schema, rschema={"a": vd})
+        cur = hash_semi_join(
+            cur, undecided.map_batches(tagged("v", "b"),
+                                       batch_format="pandas"),
+            on=["b"], lschema=e_schema,
+            rschema={"b": vd}).materialize()
+
+    def label(s):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"v": batch["v"].to_numpy(),
+                                 "state": s})
+        return fn
+
+    out = undecided.map_batches(label("undecided"),
+                                batch_format="pandas")
+    for ds_part, s in states:
+        out = out.union(ds_part.map_batches(label(s),
+                                            batch_format="pandas"))
+    return out
