@@ -2249,6 +2249,35 @@ def q_events_debounce(sf_dir: str):
     return debounce(ev, min_gap_s=1800)
 
 
+def q_events_concurrency(sf_dir: str):
+    """Capacity-planning sweep (ops/events.peak_concurrency over
+    sessionize): per day, sessions overlapping the day and the maximum
+    simultaneously-active count — boundary-pair replication per covered
+    day, ONE day-bucket shuffle, vectorized sort+cumsum sweep; ties are
+    start-before-end so the oracle's window replays exactly."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import peak_concurrency, sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return peak_concurrency(sessionize(ev, gap_minutes=30))
+
+
+def q_events_wma(sf_dir: str):
+    """Dyadic-weight trend line over per-type daily counts
+    (ops/events.wma_daily): integer-exact EWMA stand-in (8/4/2/1 over
+    the last 4 observed days), combiner day-reduce + one key-bucket
+    smoothing pass; oracle is the lag() window form."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import wma_daily
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return wma_daily(ev)
+
+
 def q_doc_dsir_weights(sf_dir: str):
     """DSIR importance weights (ops/curate.importance_weights; Xie et
     al. 2023): target corpus = lang='de' documents, raw = all; hashed
@@ -4059,6 +4088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_predict": q_kg_link_predict,
         "lineitem_mode": q_lineitem_mode,
         "events_debounce": q_events_debounce,
+        "events_wma": q_events_wma,
+        "events_concurrency": q_events_concurrency,
         "doc_dsir_weights": q_doc_dsir_weights,
         "lineitem_regression": q_lineitem_regression,
         "orders_rollup": q_orders_rollup,
@@ -4864,6 +4895,72 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             SELECT l_returnflag, v AS mode, n FROM r WHERE rn = 1
+        """,
+        "events_concurrency": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d
+            ), sess AS (
+              SELECT min(ts) AS st, max(ts) AS en
+              FROM s GROUP BY user_id, sid
+            ), days AS (
+              SELECT st, en,
+                     unnest(generate_series(
+                       CAST(date_trunc('day', st) AS TIMESTAMP),
+                       CAST(date_trunc('day', en) AS TIMESTAMP),
+                       INTERVAL 1 DAY)) AS day
+              FROM sess
+            ), b AS (
+              SELECT day, greatest(st, day) AS t, 1 AS delta FROM days
+              UNION ALL
+              SELECT day, least(en, day + INTERVAL 1 DAY) AS t, -1
+              FROM days
+            ), r AS (
+              SELECT day, delta,
+                     sum(delta) OVER (PARTITION BY day
+                                      ORDER BY t, delta DESC
+                                      ROWS UNBOUNDED PRECEDING) AS run
+              FROM b
+            )
+            SELECT day,
+                   CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT)
+                     AS n_active,
+                   CAST(max(run) AS BIGINT) AS peak
+            FROM r GROUP BY day
+        """,
+        "events_wma": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT event_type, day, n,
+                     lag(n, 1) OVER win AS l1,
+                     lag(n, 2) OVER win AS l2,
+                     lag(n, 3) OVER win AS l3
+              FROM d
+              WINDOW win AS (PARTITION BY event_type ORDER BY day)
+            )
+            SELECT event_type, day, CAST(n AS BIGINT) AS n,
+                   CAST(8 * n + 4 * coalesce(l1, 0)
+                        + 2 * coalesce(l2, 0) + coalesce(l3, 0)
+                        AS DOUBLE)
+                   / (8 + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END
+                        + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END
+                        + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END)
+                     AS wma
+            FROM s
         """,
         "events_debounce": """
             WITH r AS (

@@ -7,6 +7,7 @@ workloads"): tumbling windows are expressed as a grouped aggregate on
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -767,3 +768,134 @@ def debounce(
 
     return bucket_apply(events.select_columns(cols), by, per_bucket,
                         num_buckets=num_buckets, batch_format="pandas")
+
+
+def wma_daily(
+    events: ray.data.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    weights: tuple[int, ...] = (8, 4, 2, 1),
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key daily event counts smoothed by a dyadic-weight moving
+    average — the integer-exact stand-in for an EWMA trend line
+    (float EWMA recursions are not order-stable; dyadic weights over
+    the last ``len(weights)`` OBSERVED days give the same halving decay
+    with exact int64 arithmetic, so the SQL lag() oracle replays
+    bit-for-bit).  ``wma_k = Σ wᵢ·n_{k−i} / Σ wᵢ`` where the sums run
+    over observations actually present (leading rows use fewer
+    weights; day gaps are observation-indexed, not calendar-indexed —
+    documented).  Output ``(key, day, n, wma)``.
+
+    Scale shape: per-batch (key, day) count combiner → ONE tiny
+    day-table reduce (date-range-bounded, not event-bounded) → one
+    key-bucket pass whose kernel is ``len(weights)`` vectorized
+    group-shifts.  No global sort; one key's days fit any task."""
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({key_col: batch[key_col],
+                          "day": batch[ts_col].dt.floor("D"), "n": 1})
+        return g.groupby([key_col, "day"], as_index=False).sum()
+
+    daily = bucket_agg(
+        events.map_batches(partial, batch_format="pandas"),
+        [key_col, "day"], {"n": ("n", "sum")}, pre=False,
+        num_buckets=num_buckets)
+
+    w = [int(x) for x in weights]
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "day"], kind="mergesort")
+        grp = g.groupby(key_col)["n"]
+        num = np.zeros(len(g), dtype=np.int64)
+        den = np.zeros(len(g), dtype=np.int64)
+        for i, wi in enumerate(w):
+            lag = grp.shift(i)
+            have = lag.notna().to_numpy()
+            num += wi * lag.fillna(0).to_numpy(np.int64)
+            den += wi * have.astype(np.int64)
+        return pd.DataFrame(
+            {key_col: g[key_col].to_numpy(),
+             "day": g["day"].to_numpy(),
+             "n": g["n"].to_numpy().astype(np.int64),
+             "wma": num.astype(np.float64) / den})
+
+    return bucket_apply(daily, [key_col], smooth,
+                        num_buckets=num_buckets, batch_format="pandas")
+
+
+def peak_concurrency(
+    intervals: ray.data.Dataset,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-day concurrency profile over CLOSED time intervals
+    (sessions): ``(day, n_active, peak)`` where ``n_active`` counts
+    intervals overlapping the day at all and ``peak`` is the maximum
+    number simultaneously active at any instant of that day — the
+    capacity-planning sweep line.
+
+    Semantics (deterministic under ties): an interval is active on
+    [start, end] inclusive; at an instant where one interval ends and
+    another starts BOTH are active (starts order before ends in the
+    sweep), and a zero-length interval still counts at its instant.
+
+    Scale shape: each interval replicates one (+1 at max(start, day),
+    −1 at min(end, day⁺)) boundary pair per day it overlaps (a
+    vectorized repeat — sessions span few days), then ONE day-bucket
+    shuffle whose kernel is a sort + cumsum sweep per day.  Days
+    partition the timeline, so parallelism grows with the date range,
+    and the within-tie processing order cannot change the maximum
+    (all +1s at a timestamp apply before any −1)."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    day_us = np.int64(86_400_000_000)
+
+    def boundaries(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[start_col].to_numpy("datetime64[us]").view(np.int64)
+        e = batch[end_col].to_numpy("datetime64[us]").view(np.int64)
+        d0 = s // day_us
+        nd = (e // day_us - d0 + 1).astype(np.int64)
+        row = np.repeat(np.arange(len(s)), nd)
+        # k-th covered day of each interval
+        prev = np.concatenate([[0], np.cumsum(nd)[:-1]])
+        k = np.arange(nd.sum()) - np.repeat(prev, nd)
+        day = (d0[row] + k) * day_us
+        plus_t = np.maximum(s[row], day)
+        minus_t = np.minimum(e[row], day + day_us)
+        return pd.DataFrame(
+            {"day": np.concatenate([day, day]),
+             "t": np.concatenate([plus_t, minus_t]),
+             "delta": np.concatenate(
+                 [np.ones(len(day), dtype=np.int64),
+                  -np.ones(len(day), dtype=np.int64)])})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["day", "t", "delta"],
+                          ascending=[True, True, False],
+                          kind="mergesort")
+        day = g["day"].to_numpy()
+        run = np.cumsum(g["delta"].to_numpy())
+        starts = np.flatnonzero(np.r_[True, day[1:] != day[:-1]])
+        # reset the cumsum at each day boundary (every day's deltas
+        # net to zero only when no interval crosses midnight — so
+        # subtract the running value carried in from previous days)
+        base = np.zeros(len(g), dtype=np.int64)
+        carry = np.concatenate([[0], run[starts[1:] - 1]])
+        base = np.repeat(carry, np.diff(np.r_[starts, len(g)]))
+        run = run - base
+        df = pd.DataFrame({"day": day, "run": run,
+                           "plus": (g["delta"].to_numpy() > 0)})
+        agg = df.groupby("day").agg(peak=("run", "max"),
+                                    n_active=("plus", "sum"))
+        return pd.DataFrame(
+            {"day": agg.index.to_numpy().astype("datetime64[us]"),
+             "n_active": agg["n_active"].to_numpy().astype(np.int64),
+             "peak": agg["peak"].to_numpy().astype(np.int64)})
+
+    return bucket_apply(
+        intervals.map_batches(boundaries, batch_format="pandas"),
+        ["day"], sweep, num_buckets=num_buckets,
+        batch_format="pandas")

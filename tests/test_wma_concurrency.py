@@ -1,0 +1,62 @@
+"""wma_daily and peak_concurrency: hand-computable fixtures pinning
+the dyadic-weight algebra, observation indexing, closed-interval sweep
+semantics and midnight clipping."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from pyrdf2vec_ray.ops.events import peak_concurrency, wma_daily
+
+T0 = pd.Timestamp("2026-03-01 00:00:00")
+DAY = pd.Timedelta(days=1)
+H = pd.Timedelta(hours=1)
+
+
+def test_wma_dyadic_weights_and_warmup():
+    # type 'a': counts 1, 3, 5 on three consecutive days
+    rows = ([("a", T0)] * 1 + [("a", T0 + DAY)] * 3
+            + [("a", T0 + 2 * DAY)] * 5)
+    ev = ray.data.from_pandas(pd.DataFrame(rows, columns=["event_type", "ts"]))
+    out = (wma_daily(ev).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    assert out["n"].tolist() == [1, 3, 5]
+    # day0: 8*1/8; day1: (8*3+4*1)/12; day2: (8*5+4*3+2*1)/14
+    assert out["wma"].tolist() == [1.0, 28 / 12, 54 / 14]
+
+
+def test_wma_observation_indexed_across_gap():
+    rows = [("a", T0), ("a", T0 + 5 * DAY), ("a", T0 + 5 * DAY)]
+    ev = ray.data.from_pandas(pd.DataFrame(rows, columns=["event_type", "ts"]))
+    out = (wma_daily(ev).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    # the 5-day gap is one observation step: (8*2 + 4*1) / 12
+    assert out["wma"].tolist() == [1.0, 20 / 12]
+
+
+def _intervals(rows):
+    return ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["session_start", "session_end"]))
+
+
+def test_peak_overlap_and_closed_ties():
+    out = peak_concurrency(_intervals([
+        (T0 + 1 * H, T0 + 3 * H),
+        (T0 + 2 * H, T0 + 4 * H),   # overlaps the first -> peak 2
+        (T0 + 4 * H, T0 + 5 * H),   # starts AS #2 ends: both active
+        (T0 + 8 * H, T0 + 8 * H),   # zero-length still counts
+    ])).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "n_active"] == 4
+    assert out.loc[0, "peak"] == 2
+
+
+def test_peak_midnight_crossing_counts_both_days():
+    out = (peak_concurrency(_intervals([
+        (T0 + 23 * H, T0 + 26 * H),   # crosses into day 2
+        (T0 + 1 * H, T0 + 2 * H),
+        (T0 + DAY + 1 * H, T0 + DAY + 2 * H),
+    ])).to_pandas().sort_values("day").reset_index(drop=True))
+    assert out["n_active"].tolist() == [2, 2]
+    assert out["peak"].tolist() == [1, 2]
