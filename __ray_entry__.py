@@ -2389,6 +2389,44 @@ def q_kg_bgp_optional(sf_dir: str):
         optional=[[("?o", "placed_by", "?c")]])
 
 
+def q_kg_bgp_minus(sf_dir: str):
+    """SPARQL MINUS through the BGP engine: in_nation subjects of
+    region:2 nations with NO placed_by order — a key-bucket anti-join
+    against the minus group's solution keys; surfaces every supplier
+    plus TPC-H's planted order-less customers."""
+    from pyrdf2vec_ray.ops.bgp import bgp_match
+
+    return bgp_match(
+        _triples(sf_dir),
+        [("?c", "in_nation", "?n"), ("?n", "in_region", "region:2")],
+        minus=[[("?o", "placed_by", "?c")]])
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Per-returnflag Pearson r of (quantity, revenue cents)
+    (ops/agg.grouped_corr): exact int64 sufficient sums + float64
+    closed form, bit-identical to the oracle's DOUBLE expression."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import grouped_corr
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def ints(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_returnflag": batch["l_returnflag"],
+             "qty": batch["l_quantity"].to_numpy(np.int64),
+             "cents": np.round(batch["l_extendedprice"].to_numpy()
+                               * 100).astype(np.int64)})
+
+    return grouped_corr(li.map_batches(ints, batch_format="pandas"),
+                        "l_returnflag", "qty", "cents")
+
+
 def q_kg_mis(sf_dir: str):
     """Two bounded Luby MIS rounds (ops/graph.mis_bounded) over the
     undirected KG: md5-priority local minima join the set in parallel,
@@ -4096,6 +4134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_match": q_kg_bgp_match,
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_mis": q_kg_mis,
+        "kg_bgp_minus": q_kg_bgp_minus,
+        "lineitem_corr": q_lineitem_corr,
         "kg_kcore": q_kg_kcore,
         # rows-only (non-SQL-expressible)
         "construct_triples": q_construct_triples,
@@ -5088,6 +5128,41 @@ def oracle_sql() -> dict[str, str]:
                                 AND t3.obj = t1.subj
             WHERE t1.pred = 'in_nation'
               AND t1.subj <> 'customer:1'
+        """,
+        "kg_bgp_minus": _TRIPLES_CTE + """
+            SELECT t1.subj AS c, t1.obj AS n
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_region'
+                           AND t2.obj = 'region:2'
+            WHERE t1.pred = 'in_nation'
+              AND NOT EXISTS (SELECT 1 FROM triples t3
+                              WHERE t3.pred = 'placed_by'
+                                AND t3.obj = t1.subj)
+        """,
+        "lineitem_corr": """
+            WITH base AS (
+              SELECT l_returnflag AS g,
+                     CAST(l_quantity AS BIGINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem
+            ),
+            s AS (
+              SELECT g, count(*) AS n,
+                     CAST(sum(x) AS DOUBLE) AS sx,
+                     CAST(sum(y) AS DOUBLE) AS sy,
+                     CAST(sum(x * y) AS DOUBLE) AS sxy,
+                     CAST(sum(x * x) AS DOUBLE) AS sxx,
+                     CAST(sum(y * y) AS DOUBLE) AS syy
+              FROM base GROUP BY g
+            )
+            SELECT g AS l_returnflag, n,
+                   (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r
+            FROM s
+            WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0
+              AND CAST(n AS DOUBLE) * syy - sy * sy > 0
         """,
         "kg_mis": _mis_sql(2),
         "kg_kcore": _kcore_sql(3, 3),

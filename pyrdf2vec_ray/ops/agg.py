@@ -925,3 +925,51 @@ def grouped_mode(
 
     return bucket_apply(counts, [group_col], pick,
                         num_buckets=num_buckets, batch_format="pandas")
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group Pearson correlation (SQL ``corr``) from the same
+    exact-int64 sufficient statistics as :func:`grouped_linreg`, plus
+    ``Σy²``:  ``r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) ·
+    (n·Σy² − (Σy)²))``.  Contract: inputs are integer-valued and every
+    per-group sum (the binding one is ``Σy²``) fits int64 — the sums
+    are then exact in any order, and even when a sum exceeds 2⁵³ both
+    engines round the SAME exact integer to double (DuckDB sums in
+    HUGEINT), so the float64 closed form still replays bit-identically.
+    Groups where either variance is zero are dropped (``WHERE ... > 0``
+    both)."""
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, x_col, y_col]).to_pandas()
+        x = df[x_col].to_numpy(np.int64)
+        y = df[y_col].to_numpy(np.int64)
+        part = pd.DataFrame(
+            {group_col: df[group_col], "n": np.int64(1), "sx": x,
+             "sy": y, "sxy": x * y, "sxx": x * x, "syy": y * y})
+        return pa.Table.from_pandas(
+            part.groupby(group_col, as_index=False).sum(),
+            preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(group_col, as_index=False).sum()
+        n = s["n"].to_numpy(np.float64)
+        sx = s["sx"].to_numpy(np.float64)
+        sy = s["sy"].to_numpy(np.float64)
+        vx = n * s["sxx"].to_numpy(np.float64) - sx * sx
+        vy = n * s["syy"].to_numpy(np.float64) - sy * sy
+        keep = (vx > 0) & (vy > 0)
+        cov = (n * s["sxy"].to_numpy(np.float64) - sx * sy)[keep]
+        return pd.DataFrame(
+            {group_col: s[group_col].to_numpy()[keep],
+             "n": s["n"].to_numpy(np.int64)[keep],
+             "r": cov / np.sqrt(vx[keep] * vy[keep])})
+
+    return bucket_apply(ds, [group_col], per_bucket,
+                        num_buckets=num_buckets, batch_format="pandas",
+                        pre=pre)

@@ -128,6 +128,7 @@ def bgp_match(
     select: list[str] | None = None,
     optional: list[list[tuple[str, str, str]]] | None = None,
     filters: list[tuple[str, str, str]] | None = None,
+    minus: list[list[tuple[str, str, str]]] | None = None,
     unbound: str = "",
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
@@ -155,7 +156,13 @@ def bgp_match(
       variables with ``unbound`` (default ``""``) instead of NULL, so
       the output schema stays closed and null-free — the documented
       deviation from SPARQL's unbound-slot representation (oracle:
-      ``coalesce(col, '')``)."""
+      ``coalesce(col, '')``).
+    * ``minus=[[pattern, ...], ...]`` — SPARQL MINUS groups: drop every
+      solution for which the group's sub-BGP has at least one match on
+      the shared variables (a key-bucket ANTI-join; ≥1 shared variable
+      required — SPARQL's disjoint-domain MINUS no-op case raises
+      instead of silently keeping everything).  Applied after filters,
+      before OPTIONAL."""
     if not patterns:
         raise ValueError("empty BGP")
     scans = [_pattern_scan(triples, p) for p in patterns]
@@ -217,6 +224,24 @@ def bgp_match(
             return batch[mask]
 
         acc = acc.map_batches(apply_filters, batch_format="pandas")
+
+    for group in (minus or []):
+        sub = bgp_match(triples, group, num_buckets=num_buckets)
+        sub_vars = _bgp_vars(group)
+        on = [v for v in acc_vars if v in sub_vars]
+        if not on:
+            raise ValueError(
+                f"MINUS group {group} shares no variable with the "
+                "mandatory patterns (SPARQL would keep every solution "
+                "— pass the shared variable or drop the group)")
+        from pyrdf2vec_ray.ops.join import hash_semi_join
+
+        keys = distinct(sub.select_columns(on), on,
+                        num_buckets=num_buckets)
+        acc = hash_semi_join(
+            acc, keys, on=on, anti=True, num_buckets=num_buckets,
+            lschema={v: o for v in acc_vars},
+            rschema={v: o for v in on})
 
     for group in (optional or []):
         sub = bgp_match(triples, group, num_buckets=num_buckets)

@@ -133,3 +133,16 @@ def test_filter_unbound_var_raises():
     with pytest.raises(ValueError, match="filter variable"):
         bgp_match(_ds(), [("?a", "knows", "?b")],
                   filters=[("z", "==", "x")])
+
+
+def test_minus_removes_matching_solutions():
+    # people with a city, MINUS those who know someone
+    out = bgp_match(_ds(), [("?w", "lives_in", "?city")],
+                    minus=[[("?w", "knows", "?f")]])
+    assert _rows(out, ["city", "w"]) == {("paris", "carol")}
+
+
+def test_minus_unshared_raises():
+    with pytest.raises(ValueError, match="MINUS"):
+        bgp_match(_ds(), [("?w", "lives_in", "?city")],
+                  minus=[[("?x", "in_country", "?y")]])

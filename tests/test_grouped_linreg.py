@@ -51,3 +51,18 @@ def test_multibatch_sums_exact():
          "x": rng.integers(0, 50, 400),
          "y": rng.integers(0, 10_000, 400)})
     assert _fit(df, n_batches=7) == _fit(df, n_batches=1)
+
+
+def test_grouped_corr_known_values():
+    from pyrdf2vec_ray.ops.agg import grouped_corr
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 3 + ["b"] * 3 + ["c"] * 2,
+         "x": [1, 2, 3, 1, 2, 3, 5, 5],      # c: zero x-variance
+         "y": [2, 4, 6, 9, 5, 1, 1, 2]})
+    ds = ray.data.from_pandas(df)
+    out = grouped_corr(ds, "g", "x", "y").to_pandas()
+    got = {r.g: (r.n, r.r) for r in out.itertuples()}
+    assert set(got) == {"a", "b"}
+    assert got["a"][1] == 1.0        # perfect positive
+    assert got["b"][1] == -1.0       # perfect negative
