@@ -2278,6 +2278,17 @@ def q_events_wma(sf_dir: str):
     return wma_daily(ev)
 
 
+def q_doc_ctfidf(sf_dir: str):
+    """Class-based TF-IDF topic labels per language cluster
+    (ops/text.ctfidf_terms; BERTopic's labeling step): tf_ct·ln(K/df)
+    over the lowercase [a-z']+ contract, top-5 per cluster with the
+    (score desc, term asc) deterministic tie-break."""
+    from pyrdf2vec_ray.ops.text import ctfidf_terms
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+    return ctfidf_terms(docs, cluster_col="lang", k=5)
+
+
 def q_doc_dsir_weights(sf_dir: str):
     """DSIR importance weights (ops/curate.importance_weights; Xie et
     al. 2023): target corpus = lang='de' documents, raw = all; hashed
@@ -2425,6 +2436,21 @@ def q_lineitem_corr(sf_dir: str):
 
     return grouped_corr(li.map_batches(ints, batch_format="pandas"),
                         "l_returnflag", "qty", "cents")
+
+
+def q_kg_bgp_groupcount(sf_dir: str):
+    """SPARQL GROUP BY composition: the BGP engine's solution set feeds
+    the bucket-count reduce directly (bgp_match → shuffle.bucket_count)
+    — aggregate-over-pattern queries stay one streaming plan, no
+    driver hop.  Counts in_nation subjects per (region, nation)."""
+    from pyrdf2vec_ray.ops.bgp import bgp_match
+    from pyrdf2vec_ray.shuffle import bucket_count
+
+    sols = bgp_match(_triples(sf_dir),
+                     [("?c", "in_nation", "?n"),
+                      ("?n", "in_region", "?r")])
+    return bucket_count(sols.select_columns(["r", "n"]), ["r", "n"],
+                        count_col="n_subjects")
 
 
 def q_kg_mis(sf_dir: str):
@@ -4128,6 +4154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q_events_debounce,
         "events_wma": q_events_wma,
         "events_concurrency": q_events_concurrency,
+        "doc_ctfidf": q_doc_ctfidf,
         "doc_dsir_weights": q_doc_dsir_weights,
         "lineitem_regression": q_lineitem_regression,
         "orders_rollup": q_orders_rollup,
@@ -4135,6 +4162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_mis": q_kg_mis,
         "kg_bgp_minus": q_kg_bgp_minus,
+        "kg_bgp_groupcount": q_kg_bgp_groupcount,
         "lineitem_corr": q_lineitem_corr,
         "kg_kcore": q_kg_kcore,
         # rows-only (non-SQL-expressible)
@@ -5013,6 +5041,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE prev IS NULL
                OR epoch_us(ts) - epoch_us(prev) >= 1800 * 1000000
         """,
+        "doc_ctfidf": """
+            WITH tok AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z'']+'))
+                       AS term
+              FROM documents
+            ),
+            c AS (SELECT lang, term, count(*) AS tf
+                  FROM tok GROUP BY lang, term),
+            d AS (SELECT term, count(*) AS df FROM c GROUP BY term),
+            s AS (
+              SELECT c.lang, c.term, c.tf, d.df,
+                     CAST(c.tf AS DOUBLE)
+                     * ln(CAST((SELECT count(DISTINCT lang) FROM c)
+                               AS DOUBLE)
+                          / CAST(d.df AS DOUBLE)) AS score
+              FROM c JOIN d USING (term)
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY score DESC, term ASC) AS rn
+              FROM s
+            )
+            SELECT lang, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, score
+            FROM r WHERE rn <= 5
+        """,
         "doc_dsir_weights": """
             WITH tok AS (
               SELECT doc_id,
@@ -5128,6 +5183,14 @@ def oracle_sql() -> dict[str, str]:
                                 AND t3.obj = t1.subj
             WHERE t1.pred = 'in_nation'
               AND t1.subj <> 'customer:1'
+        """,
+        "kg_bgp_groupcount": _TRIPLES_CTE + """
+            SELECT t2.obj AS r, t1.obj AS n, count(*) AS n_subjects
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_region'
+            WHERE t1.pred = 'in_nation'
+            GROUP BY t2.obj, t1.obj
         """,
         "kg_bgp_minus": _TRIPLES_CTE + """
             SELECT t1.subj AS c, t1.obj AS n

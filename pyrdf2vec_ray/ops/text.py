@@ -1277,3 +1277,80 @@ def collocations_pmi(
 
     return joined.map_batches(score, batch_format="pandas")
 
+
+
+def ctfidf_terms(
+    docs: ray.data.Dataset,
+    cluster_col: str = "cluster",
+    text_col: str = "text",
+    k: int = 5,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Class-based TF-IDF topic terms (the BERTopic labeling step,
+    Grootendorst 2022): treat each cluster's concatenated text as one
+    document; score every (cluster, term) as ``tf_ct · ln(K / df_t)``
+    where ``tf_ct`` is the term's count inside the cluster, ``df_t``
+    the number of clusters containing it, and ``K`` the cluster count
+    — then keep each cluster's top ``k`` terms (score desc, term asc;
+    the deterministic label set for a clustered corpus).  Tokens are
+    the lowercase ``[a-z']+`` contract shared with lang-id/DSIR.
+
+    Scale shape: per-batch (cluster, term) count combiner → ONE
+    term-cluster bucket reduce; df and the score join ride a TERM
+    bucket shuffle of the distinct (cluster, term) table (vocabulary-
+    sized, not corpus-sized); top-k is a final cluster-bucket pass.
+    K comes from one count() over the distinct-cluster projection —
+    cluster cardinality is topic-model-sized, the pass is over the
+    combiner-reduced pair table, not the corpus."""
+    import re as _re
+
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply, distinct
+
+    word = _re.compile(r"[a-z']+")
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        cl: list = []
+        for c, t in zip(batch[cluster_col].tolist(),
+                        batch[text_col].astype(str).tolist()):
+            tt = word.findall(t.lower())
+            toks.extend(tt)
+            cl.extend([c] * len(tt))
+        g = pd.DataFrame({cluster_col: cl, "term": toks, "n": 1})
+        return g.groupby([cluster_col, "term"], as_index=False).sum()
+
+    pairs = bucket_agg(
+        docs.select_columns([cluster_col, text_col])
+            .map_batches(pre, batch_format="pandas"),
+        [cluster_col, "term"], {"n": ("n", "sum")}, pre=False,
+        num_buckets=num_buckets).materialize()
+
+    n_clusters = distinct(
+        pairs.select_columns([cluster_col]), [cluster_col]).count()
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_t = g.groupby("term")["n"].transform("size")
+        out = g.copy()
+        out["df"] = df_t.to_numpy().astype(np.int64)
+        out["score"] = out["n"].to_numpy(np.float64) * np.log(
+            float(n_clusters) / out["df"].to_numpy(np.float64))
+        return out
+
+    scored = bucket_apply(pairs, ["term"], score_bucket,
+                          num_buckets=num_buckets,
+                          batch_format="pandas")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([cluster_col, "score", "term"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        top = g.groupby(cluster_col, as_index=False).head(k)
+        return pd.DataFrame(
+            {cluster_col: top[cluster_col].to_numpy(),
+             "term": top["term"].to_numpy(),
+             "tf": top["n"].to_numpy().astype(np.int64),
+             "df": top["df"].to_numpy().astype(np.int64),
+             "score": top["score"].to_numpy()})
+
+    return bucket_apply(scored, [cluster_col], topk,
+                        num_buckets=num_buckets, batch_format="pandas")

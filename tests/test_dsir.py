@@ -49,3 +49,20 @@ def test_every_raw_doc_scored_once():
     raw = [f"doc number {i}" for i in range(7)]
     out = _score(raw, target)
     assert len(out) == 7
+
+
+def test_ctfidf_discriminative_terms_win():
+    from pyrdf2vec_ray.ops.text import ctfidf_terms
+
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"cluster": ["a", "a", "b", "b"],
+         "text": ["apple apple shared", "apple orchard shared",
+                  "banana banana shared", "banana split shared"]}))
+    out = ctfidf_terms(docs, k=2).to_pandas()
+    top = {c: g.sort_values("score", ascending=False)["term"].tolist()
+           for c, g in out.groupby("cluster")}
+    # 'shared' appears in both clusters -> ln(2/2)=0 score, never top
+    assert top["a"][0] == "apple" and "shared" not in top["a"]
+    assert top["b"][0] == "banana" and "shared" not in top["b"]
+    # df column counts clusters containing the term
+    assert set(out.loc[out["term"] == "apple", "df"]) == {1}
