@@ -2606,6 +2606,24 @@ def q_order_clustering(sf_dir: str):
     return clustering_coefficients(edges)
 
 
+def q_embedding_pq(sf_dir: str):
+    """Product-quantization codes (ops/similarity.pq_encode): 64-dim
+    corpus → 4 sub-vector codes against the 8 anchor codewords
+    (vec_id < 8), nearest by L2 with the (dist asc, id asc) tie rule.
+    Broadcast codebook, streaming matmul+argmin map, no shuffle.
+    Oracle: list-slice + list_distance row_number routing."""
+    import numpy as np
+    import ray.data
+
+    from pyrdf2vec_ray.ops.similarity import pq_encode
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    cdf = emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id")
+    return pq_encode(emb, np.stack(cdf["embedding"].to_numpy()),
+                     n_subspaces=4)
+
+
 def q_kmeans_step(sf_dir: str):
     """Distributed k-means M-step (ops/similarity.centroid_update):
     route every corpus vector to the nearest of 8 anchor centroids by
@@ -4164,6 +4182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_bgp_groupcount": q_kg_bgp_groupcount,
         "lineitem_corr": q_lineitem_corr,
+        "embedding_pq": q_embedding_pq,
         "kg_kcore": q_kg_kcore,
         # rows-only (non-SQL-expressible)
         "construct_triples": q_construct_triples,
@@ -5321,6 +5340,33 @@ def oracle_sql() -> dict[str, str]:
                                 * (CAST(deg.d AS DOUBLE) - 1.0))
                         ELSE 0.0 END AS cc
             FROM deg LEFT JOIN pv ON pv.v = deg.v
+        """,
+        "embedding_pq": """
+            WITH c AS (
+              SELECT vec_id AS aid, embedding FROM embeddings
+              WHERE vec_id < 8
+            ),
+            spans AS (
+              SELECT * FROM (VALUES (0, 1, 16), (1, 17, 32),
+                                    (2, 33, 48), (3, 49, 64))
+                s(subspace, lo, hi)
+            ),
+            d AS (
+              SELECT e.vec_id, s.subspace, c.aid,
+                     list_distance(e.embedding[s.lo : s.hi],
+                                   c.embedding[s.lo : s.hi]) AS dist
+              FROM embeddings e CROSS JOIN spans s CROSS JOIN c
+            ),
+            r AS (
+              SELECT vec_id, subspace, aid,
+                     row_number() OVER (
+                       PARTITION BY vec_id, subspace
+                       ORDER BY dist ASC, aid ASC) AS rn
+              FROM d
+            )
+            SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+                   CAST(aid AS BIGINT) AS code
+            FROM r WHERE rn = 1
         """,
         "kmeans_step": """
             WITH c AS (

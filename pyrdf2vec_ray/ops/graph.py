@@ -773,7 +773,7 @@ def mis_bounded(
                          ["v"]).materialize()
     states: list[tuple[ray.data.Dataset, str]] = []
 
-    for _ in range(rounds):
+    for rnd in range(rounds):
         if undecided.count() == 0:
             break
 
@@ -835,15 +835,16 @@ def mis_bounded(
         undecided = hash_semi_join(
             undecided, decided, on=["v"], anti=True,
             lschema={"v": vd}, rschema={"v": vd}).materialize()
-        cur = hash_semi_join(
-            cur, undecided.map_batches(tagged("v", "a"),
-                                       batch_format="pandas"),
-            on=["a"], lschema=e_schema, rschema={"a": vd})
-        cur = hash_semi_join(
-            cur, undecided.map_batches(tagged("v", "b"),
-                                       batch_format="pandas"),
-            on=["b"], lschema=e_schema,
-            rschema={"b": vd}).materialize()
+        if rnd + 1 < rounds:  # final round never reads the edge set
+            cur = hash_semi_join(
+                cur, undecided.map_batches(tagged("v", "a"),
+                                           batch_format="pandas"),
+                on=["a"], lschema=e_schema, rschema={"a": vd})
+            cur = hash_semi_join(
+                cur, undecided.map_batches(tagged("v", "b"),
+                                           batch_format="pandas"),
+                on=["b"], lschema=e_schema,
+                rschema={"b": vd}).materialize()
 
     def label(s):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:

@@ -567,3 +567,64 @@ def pca_transform(
 
     return emb.select_columns([id_col, vec_col]).map_batches(
         project, batch_format="pandas")
+
+
+def pq_encode(
+    emb: ray.data.Dataset,
+    codebooks: np.ndarray,
+    n_subspaces: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Product-quantization encoding (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each d-dim vector
+    into ``n_subspaces`` contiguous sub-vectors and replace each with
+    the id of its nearest codeword (Euclidean) from that subspace's
+    slice of the shared ``codebooks`` matrix — the memory-compression
+    step that turns a float corpus into ``n_subspaces`` bytes/vector
+    for billion-scale ANN.  Output long-form ``(id, subspace, code)``;
+    ties (equal distance) take the LOWEST code id, matching the SQL
+    oracle's ``ORDER BY dist ASC, aid ASC`` row_number.
+
+    ``codebooks`` is a (K, d) matrix of full-width anchor vectors —
+    each subspace uses its own column slice (fit them with
+    :func:`kmeans_fit` per subspace, or pass taxonomy anchors).  Small
+    by definition: ``ray.put`` once, zero-copy in every task; per batch
+    the work is ``n_subspaces`` (B, d/m) @ (d/m, K) matmuls + argmin.
+    Streaming map, NO shuffle; the output co-partitions with the
+    input."""
+    import ray as _ray
+
+    C = np.asarray(codebooks, dtype=np.float64)
+    if C.ndim != 2 or not len(C):
+        raise ValueError("codebooks must be a non-empty (K, d) matrix")
+    d = C.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by {n_subspaces}")
+    w = d // n_subspaces
+    ref = _ray.put(np.ascontiguousarray(C))
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        Cb = _ray.get(ref)
+        V = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        if V.shape[1] != d:
+            raise ValueError(
+                f"vector dim {V.shape[1]} != codebook dim {d}")
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        out_id, out_s, out_c = [], [], []
+        for s in range(n_subspaces):
+            Vs = V[:, s * w:(s + 1) * w]
+            Cs = Cb[:, s * w:(s + 1) * w]
+            # squared L2 — argmin-equivalent to the oracle's distance
+            d2 = ((Vs * Vs).sum(1)[:, None] - 2.0 * (Vs @ Cs.T)
+                  + (Cs * Cs).sum(1)[None, :])
+            out_id.append(ids)
+            out_s.append(np.full(len(ids), s, dtype=np.int64))
+            out_c.append(d2.argmin(axis=1).astype(np.int64))
+        return pd.DataFrame(
+            {id_col: np.concatenate(out_id),
+             "subspace": np.concatenate(out_s),
+             "code": np.concatenate(out_c)})
+
+    return emb.select_columns([id_col, vec_col]).map_batches(
+        encode, batch_format="pandas")
