@@ -2333,6 +2333,21 @@ def q_lineitem_regression(sf_dir: str):
         "l_returnflag", "qty", "cents")
 
 
+def q_orders_mi(sf_dir: str):
+    """Mutual information between order status and priority
+    (ops/agg.categorical_mi): one combiner-bounded (a,b) pair-count
+    reduce (category-cardinality-sized), marginals + MI folded in a
+    single-task finisher over the tiny joint table."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import categorical_mi
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority"])
+    return categorical_mi(orders, "o_orderstatus", "o_orderpriority")
+
+
 def q_orders_rollup(sf_dir: str):
     """ROLLUP(status, priority) in one pass (ops/agg.grouping_sets_agg):
     all three grouping levels share a single combiner pass + ONE bucket
@@ -4175,6 +4190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ctfidf": q_doc_ctfidf,
         "doc_dsir_weights": q_doc_dsir_weights,
         "lineitem_regression": q_lineitem_regression,
+        "orders_mi": q_orders_mi,
         "orders_rollup": q_orders_rollup,
         "kg_bgp_match": q_kg_bgp_match,
         "kg_bgp_optional": q_kg_bgp_optional,
@@ -5153,6 +5169,25 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n AS DOUBLE) AS intercept
             FROM s
             WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        """,
+        "orders_mi": """
+            WITH c AS (
+              SELECT o_orderstatus AS a, o_orderpriority AS b,
+                     count(*) AS nxy
+              FROM orders GROUP BY 1, 2
+            ),
+            t AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n,
+                         count(*) AS n_pairs FROM c),
+            ma AS (SELECT a, CAST(sum(nxy) AS DOUBLE) AS na
+                   FROM c GROUP BY a),
+            mb AS (SELECT b, CAST(sum(nxy) AS DOUBLE) AS nb
+                   FROM c GROUP BY b)
+            SELECT CAST((SELECT n FROM t) AS BIGINT) AS n,
+                   CAST((SELECT n_pairs FROM t) AS BIGINT) AS n_pairs,
+                   sum((CAST(nxy AS DOUBLE) / (SELECT n FROM t))
+                       * ln((SELECT n FROM t) * CAST(nxy AS DOUBLE)
+                            / (ma.na * mb.nb))) AS mi
+            FROM c JOIN ma USING (a) JOIN mb USING (b)
         """,
         "orders_rollup": """
             WITH base AS (

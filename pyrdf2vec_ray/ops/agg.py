@@ -973,3 +973,41 @@ def grouped_corr(
     return bucket_apply(ds, [group_col], per_bucket,
                         num_buckets=num_buckets, batch_format="pandas",
                         pre=pre)
+
+
+def categorical_mi(
+    ds: ray.data.Dataset,
+    a_col: str,
+    b_col: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Mutual information (nats) between two categorical columns —
+    the dependence screen of a column-profiling pass (is `lang`
+    informative about `source`? is a feature leaking the label?):
+    ``MI = Σ_xy (n_xy/n) · ln(n·n_xy / (n_x·n_y))`` from exact joint
+    counts.  Output: one row ``(n, n_pairs, mi)`` where ``n_pairs``
+    is the number of distinct (a, b) combinations observed.
+
+    Scale shape: ONE combiner-bounded (a, b) pair-count reduce (the
+    joint table is category-cardinality-sized, not corpus-sized); the
+    marginals and the MI sum fold vectorized inside a single-group
+    finisher.  All counts are exact int64; the float expression on
+    them matches the oracle's DOUBLE form (sum order differs only in
+    the final reduction — rounding-tolerant compare)."""
+    pairs = bucket_agg(ds.select_columns([a_col, b_col]),
+                       [a_col, b_col], {"nxy": (a_col, "size")},
+                       num_buckets=num_buckets)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        nxy = g["nxy"].to_numpy(np.float64)
+        n = nxy.sum()
+        na = g.groupby(a_col)["nxy"].transform("sum").to_numpy(np.float64)
+        nb = g.groupby(b_col)["nxy"].transform("sum").to_numpy(np.float64)
+        mi = float(((nxy / n) * np.log(n * nxy / (na * nb))).sum())
+        return pd.DataFrame({"n": [np.int64(n)],
+                             "n_pairs": [np.int64(len(g))],
+                             "mi": [mi]})
+
+    # the pair table is tiny by contract — one repartition(1) reduce
+    return pairs.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None)

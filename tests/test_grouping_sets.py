@@ -49,3 +49,21 @@ def test_multibatch_partials_reaggregate():
     assert got[("x", 0)] == (2, 3)
     assert got[("y", 0)] == (3, 28)
     assert got[("ALL", 1)] == (5, 31)
+
+
+def test_categorical_mi_independent_and_determined():
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.agg import categorical_mi
+
+    # independent uniform: MI == 0 exactly (every term ln(1))
+    ind = pd.DataFrame({"a": ["x", "x", "y", "y"],
+                        "b": ["u", "v", "u", "v"]})
+    out = categorical_mi(ray.data.from_pandas(ind), "a", "b").to_pandas()
+    assert out["mi"].iloc[0] == 0.0 and out["n_pairs"].iloc[0] == 4
+
+    # b fully determined by a: MI == H(a) == ln(2) for a 50/50 split
+    det = pd.DataFrame({"a": ["x", "x", "y", "y"],
+                        "b": ["u", "u", "v", "v"]})
+    out = categorical_mi(ray.data.from_pandas(det), "a", "b").to_pandas()
+    assert abs(out["mi"].iloc[0] - np.log(2)) < 1e-12
