@@ -2453,6 +2453,23 @@ def q_lineitem_corr(sf_dir: str):
                         "l_returnflag", "qty", "cents")
 
 
+def q_kg_bgp_construct(sf_dir: str):
+    """SPARQL CONSTRUCT (ops/bgp.bgp_construct): derive NEW
+    customer→supplier 'buys_from' edges from the order-part-supplier
+    cycle (same-nation constraint) — the BGP engine feeding KG
+    construction; solution projection + one distinct shuffle."""
+    from pyrdf2vec_ray.ops.bgp import bgp_construct
+
+    return bgp_construct(
+        _triples(sf_dir),
+        [("?o", "placed_by", "?c"),
+         ("?c", "in_nation", "?n"),
+         ("?o", "contains", "?p"),
+         ("?p", "supplied_by", "?s"),
+         ("?s", "in_nation", "?n")],
+        template=("?c", "buys_from", "?s"))
+
+
 def q_kg_bgp_groupcount(sf_dir: str):
     """SPARQL GROUP BY composition: the BGP engine's solution set feeds
     the bucket-count reduce directly (bgp_match → shuffle.bucket_count)
@@ -4197,6 +4214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mis": q_kg_mis,
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_bgp_groupcount": q_kg_bgp_groupcount,
+        "kg_bgp_construct": q_kg_bgp_construct,
         "lineitem_corr": q_lineitem_corr,
         "embedding_pq": q_embedding_pq,
         "kg_kcore": q_kg_kcore,
@@ -5237,6 +5255,21 @@ def oracle_sql() -> dict[str, str]:
                                 AND t3.obj = t1.subj
             WHERE t1.pred = 'in_nation'
               AND t1.subj <> 'customer:1'
+        """,
+        "kg_bgp_construct": _TRIPLES_CTE + """
+            SELECT DISTINCT t1.obj AS subj, 'buys_from' AS pred,
+                   t4.obj AS obj
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_nation'
+            JOIN triples t3 ON t3.subj = t1.subj
+                           AND t3.pred = 'contains'
+            JOIN triples t4 ON t4.subj = t3.obj
+                           AND t4.pred = 'supplied_by'
+            JOIN triples t5 ON t5.subj = t4.obj
+                           AND t5.pred = 'in_nation'
+                           AND t5.obj = t2.obj
+            WHERE t1.pred = 'placed_by'
         """,
         "kg_bgp_groupcount": _TRIPLES_CTE + """
             SELECT t2.obj AS r, t1.obj AS n, count(*) AS n_subjects

@@ -274,3 +274,51 @@ def bgp_match(
         acc = distinct(acc.select_columns(select), select,
                        num_buckets=num_buckets)
     return acc
+
+
+def bgp_construct(
+    triples: ray.data.Dataset,
+    patterns: list[tuple[str, str, str]],
+    template: tuple[str, str, str],
+    num_buckets: int | None = None,
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """SPARQL CONSTRUCT: evaluate the pattern group (full
+    :func:`bgp_match` algebra — FILTER/OPTIONAL/MINUS pass through) and
+    instantiate one NEW ``(subj, pred, obj)`` triple per solution from
+    ``template`` (each term a ``?var`` bound by the group or a
+    constant), deduplicated — deriving edges is how a BGP engine feeds
+    KG construction ("customer buys_from supplier" from the
+    order-part-supplier cycle) rather than just answering queries.
+
+    Scale shape: a stateless vectorized projection over the solution
+    stream + ONE distinct shuffle on the produced triple (the output
+    is derived-edge-sized).  Templates whose variables don't cover the
+    solution's distinguishing vars simply dedup harder."""
+    for t in template:
+        if _is_var(t) and not t[1:]:
+            raise ValueError("empty variable name '?' in template")
+    sols = bgp_match(triples, patterns, num_buckets=num_buckets,
+                     **match_kwargs)
+    tvars = [t[1:] for t in template if _is_var(t)]
+    sol_vars = set(_bgp_vars(patterns))
+    for g in match_kwargs.get("optional") or []:
+        sol_vars |= set(_bgp_vars(g))
+    missing = [v for v in tvars if v not in sol_vars]
+    if missing:
+        raise ValueError(f"template vars {missing} not bound by the "
+                         "pattern group")
+
+    def instantiate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for name, term in zip(("subj", "pred", "obj"), template):
+            if _is_var(term):
+                cols[name] = batch[term[1:]]
+            else:
+                cols[name] = pa.array([term] * n, type=pa.string())
+        return pa.table(cols)
+
+    derived = sols.map_batches(instantiate, batch_format="pyarrow")
+    return distinct(derived, ["subj", "pred", "obj"],
+                    num_buckets=num_buckets)

@@ -146,3 +146,28 @@ def test_minus_unshared_raises():
     with pytest.raises(ValueError, match="MINUS"):
         bgp_match(_ds(), [("?w", "lives_in", "?city")],
                   minus=[[("?x", "in_country", "?y")]])
+
+
+def test_construct_derives_deduped_triples():
+    from pyrdf2vec_ray.ops.bgp import bgp_construct
+
+    out = bgp_construct(
+        _ds(),
+        [("?a", "knows", "?b"), ("?b", "lives_in", "?city")],
+        template=("?a", "friend_city", "?city")).to_pandas()
+    got = set(map(tuple, out[["subj", "pred", "obj"]]
+                  .itertuples(index=False)))
+    # alice knows bob (ghent) and carol (paris); bob knows alice
+    # (ghent); dave knows dave (paris)
+    assert got == {("alice", "friend_city", "ghent"),
+                   ("alice", "friend_city", "paris"),
+                   ("bob", "friend_city", "ghent"),
+                   ("dave", "friend_city", "paris")}
+
+
+def test_construct_unbound_template_var_raises():
+    from pyrdf2vec_ray.ops.bgp import bgp_construct
+
+    with pytest.raises(ValueError, match="template vars"):
+        bgp_construct(_ds(), [("?a", "knows", "?b")],
+                      template=("?a", "p", "?zzz"))
