@@ -409,6 +409,28 @@ def run_benchmarks() -> dict:
 
     timed("graph_analytics", bench_graph, max_repeat=2)
 
+    # 9. SPARQL BGP query over the KG (new in round 4 close — NOT part
+    # of the round-1-comparable subset): the six-pattern
+    # star+chain+cycle query, five bucket hash-join hops with constant
+    # pushdown into a shared triple scan
+    if only is None or "bgp_query" in only:
+        bgp_triples = (triples_ds if triples_ds is not None
+                       else tpch_triples(SF_DIR).materialize())
+
+        def bench_bgp():
+            from pyrdf2vec_ray.ops.bgp import bgp_match
+
+            return bgp_match(bgp_triples, [
+                ("?o", "placed_by", "?c"),
+                ("?c", "in_nation", "?n"),
+                ("?n", "in_region", "region:0"),
+                ("?o", "contains", "?p"),
+                ("?p", "supplied_by", "?s"),
+                ("?s", "in_nation", "?n"),
+            ]).count()
+
+        timed("bgp_query", bench_bgp, max_repeat=2)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "kg_construct+walks+dataops wall time",
