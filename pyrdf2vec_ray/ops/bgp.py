@@ -129,6 +129,7 @@ def bgp_match(
     optional: list[list[tuple[str, str, str]]] | None = None,
     filters: list[tuple[str, str, str]] | None = None,
     minus: list[list[tuple[str, str, str]]] | None = None,
+    values: dict[str, list[str]] | None = None,
     unbound: str = "",
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
@@ -162,7 +163,14 @@ def bgp_match(
       the shared variables (a key-bucket ANTI-join; ≥1 shared variable
       required — SPARQL's disjoint-domain MINUS no-op case raises
       instead of silently keeping everything).  Applied after filters,
-      before OPTIONAL."""
+      before OPTIONAL.
+    * ``values={"c": ["customer:1", ...], ...}`` — SPARQL VALUES with
+      per-variable independent value lists (the parameterized-query
+      form: "run this pattern for THESE entities"); a vectorized isin
+      filter on the mandatory solution, the value set broadcast by
+      closure (caller-bounded — it is inline query data, not corpus
+      data).  Correlated multi-variable VALUES rows are not supported;
+      join a Dataset instead."""
     if not patterns:
         raise ValueError("empty BGP")
     scans = [_pattern_scan(triples, p) for p in patterns]
@@ -201,6 +209,23 @@ def bgp_match(
         # hash_join column order: on + left-extra + right-extra
         acc_vars = (on + [v for v in acc_vars if v not in on]
                     + [v for v in svars if v not in on])
+
+    if values:
+        for var in values:
+            if var not in acc_vars:
+                raise ValueError(
+                    f"VALUES variable {var!r} not bound by the "
+                    f"mandatory patterns {sorted(acc_vars)}")
+        vsets = {var: frozenset(vals) for var, vals in values.items()}
+
+        def apply_values(batch, _v=vsets):
+            mask = None
+            for var, vals in _v.items():
+                m = batch[var].isin(vals)
+                mask = m if mask is None else (mask & m)
+            return batch[mask]
+
+        acc = acc.map_batches(apply_values, batch_format="pandas")
 
     if filters:
         for var, op, rhs in filters:

@@ -171,3 +171,16 @@ def test_construct_unbound_template_var_raises():
     with pytest.raises(ValueError, match="template vars"):
         bgp_construct(_ds(), [("?a", "knows", "?b")],
                       template=("?a", "p", "?zzz"))
+
+
+def test_values_parameterized_query():
+    out = bgp_match(_ds(), [("?w", "lives_in", "?city")],
+                    values={"w": ["alice", "dave"]})
+    assert _rows(out, ["city", "w"]) == {("ghent", "alice"),
+                                         ("paris", "dave")}
+
+
+def test_values_unbound_var_raises():
+    with pytest.raises(ValueError, match="VALUES"):
+        bgp_match(_ds(), [("?w", "lives_in", "?city")],
+                  values={"q": ["x"]})
