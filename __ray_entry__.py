@@ -2470,6 +2470,57 @@ def q_kg_bgp_construct(sf_dir: str):
         template=("?c", "buys_from", "?s"))
 
 
+def q_kg_bgp_relational(sf_dir: str):
+    """KG↔relational bridge: BGP solutions (customers of region:3
+    nations) hash-join back to the customer parquet for an exact
+    integer-cents account-balance aggregate per nation — pattern
+    matching and tabular reduce in ONE streaming plan."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.bgp import bgp_match
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    sols = bgp_match(_triples(sf_dir),
+                     [("?c", "in_nation", "?n"),
+                      ("?n", "in_region", "region:3")],
+                     filters=[("c", "<", "supplier:")])
+    # '?c < "supplier:"' keeps the customer:* matches ('customer:' <
+    # 'supplier:' lexicographically) — VALUES-free typed restriction
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c": "customer:" + batch["c_custkey"].astype(str),
+             "bal_cents": np.round(batch["c_acctbal"].to_numpy()
+                                   * 100).astype(np.int64)})
+
+    import numpy as _np
+
+    joined = hash_join(
+        sols, cust.map_batches(keyed, batch_format="pandas"),
+        on=["c"],
+        lschema={"c": _np.dtype("O"), "n": _np.dtype("O")},
+        rschema={"c": _np.dtype("O"), "bal_cents": _np.dtype("int64")})
+    agg = bucket_agg(joined, ["n"],
+                     {"n_customers": ("bal_cents", "size"),
+                      "cents": ("bal_cents", "sum")})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": batch["n"],
+             "n_customers": batch["n_customers"].to_numpy(np.int64),
+             "avg_acctbal": batch["cents"].to_numpy(np.float64)
+                            / batch["n_customers"].to_numpy(np.float64)
+                            / 100.0})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def q_kg_bgp_groupcount(sf_dir: str):
     """SPARQL GROUP BY composition: the BGP engine's solution set feeds
     the bucket-count reduce directly (bgp_match → shuffle.bucket_count)
@@ -4215,6 +4266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_bgp_groupcount": q_kg_bgp_groupcount,
         "kg_bgp_construct": q_kg_bgp_construct,
+        "kg_bgp_relational": q_kg_bgp_relational,
         "lineitem_corr": q_lineitem_corr,
         "embedding_pq": q_embedding_pq,
         "kg_kcore": q_kg_kcore,
@@ -5255,6 +5307,21 @@ def oracle_sql() -> dict[str, str]:
                                 AND t3.obj = t1.subj
             WHERE t1.pred = 'in_nation'
               AND t1.subj <> 'customer:1'
+        """,
+        "kg_bgp_relational": _TRIPLES_CTE + """
+            SELECT t1.obj AS n, count(*) AS n_customers,
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                        AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 100.0 AS avg_acctbal
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_region'
+                           AND t2.obj = 'region:3'
+            JOIN customer c
+              ON 'customer:' || c.c_custkey = t1.subj
+            WHERE t1.pred = 'in_nation'
+              AND t1.subj < 'supplier:'
+            GROUP BY t1.obj
         """,
         "kg_bgp_construct": _TRIPLES_CTE + """
             SELECT DISTINCT t1.obj AS subj, 'buys_from' AS pred,
