@@ -2521,6 +2521,19 @@ def q_kg_bgp_relational(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def q_kg_bgp_path(sf_dir: str):
+    """SPARQL 1.1 property path: ``(in_nation|in_region)+`` — the
+    transitive closure of the geographic-containment alternation via
+    path doubling (ops/bgp._path_relation over graph.transitive_
+    closure); every subject paired with everything it geographically
+    rolls up to (customer→nation, customer→…→region, nation→region)."""
+    from pyrdf2vec_ray.ops.bgp import bgp_match
+
+    return bgp_match(_triples(sf_dir),
+                     [("?c", "(in_nation|in_region)+", "?x")],
+                     closure_rounds=2)
+
+
 def q_kg_bgp_groupcount(sf_dir: str):
     """SPARQL GROUP BY composition: the BGP engine's solution set feeds
     the bucket-count reduce directly (bgp_match → shuffle.bucket_count)
@@ -4267,6 +4280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_groupcount": q_kg_bgp_groupcount,
         "kg_bgp_construct": q_kg_bgp_construct,
         "kg_bgp_relational": q_kg_bgp_relational,
+        "kg_bgp_path": q_kg_bgp_path,
         "lineitem_corr": q_lineitem_corr,
         "embedding_pq": q_embedding_pq,
         "kg_kcore": q_kg_kcore,
@@ -5307,6 +5321,15 @@ def oracle_sql() -> dict[str, str]:
                                 AND t3.obj = t1.subj
             WHERE t1.pred = 'in_nation'
               AND t1.subj <> 'customer:1'
+        """,
+        "kg_bgp_path": _TRIPLES_CTE + """
+            , e AS (
+              SELECT DISTINCT subj, obj FROM triples
+              WHERE pred IN ('in_nation', 'in_region')
+            )
+            SELECT subj AS c, obj AS x FROM e
+            UNION
+            SELECT a.subj, b.obj FROM e a JOIN e b ON a.obj = b.subj
         """,
         "kg_bgp_relational": _TRIPLES_CTE + """
             SELECT t1.obj AS n, count(*) AS n_customers,

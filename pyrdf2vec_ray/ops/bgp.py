@@ -70,12 +70,98 @@ def _bgp_vars(patterns: list[tuple[str, str, str]]) -> list[str]:
     return out
 
 
+def _path_relation(
+    triples: ray.data.Dataset, pred: str, closure_rounds: int,
+) -> ray.data.Dataset:
+    """SPARQL 1.1 property-path relation for a ``p+`` /
+    ``(p1|p2)+`` predicate term: the transitive closure (path length
+    ≥ 1) of the union of the named predicates' edges, as a
+    ``(subj, obj)`` Dataset.  Rides :func:`ops.graph.transitive_closure`
+    (path doubling — O(log diameter) exchanges); ``closure_rounds``
+    bounds covered path length at ``2^rounds`` (the documented
+    bounded-depth contract).  Endpoint constants filter AFTER the
+    closure — correct for the hierarchy-shaped relations closure is
+    for; seed-restricted expansion is `ops/graph.bfs_distances`."""
+    from pyrdf2vec_ray.ops.graph import transitive_closure
+
+    body = pred[:-1]
+    if body.startswith("(") and body.endswith(")"):
+        body = body[1:-1]
+    alts = [a for a in body.split("|") if a]
+    if not alts:
+        raise ValueError(f"empty property path {pred!r}")
+
+    def base(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["pred"], value_set=pa.array(alts))
+        kept = batch.filter(mask)
+        return pa.table({"subj": kept["subj"], "obj": kept["obj"]})
+
+    edges = triples.map_batches(base, batch_format="pyarrow")
+    closed = transitive_closure(edges, rounds=closure_rounds,
+                                a_col="subj", b_col="obj")
+
+    def back(batch: pa.Table) -> pa.Table:
+        return pa.table({"subj": batch["src"], "obj": batch["dst"]})
+
+    return closed.map_batches(back, batch_format="pyarrow")
+
+
+def _is_path(term: str) -> bool:
+    return (isinstance(term, str) and not _is_var(term)
+            and term.endswith("+"))
+
+
+def _pattern_scan_rel(
+    rel: ray.data.Dataset, pat2: tuple[str, str],
+) -> tuple[ray.data.Dataset, list[str]]:
+    """_pattern_scan over a binary (subj, obj) relation — the
+    property-path case, where the predicate position is consumed by
+    the closure."""
+    cols = ("subj", "obj")
+    consts = [(c, t) for c, t in zip(cols, pat2) if not _is_var(t)]
+    var_first: dict[str, str] = {}
+    eqs: list[tuple[str, str]] = []
+    for c, t in zip(cols, pat2):
+        if _is_var(t):
+            name = t[1:]
+            if not name:
+                raise ValueError("empty variable name '?' in pattern")
+            if name in var_first:
+                eqs.append((var_first[name], c))
+            else:
+                var_first[name] = c
+    if not var_first:
+        raise ValueError(
+            f"property-path pattern {pat2} has no variables")
+
+    def scan(batch: pa.Table) -> pa.Table:
+        mask = None
+        for col, val in consts:
+            m = pc.equal(batch[col], val)
+            mask = m if mask is None else pc.and_(mask, m)
+        for a, b in eqs:
+            m = pc.equal(batch[a], batch[b])
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            batch = batch.filter(mask)
+        return pa.table(
+            {name: batch[col] for name, col in var_first.items()})
+
+    return rel.map_batches(scan, batch_format="pyarrow"), list(var_first)
+
+
 def _pattern_scan(
-    triples: ray.data.Dataset, pat: tuple[str, str, str]
+    triples: ray.data.Dataset, pat: tuple[str, str, str],
+    closure_rounds: int = 6,
 ) -> tuple[ray.data.Dataset, list[str]]:
     """Filter the triple stream by the pattern's constants (and repeated-
     variable equalities), then project/rename to its variable columns.
-    Returns (scan, var_names-in-column-order)."""
+    A predicate ``p+`` / ``(p1|p2)+`` swaps the triple stream for the
+    property-path closure relation first.  Returns
+    (scan, var_names-in-column-order)."""
+    if _is_path(pat[1]):
+        rel = _path_relation(triples, pat[1], closure_rounds)
+        return _pattern_scan_rel(rel, (pat[0], pat[2]))
     consts = [(c, t) for c, t in zip(_POS, pat) if not _is_var(t)]
     var_first: dict[str, str] = {}  # var name -> first column holding it
     eqs: list[tuple[str, str]] = []  # same-var position pairs
@@ -131,6 +217,7 @@ def bgp_match(
     minus: list[list[tuple[str, str, str]]] | None = None,
     values: dict[str, list[str]] | None = None,
     unbound: str = "",
+    closure_rounds: int = 6,
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Evaluate a conjunctive triple-pattern query (SPARQL BGP) over a
@@ -173,7 +260,8 @@ def bgp_match(
       join a Dataset instead."""
     if not patterns:
         raise ValueError("empty BGP")
-    scans = [_pattern_scan(triples, p) for p in patterns]
+    scans = [_pattern_scan(triples, p, closure_rounds)
+             for p in patterns]
 
     # greedy left-deep order: seed with the most-constant pattern, then
     # always extend across a shared variable, fewest new vars first
@@ -251,7 +339,8 @@ def bgp_match(
         acc = acc.map_batches(apply_filters, batch_format="pandas")
 
     for group in (minus or []):
-        sub = bgp_match(triples, group, num_buckets=num_buckets)
+        sub = bgp_match(triples, group, num_buckets=num_buckets,
+                        closure_rounds=closure_rounds)
         sub_vars = _bgp_vars(group)
         on = [v for v in acc_vars if v in sub_vars]
         if not on:
@@ -269,7 +358,8 @@ def bgp_match(
             rschema={v: o for v in on})
 
     for group in (optional or []):
-        sub = bgp_match(triples, group, num_buckets=num_buckets)
+        sub = bgp_match(triples, group, num_buckets=num_buckets,
+                        closure_rounds=closure_rounds)
         sub_vars = _bgp_vars(group)
         on = [v for v in acc_vars if v in sub_vars]
         if not on:

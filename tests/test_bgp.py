@@ -184,3 +184,39 @@ def test_values_unbound_var_raises():
     with pytest.raises(ValueError, match="VALUES"):
         bgp_match(_ds(), [("?w", "lives_in", "?city")],
                   values={"q": ["x"]})
+
+
+def _chain_ds():
+    rows = [("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"),
+            ("d", "hop", "e"), ("x", "next", "a")]
+    s, p, o = zip(*rows)
+    return ray.data.from_pandas(
+        pd.DataFrame({"subj": s, "pred": p, "obj": o}))
+
+
+def test_property_path_plus_forward_and_backward():
+    out = bgp_match(_chain_ds(), [("a", "next+", "?x")])
+    assert _rows(out, ["x"]) == {("b",), ("c",), ("d",)}
+    out = bgp_match(_chain_ds(), [("?x", "next+", "d")])
+    assert _rows(out, ["x"]) == {("a",), ("b",), ("c",), ("x",)}
+
+
+def test_property_path_alternation():
+    out = bgp_match(_chain_ds(), [("a", "(next|hop)+", "?x")])
+    assert _rows(out, ["x"]) == {("b",), ("c",), ("d",), ("e",)}
+
+
+def test_property_path_joins_with_plain_pattern():
+    # everything reachable from ?s via next+ that then hops somewhere
+    out = bgp_match(_chain_ds(), [("?s", "next+", "?m"),
+                                  ("?m", "hop", "?e")])
+    got = _rows(out, ["e", "m", "s"])
+    assert got == {("e", "d", "a"), ("e", "d", "b"),
+                   ("e", "d", "c"), ("e", "d", "x")}
+
+
+def test_property_path_bounded_rounds():
+    # closure_rounds=0 -> only direct edges
+    out = bgp_match(_chain_ds(), [("a", "next+", "?x")],
+                    closure_rounds=0)
+    assert _rows(out, ["x"]) == {("b",)}
