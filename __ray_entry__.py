@@ -2278,6 +2278,16 @@ def q_events_wma(sf_dir: str):
     return wma_daily(ev)
 
 
+def q_doc_readability(sf_dir: str):
+    """Flesch reading-ease (ops/text.readability_scores): three regex
+    censuses (words, sentence runs, vowel groups) and the classic
+    formula — stateless vectorized map, no shuffle; bit-portable to
+    the oracle's regexp_extract_all lengths."""
+    from pyrdf2vec_ray.ops.text import readability_scores
+
+    return readability_scores(_docs(sf_dir))
+
+
 def q_doc_ctfidf(sf_dir: str):
     """Class-based TF-IDF topic labels per language cluster
     (ops/text.ctfidf_terms; BERTopic's labeling step): tf_ct·ln(K/df)
@@ -4268,6 +4278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q_events_debounce,
         "events_wma": q_events_wma,
         "events_concurrency": q_events_concurrency,
+        "doc_readability": q_doc_readability,
         "doc_ctfidf": q_doc_ctfidf,
         "doc_dsir_weights": q_doc_dsir_weights,
         "lineitem_regression": q_lineitem_regression,
@@ -5159,6 +5170,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, event_id, ts FROM r
             WHERE prev IS NULL
                OR epoch_us(ts) - epoch_us(prev) >= 1800 * 1000000
+        """,
+        "doc_readability": """
+            WITH s AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[a-zA-Z'']+'))
+                       AS n_words,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')),
+                              1) AS n_sentences,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS n_syllables
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   CAST(n_syllables AS BIGINT) AS n_syllables,
+                   CASE WHEN n_words = 0 THEN 0.0
+                        ELSE 206.835
+                             - 1.015 * (CAST(n_words AS DOUBLE)
+                                        / CAST(n_sentences AS DOUBLE))
+                             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                       / CAST(n_words AS DOUBLE))
+                   END AS flesch
+            FROM s
         """,
         "doc_ctfidf": """
             WITH tok AS (

@@ -66,3 +66,21 @@ def test_ctfidf_discriminative_terms_win():
     assert top["b"][0] == "banana" and "shared" not in top["b"]
     # df column counts clusters containing the term
     assert set(out.loc[out["term"] == "apple", "df"]) == {1}
+
+
+def test_readability_hand_counts():
+    from pyrdf2vec_ray.ops.text import readability_scores
+
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2],
+         "text": ["The cat sat. It ran!", ""]}))
+    out = (readability_scores(docs).to_pandas()
+           .set_index("doc_id").sort_index())
+    # 5 words, 2 sentence runs, vowel groups: e/a/a/i/a = 5
+    assert out.loc[1, "n_words"] == 5
+    assert out.loc[1, "n_sentences"] == 2
+    assert out.loc[1, "n_syllables"] == 5
+    expect = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert abs(out.loc[1, "flesch"] - expect) < 1e-12
+    # empty doc: sentence floor 1, score 0
+    assert out.loc[2, "n_sentences"] == 1 and out.loc[2, "flesch"] == 0.0
