@@ -2531,6 +2531,25 @@ def q_kg_bgp_relational(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def q_kg_sparql_text(sf_dir: str):
+    """The six-pattern region query expressed as an actual SPARQL
+    STRING (ops/sparql.sparql_query — the surface a reference user
+    writes against a remote endpoint, evaluated in-engine): parses to
+    the same bgp_match plan as kg_bgp_match and shares its oracle."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT * WHERE {
+          ?o placed_by ?c .
+          ?c in_nation ?n .
+          ?n in_region "region:0" .
+          ?o contains ?p .
+          ?p supplied_by ?s .
+          ?s in_nation ?n .
+        }
+    """)
+
+
 def q_kg_bgp_path(sf_dir: str):
     """SPARQL 1.1 property path: ``(in_nation|in_region)+`` — the
     transitive closure of the geographic-containment alternation via
@@ -4292,6 +4311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_construct": q_kg_bgp_construct,
         "kg_bgp_relational": q_kg_bgp_relational,
         "kg_bgp_path": q_kg_bgp_path,
+        "kg_sparql_text": q_kg_sparql_text,
         "lineitem_corr": q_lineitem_corr,
         "embedding_pq": q_embedding_pq,
         "kg_kcore": q_kg_kcore,
@@ -4448,7 +4468,7 @@ def oracle_sql() -> dict[str, str]:
     from pyrdf2vec_ray.ops.text import bm25_topk_sql
     from pyrdf2vec_ray.ops.sketch import bloom_sql, cms_sql
 
-    return {
+    oracles = {
         "kg_triples": _TRIPLES_CTE + "SELECT subj, pred, obj FROM triples",
         "kg_out_degree": _TRIPLES_CTE
         + "SELECT subj, count(*) AS out_deg FROM triples GROUP BY subj",
@@ -6703,3 +6723,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 5
         """,
     }
+    # the SPARQL-text query is semantically identical to kg_bgp_match
+    # (same algebra, parsed from text) — one shared oracle definition
+    oracles["kg_sparql_text"] = oracles["kg_bgp_match"]
+    return oracles

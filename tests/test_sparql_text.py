@@ -1,0 +1,117 @@
+"""SPARQL text front-end: parser plans and end-to-end equivalence with
+the bgp_match Python API on the toy graph."""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data
+
+from pyrdf2vec_ray.ops.sparql import (
+    SparqlSyntaxError,
+    parse_sparql,
+    sparql_query,
+)
+
+TRIPLES = [
+    ("alice", "lives_in", "ghent"),
+    ("bob", "lives_in", "ghent"),
+    ("carol", "lives_in", "paris"),
+    ("ghent", "in_country", "be"),
+    ("paris", "in_country", "fr"),
+    ("alice", "knows", "bob"),
+    ("bob", "knows", "alice"),
+]
+
+
+def _ds():
+    s, p, o = zip(*TRIPLES)
+    return ray.data.from_pandas(
+        pd.DataFrame({"subj": s, "pred": p, "obj": o}))
+
+
+def _rows(ds, cols):
+    df = ds.to_pandas()
+    return set(map(tuple, df[cols].itertuples(index=False)))
+
+
+def test_parse_plan_shapes():
+    q = parse_sparql("""
+        SELECT ?c WHERE {
+          ?c lives_in ?city .
+          ?city in_country "be" .
+          FILTER(?c != "bob")
+          OPTIONAL { ?c knows ?f . }
+          VALUES ?city { "ghent" "paris" }
+        } LIMIT 10
+    """)
+    g = q["group"]
+    assert q["select"] == ["c"] and q["limit"] == 10
+    assert g["patterns"][0] == ("?c", "lives_in", "?city")
+    assert g["patterns"][1] == ("?city", "in_country", "be")
+    assert g["filters"] == [("c", "!=", "bob")]
+    assert g["optional"] == [[("?c", "knows", "?f")]]
+    assert g["values"] == {"city": ["ghent", "paris"]}
+
+
+def test_select_end_to_end():
+    out = sparql_query(_ds(), """
+        SELECT ?c WHERE {
+          ?c lives_in ?city .
+          ?city in_country be .
+          FILTER(?c != alice)
+        }
+    """)
+    assert _rows(out, ["c"]) == {("bob",)}
+
+
+def test_star_select_and_iri_brackets():
+    out = sparql_query(_ds(), """
+        SELECT * WHERE { ?w <lives_in> "paris" . }
+    """)
+    assert _rows(out, ["w"]) == {("carol",)}
+
+
+def test_minus_group():
+    out = sparql_query(_ds(), """
+        SELECT ?w WHERE {
+          ?w lives_in ?city .
+          MINUS { ?w knows ?x . }
+        }
+    """)
+    assert _rows(out.select_columns(["w"]), ["w"]) == {("carol",)}
+
+
+def test_property_path_text():
+    rows = [("a", "next", "b"), ("b", "next", "c"), ("c", "hop", "d")]
+    s, p, o = zip(*rows)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"subj": s, "pred": p, "obj": o}))
+    out = sparql_query(ds, "SELECT ?x WHERE { a (next|hop)+ ?x . }")
+    assert _rows(out.select_columns(["x"]), ["x"]) == {
+        ("b",), ("c",), ("d",)}
+    out = sparql_query(ds, "SELECT ?x WHERE { a next+ ?x . }")
+    assert _rows(out.select_columns(["x"]), ["x"]) == {("b",), ("c",)}
+
+
+def test_construct_text():
+    out = sparql_query(_ds(), """
+        CONSTRUCT { ?a friend_city ?city } WHERE {
+          ?a knows ?b .
+          ?b lives_in ?city .
+        }
+    """)
+    got = set(map(tuple, out.to_pandas()[["subj", "pred", "obj"]]
+                  .itertuples(index=False)))
+    assert got == {("alice", "friend_city", "ghent"),
+                   ("bob", "friend_city", "ghent")}
+
+
+def test_syntax_errors_name_the_problem():
+    with pytest.raises(SparqlSyntaxError, match="only SELECT"):
+        parse_sparql("ASK WHERE { ?a ?b ?c }")
+    with pytest.raises(SparqlSyntaxError, match="unterminated group"):
+        parse_sparql("SELECT ?a WHERE { ?a b ?c .")
+    with pytest.raises(SparqlSyntaxError, match="FILTER lhs"):
+        parse_sparql('SELECT ?a WHERE { ?a b ?c . FILTER("x" = ?a) }')
+    with pytest.raises(SparqlSyntaxError, match="trailing"):
+        parse_sparql("SELECT ?a WHERE { ?a b ?c } JUNK")
