@@ -54,4 +54,14 @@ sols = bgp_match(kg, [("?a", "works_at", "?l"),
 print(bucket_count(sols.select_columns(["city"]), ["city"],
                    count_col="n_people").to_pandas())
 
+print("== the same engine from SPARQL text ==")
+from pyrdf2vec_ray.ops.sparql import sparql_query               # noqa: E402
+print(sparql_query(kg, '''
+    SELECT ?a ?city WHERE {
+      ?a works_at ?l .
+      ?l in_city ?city .
+      FILTER(?a != grace)
+    }
+''').to_pandas())
+
 ray.shutdown()
