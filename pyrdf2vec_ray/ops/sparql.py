@@ -203,11 +203,33 @@ class _Parser:
                 self.next()
             self.expect("}")
             q["template"] = (_term(s), _term(p), _term(o))
+        elif head == "ASK":
+            pass
         else:
             raise SparqlSyntaxError(
-                f"only SELECT / CONSTRUCT supported, got {head!r}")
-        self.expect("WHERE")
+                f"only SELECT / CONSTRUCT / ASK supported, got {head!r}")
+        if self.keyword(self.peek(), "WHERE"):
+            self.next()
+        elif head != "ASK":
+            self.expect("WHERE")
         q["group"] = self.parse_group()
+        if self.keyword(self.peek(), "ORDER"):
+            self.next()
+            self.expect("BY")
+            order: list[tuple[str, bool]] = []
+            while True:
+                tok = self.peek()
+                if tok is not None and tok.startswith("?"):
+                    self.next()
+                    desc = False
+                    if self.keyword(self.peek(), "ASC", "DESC"):
+                        desc = self.next().upper() == "DESC"
+                    order.append((tok[1:], desc))
+                else:
+                    break
+            if not order:
+                raise SparqlSyntaxError("ORDER BY needs ?variables")
+            q["order"] = order
         if self.keyword(self.peek(), "LIMIT"):
             self.next()
             n = self.next()
@@ -251,9 +273,18 @@ def sparql_query(
                             **{k: v for k, v in kwargs.items()
                                if k != "num_buckets"},
                             num_buckets=num_buckets)
+    elif q["form"] == "ASK":
+        sols = bgp_match(triples, g["patterns"], **kwargs)
+        hit = len(sols.limit(1).take(1)) > 0
+        return ray.data.from_items([{"ask": hit}])
     else:
         out = bgp_match(triples, g["patterns"],
                         select=q.get("select"), **kwargs)
+    if "order" in q:
+        # a global sort of the RESULT set (result-sized, not
+        # corpus-sized) — the one deliberate all-to-all here
+        out = out.sort([c for c, _ in q["order"]],
+                       descending=[d for _, d in q["order"]])
     if "limit" in q:
         out = out.limit(q["limit"])
     return out

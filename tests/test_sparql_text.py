@@ -108,10 +108,26 @@ def test_construct_text():
 
 def test_syntax_errors_name_the_problem():
     with pytest.raises(SparqlSyntaxError, match="only SELECT"):
-        parse_sparql("ASK WHERE { ?a ?b ?c }")
+        parse_sparql("DESCRIBE ?a WHERE { ?a ?b ?c }")
     with pytest.raises(SparqlSyntaxError, match="unterminated group"):
         parse_sparql("SELECT ?a WHERE { ?a b ?c .")
     with pytest.raises(SparqlSyntaxError, match="FILTER lhs"):
         parse_sparql('SELECT ?a WHERE { ?a b ?c . FILTER("x" = ?a) }')
     with pytest.raises(SparqlSyntaxError, match="trailing"):
         parse_sparql("SELECT ?a WHERE { ?a b ?c } JUNK")
+
+
+def test_ask_form():
+    out = sparql_query(_ds(), 'ASK { alice knows ?x . }').to_pandas()
+    assert out["ask"].tolist() == [True]
+    out = sparql_query(_ds(), 'ASK WHERE { carol knows ?x . }').to_pandas()
+    assert out["ask"].tolist() == [False]
+
+
+def test_order_by_and_limit():
+    out = sparql_query(_ds(), """
+        SELECT ?w ?city WHERE { ?w lives_in ?city . }
+        ORDER BY ?city DESC ?w LIMIT 2
+    """).to_pandas()
+    assert list(map(tuple, out[["city", "w"]].itertuples(index=False))) \
+        == [("paris", "carol"), ("ghent", "alice")]
