@@ -184,11 +184,29 @@ class _Parser:
             tok = self.peek()
             if self.keyword(tok, "DISTINCT"):
                 self.next()
-            sel = []
+            sel: list[str] | None = []
+            aggs: list[tuple[str, str]] = []  # (counted var|'*', alias)
             while not self.keyword(self.peek(), "WHERE"):
                 tok = self.next()
                 if tok == "*":
                     sel = None
+                    continue
+                if tok == "(":
+                    # (COUNT(?v|*) AS ?alias)
+                    fn = self.next()
+                    if fn.upper() != "COUNT":
+                        raise SparqlSyntaxError(
+                            f"only COUNT aggregates supported, got {fn!r}")
+                    self.expect("(")
+                    counted = self.next()
+                    self.expect(")")
+                    self.expect("AS")
+                    alias = self.next()
+                    self.expect(")")
+                    if not alias.startswith("?"):
+                        raise SparqlSyntaxError(
+                            f"AS expects a variable, got {alias!r}")
+                    aggs.append((counted, alias[1:]))
                     continue
                 if not tok.startswith("?"):
                     raise SparqlSyntaxError(
@@ -196,6 +214,8 @@ class _Parser:
                 if sel is not None:
                     sel.append(tok[1:])
             q["select"] = sel or None
+            if aggs:
+                q["aggs"] = aggs
         elif head == "CONSTRUCT":
             self.expect("{")
             s, p, o = self.next(), self.next(), self.next()
@@ -213,6 +233,15 @@ class _Parser:
         elif head != "ASK":
             self.expect("WHERE")
         q["group"] = self.parse_group()
+        if self.keyword(self.peek(), "GROUP"):
+            self.next()
+            self.expect("BY")
+            gvars = []
+            while (self.peek() or "").startswith("?"):
+                gvars.append(self.next()[1:])
+            if not gvars:
+                raise SparqlSyntaxError("GROUP BY needs ?variables")
+            q["groupby"] = gvars
         if self.keyword(self.peek(), "ORDER"):
             self.next()
             self.expect("BY")
@@ -277,6 +306,22 @@ def sparql_query(
         sols = bgp_match(triples, g["patterns"], **kwargs)
         hit = len(sols.limit(1).take(1)) > 0
         return ray.data.from_items([{"ask": hit}])
+    elif "aggs" in q:
+        if len(q["aggs"]) != 1:
+            raise SparqlSyntaxError("exactly one COUNT aggregate "
+                                    "supported per query")
+        gvars = q.get("groupby") or q.get("select") or []
+        if not gvars:
+            raise SparqlSyntaxError(
+                "COUNT needs GROUP BY (global counts: GROUP BY a "
+                "constant-bound variable)")
+        from pyrdf2vec_ray.shuffle import bucket_count
+
+        sols = bgp_match(triples, g["patterns"], **kwargs)
+        # over a null-free solution set COUNT(?v) == COUNT(*)
+        out = bucket_count(sols.select_columns(gvars), gvars,
+                           count_col=q["aggs"][0][1],
+                           num_buckets=num_buckets)
     else:
         out = bgp_match(triples, g["patterns"],
                         select=q.get("select"), **kwargs)

@@ -131,3 +131,20 @@ def test_order_by_and_limit():
     """).to_pandas()
     assert list(map(tuple, out[["city", "w"]].itertuples(index=False))) \
         == [("paris", "carol"), ("ghent", "alice")]
+
+
+def test_group_by_count():
+    out = sparql_query(_ds(), """
+        SELECT ?city (COUNT(?w) AS ?n) WHERE {
+          ?w lives_in ?city .
+        } GROUP BY ?city ORDER BY ?city
+    """).to_pandas()
+    assert list(map(tuple, out[["city", "n"]].itertuples(index=False))) \
+        == [("ghent", 2), ("paris", 1)]
+
+
+def test_count_without_group_by_raises():
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY"):
+        sparql_query(_ds(), """
+            SELECT (COUNT(?w) AS ?n) WHERE { ?w lives_in ?c . }
+        """)
