@@ -2278,6 +2278,16 @@ def q_events_wma(sf_dir: str):
     return wma_daily(ev)
 
 
+def q_doc_compression(sf_dir: str):
+    """zlib compression-ratio quality signal (ops/text.
+    compression_ratio) — deterministic but not SQL-expressible
+    (rows-only; pytest pins repetitive-vs-random ordering and the
+    empty-doc floor)."""
+    from pyrdf2vec_ray.ops.text import compression_ratio
+
+    return compression_ratio(_docs(sf_dir))
+
+
 def q_doc_readability(sf_dir: str):
     """Flesch reading-ease (ops/text.readability_scores): three regex
     censuses (words, sentence runs, vowel groups) and the classic
@@ -4298,6 +4308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wma": q_events_wma,
         "events_concurrency": q_events_concurrency,
         "doc_readability": q_doc_readability,
+        "doc_compression": q_doc_compression,
         "doc_ctfidf": q_doc_ctfidf,
         "doc_dsir_weights": q_doc_dsir_weights,
         "lineitem_regression": q_lineitem_regression,

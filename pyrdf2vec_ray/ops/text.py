@@ -1390,3 +1390,37 @@ def readability_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pandas", batch_size=4096)
+
+
+def compression_ratio(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document zlib compression ratio — the classic repetition /
+    boilerplate quality signal (documents whose UTF-8 bytes compress
+    far below ~0.4 are templated or degenerate; Gopher-style pipelines
+    gate on it next to the n-gram repetition fractions).  Output
+    ``(doc_id, n_bytes, n_compressed, ratio)`` with
+    ``ratio = n_compressed / n_bytes`` (empty docs ratio 1.0).
+
+    Deterministic: zlib level 6 output is a pure function of the
+    bytes, so reruns and resumes agree — but it is NOT SQL-expressible,
+    so this operator is pytest-pinned and rows-only checked (the
+    documented non-oracle class).  Stateless map, C-speed compressor,
+    no shuffle."""
+    import zlib
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].astype(str).tolist()
+        nb = np.empty(len(texts), dtype=np.int64)
+        nc = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            raw = t.encode("utf-8")
+            nb[i] = len(raw)
+            nc[i] = len(zlib.compress(raw, 6))
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(),
+             "n_bytes": nb, "n_compressed": nc,
+             "ratio": np.where(nb == 0, 1.0,
+                               nc.astype(np.float64)
+                               / np.maximum(nb, 1).astype(np.float64))})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pandas", batch_size=2048)

@@ -84,3 +84,23 @@ def test_readability_hand_counts():
     assert abs(out.loc[1, "flesch"] - expect) < 1e-12
     # empty doc: sentence floor 1, score 0
     assert out.loc[2, "n_sentences"] == 1 and out.loc[2, "flesch"] == 0.0
+
+
+def test_compression_ratio_orders_quality():
+    from pyrdf2vec_ray.ops.text import compression_ratio
+
+    rng = np.random.default_rng(11)
+    random_text = " ".join(
+        "".join(rng.choice(list("abcdefghijklmnop"), 8)) for _ in range(200))
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": ["spam " * 400, random_text, ""]}))
+    out = (compression_ratio(docs).to_pandas()
+           .set_index("doc_id").sort_index())
+    # templated text compresses far harder than random text
+    assert out.loc[1, "ratio"] < 0.05 < out.loc[2, "ratio"]
+    assert out.loc[3, "ratio"] == 1.0 and out.loc[3, "n_bytes"] == 0
+    # deterministic: fixed level -> byte-identical reruns
+    again = (compression_ratio(docs).to_pandas()
+             .set_index("doc_id").sort_index())
+    assert (again["n_compressed"] == out["n_compressed"]).all()
