@@ -2278,6 +2278,30 @@ def q_events_wma(sf_dir: str):
     return wma_daily(ev)
 
 
+def q_bpe_train_merges(sf_dir: str):
+    """BPE tokenizer training (ops/bpe.bpe_train; Sennrich 2016): 50
+    merge rules learned from the corpus word-frequency table — the
+    vocabulary-sized sufficient statistic is the only distributed
+    reduce; the merge loop is driver-side over that bounded table
+    (the Word2Vec-vocab residue class).  Iterative and data-dependent
+    — not SQL-expressible; rows-only + hand-computed-merge pytests."""
+    from pyrdf2vec_ray.ops.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir), n_merges=50)
+
+
+def q_doc_tokens_bpe_trained(sf_dir: str):
+    """Token budgets under the LEARNED tokenizer (ops/bpe.bpe_encode):
+    train 50 merges, broadcast the table, encode every document with a
+    per-worker distinct-word cache.  Rows-only (inherits bpe_train's
+    non-SQL class); the encode loop is pytest-pinned."""
+    from pyrdf2vec_ray.ops.bpe import bpe_encode, bpe_train
+
+    docs = _docs(sf_dir)
+    merges = bpe_train(docs, n_merges=50).to_pandas()
+    return bpe_encode(docs, merges)
+
+
 def q_doc_compression(sf_dir: str):
     """zlib compression-ratio quality signal (ops/text.
     compression_ratio) — deterministic but not SQL-expressible
@@ -4309,6 +4333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_concurrency": q_events_concurrency,
         "doc_readability": q_doc_readability,
         "doc_compression": q_doc_compression,
+        "bpe_train_merges": q_bpe_train_merges,
+        "doc_tokens_bpe_trained": q_doc_tokens_bpe_trained,
         "doc_ctfidf": q_doc_ctfidf,
         "doc_dsir_weights": q_doc_dsir_weights,
         "lineitem_regression": q_lineitem_regression,
