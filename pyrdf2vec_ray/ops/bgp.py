@@ -218,6 +218,7 @@ def bgp_match(
     values: dict[str, list[str]] | None = None,
     unbound: str = "",
     closure_rounds: int = 6,
+    broadcast_threshold: int = 200_000,
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Evaluate a conjunctive triple-pattern query (SPARQL BGP) over a
@@ -290,13 +291,33 @@ def bgp_match(
     for i in order[1:]:
         scan, svars = scans[i]
         on = [v for v in acc_vars if v in svars]
-        acc = hash_join(
-            acc, scan, on=on, num_buckets=num_buckets,
-            lschema={v: o for v in acc_vars},
-            rschema={v: o for v in svars})
-        # hash_join column order: on + left-extra + right-extra
-        acc_vars = (on + [v for v in acc_vars if v not in on]
-                    + [v for v in svars if v not in on])
+        # adaptive join strategy (the AQE move): the accumulating
+        # solution set starts at the most-selective pattern and often
+        # stays small — materialize it, and when it is under the
+        # broadcast threshold ship it to every scan task instead of
+        # bucket-shuffling BOTH sides.  Each broadcast hop removes two
+        # all-to-all barriers from the chain, which is what dominates
+        # wall-time at small-intermediate sizes (BASELINE.md bgp_query
+        # note); past the threshold the plan degrades gracefully to
+        # the co-partitioning hash join.
+        if broadcast_threshold > 0:
+            acc = acc.materialize()
+        if (broadcast_threshold > 0
+                and acc.count() <= broadcast_threshold):
+            from pyrdf2vec_ray.ops.join import broadcast_join
+
+            acc = broadcast_join(scan, acc, on=on)
+            # merge column order: scan cols, then acc extras
+            acc_vars = (list(svars)
+                        + [v for v in acc_vars if v not in svars])
+        else:
+            acc = hash_join(
+                acc, scan, on=on, num_buckets=num_buckets,
+                lschema={v: o for v in acc_vars},
+                rschema={v: o for v in svars})
+            # hash_join column order: on + left-extra + right-extra
+            acc_vars = (on + [v for v in acc_vars if v not in on]
+                        + [v for v in svars if v not in on])
 
     if values:
         for var in values:
