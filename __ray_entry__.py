@@ -2584,6 +2584,18 @@ def q_kg_sparql_text(sf_dir: str):
     """)
 
 
+def q_kg_describe(sf_dir: str):
+    """SPARQL DESCRIBE via the text front-end: the subgraph around
+    region-0 nations — the binding set stays distributed (two
+    semi-joins + a triple distinct; ops/bgp.bgp_describe), so
+    describing a million resources is the same plan as five."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(
+        _triples(sf_dir),
+        'DESCRIBE ?n WHERE { ?n in_region "region:0" . }')
+
+
 def q_kg_bgp_path(sf_dir: str):
     """SPARQL 1.1 property path: ``(in_nation|in_region)+`` — the
     transitive closure of the geographic-containment alternation via
@@ -4349,6 +4361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_relational": q_kg_bgp_relational,
         "kg_bgp_path": q_kg_bgp_path,
         "kg_sparql_text": q_kg_sparql_text,
+        "kg_describe": q_kg_describe,
         "lineitem_corr": q_lineitem_corr,
         "embedding_pq": q_embedding_pq,
         "kg_kcore": q_kg_kcore,
@@ -5412,6 +5425,15 @@ def oracle_sql() -> dict[str, str]:
                                 AND t3.obj = t1.subj
             WHERE t1.pred = 'in_nation'
               AND t1.subj <> 'customer:1'
+        """,
+        "kg_describe": _TRIPLES_CTE + """
+            , b AS (
+              SELECT subj AS v FROM triples
+              WHERE pred = 'in_region' AND obj = 'region:0'
+            )
+            SELECT DISTINCT t.subj, t.pred, t.obj FROM triples t
+            WHERE t.subj IN (SELECT v FROM b)
+               OR t.obj IN (SELECT v FROM b)
         """,
         "kg_bgp_path": _TRIPLES_CTE + """
             , e AS (

@@ -458,3 +458,50 @@ def bgp_construct(
     derived = sols.map_batches(instantiate, batch_format="pyarrow")
     return distinct(derived, ["subj", "pred", "obj"],
                     num_buckets=num_buckets)
+
+
+def bgp_describe(
+    triples: ray.data.Dataset,
+    patterns: list[tuple[str, str, str]],
+    var: str,
+    num_buckets: int | None = None,
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """SPARQL DESCRIBE: every triple whose subject OR object is a
+    binding of ``var`` in the pattern group's solutions — the
+    "give me the subgraph around these resources" form.  The binding
+    set stays distributed: two key-bucket SEMI-joins (subject side,
+    object side) against the distinct bindings, then one triple
+    distinct — no driver collection of the described set, so
+    describing a million resources is the same plan as describing
+    five."""
+    from pyrdf2vec_ray.ops.join import hash_semi_join
+
+    sols = bgp_match(triples, patterns, num_buckets=num_buckets,
+                     **match_kwargs)
+    if var not in _bgp_vars(patterns):
+        raise ValueError(f"DESCRIBE var {var!r} not bound by the "
+                         "pattern group")
+    o = np.dtype("O")
+    binds = distinct(sols.select_columns([var]), [var],
+                     num_buckets=num_buckets)
+
+    def as_col(name):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({name: batch[var]})
+        return fn
+
+    tri_schema = {"subj": o, "pred": o, "obj": o}
+    by_subj = hash_semi_join(
+        triples, binds.map_batches(as_col("subj"),
+                                   batch_format="pyarrow"),
+        on=["subj"], num_buckets=num_buckets,
+        lschema=tri_schema, rschema={"subj": o})
+    by_obj = hash_semi_join(
+        triples, binds.map_batches(as_col("obj"),
+                                   batch_format="pyarrow"),
+        on=["obj"], num_buckets=num_buckets,
+        lschema=tri_schema, rschema={"obj": o})
+    both = by_subj.union(by_obj.select_columns(["subj", "pred", "obj"]))
+    return distinct(both, ["subj", "pred", "obj"],
+                    num_buckets=num_buckets)

@@ -225,9 +225,16 @@ class _Parser:
             q["template"] = (_term(s), _term(p), _term(o))
         elif head == "ASK":
             pass
+        elif head == "DESCRIBE":
+            var = self.next()
+            if not var.startswith("?"):
+                raise SparqlSyntaxError(
+                    f"DESCRIBE expects a variable, got {var!r}")
+            q["describe"] = var[1:]
         else:
             raise SparqlSyntaxError(
-                f"only SELECT / CONSTRUCT / ASK supported, got {head!r}")
+                f"only SELECT / CONSTRUCT / ASK / DESCRIBE supported, "
+                f"got {head!r}")
         if self.keyword(self.peek(), "WHERE"):
             self.next()
         elif head != "ASK":
@@ -302,6 +309,13 @@ def sparql_query(
                             **{k: v for k, v in kwargs.items()
                                if k != "num_buckets"},
                             num_buckets=num_buckets)
+    elif q["form"] == "DESCRIBE":
+        from pyrdf2vec_ray.ops.bgp import bgp_describe
+
+        out = bgp_describe(triples, g["patterns"], q["describe"],
+                           **{k: v for k, v in kwargs.items()
+                              if k != "num_buckets"},
+                           num_buckets=num_buckets)
     elif q["form"] == "ASK":
         sols = bgp_match(triples, g["patterns"], **kwargs)
         hit = len(sols.limit(1).take(1)) > 0

@@ -108,7 +108,7 @@ def test_construct_text():
 
 def test_syntax_errors_name_the_problem():
     with pytest.raises(SparqlSyntaxError, match="only SELECT"):
-        parse_sparql("DESCRIBE ?a WHERE { ?a ?b ?c }")
+        parse_sparql("INSERT { ?a ?b ?c } WHERE { ?a ?b ?c }")
     with pytest.raises(SparqlSyntaxError, match="unterminated group"):
         parse_sparql("SELECT ?a WHERE { ?a b ?c .")
     with pytest.raises(SparqlSyntaxError, match="FILTER lhs"):
@@ -148,3 +148,20 @@ def test_count_without_group_by_raises():
         sparql_query(_ds(), """
             SELECT (COUNT(?w) AS ?n) WHERE { ?w lives_in ?c . }
         """)
+
+
+def test_describe_form():
+    out = sparql_query(_ds(), """
+        DESCRIBE ?city WHERE { ?city in_country "be" . }
+    """).to_pandas()
+    got = set(map(tuple, out[["subj", "pred", "obj"]]
+                  .itertuples(index=False)))
+    # every triple with a Belgian city as subject or object
+    assert got == {("alice", "lives_in", "ghent"),
+                   ("bob", "lives_in", "ghent"),
+                   ("ghent", "in_country", "be")}
+
+
+def test_describe_unbound_var_raises():
+    with pytest.raises(ValueError, match="DESCRIBE var"):
+        sparql_query(_ds(), "DESCRIBE ?zzz WHERE { ?a knows ?b . }")
