@@ -2584,6 +2584,40 @@ def q_kg_sparql_text(sf_dir: str):
     """)
 
 
+def q_walks_sparql_roots(sf_dir: str):
+    """The reference's HEADLINE workflow fully in-engine: SPARQL
+    selects the entity set (customers of region:4 nations — the role a
+    remote endpoint plays in the reference README), walks extract from
+    exactly those roots on the sharded graph.  Oracle: the two-join
+    path query restricted by the same region predicate."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+    from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
+
+    sols = sparql_query(_triples(sf_dir), """
+        SELECT ?c WHERE {
+          ?c in_nation ?n .
+          ?n in_region "region:4" .
+          FILTER(?c < "supplier:")
+        } ORDER BY ?c
+    """).to_pandas()
+    entities = sols["c"].tolist()
+
+    gi = _graph_index(sf_dir, sharded=True)
+    spec = WalkerSpec(strategy="random", max_depth=2, max_walks=None,
+                      md5_bytes=None)
+    walks = extract_walks(gi, entities, spec, batch_size=256)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(batch["walks"].combine_chunks())
+        return pa.table(
+            {name: pc.list_element(flat, i)
+             for i, name in enumerate(("e0", "p1", "e1", "p2", "e2"))})
+
+    return walks.map_batches(explode, batch_format="pyarrow")
+
+
 def q_kg_describe(sf_dir: str):
     """SPARQL DESCRIBE via the text front-end: the subgraph around
     region-0 nations — the binding set stays distributed (two
@@ -4362,6 +4396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_path": q_kg_bgp_path,
         "kg_sparql_text": q_kg_sparql_text,
         "kg_describe": q_kg_describe,
+        "walks_sparql_roots": q_walks_sparql_roots,
         "lineitem_corr": q_lineitem_corr,
         "embedding_pq": q_embedding_pq,
         "kg_kcore": q_kg_kcore,
@@ -5425,6 +5460,15 @@ def oracle_sql() -> dict[str, str]:
                                 AND t3.obj = t1.subj
             WHERE t1.pred = 'in_nation'
               AND t1.subj <> 'customer:1'
+        """,
+        "walks_sparql_roots": """
+            SELECT 'customer:' || c_custkey AS e0,
+                   'in_nation' AS p1,
+                   'nation:' || c_nationkey AS e1,
+                   'in_region' AS p2,
+                   'region:' || n_regionkey AS e2
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_regionkey = 4
         """,
         "kg_describe": _TRIPLES_CTE + """
             , b AS (
