@@ -33,9 +33,12 @@ Semantics (set algebra, matching SPARQL evaluation over a triple SET):
 Scale shape: constants are pushed into the per-pattern scan (a
 stateless vectorized ``map_batches`` filter over the triple stream —
 at 100 TB this is the moment column/row pruning happens, one pass
-shared by all patterns).  Each join is ONE int-bucket hash shuffle
-(`ops/join.hash_join`) keyed on the shared variables; schema hints keep
-the whole left-deep chain lazy/single-execution.  Join ORDER is chosen
+shared by all patterns).  Joins are ADAPTIVE (the AQE strategy): the
+accumulating solution set is materialized per hop, and while it is
+under ``broadcast_threshold`` rows it ships to every scan task —
+zero shuffles for the hop — else the hop is ONE int-bucket hash
+shuffle (`ops/join.hash_join`) keyed on the shared variables with
+schema hints keeping the chain single-execution.  Join ORDER is chosen
 greedily — start at the most-constant (most selective) pattern, then
 always extend with a pattern sharing at least one bound variable,
 preferring fewer new variables — so intermediate results shrink before
