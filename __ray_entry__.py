@@ -2264,6 +2264,30 @@ def q_events_concurrency(sf_dir: str):
     return peak_concurrency(sessionize(ev, gap_minutes=30))
 
 
+def q_events_daily_dense(sf_dir: str):
+    """Calendar-densified per-type daily counts (ops/events.
+    fill_daily_gaps over the wma day-reduce): absent days synthesized
+    with n=0 and flagged — output bounded by keys × date range."""
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import fill_daily_gaps
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": batch["event_type"],
+                          "day": batch["ts"].dt.floor("D"), "n": 1})
+        return g.groupby(["event_type", "day"], as_index=False).sum()
+
+    daily = bucket_agg(ev.map_batches(partial, batch_format="pandas"),
+                       ["event_type", "day"], {"n": ("n", "sum")},
+                       pre=False)
+    return fill_daily_gaps(daily)
+
+
 def q_events_wma(sf_dir: str):
     """Dyadic-weight trend line over per-type daily counts
     (ops/events.wma_daily): integer-exact EWMA stand-in (8/4/2/1 over
@@ -4376,6 +4400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_mode": q_lineitem_mode,
         "events_debounce": q_events_debounce,
         "events_wma": q_events_wma,
+        "events_daily_dense": q_events_daily_dense,
         "events_concurrency": q_events_concurrency,
         "doc_readability": q_doc_readability,
         "doc_compression": q_doc_compression,
@@ -5239,6 +5264,27 @@ def oracle_sql() -> dict[str, str]:
                      AS n_active,
                    CAST(max(run) AS BIGINT) AS peak
             FROM r GROUP BY day
+        """,
+        "events_daily_dense": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+                  FROM d GROUP BY event_type),
+            cal AS (
+              SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                       AS day
+              FROM r
+            )
+            SELECT cal.event_type, cal.day,
+                   CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+                   d.n IS NULL AS filled
+            FROM cal LEFT JOIN d ON d.event_type = cal.event_type
+                                AND d.day = cal.day
         """,
         "events_wma": """
             WITH d AS (

@@ -899,3 +899,62 @@ def peak_concurrency(
         intervals.map_batches(boundaries, batch_format="pandas"),
         ["day"], sweep, num_buckets=num_buckets,
         batch_format="pandas")
+
+
+def fill_daily_gaps(
+    daily: ray.data.Dataset,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    value_col: str = "n",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Calendar densify: every key's daily series is completed over
+    its OWN [min(day), max(day)] range, absent days filled with 0 —
+    the step that turns observation-indexed reductions into
+    calendar-indexed series (rolling windows, trend lines and
+    change-point scans silently mis-index across gaps otherwise).
+
+    Output: one row per (key, calendar day in range) with ``filled``
+    marking synthesized rows.
+
+    Scale shape: ONE key-bucket shuffle of the (already day-reduced)
+    series; per bucket the expansion is a vectorized repeat over
+    per-key day spans.  Output size is Σ_key span_days — bounded by
+    keys × date range, never by event count; a key with a multi-year
+    span costs rows, not memory (spans stream per bucket)."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    day_us = np.int64(86_400_000_000)
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, day_col], kind="mergesort")
+        days = g[day_col].to_numpy("datetime64[us]").view(np.int64)
+        keys = g[key_col].to_numpy()
+        vals = g[value_col].to_numpy()
+        codes, uniq = pd.factorize(keys)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        lo = (days[starts] // day_us)
+        hi = (days[ends - 1] // day_us)
+        span = (hi - lo + 1).astype(np.int64)
+        prev = np.concatenate([[0], np.cumsum(span)[:-1]])
+        k = np.arange(span.sum()) - np.repeat(prev, span)
+        out_day = (np.repeat(lo, span) + k) * day_us
+        out_key = np.repeat(uniq, span)
+        out_val = np.zeros(len(out_day), dtype=vals.dtype)
+        # scatter the observed values into their span slots:
+        # prev[group] + (observed day - group's first day)
+        obs_pos = (np.repeat(prev, ends - starts)
+                   + (days // day_us
+                      - np.repeat(lo, ends - starts)))
+        out_val[obs_pos] = vals
+        filled = np.ones(len(out_day), dtype=bool)
+        filled[obs_pos] = False
+        return pd.DataFrame(
+            {key_col: out_key,
+             day_col: out_day.astype("datetime64[us]"),
+             value_col: out_val,
+             "filled": filled})
+
+    return bucket_apply(daily, [key_col], densify,
+                        num_buckets=num_buckets, batch_format="pandas")

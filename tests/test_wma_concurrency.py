@@ -60,3 +60,23 @@ def test_peak_midnight_crossing_counts_both_days():
     ])).to_pandas().sort_values("day").reset_index(drop=True))
     assert out["n_active"].tolist() == [2, 2]
     assert out["peak"].tolist() == [1, 2]
+
+
+def test_fill_daily_gaps_densifies_per_key_range():
+    from pyrdf2vec_ray.ops.events import fill_daily_gaps
+
+    daily = ray.data.from_pandas(pd.DataFrame(
+        {"event_type": ["a", "a", "a", "b"],
+         "day": [T0, T0 + 3 * DAY, T0 + 5 * DAY, T0 + 10 * DAY],
+         "n": [2, 4, 8, 1]}))
+    out = (fill_daily_gaps(daily).to_pandas()
+           .sort_values(["event_type", "day"]).reset_index(drop=True))
+    a = out[out["event_type"] == "a"]
+    # a's range is 6 calendar days; observed 3, filled 3
+    assert len(a) == 6
+    assert a["n"].tolist() == [2, 0, 0, 4, 0, 8]
+    assert a["filled"].tolist() == [False, True, True, False, True,
+                                    False]
+    # b spans one day, nothing synthesized; its range is its own
+    b = out[out["event_type"] == "b"]
+    assert len(b) == 1 and not b["filled"].iloc[0]
