@@ -2264,6 +2264,31 @@ def q_events_concurrency(sf_dir: str):
     return peak_concurrency(sessionize(ev, gap_minutes=30))
 
 
+def q_events_cusum(sf_dir: str):
+    """Page's CUSUM drift monitor (ops/events.cusum_scores) over
+    per-type daily counts: the max(0, S+(x−k)) recursion computed via
+    its exact prefix-sum − running-min closed form — all-integer, so
+    the nested-window oracle replays bit-exactly."""
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import cusum_scores
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": batch["event_type"],
+                          "day": batch["ts"].dt.floor("D"), "n": 1})
+        return g.groupby(["event_type", "day"], as_index=False).sum()
+
+    daily = bucket_agg(ev.map_batches(partial, batch_format="pandas"),
+                       ["event_type", "day"], {"n": ("n", "sum")},
+                       pre=False)
+    return cusum_scores(daily, slack_k=70, threshold_h=50)
+
+
 def q_events_daily_dense(sf_dir: str):
     """Calendar-densified per-type daily counts (ops/events.
     fill_daily_gaps over the wma day-reduce): absent days synthesized
@@ -4401,6 +4426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q_events_debounce,
         "events_wma": q_events_wma,
         "events_daily_dense": q_events_daily_dense,
+        "events_cusum": q_events_cusum,
         "events_concurrency": q_events_concurrency,
         "doc_readability": q_doc_readability,
         "doc_compression": q_doc_compression,
@@ -5264,6 +5290,31 @@ def oracle_sql() -> dict[str, str]:
                      AS n_active,
                    CAST(max(run) AS BIGINT) AS peak
             FROM r GROUP BY day
+        """,
+        "events_cusum": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            q AS (
+              SELECT event_type, day, n,
+                     sum(n - 70) OVER (PARTITION BY event_type
+                                       ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING) AS qv
+              FROM d
+            ),
+            m AS (
+              SELECT *, min(qv) OVER (PARTITION BY event_type
+                                      ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING) AS mn
+              FROM q
+            )
+            SELECT event_type, day, CAST(n AS BIGINT) AS n,
+                   CAST(qv - least(mn, 0) AS BIGINT) AS s,
+                   (qv - least(mn, 0)) > 50 AS alarm
+            FROM m
         """,
         "events_daily_dense": """
             WITH d AS (

@@ -958,3 +958,53 @@ def fill_daily_gaps(
 
     return bucket_apply(daily, [key_col], densify,
                         num_buckets=num_buckets, batch_format="pandas")
+
+
+def cusum_scores(
+    daily: ray.data.Dataset,
+    slack_k: int,
+    threshold_h: int,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    value_col: str = "n",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """One-sided (upward) CUSUM change detection (Page 1954) over each
+    key's day-ordered integer series: ``S_t = max(0, S_{t-1} + (x_t −
+    k))``, alarm when ``S_t > h`` — the drift/level-shift monitor for
+    event volumes.  Output: every input row plus ``(s, alarm)``.
+
+    Exactness: the recursion has the closed form ``S_t = Q_t −
+    min(0, min_{i≤t} Q_i)`` with ``Q_t = Σ(x−k)`` — a prefix sum minus
+    a running minimum, BOTH vectorizable and both expressible as SQL
+    windows, so integer inputs replay bit-exactly (no float recursion,
+    no approximation).  Observation-indexed: run
+    :func:`fill_daily_gaps` first when calendar indexing matters.
+
+    Scale shape: ONE key-bucket shuffle of the day-reduced series;
+    per bucket one sort + two accumulations (cumsum, cummin)."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, day_col], kind="mergesort")
+        x = g[value_col].to_numpy(np.int64)
+        codes, _ = pd.factorize(g[key_col].to_numpy())
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        q = np.cumsum(x - np.int64(slack_k))
+        # restart the prefix sum at each key boundary
+        base = np.repeat(np.r_[0, q[starts[1:] - 1]],
+                         np.diff(np.r_[starts, len(g)]))
+        q = q - base
+        # per-key running minimum (loop over KEYS, not rows — series
+        # are calendar-bounded and keys-per-bucket small)
+        runmin = np.empty_like(q)
+        for s0, s1 in zip(starts, np.r_[starts[1:], len(g)]):
+            runmin[s0:s1] = np.minimum.accumulate(q[s0:s1])
+        s = q - np.minimum(runmin, 0)
+        out = g.copy()
+        out["s"] = s
+        out["alarm"] = s > np.int64(threshold_h)
+        return out
+
+    return bucket_apply(daily, [key_col], per_bucket,
+                        num_buckets=num_buckets, batch_format="pandas")

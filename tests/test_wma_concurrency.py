@@ -80,3 +80,34 @@ def test_fill_daily_gaps_densifies_per_key_range():
     # b spans one day, nothing synthesized; its range is its own
     b = out[out["event_type"] == "b"]
     assert len(b) == 1 and not b["filled"].iloc[0]
+
+
+def test_cusum_recursion_closed_form():
+    from pyrdf2vec_ray.ops.events import cusum_scores
+
+    days = [T0 + i * DAY for i in range(6)]
+    xs = [5, 5, 9, 20, 5, 30]
+    daily = ray.data.from_pandas(pd.DataFrame(
+        {"event_type": ["a"] * 6, "day": days, "n": xs}))
+    out = (cusum_scores(daily, slack_k=8, threshold_h=10).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    # straight-line recursion S_t = max(0, S_{t-1} + x - k)
+    ref, s = [], 0
+    for x in xs:
+        s = max(0, s + x - 8)
+        ref.append(s)
+    assert out["s"].tolist() == ref
+    assert out["alarm"].tolist() == [r > 10 for r in ref]
+
+
+def test_cusum_keys_independent():
+    from pyrdf2vec_ray.ops.events import cusum_scores
+
+    daily = ray.data.from_pandas(pd.DataFrame(
+        {"event_type": ["a", "a", "b"],
+         "day": [T0, T0 + DAY, T0],
+         "n": [100, 1, 100]}))
+    out = cusum_scores(daily, slack_k=10, threshold_h=50).to_pandas()
+    got = {(r.event_type, r.day): r.s for r in out.itertuples()}
+    assert got[("a", T0)] == 90 and got[("a", T0 + DAY)] == 81
+    assert got[("b", T0)] == 90  # b's S does not inherit a's
