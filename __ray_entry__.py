@@ -2264,6 +2264,20 @@ def q_events_concurrency(sf_dir: str):
     return peak_concurrency(sessionize(ev, gap_minutes=30))
 
 
+def q_events_recency(sf_dir: str):
+    """Recency-weighted user activity (ops/events.recency_scores):
+    Σ 2^(−age/7d) per user from the corpus max-ts anchor — tiny max
+    reduce + per-user combiner; float-assoc class (per-term doubles
+    identical, sum order differs within rounding)."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import recency_scores
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return recency_scores(ev, half_life_days=7.0)
+
+
 def q_events_cusum(sf_dir: str):
     """Page's CUSUM drift monitor (ops/events.cusum_scores) over
     per-type daily counts: the max(0, S+(x−k)) recursion computed via
@@ -4427,6 +4441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wma": q_events_wma,
         "events_daily_dense": q_events_daily_dense,
         "events_cusum": q_events_cusum,
+        "events_recency": q_events_recency,
         "events_concurrency": q_events_concurrency,
         "doc_readability": q_doc_readability,
         "doc_compression": q_doc_compression,
@@ -5290,6 +5305,15 @@ def oracle_sql() -> dict[str, str]:
                      AS n_active,
                    CAST(max(run) AS BIGINT) AS peak
             FROM r GROUP BY day
+        """,
+        "events_recency": """
+            WITH mx AS (SELECT max(ts) AS m FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   sum(power(2.0,
+                       -(CAST(epoch_us((SELECT m FROM mx))
+                              - epoch_us(ts) AS DOUBLE)
+                         / (86400000000.0 * 7.0)))) AS score
+            FROM events GROUP BY user_id
         """,
         "events_cusum": """
             WITH d AS (

@@ -1008,3 +1008,49 @@ def cusum_scores(
 
     return bucket_apply(daily, [key_col], per_bucket,
                         num_buckets=num_buckets, batch_format="pandas")
+
+
+def recency_scores(
+    events: ray.data.Dataset,
+    half_life_days: float = 7.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Recency-weighted activity per user: ``score = Σ_events
+    2^(−age/half_life)`` with age measured from the corpus max
+    timestamp — the standard decayed engagement feature (an event
+    ``half_life_days`` old counts half).  Output
+    ``(user, n_events, score)``.
+
+    Two passes, both reduce-shaped: a tiny global max-ts aggregate
+    (broadcast as a closure scalar — the RFM pattern), then a
+    per-batch per-user combiner + ONE user-bucket reduce of partial
+    float sums.  Each term is a pure function of (ts, max_ts) so the
+    only engine-vs-oracle difference is summation order — covered by
+    the rounding-tolerant compare (documented float-assoc class)."""
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    max_ts = events.max(ts_col)
+    max_us = np.int64(pd.Timestamp(max_ts).value // 1000)
+    denom = 86_400_000_000.0 * float(half_life_days)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        age = (max_us - ts).astype(np.float64)
+        w = np.power(2.0, -(age / denom))
+        g = pd.DataFrame({user_col: batch[user_col], "n": 1,
+                          "score": w})
+        return g.groupby(user_col, as_index=False).sum()
+
+    out = bucket_agg(events.map_batches(partial, batch_format="pandas"),
+                     [user_col],
+                     {"n": ("n", "sum"), "score": ("score", "sum")},
+                     pre=False)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {user_col: batch[user_col],
+             "n_events": batch["n"].to_numpy().astype(np.int64),
+             "score": batch["score"].to_numpy(np.float64)})
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -111,3 +111,17 @@ def test_cusum_keys_independent():
     got = {(r.event_type, r.day): r.s for r in out.itertuples()}
     assert got[("a", T0)] == 90 and got[("a", T0 + DAY)] == 81
     assert got[("b", T0)] == 90  # b's S does not inherit a's
+
+
+def test_recency_scores_halving():
+    from pyrdf2vec_ray.ops.events import recency_scores
+
+    ev = ray.data.from_pandas(pd.DataFrame(
+        {"user_id": [1, 1, 2],
+         "ts": [T0 + 7 * DAY, T0, T0 + 7 * DAY]}))
+    out = (recency_scores(ev, half_life_days=7.0).to_pandas()
+           .set_index("user_id").sort_index())
+    # user 1: newest event weight 1, 7-day-old weight 0.5
+    assert abs(out.loc[1, "score"] - 1.5) < 1e-12
+    assert out.loc[1, "n_events"] == 2
+    assert abs(out.loc[2, "score"] - 1.0) < 1e-12
