@@ -2375,6 +2375,78 @@ def q_doc_compression(sf_dir: str):
     return compression_ratio(_docs(sf_dir))
 
 
+def q_doc_ttr(sf_dir: str):
+    """Type-token ratio lexical diversity (ops/text.type_token_ratio)
+    over the shared lowercase token contract — distinct-over-total per
+    doc; list_distinct oracle."""
+    from pyrdf2vec_ray.ops.text import type_token_ratio
+
+    return type_token_ratio(_docs(sf_dir))
+
+
+def q_source_vocab_overlap(sf_dir: str):
+    """Pairwise source-vocabulary Jaccard: distinct (source, token)
+    census (vocabulary-sized, one combiner reduce) → token-bucket
+    self-join counts intersections → tiny pair finisher with exact
+    integer sizes; |A∪B| = |A|+|B|−|A∩B|.  The corpus-mixing
+    diagnostic ("how much does source X's vocabulary overlap Y's")."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
+
+    docs = _docs(sf_dir, columns=("text", "source"))
+    import re as _re
+
+    word = _re.compile(r"[a-z']+")
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        src: list = []
+        for s, t in zip(batch["source"].tolist(),
+                        batch["text"].astype(str).tolist()):
+            tt = word.findall(t.lower())
+            toks.extend(tt)
+            src.extend([s] * len(tt))
+        return pd.DataFrame({"source": src, "token": toks}) \
+            .drop_duplicates()
+
+    st = bucket_agg(docs.map_batches(pairs, batch_format="pandas"),
+                    ["source", "token"], {"n": ("token", "size")})
+
+    def inter(g: pd.DataFrame) -> pd.DataFrame:
+        j = g.merge(g, on="token")
+        j = j[j["source_x"] < j["source_y"]]
+        out = j.groupby(["source_x", "source_y"], as_index=False) \
+               .agg(n_common=("token", "size"))
+        sz = g.groupby("source", as_index=False) \
+              .agg(n_vocab=("token", "size"))
+        out["kind"] = "pair"
+        sz["kind"] = "size"
+        return pd.concat([
+            out.rename(columns={"source_x": "a", "source_y": "b"}),
+            sz.rename(columns={"source": "a"})], ignore_index=True)
+
+    parts = bucket_apply(st, ["token"], inter,
+                         batch_format="pandas").to_pandas()
+    sizes = (parts[parts["kind"] == "size"]
+             .groupby("a")["n_vocab"].sum().astype(np.int64))
+    pair = (parts[parts["kind"] == "pair"]
+            .groupby(["a", "b"], as_index=False)["n_common"].sum())
+    na = pair["a"].map(sizes).to_numpy(np.int64)
+    nb = pair["b"].map(sizes).to_numpy(np.int64)
+    common = pair["n_common"].to_numpy(np.int64)
+    union = na + nb - common
+    return pd.DataFrame(
+        {"a": pair["a"], "b": pair["b"],
+         "n_a": na, "n_b": nb,
+         "n_common": common,
+         "jaccard": common.astype(np.float64)
+                    / union.astype(np.float64)}).sort_values(
+        ["a", "b"]).reset_index(drop=True)
+
+
 def q_doc_readability(sf_dir: str):
     """Flesch reading-ease (ops/text.readability_scores): three regex
     censuses (words, sentence runs, vowel groups) and the classic
@@ -4444,6 +4516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_recency": q_events_recency,
         "events_concurrency": q_events_concurrency,
         "doc_readability": q_doc_readability,
+        "doc_ttr": q_doc_ttr,
+        "source_vocab_overlap": q_source_vocab_overlap,
         "doc_compression": q_doc_compression,
         "bpe_train_merges": q_bpe_train_merges,
         "doc_tokens_bpe_trained": q_doc_tokens_bpe_trained,
@@ -5396,6 +5470,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, event_id, ts FROM r
             WHERE prev IS NULL
                OR epoch_us(ts) - epoch_us(prev) >= 1800 * 1000000
+        """,
+        "doc_ttr": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+')
+                       AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                   CASE WHEN len(toks) = 0 THEN 1.0
+                        ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE)
+                   END AS ttr
+            FROM tok
+        """,
+        "source_vocab_overlap": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text), '[a-z'']+'))
+                       AS token
+              FROM documents
+            ),
+            st AS (SELECT DISTINCT source, token FROM tok),
+            sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+            p AS (
+              SELECT x.source AS a, y.source AS b, count(*) AS n_common
+              FROM st x JOIN st y ON x.token = y.token
+                                 AND x.source < y.source
+              GROUP BY 1, 2
+            )
+            SELECT p.a, p.b, CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(p.n_common AS BIGINT) AS n_common,
+                   CAST(p.n_common AS DOUBLE)
+                   / CAST(sa.n + sb.n - p.n_common AS DOUBLE) AS jaccard
+            FROM p JOIN sz sa ON sa.source = p.a
+                   JOIN sz sb ON sb.source = p.b
         """,
         "doc_readability": """
             WITH s AS (

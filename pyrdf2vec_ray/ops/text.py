@@ -1424,3 +1424,41 @@ def compression_ratio(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pandas", batch_size=2048)
+
+
+def type_token_ratio(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document lexical diversity: ``ttr = distinct tokens /
+    tokens`` over the lowercase ``[a-z']+`` contract (degenerate and
+    templated text scores low — the quality-gate sibling of
+    repetition_signals, at token granularity).  Output
+    ``(doc_id, n_tokens, n_types, ttr)``; empty docs score 1.0.
+
+    Vectorized per batch: one token extraction pass, per-doc distinct
+    via a single (doc, token) drop_duplicates over the exploded frame
+    — no per-token Python loop.  Stateless map, NO shuffle."""
+    word = re.compile(r"[a-z']+")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].astype(str).tolist()
+        toks: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tt = word.findall(t.lower())
+            counts[i] = len(tt)
+            toks.extend(tt)
+        types = np.zeros(len(texts), dtype=np.int64)
+        if toks:
+            frame = pd.DataFrame(
+                {"d": np.repeat(np.arange(len(texts)), counts),
+                 "t": toks})
+            u = frame.drop_duplicates().groupby("d").size()
+            types[u.index.to_numpy()] = u.to_numpy()
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(),
+             "n_tokens": counts, "n_types": types,
+             "ttr": np.where(counts == 0, 1.0,
+                             types.astype(np.float64)
+                             / np.maximum(counts, 1).astype(np.float64))})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pandas", batch_size=2048)

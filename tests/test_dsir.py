@@ -104,3 +104,16 @@ def test_compression_ratio_orders_quality():
     again = (compression_ratio(docs).to_pandas()
              .set_index("doc_id").sort_index())
     assert (again["n_compressed"] == out["n_compressed"]).all()
+
+
+def test_type_token_ratio_hand_counts():
+    from pyrdf2vec_ray.ops.text import type_token_ratio
+
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": ["spam spam spam spam", "all words are unique", ""]}))
+    out = (type_token_ratio(docs).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1, "n_types"] == 1 and out.loc[1, "ttr"] == 0.25
+    assert out.loc[2, "ttr"] == 1.0
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "ttr"] == 1.0
