@@ -2375,6 +2375,33 @@ def q_doc_compression(sf_dir: str):
     return compression_ratio(_docs(sf_dir))
 
 
+def q_doc_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (ops/agg.rrf_fuse; Cormack 2009): two
+    per-language top-20 rankings (shortest-docs and lowest-id — stand
+    ins for the BM25/vector lists whose fusion this operator serves)
+    combined as Σ 1/(60+rank) with a deterministic fused rank."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import rrf_fuse, topk_by_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"])
+    import pandas as pd
+
+    def with_idscore(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["idscore"] = batch["doc_id"]
+        return batch
+
+    a = topk_by_group(docs, "lang", "n_chars", 20, "doc_id",
+                      ascending=True)
+    b = topk_by_group(docs.map_batches(with_idscore,
+                                       batch_format="pandas"),
+                      "lang", "idscore", 20, "doc_id", ascending=True)
+    return rrf_fuse([a, b], "lang", "doc_id")
+
+
 def q_doc_ttr(sf_dir: str):
     """Type-token ratio lexical diversity (ops/text.type_token_ratio)
     over the shared lowercase token contract — distinct-over-total per
@@ -4517,6 +4544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_concurrency": q_events_concurrency,
         "doc_readability": q_doc_readability,
         "doc_ttr": q_doc_ttr,
+        "doc_rrf_fusion": q_doc_rrf_fusion,
         "source_vocab_overlap": q_source_vocab_overlap,
         "doc_compression": q_doc_compression,
         "bpe_train_merges": q_bpe_train_merges,
@@ -5470,6 +5498,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, event_id, ts FROM r
             WHERE prev IS NULL
                OR epoch_us(ts) - epoch_us(prev) >= 1800 * 1000000
+        """,
+        "doc_rrf_fusion": """
+            WITH a AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars ASC,
+                                                 doc_id ASC) AS r
+              FROM documents
+            ),
+            b AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY doc_id ASC) AS r
+              FROM documents
+            ),
+            u AS (
+              SELECT lang, doc_id, 1.0 / (60.0 + r) AS c
+              FROM a WHERE r <= 20
+              UNION ALL
+              SELECT lang, doc_id, 1.0 / (60.0 + r)
+              FROM b WHERE r <= 20
+            ),
+            s AS (SELECT lang, doc_id, sum(c) AS rrf
+                  FROM u GROUP BY 1, 2)
+            SELECT lang, doc_id, rrf,
+                   CAST(row_number() OVER (PARTITION BY lang
+                                           ORDER BY rrf DESC,
+                                                    doc_id ASC)
+                        AS BIGINT) AS rrf_rank
+            FROM s
         """,
         "doc_ttr": """
             WITH tok AS (

@@ -1011,3 +1011,60 @@ def categorical_mi(
     # the pair table is tiny by contract — one repartition(1) reduce
     return pairs.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None)
+
+
+def rrf_fuse(
+    rankings: Sequence[ray.data.Dataset],
+    group_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of multiple
+    per-group rankings — the standard hybrid-retrieval combiner (BM25
+    list ⊕ vector list ⊕ ...): ``rrf(id) = Σ_lists 1/(k + rank)``
+    over the lists that contain the id (1-based ranks), then a fused
+    1-based ``rrf_rank`` per group (rrf desc, id asc — deterministic
+    ties).  Output ``(group, id, rrf, rrf_rank)``.
+
+    Float determinism: each list contributes one exact double
+    ``1/(k+rank)``; addition over the handful of lists is
+    order-insensitive for two lists (commutative) and
+    rounding-covered beyond.
+
+    Scale shape: union of the (already top-k-sized) ranking lists →
+    ONE (group, id) bucket reduce summing contributions → one
+    group-bucket pass assigning fused ranks.  Everything is
+    candidate-list-sized, never corpus-sized."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    kk = float(k)
+
+    def contrib(ds):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {group_col: batch[group_col],
+                 id_col: batch[id_col],
+                 "rrf": 1.0 / (kk + batch[rank_col]
+                               .to_numpy(np.float64))})
+        return ds.map_batches(fn, batch_format="pandas")
+
+    uni = contrib(rankings[0])
+    for ds in rankings[1:]:
+        uni = uni.union(contrib(ds))
+
+    summed = bucket_agg(uni, [group_col, id_col],
+                        {"rrf": ("rrf", "sum")},
+                        num_buckets=num_buckets, pre=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "rrf", id_col],
+                          ascending=[True, False, True],
+                          kind="mergesort").copy()
+        g["rrf_rank"] = (g.groupby(group_col, sort=False).cumcount()
+                         + 1).astype(np.int64)
+        return g
+
+    return bucket_apply(summed, [group_col], finish,
+                        num_buckets=num_buckets, batch_format="pandas")

@@ -66,3 +66,22 @@ def test_grouped_corr_known_values():
     assert set(got) == {"a", "b"}
     assert got["a"][1] == 1.0        # perfect positive
     assert got["b"][1] == -1.0       # perfect negative
+
+
+def test_rrf_fusion_hand_computed():
+    from pyrdf2vec_ray.ops.agg import rrf_fuse
+
+    a = ray.data.from_pandas(pd.DataFrame(
+        {"g": ["q"] * 3, "id": [1, 2, 3], "rank": [1, 2, 3]}))
+    b = ray.data.from_pandas(pd.DataFrame(
+        {"g": ["q"] * 3, "id": [3, 1, 4], "rank": [1, 2, 3]}))
+    out = (rrf_fuse([a, b], "g", "id", k=60).to_pandas()
+           .sort_values("rrf_rank").reset_index(drop=True))
+    scores = {r.id: r.rrf for r in out.itertuples()}
+    assert abs(scores[1] - (1 / 61 + 1 / 62)) < 1e-15
+    assert abs(scores[3] - (1 / 63 + 1 / 61)) < 1e-15
+    assert abs(scores[2] - 1 / 62) < 1e-15
+    assert abs(scores[4] - 1 / 63) < 1e-15
+    # doc in both lists with good ranks fuses to the top
+    assert out.loc[0, "id"] in (1, 3)
+    assert out["rrf_rank"].tolist() == [1, 2, 3, 4]
