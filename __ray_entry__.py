@@ -2411,6 +2411,18 @@ def q_doc_ttr(sf_dir: str):
     return type_token_ratio(_docs(sf_dir))
 
 
+def q_source_lang_entropy(sf_dir: str):
+    """Language-mixing entropy per source (ops/agg.grouped_entropy):
+    Shannon entropy of each source's language distribution from exact
+    counts — the mixing diagnostic next to orders_mi."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import grouped_entropy
+
+    docs = _docs(sf_dir, columns=("source", "lang"))
+    return grouped_entropy(docs, "source", "lang")
+
+
 def q_source_vocab_overlap(sf_dir: str):
     """Pairwise source-vocabulary Jaccard: distinct (source, token)
     census (vocabulary-sized, one combiner reduce) → token-bucket
@@ -4546,6 +4558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ttr": q_doc_ttr,
         "doc_rrf_fusion": q_doc_rrf_fusion,
         "source_vocab_overlap": q_source_vocab_overlap,
+        "source_lang_entropy": q_source_lang_entropy,
         "doc_compression": q_doc_compression,
         "bpe_train_merges": q_bpe_train_merges,
         "doc_tokens_bpe_trained": q_doc_tokens_bpe_trained,
@@ -5543,6 +5556,20 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(len(toks) AS DOUBLE)
                    END AS ttr
             FROM tok
+        """,
+        "source_lang_entropy": """
+            WITH c AS (
+              SELECT source, lang, count(*) AS nl
+              FROM documents GROUP BY 1, 2
+            ),
+            t AS (SELECT source, sum(nl) AS n FROM c GROUP BY source)
+            SELECT c.source, CAST(t.n AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_labels,
+                   sum(-((CAST(c.nl AS DOUBLE) / CAST(t.n AS DOUBLE))
+                         * ln(CAST(c.nl AS DOUBLE)
+                              / CAST(t.n AS DOUBLE)))) AS entropy
+            FROM c JOIN t ON t.source = c.source
+            GROUP BY c.source, t.n
         """,
         "source_vocab_overlap": """
             WITH tok AS (

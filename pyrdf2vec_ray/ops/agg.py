@@ -1068,3 +1068,44 @@ def rrf_fuse(
 
     return bucket_apply(summed, [group_col], finish,
                         num_buckets=num_buckets, batch_format="pandas")
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    group_col: str,
+    label_col: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Shannon entropy (nats) of the ``label_col`` distribution within
+    each group — the mixing diagnostic next to :func:`categorical_mi`
+    ("how language-diverse is each source?"; 0 = single label,
+    ln(k) = uniform over k).  Output ``(group, n, n_labels, entropy)``.
+
+    Scale shape: ONE combiner-bounded (group, label) count reduce
+    (label-cardinality-sized), then a group-bucket finisher folds the
+    entropy vectorized from exact integer counts — the float
+    expression ``−Σ (n_l/n)·ln(n_l/n)`` shares the oracle's operation
+    order (sum order differs within rounding)."""
+    counts = bucket_agg(ds.select_columns([group_col, label_col]),
+                        [group_col, label_col],
+                        {"nl": (label_col, "size")},
+                        num_buckets=num_buckets)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(group_col)["nl"].transform("sum") \
+               .to_numpy(np.float64)
+        nl = g["nl"].to_numpy(np.float64)
+        p = nl / tot
+        term = -(p * np.log(p))
+        out = pd.DataFrame({group_col: g[group_col].to_numpy(),
+                            "term": term, "one": np.int64(1),
+                            "nl": g["nl"].to_numpy().astype(np.int64)})
+        agg = out.groupby(group_col, as_index=False).agg(
+            n=("nl", "sum"), n_labels=("one", "sum"),
+            entropy=("term", "sum"))
+        agg["n"] = agg["n"].astype(np.int64)
+        agg["n_labels"] = agg["n_labels"].astype(np.int64)
+        return agg
+
+    return bucket_apply(counts, [group_col], finish,
+                        num_buckets=num_buckets, batch_format="pandas")

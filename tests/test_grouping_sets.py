@@ -67,3 +67,21 @@ def test_categorical_mi_independent_and_determined():
                         "b": ["u", "u", "v", "v"]})
     out = categorical_mi(ray.data.from_pandas(det), "a", "b").to_pandas()
     assert abs(out["mi"].iloc[0] - np.log(2)) < 1e-12
+
+
+def test_grouped_entropy_extremes():
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.agg import grouped_entropy
+
+    df = pd.DataFrame(
+        {"g": ["pure"] * 4 + ["even"] * 4 + ["skew"] * 4,
+         "l": ["a"] * 4 + ["a", "b", "c", "d"] + ["a", "a", "a", "b"]})
+    out = grouped_entropy(ray.data.from_pandas(df), "g", "l").to_pandas()
+    got = {r.g: (r.n, r.n_labels, r.entropy) for r in out.itertuples()}
+    assert got["pure"] == (4, 1, 0.0)
+    n, k, h = got["even"]
+    assert (n, k) == (4, 4) and abs(h - np.log(4)) < 1e-12
+    n, k, h = got["skew"]
+    expect = -(0.75 * np.log(0.75) + 0.25 * np.log(0.25))
+    assert (n, k) == (4, 2) and abs(h - expect) < 1e-12
