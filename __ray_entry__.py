@@ -2411,6 +2411,16 @@ def q_doc_ttr(sf_dir: str):
     return type_token_ratio(_docs(sf_dir))
 
 
+def q_source_token_kl(sf_dir: str):
+    """Per-source token-distribution drift (ops/curate.source_kl):
+    KL(source ‖ corpus) over 256 md5 unigram bins with add-one
+    smoothing — the (group × n_bins)-bounded sibling of the DSIR fit."""
+    from pyrdf2vec_ray.ops.curate import source_kl
+
+    return source_kl(_docs(sf_dir, columns=("source", "text")),
+                     n_bins=256)
+
+
 def q_source_lang_entropy(sf_dir: str):
     """Language-mixing entropy per source (ops/agg.grouped_entropy):
     Shannon entropy of each source's language distribution from exact
@@ -4559,6 +4569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rrf_fusion": q_doc_rrf_fusion,
         "source_vocab_overlap": q_source_vocab_overlap,
         "source_lang_entropy": q_source_lang_entropy,
+        "source_token_kl": q_source_token_kl,
         "doc_compression": q_doc_compression,
         "bpe_train_merges": q_bpe_train_merges,
         "doc_tokens_bpe_trained": q_doc_tokens_bpe_trained,
@@ -5556,6 +5567,53 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(len(toks) AS DOUBLE)
                    END AS ttr
             FROM tok
+        """,
+        "source_token_kl": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text), '[a-z'']+'))
+                       AS t
+              FROM documents
+            ),
+            tb AS (
+              SELECT source,
+                     CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                       % 256 AS bin
+              FROM tok
+            ),
+            h AS (SELECT source, bin, count(*) AS n
+                  FROM tb GROUP BY 1, 2),
+            tots AS (SELECT source, sum(n) AS tot FROM h
+                     GROUP BY source),
+            allb AS (SELECT unnest(generate_series(0, 255)) AS bin),
+            cb AS (
+              SELECT allb.bin,
+                     CAST(coalesce(sum(h.n), 0) AS DOUBLE) AS cn
+              FROM allb LEFT JOIN h ON h.bin = allb.bin
+              GROUP BY allb.bin
+            ),
+            grid AS (
+              SELECT s.source, b.bin
+              FROM (SELECT DISTINCT source FROM h) s
+              CROSS JOIN allb b
+            ),
+            sb AS (
+              SELECT grid.source, grid.bin,
+                     CAST(coalesce(h.n, 0) AS DOUBLE) AS sn
+              FROM grid LEFT JOIN h ON h.source = grid.source
+                                   AND h.bin = grid.bin
+            )
+            SELECT sb.source, CAST(t.tot AS BIGINT) AS n_tokens,
+                   sum(((sb.sn + 1.0)
+                        / (CAST(t.tot AS DOUBLE) + 256.0))
+                       * ln(((sb.sn + 1.0)
+                             / (CAST(t.tot AS DOUBLE) + 256.0))
+                            / ((cb.cn + 1.0)
+                               / ((SELECT CAST(sum(n) AS DOUBLE)
+                                   FROM h) + 256.0)))) AS kl
+            FROM sb JOIN tots t ON t.source = sb.source
+                    JOIN cb ON cb.bin = sb.bin
+            GROUP BY sb.source, t.tot
         """,
         "source_lang_entropy": """
             WITH c AS (

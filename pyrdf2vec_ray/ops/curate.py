@@ -1256,3 +1256,74 @@ def importance_weights(
 
     return raw.map_batches(score, batch_format="pandas",
                            batch_size=1024)
+
+
+def source_kl(
+    docs: ray.data.Dataset,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_bins: int = 256,
+) -> "pd.DataFrame":
+    """Distribution-drift diagnostic: KL(source ‖ corpus) over hashed
+    unigram bins — which slice of the mixture is most unlike the
+    blend (the health check run before re-weighting a source or
+    debugging a scraper regression).  Same hashed-feature machinery as
+    :func:`importance_weights` (md5 bins, add-one smoothing):
+
+        kl_s = Σ_b p̂_s(b) · ln( p̂_s(b) / p̂_corpus(b) )
+
+    Output (pandas, group-cardinality-sized): ``(group, n_tokens,
+    kl)``.
+
+    Scale shape: ONE combiner-bounded (group, bin) reduce — the table
+    is groups × n_bins, never corpus-sized — then the KL folds on the
+    driver over that bounded table (the fitted-stats residue class)."""
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        out_g: list = []
+        out_b: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        for g, t in zip(batch[group_col].tolist(),
+                        batch[text_col].astype(str).tolist()):
+            toks = _WORD_RE.findall(t.lower())
+            if not toks:
+                continue
+            codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+            uh = np.fromiter(
+                (int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+                 for u in uniq), dtype=np.int64, count=len(uniq))
+            bins = np.bincount(uh[codes] % n_bins, minlength=n_bins)
+            nz = np.nonzero(bins)[0]
+            out_g.append(np.full(len(nz), g, dtype=object))
+            out_b.append(nz.astype(np.int64))
+            out_n.append(bins[nz].astype(np.int64))
+        if not out_g:
+            return pd.DataFrame({group_col: [], "bin": [], "n": []})
+        df = pd.DataFrame({group_col: np.concatenate(out_g),
+                           "bin": np.concatenate(out_b),
+                           "n": np.concatenate(out_n)})
+        return df.groupby([group_col, "bin"], as_index=False).sum()
+
+    hist = bucket_agg(
+        docs.select_columns([group_col, text_col])
+            .map_batches(pre, batch_format="pandas"),
+        [group_col, "bin"], {"n": ("n", "sum")}, pre=False).to_pandas()
+
+    groups = sorted(hist[group_col].unique().tolist())
+    corpus = np.zeros(n_bins, dtype=np.float64)
+    per: dict = {}
+    for g in groups:
+        h = np.zeros(n_bins, dtype=np.float64)
+        sub = hist[hist[group_col] == g]
+        h[sub["bin"].to_numpy()] = sub["n"].to_numpy(np.float64)
+        per[g] = h
+        corpus += h
+    pc_all = (corpus + 1.0) / (corpus.sum() + float(n_bins))
+    rows = []
+    for g in groups:
+        h = per[g]
+        ps = (h + 1.0) / (h.sum() + float(n_bins))
+        kl = float((ps * np.log(ps / pc_all)).sum())
+        rows.append((g, int(h.sum()), kl))
+    return pd.DataFrame(rows, columns=[group_col, "n_tokens", "kl"])

@@ -117,3 +117,16 @@ def test_type_token_ratio_hand_counts():
     assert out.loc[1, "n_types"] == 1 and out.loc[1, "ttr"] == 0.25
     assert out.loc[2, "ttr"] == 1.0
     assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "ttr"] == 1.0
+
+
+def test_source_kl_drift_ordering():
+    from pyrdf2vec_ray.ops.curate import source_kl
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"source": ["web"] * 4 + ["code"],
+         "text": [base] * 4 + ["def lambda yield async await " * 8]}))
+    out = source_kl(docs, n_bins=64).set_index("source")
+    # the lone off-distribution source diverges more from the blend
+    assert out.loc["code", "kl"] > out.loc["web", "kl"]
+    assert out.loc["web", "n_tokens"] == 4 * 45
