@@ -2264,6 +2264,45 @@ def q_events_concurrency(sf_dir: str):
     return peak_concurrency(sessionize(ev, gap_minutes=30))
 
 
+def q_events_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of per-type daily counts: the day-reduce
+    feeds a vectorized lag-pair builder, and ops/agg.grouped_corr
+    closes the loop on exact int64 sufficient sums — persistence
+    diagnostic for event volumes (observation-indexed lag; run
+    fill_daily_gaps first for calendar lags)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import grouped_corr
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": batch["event_type"],
+                          "day": batch["ts"].dt.floor("D"), "n": 1})
+        return g.groupby(["event_type", "day"], as_index=False).sum()
+
+    daily = bucket_agg(ev.map_batches(partial, batch_format="pandas"),
+                       ["event_type", "day"], {"n": ("n", "sum")},
+                       pre=False)
+
+    def lag_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "day"], kind="mergesort")
+        prev = g.groupby("event_type")["n"].shift(1)
+        keep = prev.notna()
+        return pd.DataFrame(
+            {"event_type": g["event_type"].to_numpy()[keep],
+             "x": prev[keep].to_numpy(np.int64),
+             "y": g["n"].to_numpy(np.int64)[keep.to_numpy()]})
+
+    pairs = bucket_apply(daily, ["event_type"], lag_pairs,
+                         batch_format="pandas")
+    return grouped_corr(pairs, "event_type", "x", "y")
+
+
 def q_events_recency(sf_dir: str):
     """Recency-weighted user activity (ops/events.recency_scores):
     Σ 2^(−age/7d) per user from the corpus max-ts anchor — tiny max
@@ -4563,6 +4602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_dense": q_events_daily_dense,
         "events_cusum": q_events_cusum,
         "events_recency": q_events_recency,
+        "events_autocorr": q_events_autocorr,
         "events_concurrency": q_events_concurrency,
         "doc_readability": q_doc_readability,
         "doc_ttr": q_doc_ttr,
@@ -5431,6 +5471,40 @@ def oracle_sql() -> dict[str, str]:
                      AS n_active,
                    CAST(max(run) AS BIGINT) AS peak
             FROM r GROUP BY day
+        """,
+        "events_autocorr": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            lp AS (
+              SELECT event_type,
+                     lag(n) OVER (PARTITION BY event_type
+                                  ORDER BY day) AS x,
+                     n AS y
+              FROM d
+            ),
+            base AS (SELECT event_type AS g, CAST(x AS BIGINT) AS x,
+                            CAST(y AS BIGINT) AS y
+                     FROM lp WHERE x IS NOT NULL),
+            s AS (
+              SELECT g, count(*) AS n,
+                     CAST(sum(x) AS DOUBLE) AS sx,
+                     CAST(sum(y) AS DOUBLE) AS sy,
+                     CAST(sum(x * y) AS DOUBLE) AS sxy,
+                     CAST(sum(x * x) AS DOUBLE) AS sxx,
+                     CAST(sum(y * y) AS DOUBLE) AS syy
+              FROM base GROUP BY g
+            )
+            SELECT g AS event_type, n,
+                   (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r
+            FROM s
+            WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0
+              AND CAST(n AS DOUBLE) * syy - sy * sy > 0
         """,
         "events_recency": """
             WITH mx AS (SELECT max(ts) AS m FROM events)
