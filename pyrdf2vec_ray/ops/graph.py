@@ -377,13 +377,15 @@ def kcore_bounded(
     the same contract as the bounded LPA sweep and PageRank step.
 
     Scale shape per round: one vertex-bucket degree count over the
-    CURRENT edge set, then two key-bucket anti-joins removing edges
-    with a low endpoint — the edge set only shrinks, every exchange is
+    CURRENT edge set, then two adaptive anti-joins removing edges
+    with a low endpoint (the low-degree set is small by definition —
+    under the broadcast threshold it ships as a frozenset and the
+    removal is a stateless filter map, join.semi_join_adaptive) — the edge set only shrinks, every exchange is
     key-bucketed, and the surviving-edge Dataset is pinned per round
     (it feeds the degree count AND the next round's anti-joins: the
     multi-consumer pattern).  O(rounds) sequential exchanges, the same
     dependency depth as the reference-free iterative fits (WL, LPA)."""
-    from pyrdf2vec_ray.ops.join import _dtypes_of, hash_semi_join
+    from pyrdf2vec_ray.ops.join import _dtypes_of, semi_join_adaptive
     from pyrdf2vec_ray.shuffle import bucket_agg, distinct
 
     def canon(batch: pd.DataFrame) -> pd.DataFrame:
@@ -423,10 +425,10 @@ def kcore_bounded(
             return fn
 
         e_schema = {"a": vd, "b": vd}
-        cur = hash_semi_join(
+        cur = semi_join_adaptive(
             cur, low.map_batches(as_key("a"), batch_format="pandas"),
             on=["a"], anti=True, lschema=e_schema, rschema={"a": vd})
-        cur = hash_semi_join(
+        cur = semi_join_adaptive(
             cur, low.map_batches(as_key("b"), batch_format="pandas"),
             on=["b"], anti=True, lschema=e_schema,
             rschema={"b": vd}).materialize()
@@ -749,7 +751,7 @@ def mis_bounded(
     attach them); removals are key-bucket anti-joins; the edge set
     only shrinks.  O(rounds) sequential exchanges; Luby's theorem
     makes O(log n) rounds enough with high probability."""
-    from pyrdf2vec_ray.ops.join import _dtypes_of, hash_semi_join
+    from pyrdf2vec_ray.ops.join import _dtypes_of, semi_join_adaptive
     from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply, distinct
 
     def canon(batch: pd.DataFrame) -> pd.DataFrame:
@@ -816,11 +818,11 @@ def mis_bounded(
                 return pd.DataFrame({out: batch[col].to_numpy()})
             return fn
 
-        half1 = hash_semi_join(
+        half1 = semi_join_adaptive(
             cur, in_v.map_batches(tagged("v", "a"),
                                   batch_format="pandas"),
             on=["a"], lschema=e_schema, rschema={"a": vd})
-        half2 = hash_semi_join(
+        half2 = semi_join_adaptive(
             cur, in_v.map_batches(tagged("v", "b"),
                                   batch_format="pandas"),
             on=["b"], lschema=e_schema, rschema={"b": vd})
@@ -832,15 +834,15 @@ def mis_bounded(
         states.append((out_v, "out"))
 
         decided = in_v.union(out_v)
-        undecided = hash_semi_join(
+        undecided = semi_join_adaptive(
             undecided, decided, on=["v"], anti=True,
             lschema={"v": vd}, rschema={"v": vd}).materialize()
         if rnd + 1 < rounds:  # final round never reads the edge set
-            cur = hash_semi_join(
+            cur = semi_join_adaptive(
                 cur, undecided.map_batches(tagged("v", "a"),
                                            batch_format="pandas"),
                 on=["a"], lschema=e_schema, rschema={"a": vd})
-            cur = hash_semi_join(
+            cur = semi_join_adaptive(
                 cur, undecided.map_batches(tagged("v", "b"),
                                            batch_format="pandas"),
                 on=["b"], lschema=e_schema,

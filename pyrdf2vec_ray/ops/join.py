@@ -318,3 +318,68 @@ def diff_tables(
 
     return bucket_apply(tagged, key_cols, per_bucket,
                         num_buckets=num_buckets, batch_format="pandas")
+
+
+def semi_join_adaptive(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    anti: bool = False,
+    broadcast_threshold: int = 500_000,
+    num_buckets: int | None = None,
+    lschema=None,
+    rschema=None,
+) -> ray.data.Dataset:
+    """Semi/anti-join with the AQE strategy of the BGP chain applied to
+    membership filtering: ``right`` is materialized, and when its
+    distinct single-key count is under ``broadcast_threshold`` the key
+    set broadcasts once (``ray.put`` of a frozenset) and the left side
+    filters in a stateless map — ZERO shuffles for the hop — else
+    falls back to :func:`hash_semi_join` (both sides exchange once,
+    no driver state at any size).  Iterative graph algorithms
+    (MIS/k-core round removals) spend most of their wall-time in these
+    barriers at small-intermediate sizes, which is what this removes.
+
+    Single-key only (the common case); multi-key callers use
+    :func:`hash_semi_join` directly."""
+    if len(on) != 1:
+        return hash_semi_join(left, right, on=on, anti=anti,
+                              num_buckets=num_buckets,
+                              lschema=lschema, rschema=rschema)
+    key = on[0]
+
+    # normalize to ONE block type before materializing: callers often
+    # union pandas- and arrow-block datasets (e.g. a filtered map
+    # unioned with a distinct), and mixed blocks trip Ray's
+    # block-type inference on consumption
+    def norm(batch: pa.Table) -> pa.Table:
+        if key in batch.schema.names:
+            return batch.select([key])
+        if batch.num_rows == 0:
+            # an EMPTY upstream dataset reaches the UDF as a
+            # schema-less probe batch; emit a typed empty column so
+            # materialize/count see one schema (the declared type is
+            # moot — the dataset has no other blocks)
+            return pa.table({key: pa.array([], type=pa.string())})
+        raise KeyError(f"join key {key!r} missing from right side")
+
+    right = right.map_batches(norm,
+                              batch_format="pyarrow").materialize()
+    if right.count() > broadcast_threshold:
+        return hash_semi_join(left, right, on=on, anti=anti,
+                              num_buckets=num_buckets,
+                              lschema=lschema, rschema=rschema)
+    import ray as _ray
+
+    from pyrdf2vec_ray.util import to_table
+
+    tbl = to_table(right)
+    kset = (frozenset(tbl.column(key).to_pylist())
+            if key in tbl.schema.names else frozenset())
+    ref = _ray.put(kset)
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = batch[key].isin(_ray.get(ref))
+        return batch[~mask] if anti else batch[mask]
+
+    return left.map_batches(filt, batch_format="pandas")
