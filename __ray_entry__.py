@@ -4423,6 +4423,153 @@ def q_walks_dfs_sampled(sf_dir: str):
     return explode_walks(extract_walks(gi, entities, spec, batch_size=64))
 
 
+def q_embedding_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (ops/similarity.grouped_centroids):
+    long-form (label, dim, val) means — a per-batch COMBINER (per-group
+    float64 vector sum + count) then ONE label-bucket reduce, so the
+    exchange carries n_blocks·K·d floats, never the corpus.  Oracle:
+    unnest-with-ordinality + avg per (label, dim)."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.similarity import grouped_centroids
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    return grouped_centroids(emb, "label")
+
+
+def q_embedding_centroid_sim(sf_dir: str):
+    """Label-centroid cosine matrix
+    (ops/similarity.centroid_similarity): pairwise cosine between
+    per-label mean embeddings for label_a < label_b — the K×K semantic
+    overlap audit (label-merge candidates, taxonomy confusion) run
+    before per-document near-dup spend.  Only the K·d centroid table is
+    ever collected (bounded by label cardinality); cosine is the one
+    shared float64 expression shape on both engines."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.similarity import centroid_similarity
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    return centroid_similarity(emb, "label")
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5 shape — the multiway join-planning showcase: local
+    supply-chain revenue per ASIA nation over a 2-year window.  Plan:
+    region⋈nation stay driver-tiny (broadcast), ASIA customers prune
+    EARLY via a broadcast dim join (filter pushdown ahead of any fact
+    exchange), orders are date-pruned at the batch level before their
+    ONE co-partition hash_join with the customer projection, lineitem
+    (the widest fact) joins the result in a second orderkey-bucket
+    exchange, and the supplier (suppkey → nationkey) projection —
+    ~600× smaller than lineitem by TPC-H construction — ships
+    broadcast for the s_nationkey = c_nationkey local-supply filter
+    (swap to hash_join past multi-TB supplier scale).  Revenue is
+    exact integer cent·percent units (round(price·100) × (100 −
+    round(disc·100))), so the BIGINT sum is bit-equal to the SQL
+    oracle's."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.join import broadcast_join, hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+
+    def reg_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["r_name"] == "ASIA"]
+        return pd.DataFrame({"regionkey": b["r_regionkey"]})
+
+    def nat_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"nationkey": b["n_nationkey"],
+                             "n_name": b["n_name"],
+                             "regionkey": b["n_regionkey"]})
+
+    asia_nations = broadcast_join(
+        nat.map_batches(nat_key, batch_format="pandas"),
+        reg.map_batches(reg_key, batch_format="pandas"),
+        on=["regionkey"]).select_columns(["nationkey", "n_name"])
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def cust_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"custkey": b["c_custkey"],
+                             "nationkey": b["c_nationkey"].astype("int64")})
+
+    asia_cust = broadcast_join(
+        cust.map_batches(cust_key, batch_format="pandas"),
+        asia_nations, on=["nationkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_key(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"]
+        keep = (d >= pd.Timestamp("1996-01-01")) & (
+            d < pd.Timestamp("1998-01-01"))
+        b = b[keep]
+        return pd.DataFrame({"orderkey": b["o_orderkey"],
+                             "custkey": b["o_custkey"]})
+
+    asia_orders = hash_join(
+        orders.map_batches(ord_key, batch_format="pandas"),
+        asia_cust, on=["custkey"],
+        lschema={"orderkey": "int64", "custkey": "int64"},
+        rschema={"custkey": "int64", "nationkey": "int64",
+                 "n_name": object}).select_columns(
+        ["orderkey", "nationkey", "n_name"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def li_key(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64)
+        disc = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"orderkey": b["l_orderkey"],
+                             "suppkey": b["l_suppkey"],
+                             "rev_c4": cents * (100 - disc)})
+
+    joined = hash_join(
+        li.map_batches(li_key, batch_format="pandas"),
+        asia_orders, on=["orderkey"],
+        lschema={"orderkey": "int64", "suppkey": "int64",
+                 "rev_c4": "int64"},
+        rschema={"orderkey": "int64", "nationkey": "int64",
+                 "n_name": object})
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+
+    def supp_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"suppkey": b["s_suppkey"],
+                             "s_nationkey": b["s_nationkey"].astype(
+                                 "int64")})
+
+    local = broadcast_join(
+        joined, supp.map_batches(supp_key, batch_format="pandas"),
+        on=["suppkey"])
+
+    def local_only(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_nationkey"] == b["nationkey"]]
+        return pd.DataFrame({"n_name": b["n_name"], "rev_c4": b["rev_c4"]})
+
+    return bucket_agg(
+        local.map_batches(local_only, batch_format="pandas"),
+        ["n_name"], {"revenue_c4": ("rev_c4", "sum")})
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -4483,6 +4630,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": q_doc_lang_id,
         "lang_confusion": q_lang_confusion,
         "orders_by_month": q_orders_by_month,
+        "embedding_label_centroids": q_embedding_label_centroids,
+        "embedding_centroid_sim": q_embedding_centroid_sim,
+        "revenue_by_nation": q_revenue_by_nation,
         "customer_rfm": q_customer_rfm,
         "cohort_ltv": q_cohort_ltv,
         "revenue_concentration": q_revenue_concentration,
@@ -6071,6 +6221,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.src AS v, f.dim, avg(f.val) AS nbr_mean
             FROM e JOIN f ON f.vec_id = e.dst
             GROUP BY e.src, f.dim
+        """,
+        "embedding_label_centroids": """
+            WITH f AS (
+              SELECT label,
+                     CAST(generate_subscripts(embedding, 1) - 1
+                          AS BIGINT) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+              FROM embeddings
+            )
+            SELECT label, dim, avg(val) AS val
+            FROM f GROUP BY label, dim
+        """,
+        "embedding_centroid_sim": """
+            WITH f AS (
+              SELECT label,
+                     CAST(generate_subscripts(embedding, 1) - 1
+                          AS BIGINT) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+              FROM embeddings
+            ),
+            c AS (
+              SELECT label, dim, avg(val) AS val
+              FROM f GROUP BY label, dim
+            )
+            SELECT a.label AS group_a, b.label AS group_b,
+                   sum(a.val * b.val)
+                     / (sqrt(sum(a.val * a.val))
+                        * sqrt(sum(b.val * b.val))) AS cos
+            FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY a.label, b.label
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
         """,
         "events_transitions": """
             WITH seq AS (

@@ -569,6 +569,92 @@ def pca_transform(
         project, batch_format="pandas")
 
 
+def grouped_centroids(
+    emb: ray.data.Dataset,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-group per-dimension mean of an embedding column, long-form
+    ``(group, dim, val)`` — the grouped vector aggregate behind class
+    prototypes (prototypical networks), per-source/domain embedding
+    drift monitors, and label-centroid seeding for
+    :func:`cluster_assign` / SemDeDup-style cluster-then-dedup.
+
+    Scale shape: a per-batch COMBINER (per-group float64 vector sum +
+    count — each block contributes at most ``groups_in_block`` rows of
+    k·d floats, never its row count) followed by ONE group-bucket
+    reduce.  The exchange is bounded by ``n_blocks × n_groups × d``
+    floats; no full-payload shuffle, no driver collect.  Group keys may
+    be any hashable dtype (ints, strings) — the bucket shuffle hashes
+    the key column directly."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        codes, uniq = pd.factorize(batch[group_col], sort=True)
+        sums = np.zeros((len(uniq), V.shape[1]))
+        np.add.at(sums, codes, V)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {group_col: np.asarray(uniq), "n": counts, "s": list(sums)})
+
+    parts = emb.select_columns([group_col, vec_col]).map_batches(
+        partial, batch_format="pandas")
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, grp in g.groupby(group_col, sort=True):
+            S = np.stack(grp["s"].to_numpy())
+            s = S.sum(axis=0)
+            n = int(grp["n"].sum())
+            outs.append(pd.DataFrame(
+                {group_col: key,
+                 "dim": np.arange(S.shape[1], dtype=np.int64),
+                 "val": s / n}))
+        if not outs:
+            return pd.DataFrame(
+                {group_col: pd.array([], dtype=g[group_col].dtype),
+                 "dim": pd.array([], dtype="int64"),
+                 "val": pd.array([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_apply(parts, [group_col], reduce_bucket,
+                        batch_format="pandas")
+
+
+def centroid_similarity(
+    emb: ray.data.Dataset,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Pairwise cosine between per-group centroids: ``(group_a,
+    group_b, cos)`` for every unordered pair ``group_a < group_b`` —
+    the K×K similarity matrix used to audit semantic overlap between
+    labels/sources/domains (merge candidates, taxonomy confusion)
+    before spending on per-document near-dup passes.
+
+    Centroids come from :func:`grouped_centroids` (combiner + one
+    bucket reduce); only the K·d centroid table — bounded by GROUP
+    cardinality, never by corpus rows — is collected for the final
+    K×K float64 matmul, which is driver-trivial by definition (a
+    group census small enough to read is the product's whole point).
+    Cosine is the one shared expression shape on both engines:
+    ``sum(a·b) / (sqrt(sum(a²)) · sqrt(sum(b²)))`` in float64."""
+    cent = grouped_centroids(emb, group_col, vec_col=vec_col).to_pandas()
+    keys = np.asarray(sorted(cent[group_col].unique().tolist()))
+    d = int(cent["dim"].max()) + 1 if len(cent) else 0
+    M = np.zeros((len(keys), d))
+    pos = {k: i for i, k in enumerate(keys)}
+    M[cent[group_col].map(pos).to_numpy(),
+      cent["dim"].to_numpy()] = cent["val"].to_numpy()
+    dots = M @ M.T
+    nrm = np.sqrt((M * M).sum(axis=1))
+    ia, ib = np.triu_indices(len(keys), k=1)
+    cos = dots[ia, ib] / (nrm[ia] * nrm[ib])
+    return pa.table(
+        {"group_a": keys[ia], "group_b": keys[ib], "cos": cos})
+
+
 def pq_encode(
     emb: ray.data.Dataset,
     codebooks: np.ndarray,
