@@ -4570,6 +4570,68 @@ def q_revenue_by_nation(sf_dir: str):
         ["n_name"], {"revenue_c4": ("rev_c4", "sum")})
 
 
+def q_kg_assortativity(sf_dir: str):
+    """Degree assortativity of the KG (ops/graph.degree_assortativity):
+    Pearson correlation of endpoint degrees over the undirected stub
+    set — one scalar row (n_stubs, assortativity).  The TPC-H KG is
+    star-shaped (orders fan out of customers, parts out of suppliers),
+    so the coefficient is strongly negative; exact int64 sufficient
+    statistics make the float64 correlation replay bit-identically in
+    SQL."""
+    from pyrdf2vec_ray.ops.graph import degree_assortativity
+
+    return degree_assortativity(_kg_edges(sf_dir))
+
+
+def q_events_seq_examples(sf_dir: str):
+    """Next-event training examples (ops/events.sequence_examples):
+    per-user ordered streams emit (ctx_3, ctx_2, ctx_1, target) rows —
+    the sequence-model dataset-construction step (next-action /
+    next-token examples over behavioral logs) as a data op.  ONE
+    user-bucket shuffle, k vectorized grouped shifts; first event per
+    user dropped, shorter histories pad with ''.  Oracle: LAG ×3 with
+    COALESCE."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import sequence_examples
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    return sequence_examples(ev, k=3)
+
+
+def q_orders_expectations(sf_dir: str):
+    """Declarative data-quality gate (ops/validate.check_expectations)
+    over orders: uniqueness (orderkey clean, custkey DELIBERATELY
+    duplicate-heavy so the n−n_distinct algebra is falsifiable),
+    not-null, value-set (status 'P' rows violate), numeric range and
+    regex-format rules — all folded into ONE streaming pass + one
+    rule-bucket reduce; unique rules ride the same reduce via +n/−1
+    partials over a shuffle.distinct stream (no count() action, no
+    driver state)."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.validate import check_expectations
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderpriority"])
+    return check_expectations(orders, [
+        {"rule": "orderkey_unique", "kind": "unique", "col": "o_orderkey"},
+        {"rule": "custkey_unique", "kind": "unique", "col": "o_custkey"},
+        {"rule": "custkey_not_null", "kind": "not_null",
+         "col": "o_custkey"},
+        {"rule": "status_known", "kind": "in_set", "col": "o_orderstatus",
+         "values": ["O", "F"]},
+        {"rule": "price_range", "kind": "range", "col": "o_totalprice",
+         "lo": 0, "hi": 300000},
+        {"rule": "priority_format", "kind": "regex",
+         "col": "o_orderpriority", "pattern": "^[1-4]-"},
+    ])
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -4633,6 +4695,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": q_embedding_label_centroids,
         "embedding_centroid_sim": q_embedding_centroid_sim,
         "revenue_by_nation": q_revenue_by_nation,
+        "kg_assortativity": q_kg_assortativity,
+        "events_seq_examples": q_events_seq_examples,
+        "orders_expectations": q_orders_expectations,
         "customer_rfm": q_customer_rfm,
         "cohort_ltv": q_cohort_ltv,
         "revenue_concentration": q_revenue_concentration,
@@ -6269,6 +6334,85 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n.n_name
+        """,
+        "kg_assortativity": _TRIPLES_CTE + """
+            , e0 AS (SELECT subj AS a, obj AS b FROM triples
+                     WHERE subj <> obj),
+            u AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+                  FROM e0),
+            stubs AS (SELECT lo AS src, hi AS dst FROM u
+                      UNION ALL SELECT hi, lo FROM u),
+            deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+                    FROM stubs GROUP BY src),
+            xy AS (SELECT da.d AS x, db.d AS y
+                   FROM stubs s
+                   JOIN deg da ON da.v = s.src
+                   JOIN deg db ON db.v = s.dst),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(y) AS BIGINT) AS sy,
+                          CAST(sum(x * y) AS BIGINT) AS sxy,
+                          CAST(sum(x * x) AS BIGINT) AS sxx,
+                          CAST(sum(y * y) AS BIGINT) AS syy
+                   FROM xy)
+            SELECT n AS n_stubs,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     AS assortativity
+            FROM st
+        """,
+        "events_seq_examples": """
+            WITH s AS (
+              SELECT user_id, event_id, event_type,
+                     COALESCE(LAG(event_type, 3) OVER w, '') AS ctx_3,
+                     COALESCE(LAG(event_type, 2) OVER w, '') AS ctx_2,
+                     LAG(event_type, 1) OVER w AS p1
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_id, ctx_3, ctx_2,
+                   COALESCE(p1, '') AS ctx_1, event_type AS target
+            FROM s WHERE p1 IS NOT NULL
+        """,
+        "orders_expectations": """
+            SELECT 'orderkey_unique' AS rule,
+                   CAST(count(*) AS BIGINT) AS n_checked,
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                     AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'custkey_unique', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'custkey_not_null', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_custkey IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'status_known', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                                  AND o_orderstatus NOT IN ('O', 'F')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'price_range', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                                  AND (o_totalprice < 0
+                                       OR o_totalprice > 300000)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'priority_format', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                                  AND NOT regexp_matches(
+                                        o_orderpriority, '^[1-4]-')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
         """,
         "events_transitions": """
             WITH seq AS (

@@ -1054,3 +1054,51 @@ def recency_scores(
              "score": batch["score"].to_numpy(np.float64)})
 
     return out.map_batches(finish, batch_format="pandas")
+
+def sequence_examples(
+    events: ray.data.Dataset,
+    k: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    pad: str = "",
+) -> ray.data.Dataset:
+    """Next-event training examples from per-user event streams: for
+    every event with at least one same-user predecessor (ordered by
+    ``ts`` then ``id``), emit ``(user, event_id, ctx_k..ctx_1,
+    target)`` where ``ctx_i`` is the type of the i-th previous event
+    (``pad`` where the history is shorter) and ``target`` is the
+    event's own type — the sequence-model dataset-construction step
+    (next-action prediction / GPT-style next-token examples over
+    behavioral logs) run as a data op, not a modeling one.
+
+    Shuffle shape: ONE user-bucket exchange (each user's rows
+    co-partition — the :func:`sessionize` contract), then a single
+    per-bucket sort + k vectorized grouped shifts; output rows
+    co-partition with the input, no second exchange, no per-row loop.
+    The first event of each user is dropped (no context at all);
+    everything else pads, so example count = n_events − n_users."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols = [id_col, user_col, ts_col, type_col]
+
+    def examples(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col])
+        grp = g.groupby(user_col, sort=False)[type_col]
+        out = {user_col: g[user_col].to_numpy(),
+               id_col: g[id_col].to_numpy()}
+        prev1 = None
+        for i in range(k, 0, -1):
+            s = grp.shift(i)
+            if i == 1:
+                prev1 = s
+            out[f"ctx_{i}"] = s.fillna(pad).to_numpy()
+        out["target"] = g[type_col].to_numpy()
+        df = pd.DataFrame(out)
+        return df[prev1.notna().to_numpy()]
+
+    return bucket_apply(events.select_columns(cols), [user_col],
+                        examples, batch_format="pandas")

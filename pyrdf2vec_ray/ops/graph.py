@@ -860,3 +860,98 @@ def mis_bounded(
         out = out.union(ds_part.map_batches(label(s),
                                             batch_format="pandas"))
     return out
+
+
+def degree_assortativity(
+    edges: ray.data.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> "pa.Table":
+    """Newman's degree assortativity coefficient (Newman 2002,
+    "Assortative mixing in networks"): the Pearson correlation of
+    (deg(u), deg(v)) over the STUBS of the undirected deduplicated
+    graph — each undirected edge counted once in each direction, so the
+    coefficient is symmetric by construction.  One row out:
+    ``(n_stubs, assortativity)``; > 0 means hubs attach to hubs
+    (social-network-like), < 0 means hubs attach to leaves (the
+    star-shaped KG/dependency regime).
+
+    Plan (the :func:`triangle_counts` prefix): canonicalize + distinct
+    the undirected edge set, ONE degree count, TWO degree-attach bucket
+    joins, then per-batch exact int64 sufficient statistics (n, Σx, Σy,
+    Σxy, Σx², Σy²) reduced over a block-count-bounded partial table —
+    the corpus never reaches the driver, only one 6-int row per block.
+    Bound: per-block Σ(deg²) must fit int64 (~9e18) — at 1e12 stubs
+    that allows average degree ~3e3; past that, pre-scale degrees or
+    shard the reduce.  The final correlation is ONE shared float64
+    expression, replayed verbatim by the SQL oracle:
+    ``(n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²)·sqrt(n·Σy² − Σy²))``."""
+    import pyarrow as pa
+
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[a_col].to_numpy()
+        b = batch[b_col].to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"lo": np.minimum(a, b),
+                             "hi": np.maximum(a, b)})
+
+    u = distinct(edges.map_batches(canon, batch_format="pandas"),
+                 ["lo", "hi"]).materialize()
+
+    def stubs_of(batch: pd.DataFrame) -> pd.DataFrame:
+        lo = batch["lo"].to_numpy()
+        hi = batch["hi"].to_numpy()
+        return pd.DataFrame({"src": np.concatenate([lo, hi]),
+                             "dst": np.concatenate([hi, lo])})
+
+    stubs = u.map_batches(stubs_of, batch_format="pandas")
+
+    def ends(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": batch["src"].to_numpy()})
+
+    deg = bucket_agg(stubs.map_batches(ends, batch_format="pandas"),
+                     ["v"], {"d": ("v", "size")}).materialize()
+
+    def rn(new_v, new_d):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={"v": new_v, "d": new_d})
+        return fn
+
+    from pyrdf2vec_ray.ops.join import _dtypes_of
+
+    vd = _dtypes_of(deg, None)["v"]
+    i8 = np.dtype("int64")
+    sx = hash_join(stubs, deg.map_batches(rn("src", "x"),
+                                          batch_format="pandas"),
+                   on=["src"],
+                   lschema={"src": vd, "dst": vd},
+                   rschema={"src": vd, "x": i8})
+    sxy = hash_join(sx, deg.map_batches(rn("dst", "y"),
+                                        batch_format="pandas"),
+                    on=["dst"],
+                    lschema={"src": vd, "dst": vd, "x": i8},
+                    rschema={"dst": vd, "y": i8})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["x"].to_numpy(np.int64)
+        y = batch["y"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"n": [np.int64(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+             "sxy": [(x * y).sum()], "sxx": [(x * x).sum()],
+             "syy": [(y * y).sum()]})
+
+    parts = sxy.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    sx_, sy_ = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxy_ = int(parts["sxy"].sum())
+    sxx_, syy_ = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    num = float(n) * float(sxy_) - float(sx_) * float(sy_)
+    den = (np.sqrt(float(n) * float(sxx_) - float(sx_) * float(sx_))
+           * np.sqrt(float(n) * float(syy_) - float(sy_) * float(sy_)))
+    r = num / den if den > 0 else 0.0
+    return pa.table({"n_stubs": pa.array([n], pa.int64()),
+                     "assortativity": pa.array([r], pa.float64())})

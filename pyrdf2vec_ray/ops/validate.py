@@ -1,0 +1,119 @@
+"""Declarative data-quality expectation checks (the
+Great-Expectations-style validation gate a production pipeline runs
+before promoting a table): a rule list is evaluated in ONE streaming
+pass and the result is a tiny ``(rule, n_checked, n_violations)``
+table — the contract a CI gate or freshness monitor asserts on.
+
+Supported rule kinds:
+
+- ``not_null``   — violation: value is null
+- ``range``      — violation: non-null value outside ``[lo, hi]``
+- ``in_set``     — violation: non-null value not in ``values``
+- ``regex``      — violation: non-null string without a regex match
+                   (``re.search`` semantics — DuckDB
+                   ``regexp_matches`` pairs exactly)
+- ``unique``     — violation count: ``n_rows − n_distinct`` values
+
+Scale shape: every rowwise rule folds into one ``map_batches`` that
+emits len(rules) partial-count rows per block; ``unique`` rules ride
+the SAME reduce via an algebraic trick — the rowwise pass contributes
+``+n_rows`` to their violation sum and a ``shuffle.distinct`` on the
+column contributes ``−1`` per distinct value, so the single
+rule-bucket sum lands on ``n_rows − n_distinct`` with no count()
+action, no driver state, and no second aggregate.  Nulls are skipped
+(not violations) for range/in_set/regex; ``not_null`` is the explicit
+null gate.  The exchange is rules × blocks rows for rowwise checks
+plus the distinct-value stream for unique ones.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+
+_KINDS = ("not_null", "range", "in_set", "regex", "unique")
+
+
+def _validate_rules(rules: list[dict]) -> None:
+    names = set()
+    for r in rules:
+        if r.get("kind") not in _KINDS:
+            raise ValueError(f"unknown rule kind {r.get('kind')!r}")
+        if not r.get("rule") or not r.get("col"):
+            raise ValueError(f"rule needs 'rule' and 'col': {r}")
+        if r["rule"] in names:
+            raise ValueError(f"duplicate rule name {r['rule']!r}")
+        names.add(r["rule"])
+        if r["kind"] == "range" and ("lo" not in r or "hi" not in r):
+            raise ValueError(f"range rule needs lo/hi: {r}")
+        if r["kind"] == "in_set" and not r.get("values"):
+            raise ValueError(f"in_set rule needs values: {r}")
+        if r["kind"] == "regex" and not r.get("pattern"):
+            raise ValueError(f"regex rule needs pattern: {r}")
+
+
+def check_expectations(
+    ds: ray.data.Dataset,
+    rules: list[dict],
+) -> ray.data.Dataset:
+    """Evaluate ``rules`` over ``ds``; returns a Dataset with one row
+    per rule: ``(rule, n_checked, n_violations)``.  ``n_checked`` is
+    the table's row count for every rule (rows the rule LOOKED at;
+    null-skipping affects violations, not the denominator)."""
+    _validate_rules(rules)
+    rowwise = [r for r in rules if r["kind"] != "unique"]
+    uniques = [r for r in rules if r["kind"] == "unique"]
+    cols = sorted({r["col"] for r in rules})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        names, viols = [], []
+        for r in rowwise:
+            s = batch[r["col"]]
+            nn = s.notna()
+            if r["kind"] == "not_null":
+                v = int((~nn).sum())
+            elif r["kind"] == "range":
+                x = pd.to_numeric(s, errors="coerce")
+                v = int((nn & ((x < r["lo"]) | (x > r["hi"]))).sum())
+            elif r["kind"] == "in_set":
+                v = int((nn & ~s.isin(r["values"])).sum())
+            else:  # regex
+                hit = s.str.contains(r["pattern"], regex=True, na=False)
+                v = int((nn & ~hit).sum())
+            names.append(r["rule"])
+            viols.append(v)
+        for r in uniques:
+            # +n_rows now; the distinct stream below contributes −1 per
+            # distinct value, so the rule-bucket sum = n − n_distinct
+            names.append(r["rule"])
+            viols.append(n)
+        return pd.DataFrame(
+            {"rule": names,
+             "n_checked": np.full(len(names), n, dtype=np.int64),
+             "n_violations": np.asarray(viols, dtype=np.int64)})
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pandas")
+
+    for r in uniques:
+        dvals = distinct(ds.select_columns([r["col"]]), [r["col"]])
+        name = r["rule"]
+
+        def minus_one(batch: pd.DataFrame, _n=name) -> pd.DataFrame:
+            m = len(batch)
+            return pd.DataFrame(
+                {"rule": [_n] * m,
+                 "n_checked": np.zeros(m, dtype=np.int64),
+                 "n_violations": np.full(m, -1, dtype=np.int64)})
+
+        parts = parts.union(dvals.map_batches(
+            minus_one, batch_format="pandas"))
+
+    return bucket_agg(parts, ["rule"],
+                      {"n_checked": ("n_checked", "sum"),
+                       "n_violations": ("n_violations", "sum")})

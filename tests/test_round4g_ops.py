@@ -82,3 +82,119 @@ def test_centroid_similarity_string_groups_sorted():
         ("de", "en"), ("de", "fr"), ("en", "fr")]
     # en centroid = (.5, .5) ∥ de (1,1) ∥ fr (1,1)
     assert np.allclose(t["cos"], [1.0, 1.0, 1.0], atol=1e-12)
+
+
+# ---- degree_assortativity ---------------------------------------------------
+
+
+def _edges_ds(pairs):
+    return ray.data.from_pandas(pd.DataFrame(
+        {"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]}))
+
+
+def test_assortativity_star_is_minus_one():
+    from pyrdf2vec_ray.ops.graph import degree_assortativity
+
+    t = degree_assortativity(
+        _edges_ds([("c", "x"), ("c", "y"), ("c", "z")])).to_pandas()
+    assert t["n_stubs"].tolist() == [6]
+    assert abs(t["assortativity"][0] + 1.0) < 1e-12
+
+
+def test_assortativity_path4_and_dedup_selfloops():
+    from pyrdf2vec_ray.ops.graph import degree_assortativity
+
+    # P4 = a-b-c-d has r = -0.5; duplicate/reversed edges and
+    # self-loops must not change it
+    t = degree_assortativity(_edges_ds(
+        [("a", "b"), ("b", "c"), ("c", "d"),
+         ("b", "a"), ("c", "c"), ("b", "c")])).to_pandas()
+    assert t["n_stubs"].tolist() == [6]
+    assert abs(t["assortativity"][0] + 0.5) < 1e-12
+
+
+# ---- sequence_examples ------------------------------------------------------
+
+
+def test_sequence_examples_padding_and_first_drop():
+    from pyrdf2vec_ray.ops.events import sequence_examples
+
+    ev = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 10, 20, 21],
+        "user_id": [7, 7, 7, 7, 8, 9, 9],
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02",
+             "2024-01-01 00:03", "2024-01-02 00:00", "2024-01-03 00:00",
+             "2024-01-03 00:05"]),
+        "event_type": ["A", "B", "C", "D", "solo", "X", "Y"]}))
+    out = (sequence_examples(ev, k=3).to_pandas()
+           .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    # user 7: events 2,3,4 survive; user 8's single event drops;
+    # user 9: event 21 survives with 2 pads
+    assert out["event_id"].tolist() == [2, 3, 4, 21]
+    assert out[["ctx_3", "ctx_2", "ctx_1", "target"]].values.tolist() == [
+        ["", "", "A", "B"],
+        ["", "A", "B", "C"],
+        ["A", "B", "C", "D"],
+        ["", "", "X", "Y"]]
+
+
+def test_sequence_examples_ts_tie_breaks_on_event_id():
+    from pyrdf2vec_ray.ops.events import sequence_examples
+
+    ts = pd.to_datetime(["2024-01-01"] * 3)
+    ev = ray.data.from_pandas(pd.DataFrame(
+        {"event_id": [3, 1, 2], "user_id": [1, 1, 1], "ts": ts,
+         "event_type": ["c", "a", "b"]}))
+    out = (sequence_examples(ev, k=1).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out[["ctx_1", "target"]].values.tolist() == [
+        ["a", "b"], ["b", "c"]]
+
+
+# ---- check_expectations -----------------------------------------------------
+
+
+def test_check_expectations_all_kinds():
+    from pyrdf2vec_ray.ops.validate import check_expectations
+
+    df = pd.DataFrame({
+        "id": [1, 2, 2, 3, 4, 4],
+        "score": [0.5, 1.5, None, -2.0, 0.0, 1.0],
+        "status": ["ok", "ok", "bad", None, "ok", "worse"],
+        "code": ["A-1", "B-2", "zz", "A-9", None, "C-3"]})
+    out = check_expectations(
+        ray.data.from_pandas(df).repartition(3), [
+            {"rule": "id_unique", "kind": "unique", "col": "id"},
+            {"rule": "score_not_null", "kind": "not_null", "col": "score"},
+            {"rule": "score_range", "kind": "range", "col": "score",
+             "lo": 0, "hi": 1},
+            {"rule": "status_set", "kind": "in_set", "col": "status",
+             "values": ["ok"]},
+            {"rule": "code_fmt", "kind": "regex", "col": "code",
+             "pattern": "^[A-Z]-[0-9]$"},
+        ]).to_pandas().set_index("rule")
+    assert (out["n_checked"] == 6).all()
+    got = out["n_violations"].to_dict()
+    assert got == {"id_unique": 2,       # 2 and 4 duplicated once each
+                   "score_not_null": 1,  # the None
+                   "score_range": 2,     # 1.5 and -2.0 (null skipped)
+                   "status_set": 2,      # bad, worse (null skipped)
+                   "code_fmt": 1}        # zz (null skipped)
+
+
+def test_check_expectations_rule_validation():
+    import pytest
+
+    from pyrdf2vec_ray.ops.validate import check_expectations
+
+    ds = ray.data.from_pandas(pd.DataFrame({"x": [1]}))
+    with pytest.raises(ValueError):
+        check_expectations(ds, [{"rule": "r", "kind": "nope", "col": "x"}])
+    with pytest.raises(ValueError):
+        check_expectations(ds, [
+            {"rule": "r", "kind": "not_null", "col": "x"},
+            {"rule": "r", "kind": "unique", "col": "x"}])
+    with pytest.raises(ValueError):
+        check_expectations(ds, [{"rule": "r", "kind": "range", "col": "x",
+                                 "lo": 0}])
