@@ -4632,6 +4632,22 @@ def q_orders_expectations(sf_dir: str):
     ])
 
 
+def q_kg_neighbor_jaccard(sf_dir: str):
+    """Structural-equivalence pairs (ops/graph.neighbor_jaccard): the
+    top-50 vertex pairs by Jaccard similarity of their out-neighbor
+    sets — orders sharing parts, customers sharing a nation tier.
+    Shared-neighbor wedge generation behind a fan-in hub cap (the
+    set-similarity stop-word filter; a neighbor pointed at by
+    everyone carries no signal and would square), degrees over the
+    SAME capped edge set so the score is a true Jaccard of the
+    filtered neighborhoods, bounded top-k tree merge.  jaccard =
+    inter/(deg_u+deg_v-inter) is one IEEE division on exact int64 —
+    bit-reproducible in the oracle's self-join."""
+    from pyrdf2vec_ray.ops.graph import neighbor_jaccard
+
+    return neighbor_jaccard(_kg_edges(sf_dir), max_fanin=40, k=50)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -4696,6 +4712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_sim": q_embedding_centroid_sim,
         "revenue_by_nation": q_revenue_by_nation,
         "kg_assortativity": q_kg_assortativity,
+        "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "events_seq_examples": q_events_seq_examples,
         "orders_expectations": q_orders_expectations,
         "customer_rfm": q_customer_rfm,
@@ -6334,6 +6351,27 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n.n_name
+        """,
+        "kg_neighbor_jaccard": _TRIPLES_CTE + """
+            , e AS (SELECT DISTINCT subj AS a, obj AS b FROM triples
+                    WHERE subj <> obj),
+            fan AS (SELECT b FROM (SELECT b, count(*) AS fi
+                                   FROM e GROUP BY b) WHERE fi <= 40),
+            kept AS (SELECT e.a, e.b FROM e JOIN fan USING (b)),
+            deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d
+                    FROM kept GROUP BY a),
+            pr AS (SELECT x.a AS u, y.a AS v,
+                          CAST(count(*) AS BIGINT) AS inter
+                   FROM kept x JOIN kept y ON x.b = y.b AND x.a < y.a
+                   GROUP BY 1, 2)
+            SELECT u, v, inter, du.d AS deg_u, dv.d AS deg_v,
+                   CAST(inter AS DOUBLE) / ((du.d + dv.d) - inter)
+                     AS jaccard
+            FROM pr
+            JOIN deg du ON pr.u = du.a
+            JOIN deg dv ON pr.v = dv.a
+            ORDER BY jaccard DESC, u, v
+            LIMIT 50
         """,
         "kg_assortativity": _TRIPLES_CTE + """
             , e0 AS (SELECT subj AS a, obj AS b FROM triples

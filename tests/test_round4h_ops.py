@@ -1,0 +1,68 @@
+"""Round-4 seventh-wave operators: neighbor-set Jaccard similarity.
+
+Hand-computable fixtures pin the wedge/Jaccard contract the SQL oracle
+also encodes: shared-neighbor intersection counts, degrees over the
+hub-capped edge set, u<v pair order, the single-division float score,
+duplicate-edge collapse and self-loop drop, plus the multi-block path.
+"""
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+from pyrdf2vec_ray.ops.graph import neighbor_jaccard
+
+
+def _edges(rows, blocks: int = 1) -> ray.data.Dataset:
+    df = pd.DataFrame(rows, columns=["a", "b"])
+    ds = ray.data.from_pandas(df)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def test_neighbor_jaccard_exact_small():
+    # u: {x, y, z}; v: {x, y}; w: {y}
+    rows = [("u", "x"), ("u", "y"), ("u", "z"),
+            ("v", "x"), ("v", "y"),
+            ("w", "y")]
+    out = neighbor_jaccard(_edges(rows), k=10).to_pandas()
+    out = out.sort_values(["u", "v"]).reset_index(drop=True)
+    got = {(r.u, r.v): (r.inter, r.deg_u, r.deg_v, r.jaccard)
+           for r in out.itertuples()}
+    assert got[("u", "v")] == (2, 3, 2, 2 / 3)
+    assert got[("u", "w")] == (1, 3, 1, 1 / 3)
+    assert got[("v", "w")] == (1, 2, 1, 1 / 2)
+    assert len(got) == 3
+
+
+def test_neighbor_jaccard_dedup_and_self_loops():
+    # duplicate edges collapse; self-loops never count as neighbors
+    rows = [("u", "x"), ("u", "x"), ("u", "u"),
+            ("v", "x"), ("v", "v")]
+    out = neighbor_jaccard(_edges(rows, blocks=3), k=5).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["u"], r["v"]) == ("u", "v")
+    assert (r["inter"], r["deg_u"], r["deg_v"]) == (1, 1, 1)
+    assert r["jaccard"] == 1.0
+
+
+def test_neighbor_jaccard_fanin_cap_drops_hub():
+    # hub h is shared by all three sources; with max_fanin=2 the hub
+    # contributes neither wedges NOR degree, so only the x-wedge pair
+    # survives and its degrees exclude h.
+    rows = [("u", "h"), ("v", "h"), ("w", "h"),
+            ("u", "x"), ("v", "x")]
+    out = neighbor_jaccard(_edges(rows), max_fanin=2, k=10).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["u"], r["v"], r["inter"]) == ("u", "v", 1)
+    assert (r["deg_u"], r["deg_v"], r["jaccard"]) == (1, 1, 1.0)
+
+
+def test_neighbor_jaccard_topk_tie_break():
+    # two jaccard=1.0 pairs; k=1 keeps the lexicographically first
+    # (u, v) — the oracle's ORDER BY jaccard DESC, u, v contract.
+    rows = [("a1", "x"), ("a2", "x"), ("b1", "y"), ("b2", "y")]
+    out = neighbor_jaccard(_edges(rows), k=1).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["u"], out.iloc[0]["v"]) == ("a1", "a2")
