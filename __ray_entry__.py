@@ -4632,6 +4632,34 @@ def q_orders_expectations(sf_dir: str):
     ])
 
 
+def q_events_user_gini(sf_dir: str):
+    """Per-key load skew as a single number (ops/agg.gini_int): the
+    Gini coefficient of events-per-user — the diagnostic behind every
+    hot-key decision in this repo (salting, fan-in caps, bucket
+    sizing).  Counts reduce in one user-bucket shuffle; the values
+    then compress to a counts-of-counts histogram (driver state = one
+    row per distinct activity level, bounded by max activity, not by
+    user cardinality) and the exact tie-aware rank formula folds on
+    the driver.  The one float expression is mirrored verbatim in the
+    oracle; everything before it is int64-exact."""
+    from pyrdf2vec_ray.ops.agg import gini_int
+    from pyrdf2vec_ray.shuffle import bucket_count
+
+    import ray.data
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"])
+    counts = bucket_count(events, ["user_id"], "x")
+    out = gini_int(counts, "x")
+
+    def rename(t):
+        return t.rename_columns(["n_users", "total_events", "gini"])
+
+    import pyarrow as pa
+
+    return rename(out) if isinstance(out, pa.Table) else out
+
+
 def q_kg_neighbor_jaccard(sf_dir: str):
     """Structural-equivalence pairs (ops/graph.neighbor_jaccard): the
     top-50 vertex pairs by Jaccard similarity of their out-neighbor
@@ -4713,6 +4741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "kg_assortativity": q_kg_assortativity,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+        "events_user_gini": q_events_user_gini,
         "events_seq_examples": q_events_seq_examples,
         "orders_expectations": q_orders_expectations,
         "customer_rfm": q_customer_rfm,
@@ -6351,6 +6380,26 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n.n_name
+        """,
+        "events_user_gini": """
+            WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+                       FROM events GROUP BY user_id),
+            h AS (SELECT x, CAST(count(*) AS BIGINT) AS f
+                  FROM c GROUP BY x),
+            o AS (SELECT x, f,
+                         CAST(COALESCE(SUM(f) OVER (ORDER BY x
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS cb
+                  FROM h),
+            st AS (SELECT CAST(SUM(f) AS BIGINT) AS n,
+                          CAST(SUM(x * f) AS BIGINT) AS t,
+                          CAST(SUM(x * (f * cb + (f * (f + 1)) // 2))
+                               AS BIGINT) AS s
+                   FROM o)
+            SELECT n AS n_users, t AS total_events,
+                   2.0 * s / (CAST(n AS DOUBLE) * t) - (n + 1.0) / n
+                     AS gini
+            FROM st
         """,
         "kg_neighbor_jaccard": _TRIPLES_CTE + """
             , e AS (SELECT DISTINCT subj AS a, obj AS b FROM triples

@@ -1109,3 +1109,46 @@ def grouped_entropy(
 
     return bucket_apply(counts, [group_col], finish,
                         num_buckets=num_buckets, batch_format="pandas")
+
+
+def gini_int(ds: ray.data.Dataset, col: str) -> pa.Table:
+    """Exact Gini coefficient of a non-negative int64 column — THE
+    skew diagnostic for per-key load (events per user, docs per
+    domain, rows per partition): 0 = perfectly even, →1 = one key
+    holds everything.  Returns one row ``(n, total, gini)``.
+
+    Distributed shape: the values compress to a counts-of-counts
+    histogram in ONE combiner-bounded value-bucket reduce; the driver
+    folds the closed-form rank formula over the histogram.  The
+    driver-resident state is one row per DISTINCT value — for count
+    data that domain is tiny (bounded by the hottest key's count, not
+    by key cardinality: a trillion users still yield at most
+    max-activity distinct counts).  For continuous values, quantize
+    first — Gini is scale-free, the histogram grid sets the error.
+
+    Formula (ties handled in closed form): sort distinct values x
+    ascending with frequencies f and exclusive cumulative counts cb;
+    the tied run occupies ranks cb+1..cb+f whose sum is
+    f·cb + f(f+1)/2, so S = Σ x·(f·cb + f(f+1)/2) — all exact int64 —
+    and gini = 2.0·S/(n·T) − (n+1)/n with a single float expression
+    mirrored verbatim in the SQL oracle (window cumsum + integer
+    division ``//2`` so both engines stay integer-exact until the one
+    division)."""
+    h = bucket_agg(ds, [col], {"f": (col, "size")})
+    hp = h.to_pandas().sort_values(col).reset_index(drop=True)
+    x = hp[col].to_numpy(np.int64)
+    f = hp["f"].to_numpy(np.int64)
+    if len(x) == 0:
+        return pa.table({"n": pa.array([0], pa.int64()),
+                         "total": pa.array([0], pa.int64()),
+                         "gini": pa.array([0.0], pa.float64())})
+    if (x < 0).any():
+        raise ValueError("gini_int requires non-negative values")
+    cb = np.concatenate(([np.int64(0)], np.cumsum(f)[:-1]))
+    n = int(f.sum())
+    t = int((x * f).sum())
+    s = int((x * (f * cb + f * (f + 1) // 2)).sum())
+    gini = (2.0 * s / (float(n) * t) - (n + 1.0) / n) if t > 0 else 0.0
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "total": pa.array([t], pa.int64()),
+                     "gini": pa.array([gini], pa.float64())})

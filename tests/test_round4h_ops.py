@@ -66,3 +66,21 @@ def test_neighbor_jaccard_topk_tie_break():
     out = neighbor_jaccard(_edges(rows), k=1).to_pandas()
     assert len(out) == 1
     assert (out.iloc[0]["u"], out.iloc[0]["v"]) == ("a1", "a2")
+
+
+def test_gini_int_hand_values():
+    from pyrdf2vec_ray.ops.agg import gini_int
+
+    def g(vals, blocks=1):
+        ds = ray.data.from_pandas(pd.DataFrame({"x": vals}))
+        if blocks > 1:
+            ds = ds.repartition(blocks)
+        t = gini_int(ds, "x").to_pandas().iloc[0]
+        return (int(t["n"]), int(t["total"]), float(t["gini"]))
+
+    # mean-abs-difference definition: G = ΣΣ|xi−xj| / (2 n² μ)
+    assert g([1, 3]) == (2, 4, 0.25)
+    assert g([5, 5, 5, 5], blocks=3) == (4, 20, 0.0)
+    assert g([0, 0, 0, 10]) == (4, 10, 0.75)
+    # all-zero column: total 0 → gini defined as 0
+    assert g([0, 0]) == (2, 0, 0.0)
