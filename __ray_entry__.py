@@ -4632,6 +4632,60 @@ def q_orders_expectations(sf_dir: str):
     ])
 
 
+def q_orders_month_chisq(sf_dir: str):
+    """Seasonality-drift test (ops/agg.grouped_chisq): per-nation
+    chi-square of the order-month distribution against the pooled
+    calendar — "does this nation order like the rest of the world?",
+    the same shape as per-source mixture monitoring.  Orders join
+    their customer's nation via ONE custkey-bucket hash_join (the
+    dim projection is read pruned to two columns; nation names ship
+    broadcast at 25 rows); months reduce combiner-first; zero cells
+    count as evidence (cross join in the oracle, pivot/reindex in the
+    kernel).  e = t·(m/G) and (o−e)²/e are verbatim on both engines;
+    only the Σ over months' order differs, absorbed by the 1e-6
+    float comparison."""
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import grouped_chisq
+    from pyrdf2vec_ray.ops.join import broadcast_join, hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+
+    def omonth(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"]
+        return pd.DataFrame(
+            {"custkey": b["o_custkey"].astype("int64"),
+             "ym": (d.dt.year * 100 + d.dt.month).astype("int64")})
+
+    def ckey(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"custkey": b["c_custkey"].astype("int64"),
+                             "nationkey": b["c_nationkey"].astype("int64")})
+
+    def nkey(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"nationkey": b["n_nationkey"].astype("int64"),
+                             "n_name": b["n_name"].astype(str)})
+
+    oc = hash_join(
+        orders.map_batches(omonth, batch_format="pandas"),
+        cust.map_batches(ckey, batch_format="pandas"), on=["custkey"])
+    named = broadcast_join(
+        oc, nat.map_batches(nkey, batch_format="pandas"),
+        on=["nationkey"]).select_columns(["n_name", "ym"])
+
+    out = grouped_chisq(named, "n_name", "ym")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"n": "n_orders"})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_events_user_gini(sf_dir: str):
     """Per-key load skew as a single number (ops/agg.gini_int): the
     Gini coefficient of events-per-user — the diagnostic behind every
@@ -4742,6 +4796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": q_kg_assortativity,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "events_user_gini": q_events_user_gini,
+        "orders_month_chisq": q_orders_month_chisq,
         "events_seq_examples": q_events_seq_examples,
         "orders_expectations": q_orders_expectations,
         "customer_rfm": q_customer_rfm,
@@ -6380,6 +6435,33 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n.n_name
+        """,
+        "orders_month_chisq": """
+            WITH oc AS (
+              SELECT n.n_name AS grp,
+                     CAST(EXTRACT(year FROM o.o_orderdate) * 100
+                          + EXTRACT(month FROM o.o_orderdate)
+                          AS BIGINT) AS ym
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey),
+            cnt AS (SELECT grp, ym, CAST(count(*) AS BIGINT) AS n
+                    FROM oc GROUP BY 1, 2),
+            mt AS (SELECT ym, CAST(sum(n) AS BIGINT) AS m
+                   FROM cnt GROUP BY 1),
+            tn AS (SELECT grp, CAST(sum(n) AS BIGINT) AS t
+                   FROM cnt GROUP BY 1),
+            g AS (SELECT CAST(sum(n) AS BIGINT) AS gt FROM cnt),
+            cells AS (SELECT tn.grp, mt.ym, tn.t,
+                             CAST(tn.t AS DOUBLE)
+                               * (CAST(mt.m AS DOUBLE) / g.gt) AS e,
+                             COALESCE(cnt.n, 0) AS o
+                      FROM tn CROSS JOIN mt CROSS JOIN g
+                      LEFT JOIN cnt ON cnt.grp = tn.grp
+                                   AND cnt.ym = mt.ym)
+            SELECT grp AS n_name, t AS n_orders,
+                   SUM((o - e) * (o - e) / e) AS chi2
+            FROM cells GROUP BY grp, t
         """,
         "events_user_gini": """
             WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x

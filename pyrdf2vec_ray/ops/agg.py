@@ -1152,3 +1152,56 @@ def gini_int(ds: ray.data.Dataset, col: str) -> pa.Table:
     return pa.table({"n": pa.array([n], pa.int64()),
                      "total": pa.array([t], pa.int64()),
                      "gini": pa.array([gini], pa.float64())})
+
+
+def grouped_chisq(
+    ds: ray.data.Dataset,
+    group_col: str,
+    cat_col: str,
+) -> ray.data.Dataset:
+    """Per-group chi-square drift statistic of a categorical column
+    against the POOLED distribution — the classic "is this source /
+    nation / shard distributed like the rest" test behind mixture
+    monitoring and seasonality checks.  For each group g with total
+    t_g, category c with pooled total m_c and grand total G:
+    ``chi2_g = Σ_c (o_gc − e_gc)² / e_gc`` with ``e_gc = t_g·(m_c/G)``
+    — zero cells included (a group MISSING a category is evidence).
+    Returns ``(group, n, chi2)``.
+
+    Scale shape: one combiner-bounded (group, cat) count reduce; the
+    pooled category totals (one row per category — the small side by
+    definition) collect once and broadcast in the finisher closure;
+    the per-group fold is ONE group-bucket shuffle of the already-
+    reduced count table with a vectorized pivot/reindex kernel —
+    groups never co-reside with raw rows, and no group×cat matrix
+    ever sits on the driver.  Float contract: counts stay int64 to
+    the end; e = t·(m/G) and (o−e)²/e are the verbatim oracle
+    expressions; only the Σ_c order differs (numpy pairwise vs SQL
+    sequential), which the 1e-6 comparison absorbs."""
+    cnt = bucket_agg(
+        ds, [group_col, cat_col], {"n": (group_col, "size")}
+    ).materialize()
+
+    # pooled totals: a second (tiny) cat-bucket reduce over the already
+    # group×cat-reduced table — the driver sees one row per CATEGORY
+    mt = (bucket_agg(cnt, [cat_col], {"m": ("n", "sum")}, pre=False)
+          .to_pandas().sort_values(cat_col))
+    cats = mt[cat_col].to_numpy()
+    m = mt["m"].to_numpy(np.int64)
+    grand = int(m.sum())
+    share = m.astype(np.float64) / grand
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.pivot_table(index=group_col, columns=cat_col,
+                            values="n", aggfunc="sum", fill_value=0)
+        piv = piv.reindex(columns=cats, fill_value=0)
+        o = piv.to_numpy(np.int64)
+        t = o.sum(axis=1)
+        e = t[:, None].astype(np.float64) * share[None, :]
+        d = o.astype(np.float64) - e
+        chi2 = (d * d / e).sum(axis=1)
+        return pd.DataFrame({group_col: piv.index.to_numpy(),
+                             "n": t, "chi2": chi2})
+
+    return bucket_apply(cnt, [group_col], per_bucket,
+                        batch_format="pandas")

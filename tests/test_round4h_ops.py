@@ -84,3 +84,28 @@ def test_gini_int_hand_values():
     assert g([0, 0, 0, 10]) == (4, 10, 0.75)
     # all-zero column: total 0 → gini defined as 0
     assert g([0, 0]) == (2, 0, 0.0)
+
+
+def test_grouped_chisq_hand_values():
+    from pyrdf2vec_ray.ops.agg import grouped_chisq
+
+    def run(rows, blocks=1):
+        ds = ray.data.from_pandas(pd.DataFrame(rows, columns=["g", "c"]))
+        if blocks > 1:
+            ds = ds.repartition(blocks)
+        out = grouped_chisq(ds, "g", "c").to_pandas()
+        return {r.g: (int(r.n), float(r.chi2)) for r in out.itertuples()}
+
+    # A: 3x+1y, B: 1x+3y — e=2 everywhere, chi2 = 0.5+0.5 per group
+    rows = [("A", "x")] * 3 + [("A", "y")] + [("B", "x")] + [("B", "y")] * 3
+    got = run(rows, blocks=3)
+    assert got == {"A": (4, 1.0), "B": (4, 1.0)}
+
+    # zero cells count: A only x, B only y — e=1, chi2 = 1+1 = 2
+    got = run([("A", "x"), ("A", "x"), ("B", "y"), ("B", "y")])
+    assert got == {"A": (2, 2.0), "B": (2, 2.0)}
+
+    # a group matching the pooled distribution exactly scores 0
+    rows = ([("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")])
+    got = run(rows)
+    assert got == {"A": (2, 0.0), "B": (2, 0.0)}
