@@ -4632,6 +4632,38 @@ def q_orders_expectations(sf_dir: str):
     ])
 
 
+def q_lineitem_weighted_quantiles(sf_dir: str):
+    """Weighted quantiles (ops/agg.grouped_weighted_quantiles): the
+    price points below which 25/50/90% of the shipped QUANTITY sits,
+    per return flag — the weighted-median staple order statistics
+    can't answer.  Exact integer units (cents, rounded quantities);
+    the only exchange is the (group, value)→Σweight histogram; the
+    single float op is the q·W threshold, mirrored verbatim by the
+    oracle's window cumsum."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import grouped_weighted_quantiles
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def units(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_returnflag": b["l_returnflag"].astype(str),
+             "price_cents": np.round(
+                 b["l_extendedprice"].to_numpy(np.float64) * 100
+             ).astype(np.int64),
+             "w": np.round(
+                 b["l_quantity"].to_numpy(np.float64)).astype(np.int64)})
+
+    return grouped_weighted_quantiles(
+        li.map_batches(units, batch_format="pandas"),
+        "l_returnflag", "price_cents", "w", qs=(0.25, 0.5, 0.9))
+
+
 def q_orders_month_chisq(sf_dir: str):
     """Seasonality-drift test (ops/agg.grouped_chisq): per-nation
     chi-square of the order-month distribution against the pooled
@@ -4797,6 +4829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "events_user_gini": q_events_user_gini,
         "orders_month_chisq": q_orders_month_chisq,
+        "lineitem_weighted_quantiles": q_lineitem_weighted_quantiles,
         "events_seq_examples": q_events_seq_examples,
         "orders_expectations": q_orders_expectations,
         "customer_rfm": q_customer_rfm,
@@ -6435,6 +6468,30 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n.n_name
+        """,
+        "lineitem_weighted_quantiles": """
+            WITH b AS (SELECT l_returnflag AS grp,
+                              CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS x,
+                              CAST(round(l_quantity) AS BIGINT) AS w
+                       FROM lineitem),
+            h AS (SELECT grp, x, CAST(sum(w) AS BIGINT) AS f
+                  FROM b GROUP BY 1, 2),
+            o AS (SELECT grp, x,
+                         CAST(SUM(f) OVER (PARTITION BY grp ORDER BY x)
+                              AS BIGINT) AS cum,
+                         CAST(SUM(f) OVER (PARTITION BY grp)
+                              AS BIGINT) AS tot
+                  FROM h)
+            SELECT grp AS l_returnflag, CAST(0.25 AS DOUBLE) AS q,
+                   min(x) AS price_cents
+            FROM o WHERE cum >= 0.25 * tot GROUP BY grp
+            UNION ALL
+            SELECT grp, CAST(0.5 AS DOUBLE), min(x)
+            FROM o WHERE cum >= 0.5 * tot GROUP BY grp
+            UNION ALL
+            SELECT grp, CAST(0.9 AS DOUBLE), min(x)
+            FROM o WHERE cum >= 0.9 * tot GROUP BY grp
         """,
         "orders_month_chisq": """
             WITH oc AS (

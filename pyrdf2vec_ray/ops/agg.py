@@ -1205,3 +1205,75 @@ def grouped_chisq(
 
     return bucket_apply(cnt, [group_col], per_bucket,
                         batch_format="pandas")
+
+
+def grouped_weighted_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float] = (0.5,),
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """(group, q, value): EXACT weighted quantiles per group — the
+    smallest value whose cumulative weight reaches ``q × W_g`` (weights
+    int64; the weighted-median staple: "the price point below which
+    half the QUANTITY ships").  Same scale shape as
+    :func:`grouped_quantiles`: the corpus reduces to a (group, value,
+    Σweight) histogram in one combiner-bounded shuffle — the exchange
+    is bounded by the value domain, not the row count — then one
+    group-bucket pass reads thresholds off cumulative sums.
+
+    Float contract: cumulative weights stay int64; the threshold is
+    the ONE float op ``q × W`` (int promoted to double, single
+    rounding) and selection is ``cum >= q·W`` — mirrored verbatim by
+    a window-cumsum oracle, so results are bit-reproducible."""
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    qs = list(qs)
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({group_col: batch[group_col],
+                          value_col: batch[value_col],
+                          "f": batch[weight_col].to_numpy(np.int64)})
+        return g.groupby([group_col, value_col], as_index=False).agg(
+            f=("f", "sum"))
+
+    hist = bucket_agg(
+        ds.select_columns([group_col, value_col, weight_col]).map_batches(
+            pre, batch_format="pandas"),
+        [group_col, value_col], {"f": ("f", "sum")}, pre=False,
+        num_buckets=num_buckets,
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, value_col]).reset_index(drop=True)
+        f = g["f"].to_numpy(np.int64)
+        codes, uniq = pd.factorize(g[group_col].to_numpy())
+        starts = np.flatnonzero(np.r_[True, np.diff(codes) != 0])
+        ends = np.r_[starts[1:], len(g)]
+        cum = np.cumsum(f)
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        totals = cum[ends - 1] - base
+        vals = g[value_col].to_numpy()
+        out_g, out_q, out_v = [], [], []
+        # loop over GROUPS (not rows); each searchsorted is vectorized
+        # over the group's histogram slice
+        for gi in range(len(uniq)):
+            within = cum[starts[gi]:ends[gi]] - base[gi]
+            for q in qs:
+                thr = q * float(totals[gi])
+                # first index with cum >= thr (q=1 lands exactly on
+                # the last entry: 1.0*W == W in IEEE)
+                j = int(np.searchsorted(within, thr, side="left"))
+                j = min(j, len(within) - 1)
+                out_g.append(uniq[gi])
+                out_q.append(q)
+                out_v.append(vals[starts[gi] + j])
+        return pd.DataFrame(
+            {group_col: out_g, "q": np.asarray(out_q, dtype=np.float64),
+             value_col: out_v})
+
+    return bucket_apply(hist, [group_col], per_bucket,
+                        num_buckets=num_buckets, batch_format="pandas")

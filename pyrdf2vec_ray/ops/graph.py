@@ -1015,7 +1015,9 @@ def neighbor_jaccard(
         e, fanin.map_batches(low_fan, batch_format="pandas"), on=["b"]
     ).materialize()
 
-    deg = bucket_agg(kept, ["a"], {"deg": ("b", "size")})
+    # consumed twice (u- and v-side joins): materialize once so the
+    # degree reduce doesn't replay per consumer
+    deg = bucket_agg(kept, ["a"], {"deg": ("b", "size")}).materialize()
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="b", suffixes=("_u", "_v"))

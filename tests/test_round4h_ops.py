@@ -109,3 +109,24 @@ def test_grouped_chisq_hand_values():
     rows = ([("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")])
     got = run(rows)
     assert got == {"A": (2, 0.0), "B": (2, 0.0)}
+
+
+def test_grouped_weighted_quantiles_hand_values():
+    from pyrdf2vec_ray.ops.agg import grouped_weighted_quantiles
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 2,
+                       "x": [1, 2, 3, 3, 10, 20],
+                       "w": [1, 1, 1, 1, 3, 1]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = grouped_weighted_quantiles(
+        ds, "g", "x", "w", qs=(0.25, 0.5, 0.9, 1.0)).to_pandas()
+    got = {(r.g, r.q): r.x for r in out.itertuples()}
+    # group a: x=[1,2,3] f=[1,1,2], W=4; thresholds 1.0/2.0/3.6/4.0
+    assert got[("a", 0.25)] == 1
+    assert got[("a", 0.5)] == 2
+    assert got[("a", 0.9)] == 3
+    assert got[("a", 1.0)] == 3
+    # group b: x=[10,20] f=[3,1], W=4; 0.5→thr 2→10, 0.9→thr 3.6→20
+    assert got[("b", 0.5)] == 10
+    assert got[("b", 0.9)] == 20
+    assert got[("b", 1.0)] == 20
