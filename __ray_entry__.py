@@ -4632,6 +4632,40 @@ def q_orders_expectations(sf_dir: str):
     ])
 
 
+def q_events_value_hist(sf_dir: str):
+    """Equal-width histogram (ops/agg.value_histogram): the profiling
+    primitive — 20 exact bins of the event value column, no sort, no
+    sampling.  Min/max fold from per-block partials; the bin index is
+    one vectorized floor expression into a ≤20-key combiner-bounded
+    reduce; bin edges reconstruct with the verbatim oracle float
+    chain."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import value_histogram
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"])
+    return value_histogram(events, "value", bins=20)
+
+
+def q_orders_benford(sf_dir: str):
+    """Benford first-digit audit (ops/validate.benford_firstdigit) of
+    order totals — the fabricated-data screen: natural multiplicative
+    spreads put ~30% of first digits on 1; a clipped or synthesized
+    column doesn't.  Digits come from the canonical int64 cent
+    string, NOT float log10, so extraction is engine-exact; the 9-key
+    reduce is combiner-bounded and the Benford fold is driver
+    arithmetic mirrored verbatim in the oracle (n·log10(1+1/d),
+    (o−e)²/e)."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.validate import benford_firstdigit
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return benford_firstdigit(orders, "o_totalprice", scale=100)
+
+
 def q_lineitem_weighted_quantiles(sf_dir: str):
     """Weighted quantiles (ops/agg.grouped_weighted_quantiles): the
     price points below which 25/50/90% of the shipped QUANTITY sits,
@@ -4830,6 +4864,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gini": q_events_user_gini,
         "orders_month_chisq": q_orders_month_chisq,
         "lineitem_weighted_quantiles": q_lineitem_weighted_quantiles,
+        "orders_benford": q_orders_benford,
+        "events_value_hist": q_events_value_hist,
         "events_seq_examples": q_events_seq_examples,
         "orders_expectations": q_orders_expectations,
         "customer_rfm": q_customer_rfm,
@@ -6468,6 +6504,45 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n.n_name
+        """,
+        "events_value_hist": """
+            WITH mm AS (SELECT min(value) AS lo, max(value) AS hi
+                        FROM events),
+            b AS (SELECT LEAST(CAST(floor((value - mm.lo)
+                                   / ((mm.hi - mm.lo) / 20))
+                               AS BIGINT), 19) AS bin
+                  FROM events CROSS JOIN mm),
+            cnt AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+                    FROM b GROUP BY bin)
+            SELECT cnt.bin,
+                   mm.lo + cnt.bin * ((mm.hi - mm.lo) / 20) AS lo,
+                   mm.lo + (cnt.bin + 1) * ((mm.hi - mm.lo) / 20) AS hi,
+                   cnt.n
+            FROM cnt CROSS JOIN mm
+        """,
+        "orders_benford": """
+            WITH u AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS cents FROM orders),
+            fd AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                               AS BIGINT) AS digit
+                   FROM u WHERE cents > 0),
+            cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+                    FROM fd GROUP BY digit),
+            n AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM cnt),
+            grid AS (SELECT CAST(d AS BIGINT) AS digit
+                     FROM generate_series(1, 9) AS t(d)),
+            full_g AS (SELECT g.digit, COALESCE(c.observed, 0) AS observed
+                       FROM grid g LEFT JOIN cnt c ON g.digit = c.digit)
+            SELECT f.digit, f.observed,
+                   CAST(n.total AS DOUBLE)
+                     * log10(1 + 1.0 / f.digit) AS expected,
+                   (f.observed - CAST(n.total AS DOUBLE)
+                      * log10(1 + 1.0 / f.digit))
+                   * (f.observed - CAST(n.total AS DOUBLE)
+                      * log10(1 + 1.0 / f.digit))
+                   / (CAST(n.total AS DOUBLE)
+                      * log10(1 + 1.0 / f.digit)) AS term
+            FROM full_g f CROSS JOIN n
         """,
         "lineitem_weighted_quantiles": """
             WITH b AS (SELECT l_returnflag AS grp,

@@ -1277,3 +1277,60 @@ def grouped_weighted_quantiles(
 
     return bucket_apply(hist, [group_col], per_bucket,
                         num_buckets=num_buckets, batch_format="pandas")
+
+
+def value_histogram(
+    ds: ray.data.Dataset,
+    col: str,
+    bins: int = 20,
+) -> ray.data.Dataset:
+    """Equal-width histogram of a float column — the profiling /
+    dashboard primitive: ``(bin, lo, hi, n)`` for every NON-EMPTY bin
+    of ``bins`` equal slices of [min, max], the last bin closed so
+    the max lands inside.  Two passes, both reductions: per-block
+    min/max partials fold to two driver scalars, then the bin index
+    is one vectorized ``floor((v − lo)/w)`` per batch into a
+    combiner-bounded ≤``bins``-key reduce — no sort, no sampling,
+    exact counts.
+
+    Float contract: min/max are exact; ``w = (max − min)/bins``,
+    the index expression, and the edge reconstruction ``lo + bin·w``
+    are single-rounding chains mirrored verbatim in SQL.  Degenerate
+    case (max == min): every row lands in bin 0 with lo == hi."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+
+    def mm(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(np.float64)
+        if len(v) == 0:
+            return pd.DataFrame({"lo": [], "hi": []})
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()]})
+
+    parts = ds.select_columns([col]).map_batches(
+        mm, batch_format="pandas").to_pandas()
+    lo, hi = float(parts["lo"].min()), float(parts["hi"].max())
+    w = (hi - lo) / bins
+
+    def idx(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(np.float64)
+        if w > 0:
+            b = np.minimum(np.floor((v - lo) / w),
+                           bins - 1).astype(np.int64)
+        else:
+            b = np.zeros(len(v), dtype=np.int64)
+        g = pd.DataFrame({"bin": b, "n": 1})
+        return g.groupby("bin", as_index=False).sum()
+
+    cnt = bucket_agg(
+        ds.select_columns([col]).map_batches(idx, batch_format="pandas"),
+        ["bin"], {"n": ("n", "sum")}, pre=False,
+    )
+
+    def edges(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch["bin"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"bin": b, "lo": lo + b.astype(np.float64) * w,
+             "hi": lo + (b + 1).astype(np.float64) * w,
+             "n": batch["n"].to_numpy(np.int64)})
+
+    return cnt.map_batches(edges, batch_format="pandas")

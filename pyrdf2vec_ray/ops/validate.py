@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -117,3 +118,51 @@ def check_expectations(
     return bucket_agg(parts, ["rule"],
                       {"n_checked": ("n_checked", "sum"),
                        "n_violations": ("n_violations", "sum")})
+
+
+def benford_firstdigit(
+    ds: ray.data.Dataset,
+    col: str,
+    scale: int = 100,
+) -> ray.data.Dataset:
+    """Benford's-law audit of a positive numeric column — the classic
+    fabricated-data / unit-mixing screen: the first significant digit
+    of naturally-spread magnitudes follows ``p(d) = log10(1 + 1/d)``,
+    and a synthetic or clipped column doesn't.  Returns 9 rows
+    ``(digit, observed, expected, term)`` with ``expected = n·p(d)``
+    and ``term = (observed − expected)²/expected`` — Σ term is the
+    chi-square statistic, left per-digit so the report shows WHICH
+    digit deviates.
+
+    Determinism: values quantize to exact int64 units (``round(v ×
+    scale)``; rows ≤ 0 after quantization are excluded — zero has no
+    first digit) and the digit comes from the canonical base-10
+    integer string, not float log10 — identical on every engine.
+    Scale shape: one combiner-bounded reduce over a NINE-key domain;
+    the Benford fold is driver arithmetic on 9 rows."""
+
+    def digits(batch: pd.DataFrame) -> pd.DataFrame:
+        units = np.round(
+            batch[col].to_numpy(np.float64) * scale).astype(np.int64)
+        units = units[units > 0]
+        d = pd.Series(units).astype(str).str[0].astype(np.int64)
+        g = pd.DataFrame({"digit": d, "n": 1})
+        return g.groupby("digit", as_index=False).sum()
+
+    cnt = bucket_agg(
+        ds.select_columns([col]).map_batches(digits, batch_format="pandas"),
+        ["digit"], {"observed": ("n", "sum")}, pre=False,
+    ).to_pandas().set_index("digit")["observed"]
+
+    dig = np.arange(1, 10, dtype=np.int64)
+    obs = np.array([int(cnt.get(d, 0)) for d in dig], dtype=np.int64)
+    n = int(obs.sum())
+    p = np.log10(1.0 + 1.0 / dig)
+    exp = n * p
+    dlt = obs.astype(np.float64) - exp
+    term = dlt * dlt / exp if n > 0 else np.zeros(9)
+    return ray.data.from_arrow(pa.table(
+        {"digit": pa.array(dig, pa.int64()),
+         "observed": pa.array(obs, pa.int64()),
+         "expected": pa.array(exp, pa.float64()),
+         "term": pa.array(term, pa.float64())}))

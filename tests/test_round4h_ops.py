@@ -130,3 +130,41 @@ def test_grouped_weighted_quantiles_hand_values():
     assert got[("b", 0.5)] == 10
     assert got[("b", 0.9)] == 20
     assert got[("b", 1.0)] == 20
+
+
+def test_benford_firstdigit_counts_and_exclusions():
+    from pyrdf2vec_ray.ops.validate import benford_firstdigit
+
+    df = pd.DataFrame({"v": [1.0, 1.0, 2.0, 9.99, 0.0, -5.0]})
+    out = benford_firstdigit(
+        ray.data.from_pandas(df).repartition(2), "v").to_pandas()
+    out = out.set_index("digit")
+    assert list(out.index) == list(range(1, 10))
+    assert out.loc[1, "observed"] == 2
+    assert out.loc[2, "observed"] == 1
+    assert out.loc[9, "observed"] == 1
+    assert int(out["observed"].sum()) == 4  # 0 and negatives excluded
+    import numpy as np
+    assert out.loc[1, "expected"] == 4 * np.log10(1 + 1.0 / 1)
+    e = out.loc[3, "expected"]
+    assert out.loc[3, "term"] == (0 - e) * (0 - e) / e
+
+
+def test_value_histogram_exact_bins():
+    from pyrdf2vec_ray.ops.agg import value_histogram
+
+    df = pd.DataFrame({"v": [0.0, 1.0, 2.0, 3.0, 4.0]})
+    out = (value_histogram(ray.data.from_pandas(df).repartition(3),
+                           "v", bins=2).to_pandas()
+           .sort_values("bin").reset_index(drop=True))
+    assert list(out["bin"]) == [0, 1]
+    assert list(out["n"]) == [2, 3]      # max closed into last bin
+    assert list(out["lo"]) == [0.0, 2.0]
+    assert list(out["hi"]) == [2.0, 4.0]
+
+    # degenerate: zero width -> single bin, lo == hi
+    same = pd.DataFrame({"v": [7.0, 7.0, 7.0]})
+    out = value_histogram(ray.data.from_pandas(same), "v", bins=4).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["bin"], out.iloc[0]["n"]) == (0, 3)
+    assert out.iloc[0]["lo"] == out.iloc[0]["hi"] == 7.0
