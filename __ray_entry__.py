@@ -4632,6 +4632,23 @@ def q_orders_expectations(sf_dir: str):
     ])
 
 
+def q_doc_lang_source_cramer(sf_dir: str):
+    """Categorical association audit (ops/agg.cramers_v): is language
+    confounded with source? — the leakage/stratification check run
+    before split design.  ONE (lang, source) pair-count reduce
+    (category-cardinality² exchange, never the corpus); the bounded
+    contingency folds on the driver with the verbatim oracle float
+    chain (independence model e = r·c/n, zero cells included,
+    v = sqrt(chi2/(n·min dof)))."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import cramers_v
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return cramers_v(docs, "lang", "source")
+
+
 def q_events_value_hist(sf_dir: str):
     """Equal-width histogram (ops/agg.value_histogram): the profiling
     primitive — 20 exact bins of the event value column, no sort, no
@@ -4866,6 +4883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_quantiles": q_lineitem_weighted_quantiles,
         "orders_benford": q_orders_benford,
         "events_value_hist": q_events_value_hist,
+        "doc_lang_source_cramer": q_doc_lang_source_cramer,
         "events_seq_examples": q_events_seq_examples,
         "orders_expectations": q_orders_expectations,
         "customer_rfm": q_customer_rfm,
@@ -6504,6 +6522,31 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n.n_name
+        """,
+        "doc_lang_source_cramer": """
+            WITH cnt AS (SELECT lang AS a, source AS b,
+                                CAST(count(*) AS BIGINT) AS o
+                         FROM documents GROUP BY 1, 2),
+            ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r
+                   FROM cnt GROUP BY a),
+            cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c
+                   FROM cnt GROUP BY b),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cnt),
+            cells AS (SELECT COALESCE(cnt.o, 0) AS o,
+                             CAST(ra.r AS DOUBLE) * cb.c / tot.t AS e
+                      FROM ra CROSS JOIN cb CROSS JOIN tot
+                      LEFT JOIN cnt ON cnt.a = ra.a AND cnt.b = cb.b),
+            st AS (SELECT (SELECT t FROM tot) AS n,
+                          SUM((o - e) * (o - e) / e) AS chi2,
+                          (SELECT CAST(count(*) AS BIGINT) FROM ra)
+                            AS n_a,
+                          (SELECT CAST(count(*) AS BIGINT) FROM cb)
+                            AS n_b
+                   FROM cells)
+            SELECT n, chi2, n_a, n_b,
+                   sqrt(chi2 / (CAST(n AS DOUBLE)
+                                * LEAST(n_a - 1, n_b - 1))) AS v
+            FROM st
         """,
         "events_value_hist": """
             WITH mm AS (SELECT min(value) AS lo, max(value) AS hi

@@ -1334,3 +1334,44 @@ def value_histogram(
              "n": batch["n"].to_numpy(np.int64)})
 
     return cnt.map_batches(edges, batch_format="pandas")
+
+
+def cramers_v(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+) -> "pa.Table":
+    """Cramér's V association between two categorical columns — the
+    normalized chi-square dependence screen ("is language confounded
+    with source?") feature-selection and leakage checks run before
+    stratifying.  One row: ``(n, chi2, n_a, n_b, v)`` with
+    ``v = sqrt(chi2 / (n·min(n_a−1, n_b−1)))`` against the
+    independence model ``e_ij = r_i·c_j/n`` (zero cells included).
+
+    Scale shape: ONE combiner-bounded (a, b) pair-count reduce —
+    the exchange is category-cardinality² rows, never the corpus —
+    then the driver folds the (bounded) contingency table.  Float
+    contract: counts and margins stay int64; e, (o−e)²/e and the
+    final sqrt are the verbatim oracle expressions; Σ order over
+    cells is the only divergence, absorbed by the 1e-6 comparison."""
+    cnt = bucket_agg(
+        ds.select_columns([col_a, col_b]), [col_a, col_b],
+        {"o": (col_a, "size")},
+    ).to_pandas()
+    piv = cnt.pivot_table(index=col_a, columns=col_b, values="o",
+                          aggfunc="sum", fill_value=0)
+    o = piv.to_numpy(np.int64)
+    r = o.sum(axis=1)
+    c = o.sum(axis=0)
+    n = int(o.sum())
+    e = r[:, None].astype(np.float64) * c[None, :] / n
+    d = o.astype(np.float64) - e
+    chi2 = float((d * d / e).sum())
+    n_a, n_b = o.shape
+    mindof = min(n_a - 1, n_b - 1)
+    v = float(np.sqrt(chi2 / (float(n) * mindof))) if mindof > 0 else 0.0
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "chi2": pa.array([chi2], pa.float64()),
+                     "n_a": pa.array([n_a], pa.int64()),
+                     "n_b": pa.array([n_b], pa.int64()),
+                     "v": pa.array([v], pa.float64())})

@@ -168,3 +168,24 @@ def test_value_histogram_exact_bins():
     assert len(out) == 1
     assert (out.iloc[0]["bin"], out.iloc[0]["n"]) == (0, 3)
     assert out.iloc[0]["lo"] == out.iloc[0]["hi"] == 7.0
+
+
+def test_cramers_v_hand_values():
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.agg import cramers_v
+
+    # perfect association: a determines b -> v = 1
+    df = pd.DataFrame({"a": ["x"] * 4 + ["y"] * 4,
+                       "b": ["p"] * 4 + ["q"] * 4})
+    t = cramers_v(ray.data.from_pandas(df).repartition(3),
+                  "a", "b").to_pandas().iloc[0]
+    assert (t["n"], t["n_a"], t["n_b"]) == (8, 2, 2)
+    assert abs(t["v"] - 1.0) < 1e-12
+    assert abs(t["chi2"] - 8.0) < 1e-12  # chi2 = n for a 2x2 perfect
+
+    # independence -> chi2 = 0, v = 0
+    df = pd.DataFrame({"a": ["x", "x", "y", "y"],
+                       "b": ["p", "q", "p", "q"]})
+    t = cramers_v(ray.data.from_pandas(df), "a", "b").to_pandas().iloc[0]
+    assert t["chi2"] == 0.0 and t["v"] == 0.0
