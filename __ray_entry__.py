@@ -4632,6 +4632,27 @@ def q_orders_expectations(sf_dir: str):
     ])
 
 
+def q_events_type_gini(sf_dir: str):
+    """Per-type activity concentration (ops/agg.grouped_gini): within
+    each event type, the Gini of per-user event counts — "is checkout
+    traffic spread across users or driven by a few whales?".  Two
+    combiner-bounded reduces ((type,user)→count, then the
+    (type,count)→freq histogram) and ONE group-bucket vectorized
+    rank-formula fold; groups never collect to the driver.  Same
+    int64-exact + single-float-expression contract as
+    events_user_gini, partitioned."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import grouped_gini
+    from pyrdf2vec_ray.shuffle import bucket_count
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    per_user = bucket_count(events, ["event_type", "user_id"], "x")
+    return grouped_gini(
+        per_user.select_columns(["event_type", "x"]), "event_type", "x")
+
+
 def q_doc_lang_source_cramer(sf_dir: str):
     """Categorical association audit (ops/agg.cramers_v): is language
     confounded with source? — the leakage/stratification check run
@@ -4884,6 +4905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_benford": q_orders_benford,
         "events_value_hist": q_events_value_hist,
         "doc_lang_source_cramer": q_doc_lang_source_cramer,
+        "events_type_gini": q_events_type_gini,
         "events_seq_examples": q_events_seq_examples,
         "orders_expectations": q_orders_expectations,
         "customer_rfm": q_customer_rfm,
@@ -6522,6 +6544,29 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n.n_name
+        """,
+        "events_type_gini": """
+            WITH c AS (SELECT event_type, user_id,
+                              CAST(count(*) AS BIGINT) AS x
+                       FROM events GROUP BY 1, 2),
+            h AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS f
+                  FROM c GROUP BY 1, 2),
+            o AS (SELECT event_type, x, f,
+                         CAST(COALESCE(SUM(f) OVER (
+                              PARTITION BY event_type ORDER BY x
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS cb
+                  FROM h),
+            st AS (SELECT event_type,
+                          CAST(SUM(f) AS BIGINT) AS n,
+                          CAST(SUM(x * f) AS BIGINT) AS t,
+                          CAST(SUM(x * (f * cb + (f * (f + 1)) // 2))
+                               AS BIGINT) AS s
+                   FROM o GROUP BY event_type)
+            SELECT event_type, n, t AS total,
+                   2.0 * s / (CAST(n AS DOUBLE) * t) - (n + 1.0) / n
+                     AS gini
+            FROM st
         """,
         "doc_lang_source_cramer": """
             WITH cnt AS (SELECT lang AS a, source AS b,

@@ -1375,3 +1375,59 @@ def cramers_v(
                      "n_a": pa.array([n_a], pa.int64()),
                      "n_b": pa.array([n_b], pa.int64()),
                      "v": pa.array([v], pa.float64())})
+
+
+def grouped_gini(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-GROUP Gini coefficient of a non-negative int64 column —
+    :func:`gini_int` kept distributed: "how concentrated is activity
+    within each event type / revenue within each nation".  Returns
+    ``(group, n, total, gini)``.
+
+    Scale shape: one combiner-bounded (group, value)→count histogram
+    exchange, then the exact tie-aware rank formula folds VECTORIZED
+    per group inside one group-bucket pass — groups never collect to
+    the driver (unlike the global fold in gini_int, whose driver
+    histogram is the right call for one group).  Same float contract:
+    int64 to the end, then the single mirrored expression
+    ``2·S/(n·T) − (n+1)/n``."""
+    hist = bucket_agg(
+        ds.select_columns([group_col, value_col]),
+        [group_col, value_col], {"f": (value_col, "size")},
+        num_buckets=num_buckets,
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, value_col]).reset_index(drop=True)
+        x = g[value_col].to_numpy(np.int64)
+        if (x < 0).any():
+            raise ValueError("grouped_gini requires non-negative values")
+        f = g["f"].to_numpy(np.int64)
+        codes, uniq = pd.factorize(g[group_col].to_numpy())
+        starts = np.flatnonzero(np.r_[True, np.diff(codes) != 0])
+        ends = np.r_[starts[1:], len(g)]
+        cumf = np.cumsum(f)
+        basef = np.where(starts > 0, cumf[starts - 1], 0)
+        # exclusive within-group cumulative count per histogram row
+        cb = np.r_[0, cumf[:-1]] - np.repeat(basef, ends - starts)
+        terms = x * (f * cb + f * (f + 1) // 2)
+        cumt = np.cumsum(terms)
+        baset = np.where(starts > 0, cumt[starts - 1], 0)
+        s = cumt[ends - 1] - baset
+        n = cumf[ends - 1] - basef
+        cumxf = np.cumsum(x * f)
+        basexf = np.where(starts > 0, cumxf[starts - 1], 0)
+        t = cumxf[ends - 1] - basexf
+        nf = n.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gini = np.where(
+                t > 0, 2.0 * s / (nf * t) - (n + 1.0) / n, 0.0)
+        return pd.DataFrame({group_col: uniq, "n": n, "total": t,
+                             "gini": gini})
+
+    return bucket_apply(hist, [group_col], per_bucket,
+                        num_buckets=num_buckets, batch_format="pandas")

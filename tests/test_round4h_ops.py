@@ -189,3 +189,19 @@ def test_cramers_v_hand_values():
                        "b": ["p", "q", "p", "q"]})
     t = cramers_v(ray.data.from_pandas(df), "a", "b").to_pandas().iloc[0]
     assert t["chi2"] == 0.0 and t["v"] == 0.0
+
+
+def test_grouped_gini_matches_global_and_multigroup():
+    from pyrdf2vec_ray.ops.agg import grouped_gini
+
+    df = pd.DataFrame({"g": ["a"] * 2 + ["b"] * 4 + ["c"] * 2,
+                       "x": [1, 3, 5, 5, 5, 5, 0, 10]})
+    out = grouped_gini(
+        ray.data.from_pandas(df).repartition(3), "g", "x"
+    ).to_pandas()
+    got = {r.g: (int(r.n), int(r.total), float(r.gini))
+           for r in out.itertuples()}
+    assert got["a"] == (2, 4, 0.25)      # same fixture as gini_int
+    assert got["b"] == (4, 20, 0.0)      # all equal
+    # c: [0, 10] -> G = 10*2/(2*4*2.5) per pair formula = 0.5
+    assert got["c"] == (2, 10, 0.5)
