@@ -4632,6 +4632,66 @@ def q_orders_expectations(sf_dir: str):
     ])
 
 
+def q_kg_pred_cooccur(sf_dir: str):
+    """Predicate co-occurrence lift (schema discovery): which
+    predicate PAIRS appear on the same subject more (lift>1) or less
+    (lift<1) than independence predicts — the profile that finds
+    implicit entity types in a schemaless KG.  Reuses the co-mention
+    wedge machinery keyed by SUBJECT (per-subject predicate fan-out
+    is the KG's predicate vocabulary, bounded); marginals and the
+    pair table are predicate-cardinality-sized, so the lift join
+    ships broadcast.  lift = n_ab·N/(n_a·n_b) is the verbatim oracle
+    float chain on exact int64 counts."""
+    import numpy as np
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.join import broadcast_join
+    from pyrdf2vec_ray.pipelines.construct import comention_edges
+    from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+
+    def as_sp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"subj": batch["subj"],
+                             "pred": batch["pred"]})
+
+    sp = distinct(
+        _triples(sf_dir).map_batches(as_sp, batch_format="pandas"),
+        ["subj", "pred"]).materialize()
+    n_subj = distinct(sp, ["subj"]).count()
+
+    pairs = comention_edges(sp, id_col="subj", ent_col="pred")
+
+    def pair_cols(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"pred_a": b["ent_a"], "pred_b": b["ent_b"],
+                             "n_ab": b["n_docs"].astype("int64")})
+
+    marg = bucket_agg(sp, ["pred"], {"np": ("subj", "size")})
+
+    def as_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"pred_a": b["pred"],
+                             "n_a": b["np"].astype("int64")})
+
+    def as_b(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"pred_b": b["pred"],
+                             "n_b": b["np"].astype("int64")})
+
+    joined = broadcast_join(
+        broadcast_join(pairs.map_batches(pair_cols, batch_format="pandas"),
+                       marg.map_batches(as_a, batch_format="pandas"),
+                       on=["pred_a"]),
+        marg.map_batches(as_b, batch_format="pandas"), on=["pred_b"])
+
+    def lift(b: pd.DataFrame) -> pd.DataFrame:
+        nab = b["n_ab"].to_numpy(np.int64)
+        na = b["n_a"].to_numpy(np.int64)
+        nb = b["n_b"].to_numpy(np.int64)
+        out = b.copy()
+        out["lift"] = (nab.astype(np.float64) * n_subj
+                       / (na.astype(np.float64) * nb))
+        return out
+
+    return joined.map_batches(lift, batch_format="pandas")
+
+
 def q_events_type_gini(sf_dir: str):
     """Per-type activity concentration (ops/agg.grouped_gini): within
     each event type, the Gini of per-user event counts — "is checkout
@@ -4906,6 +4966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_hist": q_events_value_hist,
         "doc_lang_source_cramer": q_doc_lang_source_cramer,
         "events_type_gini": q_events_type_gini,
+        "kg_pred_cooccur": q_kg_pred_cooccur,
         "events_seq_examples": q_events_seq_examples,
         "orders_expectations": q_orders_expectations,
         "customer_rfm": q_customer_rfm,
@@ -6544,6 +6605,25 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n.n_name
+        """,
+        "kg_pred_cooccur": _TRIPLES_CTE + """
+            , sp AS (SELECT DISTINCT subj, pred FROM triples),
+            tot AS (SELECT CAST(count(DISTINCT subj) AS BIGINT) AS n
+                    FROM sp),
+            m AS (SELECT pred, CAST(count(*) AS BIGINT) AS np
+                  FROM sp GROUP BY pred),
+            pr AS (SELECT x.pred AS pred_a, y.pred AS pred_b,
+                          CAST(count(*) AS BIGINT) AS n_ab
+                   FROM sp x JOIN sp y ON x.subj = y.subj
+                                      AND x.pred < y.pred
+                   GROUP BY 1, 2)
+            SELECT pred_a, pred_b, n_ab, ma.np AS n_a, mb.np AS n_b,
+                   CAST(n_ab AS DOUBLE) * tot.n
+                     / (CAST(ma.np AS DOUBLE) * mb.np) AS lift
+            FROM pr
+            JOIN m ma ON pr.pred_a = ma.pred
+            JOIN m mb ON pr.pred_b = mb.pred
+            CROSS JOIN tot
         """,
         "events_type_gini": """
             WITH c AS (SELECT event_type, user_id,
