@@ -4632,6 +4632,24 @@ def q_orders_expectations(sf_dir: str):
     ])
 
 
+def q_orders_skyline(sf_dir: str):
+    """Pareto front (ops/mining.skyline_2d): orders on the
+    best-tradeoff frontier of (total price ↑, order date ↓) — early
+    AND expensive, the multi-objective query top-k can't express.
+    Skyline is closed under union, so per-block vectorized fronts
+    shrink the corpus shuffle-free and one bounded task merges the
+    candidates.  Oracle: the DEFINITIONAL NOT EXISTS dominance test —
+    algorithm vs definition, not algorithm vs itself."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.mining import skyline_2d
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return skyline_2d(orders, "o_totalprice", "o_orderdate")
+
+
 def q_kg_pred_cooccur(sf_dir: str):
     """Predicate co-occurrence lift (schema discovery): which
     predicate PAIRS appear on the same subject more (lift>1) or less
@@ -4967,6 +4985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_source_cramer": q_doc_lang_source_cramer,
         "events_type_gini": q_events_type_gini,
         "kg_pred_cooccur": q_kg_pred_cooccur,
+        "orders_skyline": q_orders_skyline,
         "events_seq_examples": q_events_seq_examples,
         "orders_expectations": q_orders_expectations,
         "customer_rfm": q_customer_rfm,
@@ -6605,6 +6624,16 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n.n_name
+        """,
+        "orders_skyline": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders x
+              WHERE x.o_totalprice >= o.o_totalprice
+                AND x.o_orderdate <= o.o_orderdate
+                AND (x.o_totalprice > o.o_totalprice
+                     OR x.o_orderdate < o.o_orderdate))
         """,
         "kg_pred_cooccur": _TRIPLES_CTE + """
             , sp AS (SELECT DISTINCT subj, pred FROM triples),

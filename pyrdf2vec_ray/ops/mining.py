@@ -97,3 +97,57 @@ def basket_lift(
              "confidence": n_ab / n_a})
 
     return j2.map_batches(score, batch_format="pandas")
+
+
+def skyline_2d(
+    ds: ray.data.Dataset,
+    max_col: str,
+    min_col: str,
+) -> ray.data.Dataset:
+    """2-D skyline (Pareto front): the rows not DOMINATED by any other
+    — maximize ``max_col`` while minimizing ``min_col`` (row A
+    dominates B when A is ≥/≤ on both axes and strictly better on at
+    least one).  The multi-objective "best tradeoffs" query (price vs
+    latency, quality vs length) a top-k can't answer; ties on both
+    axes all survive.
+
+    Distributed shape: the skyline operator is a CLOSURE under union
+    — the global front is contained in the union of per-block fronts
+    — so one vectorized per-batch kernel (sort-free grouped min +
+    strict prefix-min over descending keys) shrinks each block to its
+    local front, and ONE bounded final task merges the candidates
+    with the same kernel.  No shuffle at all: exchange volume is the
+    (typically tiny) sum of local front sizes, never the corpus.
+    Worst case (anti-correlated axes, everything on the front) the
+    merge degenerates to the data — the caller's axes choose that,
+    not the operator."""
+    cols = list(ds.schema().names)
+
+    def front(batch: pd.DataFrame) -> pd.DataFrame:
+        p = batch[max_col].to_numpy()
+        if p.dtype.kind not in "iuf":
+            raise TypeError("skyline_2d max_col must be numeric")
+        d = batch[min_col].to_numpy()
+        order = np.lexsort((d, -p))
+        p, d = p[order], d[order]
+        # per distinct p (descending): its min d; keep a p-group iff
+        # its min d beats the STRICT prefix min (higher-p groups)
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        ends = np.r_[starts[1:], len(p)]
+        md = d[starts]  # d sorted asc within p: group min = first
+        prefix = np.empty(len(md), dtype=md.dtype)
+        if len(md):
+            prefix[0] = md.max()  # sentinel: nothing above the top p
+            np.minimum.accumulate(md[:-1], out=prefix[1:])
+        keep_grp = np.r_[True, md[1:] < prefix[1:]]
+        keep = np.zeros(len(p), dtype=bool)
+        for gi in np.flatnonzero(keep_grp):  # front-sized, not row-sized
+            s = starts[gi]
+            e = ends[gi]
+            keep[s:e] = d[s:e] == md[gi]
+        out = batch.iloc[order[keep]]
+        return out[cols]
+
+    parts = ds.map_batches(front, batch_format="pandas")
+    return parts.repartition(1).map_batches(
+        front, batch_format="pandas", batch_size=None)

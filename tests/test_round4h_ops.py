@@ -205,3 +205,17 @@ def test_grouped_gini_matches_global_and_multigroup():
     assert got["b"] == (4, 20, 0.0)      # all equal
     # c: [0, 10] -> G = 10*2/(2*4*2.5) per pair formula = 0.5
     assert got["c"] == (2, 10, 0.5)
+
+
+def test_skyline_2d_dominance_and_ties():
+    from pyrdf2vec_ray.ops.mining import skyline_2d
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4, 5, 6],
+                       "p": [5, 5, 4, 3, 5, 6],
+                       "d": [3, 1, 0, 5, 1, 4]})
+    out = skyline_2d(ray.data.from_pandas(df).repartition(3),
+                     "p", "d").to_pandas()
+    # front: (6,4); (5,1) twice (both-axis ties survive); (4,0).
+    # (5,3) is dominated by (5,1); (3,5) by (4,0).
+    assert sorted(out["id"]) == [2, 3, 5, 6]
+    assert set(out.columns) == {"id", "p", "d"}
