@@ -3645,6 +3645,43 @@ def q_ngram_jaccard(sf_dir: str):
     return verify_jaccard(docs.union(trunc), pairs, k=5, threshold=0.0)
 
 
+def q_doc_containment(sf_dir: str):
+    """Asymmetric containment verification (ops/dedup.verify_jaccard,
+    metric="containment"): |A∩B|/|A| — the quote/subset detector that
+    catches a benchmark answer embedded in a long page where symmetric
+    Jaccard stays low.  Same fixture as ngram_jaccard, BOTH
+    orientations: truncated⊂full scores exactly 1.0 (every shingle of
+    the truncation is in the original), full→truncated grades strictly
+    inside (0,1).  Same fully-distributed pair⋈shingle co-partition —
+    the orientation rides the packed pair key (order-preserving
+    packing), nothing collects to the driver."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.dedup import verify_jaccard
+
+    docs = _docs(sf_dir)
+
+    def truncate(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].astype(str).str.split()
+        return pa.table(
+            {"doc_id": pa.array((batch["doc_id"] + 100_000).to_numpy(),
+                                pa.int64()),
+             "text": pa.array(
+                 [" ".join(t[: max(1, len(t) - 10)]) for t in toks],
+                 pa.string())})
+
+    trunc = docs.map_batches(truncate, batch_format="pandas")
+    fwd = [(i, i + 100_000) for i in range(25)]
+    rev = [(i + 100_000, i) for i in range(25)]
+    pairs = ray.data.from_arrow(pa.table(
+        {"doc_a": pa.array([a for a, _ in fwd + rev], pa.int64()),
+         "doc_b": pa.array([b for _, b in fwd + rev], pa.int64())}))
+    return verify_jaccard(docs.union(trunc), pairs, k=5, threshold=0.0,
+                          metric="containment")
+
+
 def q_dedup_components(sf_dir: str):
     """Near-dup clustering tail (ops/components.connected_components —
     iterated neighbor-min + pointer-jump label propagation, 3 bucket
@@ -4986,6 +5023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_gini": q_events_type_gini,
         "kg_pred_cooccur": q_kg_pred_cooccur,
         "orders_skyline": q_orders_skyline,
+        "doc_containment": q_doc_containment,
         "events_seq_examples": q_events_seq_examples,
         "orders_expectations": q_orders_expectations,
         "customer_rfm": q_customer_rfm,
@@ -7733,6 +7771,38 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'customer:' || c_custkey, 'customer:' || c_custkey
             FROM c100
+        """,
+        "doc_containment": """
+            WITH p AS (
+              SELECT CAST(i AS BIGINT) AS doc_a,
+                     CAST(i + 100000 AS BIGINT) AS doc_b
+              FROM range(25) t(i)
+              UNION ALL
+              SELECT CAST(i + 100000 AS BIGINT), CAST(i AS BIGINT)
+              FROM range(25) t(i)
+            ),
+            alldocs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     array_to_string(
+                       string_split(text, ' ')[1:greatest(1, len(string_split(text, ' ')) - 10)],
+                       ' ')
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+                  list_distinct([array_to_string(string_split(text, ' ')[i:i+4], ' ')
+                                 for i in generate_series(1, len(string_split(text, ' ')) - 4)])
+                ELSE [text] END AS s
+              FROM alldocs
+            )
+            SELECT p.doc_a, p.doc_b,
+              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / greatest(1, len(a.s)) AS containment
+            FROM p JOIN sh a ON a.doc_id = p.doc_a
+                   JOIN sh b ON b.doc_id = p.doc_b
         """,
         "ngram_jaccard": """
             WITH p AS (

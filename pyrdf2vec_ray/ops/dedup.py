@@ -192,13 +192,24 @@ def verify_jaccard(
     pairs: ray.data.Dataset,
     k: int = 5,
     threshold: float = 0.8,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
-    """n-gram Jaccard verification of candidate pairs, fully distributed:
-    the pair set and the per-doc shingle sets are co-partitioned by doc id
-    (one bucket shuffle = a hash join), then each pair's two shingle sets
-    meet under a second shuffle keyed by the packed pair id.  Nothing is
-    collected to the driver — at 100 TB the candidate set alone can exceed
-    driver memory, so both the pair list and the texts stay Datasets."""
+    """n-gram set-similarity verification of candidate pairs, fully
+    distributed: the pair set and the per-doc shingle sets are
+    co-partitioned by doc id (one bucket shuffle = a hash join), then each
+    pair's two shingle sets meet under a second shuffle keyed by the packed
+    pair id.  Nothing is collected to the driver — at 100 TB the candidate
+    set alone can exceed driver memory, so both the pair list and the
+    texts stay Datasets.
+
+    ``metric="jaccard"`` scores |A∩B|/|A∪B| (symmetric near-dup);
+    ``metric="containment"`` scores |A∩B|/|A| with A = doc_a's set — the
+    ASYMMETRIC quote/subset detector (a short document wholly contained
+    in a long one scores 1.0 where Jaccard stays low), the shape
+    benchmark-contamination checks need.  The output column is named
+    after the metric."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError("metric must be 'jaccard' or 'containment'")
     from pyrdf2vec_ray.shuffle import bucket_apply
 
     # side P: one row per (pair, member doc)
@@ -255,7 +266,7 @@ def verify_jaccard(
         pr = g[g["side"] == "p"][["doc_id", "pair_key"]].drop_duplicates()
         dd = g[g["side"] == "d"][["doc_id", "sh"]]
         m = pr.merge(dd, on="doc_id", how="inner")
-        return m[["pair_key", "sh"]]
+        return m[["pair_key", "doc_id", "sh"]]
 
     joined = bucket_apply(
         tagged, ["doc_id"], join_bucket, num_buckets=None, batch_format="pandas"
@@ -267,19 +278,31 @@ def verify_jaccard(
         for key, grp in g.groupby("pair_key"):
             if len(grp) != 2:
                 continue  # a member doc was missing from `docs`
-            sa, sb = (np.frombuffer(x, dtype=np.int64) for x in grp["sh"])
+            da, db = _unpack_pair(key)
+            if metric == "containment":
+                # orient: A is doc_a's set (packing order is lost in the
+                # sorted pair key, so route by the carried doc_id)
+                ga = grp[grp["doc_id"] == da]["sh"].iloc[0]
+                gb = grp[grp["doc_id"] == db]["sh"].iloc[0]
+                sa = np.frombuffer(ga, dtype=np.int64)
+                sb = np.frombuffer(gb, dtype=np.int64)
+            else:
+                sa, sb = (np.frombuffer(x, dtype=np.int64)
+                          for x in grp["sh"])
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / max(1, union)
+            if metric == "containment":
+                j = inter / max(1, len(sa))
+            else:
+                union = len(sa) + len(sb) - inter
+                j = inter / max(1, union)
             if j >= threshold:
-                da, db = _unpack_pair(key)
                 out_a.append(da)
                 out_b.append(db)
                 jac.append(j)
         return pd.DataFrame(
             {"doc_a": pd.array(out_a, dtype="int64"),
              "doc_b": pd.array(out_b, dtype="int64"),
-             "jaccard": pd.array(jac, dtype="float64")}
+             metric: pd.array(jac, dtype="float64")}
         )
 
     return bucket_apply(

@@ -219,3 +219,22 @@ def test_skyline_2d_dominance_and_ties():
     # (5,3) is dominated by (5,1); (3,5) by (4,0).
     assert sorted(out["id"]) == [2, 3, 5, 6]
     assert set(out.columns) == {"id", "p", "d"}
+
+
+def test_verify_containment_orientation():
+    from pyrdf2vec_ray.ops.dedup import verify_jaccard
+
+    # doc 2's text is a strict prefix of doc 1's -> shingles(2) ⊂
+    # shingles(1): containment(2 in 1) = 1.0, containment(1 in 2) < 1
+    long = "a b c d e f g h i j k l"
+    short = "a b c d e f g h"
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": [long, short]}))
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_a": [2, 1], "doc_b": [1, 2]}))
+    out = verify_jaccard(docs, pairs, k=5, threshold=0.0,
+                         metric="containment").to_pandas()
+    got = {(r.doc_a, r.doc_b): r.containment for r in out.itertuples()}
+    assert got[(2, 1)] == 1.0
+    # long doc: 8 shingles, short: 4, all shared -> 4/8
+    assert got[(1, 2)] == 0.5
