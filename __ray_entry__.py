@@ -4768,6 +4768,22 @@ def q_events_type_gini(sf_dir: str):
         per_user.select_columns(["event_type", "x"]), "event_type", "x")
 
 
+def q_doc_source_len_gini(sf_dir: str):
+    """Document-size inequality per source (ops/agg.grouped_gini over
+    n_chars): a source whose token mass sits in a few giant pages
+    needs different packing/dedup treatment than one of uniform
+    snippets — the same Gini fold as events_type_gini exercised on a
+    value domain 100× wider (character counts), still histogram-
+    bounded."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import grouped_gini
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return grouped_gini(docs, "source", "n_chars")
+
+
 def q_doc_lang_source_cramer(sf_dir: str):
     """Categorical association audit (ops/agg.cramers_v): is language
     confounded with source? — the leakage/stratification check run
@@ -5024,6 +5040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_cooccur": q_kg_pred_cooccur,
         "orders_skyline": q_orders_skyline,
         "doc_containment": q_doc_containment,
+        "doc_source_len_gini": q_doc_source_len_gini,
         "events_seq_examples": q_events_seq_examples,
         "orders_expectations": q_orders_expectations,
         "customer_rfm": q_customer_rfm,
@@ -6691,6 +6708,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN m ma ON pr.pred_a = ma.pred
             JOIN m mb ON pr.pred_b = mb.pred
             CROSS JOIN tot
+        """,
+        "doc_source_len_gini": """
+            WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+                              CAST(count(*) AS BIGINT) AS f
+                       FROM documents GROUP BY 1, 2),
+            o AS (SELECT source, x, f,
+                         CAST(COALESCE(SUM(f) OVER (
+                              PARTITION BY source ORDER BY x
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS cb
+                  FROM h),
+            st AS (SELECT source,
+                          CAST(SUM(f) AS BIGINT) AS n,
+                          CAST(SUM(x * f) AS BIGINT) AS t,
+                          CAST(SUM(x * (f * cb + (f * (f + 1)) // 2))
+                               AS BIGINT) AS s
+                   FROM o GROUP BY source)
+            SELECT source, n, t AS total,
+                   2.0 * s / (CAST(n AS DOUBLE) * t) - (n + 1.0) / n
+                     AS gini
+            FROM st
         """,
         "events_type_gini": """
             WITH c AS (SELECT event_type, user_id,
