@@ -4854,13 +4854,16 @@ def q_lineitem_weighted_quantiles(sf_dir: str):
         columns=["l_returnflag", "l_extendedprice", "l_quantity"])
 
     def units(b: pd.DataFrame) -> pd.DataFrame:
+        # floor(v+0.5): half-away rounding for positives to match the
+        # oracle's SQL round() (np.round is half-to-even)
         return pd.DataFrame(
             {"l_returnflag": b["l_returnflag"].astype(str),
-             "price_cents": np.round(
-                 b["l_extendedprice"].to_numpy(np.float64) * 100
+             "price_cents": np.floor(
+                 b["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
              ).astype(np.int64),
-             "w": np.round(
-                 b["l_quantity"].to_numpy(np.float64)).astype(np.int64)})
+             "w": np.floor(
+                 b["l_quantity"].to_numpy(np.float64) + 0.5
+             ).astype(np.int64)})
 
     return grouped_weighted_quantiles(
         li.map_batches(units, batch_format="pandas"),

@@ -1146,6 +1146,14 @@ def gini_int(ds: ray.data.Dataset, col: str) -> pa.Table:
         raise ValueError("gini_int requires non-negative values")
     cb = np.concatenate(([np.int64(0)], np.cumsum(f)[:-1]))
     n = int(f.sum())
+    # int64 bound, checked BEFORE any numpy product (numpy wraps
+    # silently past 2^63 where the oracle would raise): T ≤ x_max·n and
+    # every rank-sum term ≤ x·f·n, so S ≤ n·T ≤ n²·x_max — require
+    # n²·x_max < 2^63 (conservative; exact Python-int arithmetic)
+    if n and n * n * int(x.max()) >= (1 << 63):
+        raise OverflowError(
+            "gini_int rank-sum may exceed int64 (need n²·max(x) < "
+            "2^63); pre-scale or bucket the values")
     t = int((x * f).sum())
     s = int((x * (f * cb + f * (f + 1) // 2)).sum())
     gini = (2.0 * s / (float(n) * t) - (n + 1.0) / n) if t > 0 else 0.0
@@ -1419,6 +1427,16 @@ def grouped_gini(
         baset = np.where(starts > 0, cumt[starts - 1], 0)
         s = cumt[ends - 1] - baset
         n = cumf[ends - 1] - basef
+        # same int64 bound as gini_int (S ≤ n²·x_max per group), checked
+        # BEFORE the cumsum products wrap: exact Python-int check per
+        # group — few groups per bucket, so the loop is cheap
+        xmax = np.maximum.reduceat(x, starts)
+        for ng, xm in zip(n.tolist(), xmax.tolist()):
+            if ng and ng * ng * xm >= (1 << 63):
+                raise OverflowError(
+                    "grouped_gini rank-sum may exceed int64 for a "
+                    "group (need n²·max(x) < 2^63 per group); "
+                    "pre-scale or bucket the values")
         cumxf = np.cumsum(x * f)
         basexf = np.where(starts > 0, cumxf[starts - 1], 0)
         t = cumxf[ends - 1] - basexf

@@ -280,8 +280,11 @@ def verify_jaccard(
                 continue  # a member doc was missing from `docs`
             da, db = _unpack_pair(key)
             if metric == "containment":
-                # orient: A is doc_a's set (packing order is lost in the
-                # sorted pair key, so route by the carried doc_id)
+                # orient: A is doc_a's set — _pack_pairs is order-
+                # preserving, but the two joined rows of a pair arrive
+                # in arbitrary order within the bucket group, so route
+                # each row by its carried doc_id against the unpacked
+                # (doc_a, doc_b)
                 ga = grp[grp["doc_id"] == da]["sh"].iloc[0]
                 gb = grp[grp["doc_id"] == db]["sh"].iloc[0]
                 sa = np.frombuffer(ga, dtype=np.int64)

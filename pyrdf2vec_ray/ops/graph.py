@@ -1050,7 +1050,21 @@ def neighbor_jaccard(
         out["deg_u"] = batch["deg_u"].to_numpy(np.int64)
         out["deg_v"] = batch["deg_v"].to_numpy(np.int64)
         out["jaccard"] = inter.astype(np.float64) / union
-        out["pairkey"] = out["u"] + "\x1f" + out["v"]
+        # tie-break key must preserve ORDER BY u, v for ANY id dtype:
+        # int ids pack order-preservingly ((u<<32)|v, the dedup
+        # _pack_pairs shape — astype(str) would reorder numeric ties
+        # vs the oracle), string ids join on a low sentinel byte
+        if out["u"].dtype.kind in "iu":
+            u64 = out["u"].to_numpy().astype(np.uint64)
+            v64 = out["v"].to_numpy().astype(np.uint64)
+            if len(u64) and (int(u64.max()) >> 32 or int(v64.max()) >> 32):
+                raise ValueError(
+                    "neighbor_jaccard int ids must be < 2^32 for the "
+                    "order-preserving pair key; densify ids first")
+            out["pairkey"] = ((u64 << np.uint64(32)) | v64).view(np.int64)
+        else:
+            out["pairkey"] = (out["u"].astype(str) + "\x1f"
+                              + out["v"].astype(str))
         return out
 
     top = global_topn(

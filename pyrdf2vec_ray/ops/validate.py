@@ -142,8 +142,11 @@ def benford_firstdigit(
     the Benford fold is driver arithmetic on 9 rows."""
 
     def digits(batch: pd.DataFrame) -> pd.DataFrame:
-        units = np.round(
-            batch[col].to_numpy(np.float64) * scale).astype(np.int64)
+        # floor(v+0.5) = round-half-AWAY for positives, matching SQL
+        # round(); np.round is half-to-even and would diverge on exact
+        # .5 products (rows that land ≤ 0 are excluded on both engines)
+        units = np.floor(
+            batch[col].to_numpy(np.float64) * scale + 0.5).astype(np.int64)
         units = units[units > 0]
         d = pd.Series(units).astype(str).str[0].astype(np.int64)
         g = pd.DataFrame({"digit": d, "n": 1})
