@@ -153,18 +153,13 @@ def _pattern_scan_rel(
     return rel.map_batches(scan, batch_format="pyarrow"), list(var_first)
 
 
-def _pattern_scan(
-    triples: ray.data.Dataset, pat: tuple[str, str, str],
-    closure_rounds: int = 6,
-) -> tuple[ray.data.Dataset, list[str]]:
-    """Filter the triple stream by the pattern's constants (and repeated-
-    variable equalities), then project/rename to its variable columns.
-    A predicate ``p+`` / ``(p1|p2)+`` swaps the triple stream for the
-    property-path closure relation first.  Returns
-    (scan, var_names-in-column-order)."""
-    if _is_path(pat[1]):
-        rel = _path_relation(triples, pat[1], closure_rounds)
-        return _pattern_scan_rel(rel, (pat[0], pat[2]))
+def _scan_spec(
+    pat: tuple[str, str, str],
+) -> tuple[list[tuple[str, str]], list[tuple[str, str]], list[str],
+           list[str]]:
+    """Parse one plain pattern: (constant (col, val) pins, repeated-
+    variable (col, col) equalities, source columns per variable in
+    first-occurrence order, variable names in the same order)."""
     consts = [(c, t) for c, t in zip(_POS, pat) if not _is_var(t)]
     var_first: dict[str, str] = {}  # var name -> first column holding it
     eqs: list[tuple[str, str]] = []  # same-var position pairs
@@ -181,6 +176,27 @@ def _pattern_scan(
         raise ValueError(
             f"pattern {pat} has no variables; constant-only existence "
             "checks are not part of the BGP join (filter beforehand)")
+    return consts, eqs, list(var_first.values()), list(var_first)
+
+
+def _pattern_scan(
+    triples: ray.data.Dataset, pat: tuple[str, str, str],
+    closure_rounds: int = 6,
+) -> tuple[ray.data.Dataset, list[str]]:
+    """Filter the triple stream by the pattern's constants (and repeated-
+    variable equalities), then project/rename to its variable columns.
+    A predicate ``p+`` / ``(p1|p2)+`` swaps the triple stream for the
+    property-path closure relation first.  Returns
+    (scan, var_names-in-column-order).
+
+    This is the SINGLE-pattern form (used for property paths and as a
+    building block); a multi-pattern BGP goes through
+    :func:`_multiplex_scans` so the corpus is read ONCE, not once per
+    pattern."""
+    if _is_path(pat[1]):
+        rel = _path_relation(triples, pat[1], closure_rounds)
+        return _pattern_scan_rel(rel, (pat[0], pat[2]))
+    consts, eqs, cols, names = _scan_spec(pat)
 
     def scan(batch: pa.Table) -> pa.Table:
         mask = None
@@ -193,12 +209,78 @@ def _pattern_scan(
         if mask is not None:
             batch = batch.filter(mask)
         return pa.table(
-            {name: batch[col] for name, col in var_first.items()})
+            {name: batch[col] for name, col in zip(names, cols)})
 
     return (
         triples.map_batches(scan, batch_format="pyarrow"),
-        list(var_first),
+        list(names),
     )
+
+
+def _multiplex_scans(
+    triples: ray.data.Dataset,
+    pats: list[tuple[str, str, str]],
+) -> list[tuple[ray.data.Dataset, list[str]]]:
+    """ONE shared pass over the triple stream evaluating EVERY plain
+    pattern's mask per batch (VERDICT r4 item 1: an N-pattern BGP must
+    not read the corpus N times).  Each batch emits tagged rows
+    ``(pid, v0, v1, v2)`` — the pattern id plus its projected variable
+    values in positional slots — for all patterns at once; the tagged
+    union is MATERIALIZED (pinned), so the per-pattern streams, and
+    every AQE re-execution of them during the adaptive join chain, are
+    cheap pid-filters over the PRUNED tagged set, never corpus
+    re-scans.
+
+    Scale note: the pinned tagged set is Σ per-pattern selectivities —
+    for the constant-pinned patterns real queries are made of it is a
+    small fraction of the corpus (and it spills via the object store
+    if not; an unpinned ``?s ?p ?o`` pattern is corpus-sized on any
+    engine)."""
+    if not pats:
+        return []
+    specs = [_scan_spec(p) for p in pats]
+    slots = ("v0", "v1", "v2")
+
+    def scan_all(batch: pa.Table) -> pa.Table:
+        stype = batch.column("subj").type
+        parts = []
+        for pid, (consts, eqs, cols, _names) in enumerate(specs):
+            mask = None
+            for col, val in consts:
+                m = pc.equal(batch[col], val)
+                mask = m if mask is None else pc.and_(mask, m)
+            for a, b in eqs:
+                m = pc.equal(batch[a], batch[b])
+                mask = m if mask is None else pc.and_(mask, m)
+            kept = batch.filter(mask) if mask is not None else batch
+            n = kept.num_rows
+            data: dict = {"pid": pa.array(
+                np.full(n, pid, dtype=np.int32))}
+            for i, slot in enumerate(slots):
+                if i < len(cols):
+                    data[slot] = kept[cols[i]]
+                else:
+                    data[slot] = pa.nulls(n, stype)
+            parts.append(pa.table(data))
+        return pa.concat_tables(parts)
+
+    tagged = triples.map_batches(
+        scan_all, batch_format="pyarrow").materialize()
+
+    out: list[tuple[ray.data.Dataset, list[str]]] = []
+    for pid, (_c, _e, _cols, names) in enumerate(specs):
+        def make(pid: int = pid, names: tuple = tuple(names)):
+            def proj(batch: pa.Table) -> pa.Table:
+                kept = batch.filter(
+                    pc.equal(batch["pid"], pa.scalar(pid, pa.int32())))
+                return pa.table(
+                    {nm: kept[slots[i]]
+                     for i, nm in enumerate(names)})
+            return proj
+
+        out.append((tagged.map_batches(make(), batch_format="pyarrow"),
+                    list(names)))
+    return out
 
 
 _FILTER_OPS = {
@@ -209,6 +291,77 @@ _FILTER_OPS = {
     ">": lambda a, b: a > b,
     ">=": lambda a, b: a >= b,
 }
+
+
+def _eval_group(
+    scans: list[tuple[ray.data.Dataset, list[str]]],
+    patterns: list[tuple[str, str, str]],
+    broadcast_threshold: int,
+    num_buckets: int | None,
+) -> tuple[ray.data.Dataset, list[str]]:
+    """Join a pattern group's pre-built scans into its solution set:
+    greedy left-deep order (seed at the most-constant pattern, always
+    extend across a shared variable, fewest new vars first — so
+    intermediates shrink before they widen and no cartesian product is
+    formed), each hop adaptive (AQE): broadcast the accumulating
+    solutions while small, hash-shuffle past the threshold.  Returns
+    (solutions, var-column order)."""
+    if not scans:
+        raise ValueError("empty BGP")
+    n_const = [sum(not _is_var(t) for t in p) for p in patterns]
+    order = [max(range(len(scans)),
+                 key=lambda i: (n_const[i], -len(scans[i][1])))]
+    done = {order[0]}
+    bound = set(scans[order[0]][1])
+    while len(done) < len(scans):
+        cands = [i for i in range(len(scans)) if i not in done
+                 and bound & set(scans[i][1])]
+        if not cands:
+            missing = [patterns[i] for i in range(len(scans))
+                       if i not in done]
+            raise ValueError(
+                f"disconnected BGP: {missing} share no variable with "
+                "the rest; evaluate the components separately")
+        nxt = min(cands, key=lambda i: (len(set(scans[i][1]) - bound),
+                                        -n_const[i]))
+        order.append(nxt)
+        done.add(nxt)
+        bound |= set(scans[nxt][1])
+
+    o = np.dtype("O")
+    acc, acc_vars = scans[order[0]]
+    for i in order[1:]:
+        scan, svars = scans[i]
+        on = [v for v in acc_vars if v in svars]
+        # adaptive join strategy (the AQE move): the accumulating
+        # solution set starts at the most-selective pattern and often
+        # stays small — materialize it, and when it is under the
+        # broadcast threshold ship it to every scan task instead of
+        # bucket-shuffling BOTH sides.  Each broadcast hop removes two
+        # all-to-all barriers from the chain; past the threshold the
+        # plan degrades gracefully to the co-partitioning hash join.
+        # Re-executing `scan` per hop is a pid-filter over the PINNED
+        # multiplexed tagged set (see _multiplex_scans), not a corpus
+        # re-scan.
+        if broadcast_threshold > 0:
+            acc = acc.materialize()
+        if (broadcast_threshold > 0
+                and acc.count() <= broadcast_threshold):
+            from pyrdf2vec_ray.ops.join import broadcast_join
+
+            acc = broadcast_join(scan, acc, on=on)
+            # merge column order: scan cols, then acc extras
+            acc_vars = (list(svars)
+                        + [v for v in acc_vars if v not in svars])
+        else:
+            acc = hash_join(
+                acc, scan, on=on, num_buckets=num_buckets,
+                lschema={v: o for v in acc_vars},
+                rschema={v: o for v in svars})
+            # hash_join column order: on + left-extra + right-extra
+            acc_vars = (on + [v for v in acc_vars if v not in on]
+                        + [v for v in svars if v not in on])
+    return acc, list(acc_vars)
 
 
 def bgp_match(
@@ -264,63 +417,29 @@ def bgp_match(
       join a Dataset instead."""
     if not patterns:
         raise ValueError("empty BGP")
-    scans = [_pattern_scan(triples, p, closure_rounds)
-             for p in patterns]
+    # ONE multiplexed corpus pass covering the mandatory patterns AND
+    # every MINUS / OPTIONAL group's plain patterns — property-path
+    # patterns ride their own closure relation and can't share it
+    groups: list[list[tuple[str, str, str]]] = (
+        [list(patterns)] + [list(g) for g in (minus or [])]
+        + [list(g) for g in (optional or [])])
+    plain = [(gi, pi) for gi, g in enumerate(groups)
+             for pi, p in enumerate(g) if not _is_path(p[1])]
+    mux = _multiplex_scans(
+        triples, [groups[gi][pi] for gi, pi in plain])
+    scan_map: dict[tuple[int, int], tuple[ray.data.Dataset, list[str]]]
+    scan_map = dict(zip(plain, mux))
+    for gi, g in enumerate(groups):
+        for pi, p in enumerate(g):
+            if _is_path(p[1]):
+                scan_map[(gi, pi)] = _pattern_scan(
+                    triples, p, closure_rounds)
 
-    # greedy left-deep order: seed with the most-constant pattern, then
-    # always extend across a shared variable, fewest new vars first
-    n_const = [sum(not _is_var(t) for t in p) for p in patterns]
-    order = [max(range(len(scans)),
-                 key=lambda i: (n_const[i], -len(scans[i][1])))]
-    done = {order[0]}
-    bound = set(scans[order[0]][1])
-    while len(done) < len(scans):
-        cands = [i for i in range(len(scans)) if i not in done
-                 and bound & set(scans[i][1])]
-        if not cands:
-            missing = [patterns[i] for i in range(len(scans))
-                       if i not in done]
-            raise ValueError(
-                f"disconnected BGP: {missing} share no variable with "
-                "the rest; evaluate the components separately")
-        nxt = min(cands, key=lambda i: (len(set(scans[i][1]) - bound),
-                                        -n_const[i]))
-        order.append(nxt)
-        done.add(nxt)
-        bound |= set(scans[nxt][1])
+    def group_scans(gi: int) -> list:
+        return [scan_map[(gi, pi)] for pi in range(len(groups[gi]))]
 
-    o = np.dtype("O")
-    acc, acc_vars = scans[order[0]]
-    for i in order[1:]:
-        scan, svars = scans[i]
-        on = [v for v in acc_vars if v in svars]
-        # adaptive join strategy (the AQE move): the accumulating
-        # solution set starts at the most-selective pattern and often
-        # stays small — materialize it, and when it is under the
-        # broadcast threshold ship it to every scan task instead of
-        # bucket-shuffling BOTH sides.  Each broadcast hop removes two
-        # all-to-all barriers from the chain, which is what dominates
-        # wall-time at small-intermediate sizes (BASELINE.md bgp_query
-        # note); past the threshold the plan degrades gracefully to
-        # the co-partitioning hash join.
-        if broadcast_threshold > 0:
-            acc = acc.materialize()
-        if (broadcast_threshold > 0
-                and acc.count() <= broadcast_threshold):
-            from pyrdf2vec_ray.ops.join import broadcast_join
-
-            acc = broadcast_join(scan, acc, on=on)
-            # merge column order: scan cols, then acc extras
-            acc_vars = (list(svars)
-                        + [v for v in acc_vars if v not in svars])
-        else:
-            acc = hash_join(
-                acc, scan, on=on, num_buckets=num_buckets,
-                lschema={v: o for v in acc_vars},
-                rschema={v: o for v in svars})
-            # hash_join column order: on + left-extra + right-extra
-            acc_vars = (on + [v for v in acc_vars if v not in on]
-                        + [v for v in svars if v not in on])
+    acc, acc_vars = _eval_group(
+        group_scans(0), patterns, broadcast_threshold, num_buckets)
 
     if values:
         for var in values:
@@ -362,9 +481,10 @@ def bgp_match(
 
         acc = acc.map_batches(apply_filters, batch_format="pandas")
 
-    for group in (minus or []):
-        sub = bgp_match(triples, group, num_buckets=num_buckets,
-                        closure_rounds=closure_rounds)
+    o = np.dtype("O")
+    for gi, group in enumerate(minus or [], start=1):
+        sub, _ = _eval_group(group_scans(gi), group,
+                             broadcast_threshold, num_buckets)
         sub_vars = _bgp_vars(group)
         on = [v for v in acc_vars if v in sub_vars]
         if not on:
@@ -381,9 +501,10 @@ def bgp_match(
             lschema={v: o for v in acc_vars},
             rschema={v: o for v in on})
 
-    for group in (optional or []):
-        sub = bgp_match(triples, group, num_buckets=num_buckets,
-                        closure_rounds=closure_rounds)
+    n_minus = len(minus or [])
+    for gi, group in enumerate(optional or [], start=1 + n_minus):
+        sub, _ = _eval_group(group_scans(gi), group,
+                             broadcast_threshold, num_buckets)
         sub_vars = _bgp_vars(group)
         on = [v for v in acc_vars if v in sub_vars]
         if not on:
