@@ -314,7 +314,8 @@ def q_walks_reverse(sf_dir: str):
 def q_walks_ngram(sf_dir: str):
     """NGramWalker (W4, ngram.py:60-113): depth-2 customer walks with the
     token at even index >= grams replaced by the deterministic id of the
-    trailing 3-gram (two-phase global assignment, lexicographic ids)."""
+    trailing 3-gram (two-phase global assignment; ids = rank by
+    (md5(key), key) via shuffle.dense_ids — no driver-resident map)."""
     from pyrdf2vec_ray.walkers import WalkerSpec, extract_walks
 
     gi = _graph_index(sf_dir, sharded=True)
@@ -4245,6 +4246,38 @@ def q_rdf2vec_scale_path(sf_dir: str):
     )
 
 
+def q_fasttext_dist(sf_dir: str):
+    """FastText on the parameter-server path (VERDICT r4 item 4):
+    sharded graph → walks Dataset → DistributedFastText fit_dataset
+    (PS-trained word vectors; ngram-bucket matrix reduced by ONE bucket
+    shuffle over the shard-streamed (token, vector) Dataset — never a
+    driver-held 2M×dim matrix) → vectors for fitted entities plus one
+    OOV probe resolved as the mean of its bucket vectors.  Rows-only
+    (distributed SGD is not SQL-expressible); the bucket algebra's
+    parity with the single-actor trainer is pinned by
+    tests/test_distributed_w2v.py."""
+    import pyarrow as _pa
+
+    from pyrdf2vec_ray.embedders_dist import DistributedFastText
+    from pyrdf2vec_ray.walkers import WalkerSpec, explode_walks, extract_walks
+
+    gi = _graph_index(sf_dir, sharded=True)
+    entities = _customer_entities(sf_dir)[:100]
+    spec = WalkerSpec(strategy="random", max_depth=2, max_walks=6,
+                      random_state=23)
+    walks = explode_walks(extract_walks(gi, entities, spec, batch_size=64))
+    m = DistributedFastText(bucket=100_000, num_workers=2, num_ps=2,
+                            vector_size=16, epochs=2, seed=23) \
+        .fit_dataset(walks)
+    probe = entities + ["http://example.org#customer_oov"]
+    vecs = m.transform(probe)
+    return _pa.table(
+        {"entity": _pa.array(probe, _pa.string()),
+         "vector": _pa.array([v.tolist() for v in vecs],
+                             _pa.list_(_pa.float32()))}
+    )
+
+
 def _joined_walks(gi, entities, spec, batch_size=64):
     from pyrdf2vec_ray.walkers import extract_walks
 
@@ -5210,6 +5243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "construct_checkpointed": q_construct_checkpointed,
         "rdf2vec_embeddings": q_rdf2vec_embeddings,
         "rdf2vec_scale_path": q_rdf2vec_scale_path,
+        "fasttext_dist": q_fasttext_dist,
         "walks_community": q_walks_community,
         "walks_wide_sampled": q_walks_wide_sampled,
     }.items()}
@@ -5439,9 +5473,12 @@ def oracle_sql() -> dict[str, str]:
                      'region:' || n_regionkey AS e2
               FROM customer JOIN nation ON c_nationkey = n_nationkey
             ), ids AS (
+              -- shuffle.dense_ids bijection: rank by (md5(key), key) —
+              -- partition-independent, no global lexicographic sort
               SELECT e1, p2, e2,
                      CAST(dense_rank() OVER (
-                       ORDER BY e1 || chr(31) || p2 || chr(31) || e2
+                       ORDER BY md5(e1 || chr(31) || p2 || chr(31) || e2),
+                                e1 || chr(31) || p2 || chr(31) || e2
                      ) - 1 AS VARCHAR) AS g4
               FROM (SELECT DISTINCT e1, p2, e2 FROM walks)
             )

@@ -108,6 +108,18 @@ class ParamShard:
             self.C[local_rows[m]] = Cs
         return int(hit.sum())
 
+    def arrow_rows(self, names: np.ndarray):
+        """This shard's (token, vector) rows as one Arrow table — the
+        building block for streaming the trained matrix OUT as a
+        Dataset (``from_arrow_refs``) without a driver collect."""
+        import pyarrow as pa
+
+        return pa.table(
+            {"token": pa.array([str(n) for n in names], pa.string()),
+             "vector": pa.array([r.tolist() for r in self.W],
+                                pa.list_(pa.float32()))}
+        )
+
     def write_parquet(self, path: str, names: np.ndarray) -> int:
         """Resumable per-shard embeddings sink: this shard's rows only."""
         import pyarrow as pa
@@ -540,3 +552,168 @@ class DistributedWord2Vec:
                 )
             )
         return int(sum(ray.get(futures)))
+
+
+class DistributedFastText(DistributedWord2Vec):
+    """FastText on the parameter-server topology (reference
+    embedders/fasttext.py:130-156; completes the north_star
+    "parameter-server embedder" story for the subword variant).
+
+    Word vectors train exactly like :class:`DistributedWord2Vec`.  The
+    ngram-bucket matrix — bucket vector = mean of the word vectors whose
+    subwords FNV-1a-hash to it — is computed DISTRIBUTED: each
+    ParamShard streams its rows out as a (token, vector) Dataset
+    (``from_arrow_refs``, never a driver collect), tokens fan out to one
+    row per (bucket, vector), and ONE bucket shuffle reduces the means,
+    so the 2M-bucket × dim matrix never lives on any single process.
+    Group rows are summed in sorted-token order, so bucket vectors are
+    deterministic under any partitioning (pairwise float32 summation —
+    agrees with the single-actor accumulation to float tolerance, pinned
+    by tests/test_distributed_w2v.py).  OOV ``transform`` pulls ONLY the
+    buckets the requested entities hash to (a filter over the bucket
+    Dataset, bounded by #entities × ngrams)."""
+
+    def __init__(self, bucket: int = 2_000_000, func_computing_ngrams=None,
+                 num_workers: int = 4, num_ps: int = 2, **kwargs):
+        kwargs.setdefault("vector_size", 500)
+        super().__init__(num_workers=num_workers, num_ps=num_ps, **kwargs)
+        self.bucket = bucket
+        from pyrdf2vec_ray.embedders import compute_ngrams_bytes
+
+        self.func_computing_ngrams = func_computing_ngrams or compute_ngrams_bytes
+        self._bucket_ds = None
+
+    def ft_ngram_hashes(self, entity: str) -> list[int]:
+        from pyrdf2vec_ray.embedders import ft_hash_bytes
+
+        return [
+            ft_hash_bytes(n) % self.bucket
+            for n in self.func_computing_ngrams(entity, 0, 0)
+        ]
+
+    # -- bucket matrix --------------------------------------------------------
+
+    def _vectors_dataset(self):
+        """Trained (token, vector) rows as a Dataset, one Arrow block
+        per ParamShard — parameters stream shard→object store→tasks."""
+        import ray.data
+
+        refs = [
+            p.arrow_rows.remote(self.vocab[lo:hi])
+            for (lo, hi), p in zip(self._bounds, self._ps)
+        ]
+        return ray.data.from_arrow_refs(refs)
+
+    def _fit_buckets(self):
+        import pandas as pd
+        import pyarrow as pa
+
+        from pyrdf2vec_ray import shuffle
+
+        B = self.bucket
+        fn_ngrams = self.func_computing_ngrams
+        from pyrdf2vec_ray.embedders import ft_hash_bytes
+
+        def fanout(batch: pa.Table) -> pa.Table:
+            toks = batch["token"].to_pylist()
+            idx, buckets = [], []
+            for i, t in enumerate(toks):
+                for n in fn_ngrams(t, 0, 0):
+                    idx.append(i)
+                    buckets.append(ft_hash_bytes(n) % B)
+            taken = batch.take(pa.array(idx, pa.int64()))
+            return pa.table({
+                "bkt": pa.array(buckets, pa.int64()),
+                "token": taken["token"],
+                "vector": taken["vector"],
+            })
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["bkt", "token"], kind="stable")
+            out_b, out_v = [], []
+            for b, sub in g.groupby("bkt", sort=False):
+                M = np.stack(sub["vector"].to_numpy())
+                out_b.append(int(b))
+                out_v.append((M.sum(axis=0) / len(M)).astype(np.float32)
+                             .tolist())
+            return pd.DataFrame({"bkt": out_b, "vector": out_v})
+
+        def to_arrow(batch: pd.DataFrame) -> pa.Table:
+            return pa.table({
+                "bucket": pa.array(batch["bkt"].tolist(), pa.int64()),
+                "vector": pa.array(batch["vector"].tolist(),
+                                   pa.list_(pa.float32())),
+            })
+
+        self._bucket_ds = (
+            shuffle.bucket_apply(
+                self._vectors_dataset().map_batches(
+                    fanout, batch_format="pyarrow"
+                ),
+                ["bkt"], per_bucket, batch_format="pandas",
+            )
+            .map_batches(to_arrow, batch_format="pandas")
+            .materialize()
+        )
+
+    def fit(self, walks, is_update: bool = False) -> "DistributedFastText":
+        super().fit(walks, is_update)
+        self._fit_buckets()
+        return self
+
+    def fit_dataset(self, walks_ds, is_update: bool = False) -> "DistributedFastText":
+        super().fit_dataset(walks_ds, is_update)
+        self._fit_buckets()
+        return self
+
+    # -- lookup ---------------------------------------------------------------
+
+    def _lookup_buckets(self, needed: set) -> dict:
+        """Fetch ONLY the requested buckets' vectors (semi-filter over
+        the bucket Dataset — result bounded by |needed|)."""
+        import pyarrow as pa
+
+        if not needed or self._bucket_ds is None:
+            return {}
+        need = np.array(sorted(int(h) for h in needed), dtype=np.int64)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            b = batch["bucket"].to_numpy()
+            mask = np.isin(b, need)
+            return batch.filter(pa.array(mask))
+
+        out: dict[int, np.ndarray] = {}
+        for t in self._bucket_ds.map_batches(
+            filt, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for b, v in zip(t["bucket"].to_pylist(), t["vector"].to_pylist()):
+                out[int(b)] = np.asarray(v, dtype=np.float32)
+        return out
+
+    def get_vector(self, entity: str) -> np.ndarray:
+        return self.transform([entity])[0]
+
+    def transform(self, entities: list[str]) -> list[np.ndarray]:
+        """In-vocab → ParamShard rows; OOV → mean of its ngram-bucket
+        vectors (fasttext.py:130-156 semantics)."""
+        invocab = [e for e in entities if e in self]
+        pulled = dict(zip(invocab, self._pull_vectors(invocab))) \
+            if invocab else {}
+        oov = [e for e in entities if e not in pulled]
+        bucket_vecs = self._lookup_buckets(
+            {h for e in oov for h in self.ft_ngram_hashes(e)}
+        ) if oov else {}
+        dim = self._cfg.vector_size
+        out = []
+        for e in entities:
+            if e in pulled:
+                out.append(pulled[e])
+                continue
+            vec = np.zeros(dim, dtype=np.float32)
+            hits = 0
+            for h in self.ft_ngram_hashes(e):
+                if h in bucket_vecs:
+                    vec += bucket_vecs[h]
+                    hits += 1
+            out.append(vec / hits if hits else vec)
+        return out

@@ -98,10 +98,9 @@ class LiteralExtractor:
             from pyrdf2vec_ray.state.sharded_graph import ShardedLocalGraph
 
             fwd_refs, rev_refs = shard_refs
-            self.g = ShardedLocalGraph(
-                [ray.get(r) for r in fwd_refs],
-                [ray.get(r) for r in rev_refs],
-            )
+            # lazy: chain traversal touches only the shards its names
+            # route to (shard-owner routing, VERDICT r4 item 2)
+            self.g = ShardedLocalGraph.from_refs(fwd_refs, rev_refs)
             self._plit = pliterals_names
         else:
             self.g = LocalGraph(ray.get(graph_ref))

@@ -139,20 +139,57 @@ class ShardedGraphIndex:
         )
 
     def local(self) -> "ShardedLocalGraph":
-        return ShardedLocalGraph(
-            [ray.get(r) for r in self.fwd_refs],
-            [ray.get(r) for r in self.rev_refs],
-        )
+        """Lazy worker/driver-side view: shards resolve from the object
+        store on FIRST TOUCH (shard-owner routing, VERDICT r4 item 2) —
+        a consumer that only walks shard s's entities maps shard s plus
+        the shards its hops actually cross, not all 2·S."""
+        return ShardedLocalGraph.from_refs(self.fwd_refs, self.rev_refs)
 
 
 class ShardedLocalGraph:
-    """Worker-side view over all shard arrays (zero-copy object-store
-    maps on the node that holds them).  Keys are vertex NAMES."""
+    """Worker-side view over the shard arrays (zero-copy object-store
+    maps on the node that holds them).  Keys are vertex NAMES.
+
+    Two forms: the eager constructor takes resolved array lists
+    (tests / already-local state); :meth:`from_refs` takes object refs
+    and resolves each (direction, shard) LAZILY on first touch — the
+    multi-node story: walk batches are routed by ``crc32(entity) % S``
+    (see ``walkers.extract_walks``), so an actor pinned to shard s maps
+    s's arrays plus on-demand pulls for the shards its hops cross,
+    O(graph/S + touched) per worker instead of O(graph).
+    ``mapped_count()`` reports how many (direction, shard) slots are
+    resident — pinned by tests/test_sharded_graph.py."""
 
     def __init__(self, fwd: list[GraphArrays], rev: list[GraphArrays]):
-        self.fwd = fwd
-        self.rev = rev
-        self.num_shards = len(fwd)
+        self.fwd = list(fwd)
+        self.rev = list(rev)
+        self.num_shards = len(self.fwd)
+        self._fwd_refs: list | None = None
+        self._rev_refs: list | None = None
+
+    @classmethod
+    def from_refs(cls, fwd_refs: list, rev_refs: list) -> "ShardedLocalGraph":
+        self = cls.__new__(cls)
+        self.fwd = [None] * len(fwd_refs)
+        self.rev = [None] * len(rev_refs)
+        self.num_shards = len(fwd_refs)
+        self._fwd_refs = list(fwd_refs)
+        self._rev_refs = list(rev_refs)
+        return self
+
+    def _shard(self, s: int, is_reverse: bool) -> GraphArrays:
+        arrs = self.rev if is_reverse else self.fwd
+        a = arrs[s]
+        if a is None:
+            refs = self._rev_refs if is_reverse else self._fwd_refs
+            a = arrs[s] = ray.get(refs[s])
+        return a
+
+    def mapped_count(self) -> int:
+        """Resident (direction, shard) slots — the per-worker memory
+        footprint the lazy routing bounds."""
+        return (sum(a is not None for a in self.fwd)
+                + sum(a is not None for a in self.rev))
 
     def _local_id(self, arrays: GraphArrays, name: str) -> int:
         i = int(np.searchsorted(arrays.names, name))
@@ -165,7 +202,7 @@ class ShardedLocalGraph:
         — the same order the broadcast CSR yields, so sampled walks match
         across backends."""
         s = shard_of(name, self.num_shards)
-        a = self.rev[s] if is_reverse else self.fwd[s]
+        a = self._shard(s, is_reverse)
         vid = self._local_id(a, name)
         if vid < 0:
             empty = a.names[:0]
@@ -181,11 +218,11 @@ class ShardedLocalGraph:
         as some triple's subj (→ key of its forward shard) or obj (→ key
         of its reverse shard); both checks hit exactly one shard each."""
         s = shard_of(name, self.num_shards)
-        f = self.fwd[s]
+        f = self._shard(s, False)
         vid = self._local_id(f, name)
         if vid >= 0 and f.fwd_indptr[vid + 1] > f.fwd_indptr[vid]:
             return True
-        r = self.rev[s]
+        r = self._shard(s, True)
         vid = self._local_id(r, name)
         return vid >= 0 and r.rev_indptr[vid + 1] > r.rev_indptr[vid]
 

@@ -145,17 +145,18 @@ class WalkExtractor:
         self.sharded = shard_refs is not None
         if self.sharded:
             fwd_refs, rev_refs = shard_refs
-            self.g = ShardedLocalGraph(
-                [ray.get(r) for r in fwd_refs],
-                [ray.get(r) for r in rev_refs],
-            )
+            # lazy shard-owner routing: entity batches arrive routed by
+            # crc32(entity) % S (extract_walks), so this worker resolves
+            # its batch's shard + the shards its hops cross on demand —
+            # O(graph/S + touched) resident, not all 2·S refs
+            self.g = ShardedLocalGraph.from_refs(fwd_refs, rev_refs)
             key_cast = str
         else:
             self.g = LocalGraph(ray.get(graph_ref))
             key_cast = int
         self.spec = spec
         if isinstance(entities_ref, tuple):   # sharded keep-set refs
-            self.entities = ShardedKeepSet([ray.get(r) for r in entities_ref])
+            self.entities = ShardedKeepSet.from_refs(entities_ref)
         else:
             self.entities = ray.get(entities_ref)
         self.custom_fn = custom_fn
@@ -261,13 +262,28 @@ class ShardedKeepSet:
     map shards zero-copy, the driver only ever holds refs."""
 
     def __init__(self, shards: list[np.ndarray]):
-        self.shards = shards
-        self.num_shards = len(shards)
+        self.shards = list(shards)
+        self.num_shards = len(self.shards)
+        self._refs: list | None = None
+
+    @classmethod
+    def from_refs(cls, refs) -> "ShardedKeepSet":
+        """Lazy form: shard name arrays resolve from the object store on
+        first touch — under shard-routed walk batches a worker maps only
+        the keep shards its walks actually reference."""
+        self = cls.__new__(cls)
+        self.shards = [None] * len(refs)
+        self.num_shards = len(refs)
+        self._refs = list(refs)
+        return self
 
     def __contains__(self, name) -> bool:
         import zlib
 
-        a = self.shards[zlib.crc32(str(name).encode()) % self.num_shards]
+        s = zlib.crc32(str(name).encode()) % self.num_shards
+        a = self.shards[s]
+        if a is None:
+            a = self.shards[s] = ray.get(self._refs[s])
         i = int(np.searchsorted(a, name))
         return i < len(a) and a[i] == name
 
@@ -290,10 +306,13 @@ def build_keepset_refs(
     num_shards: int = 8,
     scratch_dir: str | None = None,
 ) -> tuple:
-    """Roots Dataset → tuple of per-shard sorted-name array refs (the
-    ShardedKeepSet halves), via the same shuffle-by-write used for the
-    sharded graph: partitioned parquet by crc32(entity), one build task
-    per shard — the driver streams and never holds the root list."""
+    """Roots Dataset → (tuple of per-shard sorted-name array refs — the
+    ShardedKeepSet halves — , parquet root dir), via the same
+    shuffle-by-write used for the sharded graph: partitioned parquet by
+    crc32(entity), one build task per shard — the driver streams and
+    never holds the root list.  The parquet root doubles as the
+    SHARD-ROUTED walk input: its fragments are shard-pure, so reading
+    it back yields entity batches already grouped by owner shard."""
     import tempfile
 
     from pyrdf2vec_ray.state.sharded_graph import _shard_col
@@ -313,7 +332,7 @@ def build_keepset_refs(
         for s in range(num_shards)
     ]
     ray.wait(refs, num_returns=num_shards, fetch_local=False)
-    return tuple(refs)
+    return tuple(refs), root
 
 
 _EXTRACTOR_CACHE: dict = {}
@@ -375,13 +394,16 @@ def extract_walks(
     sharded = isinstance(gi, ShardedGraphIndex)
     ds_roots = isinstance(entities, ray.data.Dataset)
     custom_fn = _CUSTOM_STRATEGIES.get(spec.strategy)
+    keep_root = None
     if ds_roots:
-        # two consumers (keep-set build + the walk input stream): pin the
-        # roots once or the upstream lineage (often a distinct shuffle)
-        # executes twice.  Root sets are vertex/entity-scale, and the
-        # materialization spills through the object store.
-        entities = entities.select_columns(["entity"]).materialize()
-        entities_ref = build_keepset_refs(
+        # single consumer: the keep-set build WRITES the roots as parquet
+        # partitioned by crc32(entity) % S, and the walk input stream
+        # READS that parquet back — one pass over the (often
+        # distinct-shuffled) upstream lineage, no materialize barrier,
+        # and the read-back fragments are shard-pure so every walk batch
+        # arrives already routed to its owner shard.
+        entities = entities.select_columns(["entity"])
+        entities_ref, keep_root = build_keepset_refs(
             entities, num_shards=gi.num_shards if sharded else 8
         )
     labels_ref = None
@@ -446,7 +468,12 @@ def extract_walks(
             )
 
     if ds_roots:
-        ents_ds = entities   # already projected + materialized above
+        # shard-routed walk input (VERDICT r4 item 2): the keep-set
+        # parquet fragments are shard-pure, so the lazy ShardedLocalGraph
+        # in each task resolves its batch's owner shard plus the shards
+        # its hops cross — O(graph/S + touched) resident per worker, not
+        # all 2·S shard arrays.
+        ents_ds = ray.data.read_parquet(keep_root).select_columns(["entity"])
     else:
         ents_ds = ray.data.from_arrow(
             pa.table({"entity": pa.array(entities, pa.string())})
@@ -588,11 +615,26 @@ def halk_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset:
 
 
 def ngram_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset:
-    """NGram two-phase deterministic id assignment (SURVEY.md W4): collect
-    distinct n-gram keys (local distinct per batch → global unique), order
-    lexicographically for reproducible ids (the reference's ids are
-    mp-worker encounter-order dependent, ngram.py:79-81 — equivalence is a
-    consistent bijection), then rewrite."""
+    """NGram two-phase deterministic id assignment (SURVEY.md W4),
+    fully distributed (VERDICT r4 item 3 — no driver-resident id map):
+
+    1. distinct n-gram keys → ``shuffle.dense_ids`` — closed-form
+       hash-range ranking, ids = 0-based rank by ``(md5(key), key)``,
+       bit-reproducible in SQL and independent of partitioning;
+    2. walk variants explode to one row per n-gram SLOT (each carrying
+       the full variant, so no skeleton stream), key-bucket join against
+       the id table, regroup by entity to substitute and re-set.
+
+    The reference's ids are mp-worker encounter-order dependent
+    (ngram.py:79-81) — equivalence is a consistent bijection; the
+    ``walks_ngram`` oracle pins this one with
+    ``dense_rank() OVER (ORDER BY md5(k), k) - 1``.  Distinct n-grams of
+    a 100-TB corpus are unbounded, so the id map is never collected."""
+    import pandas as pd
+
+    from pyrdf2vec_ray import shuffle
+    from pyrdf2vec_ray.ops.join import hash_join
+
     grams, wildcards = spec.grams, spec.wildcards
     SEP = "\x1f"
     walks_ds = walks_ds.materialize()   # consumed twice (keys + rewrite)
@@ -608,43 +650,83 @@ def ngram_post(walks_ds: ray.data.Dataset, spec: WalkerSpec) -> ray.data.Dataset
             for walk in walks:
                 for w in walk_and_variants(walk):
                     keys.update(SEP.join(k) for k in canon.ngram_keys(w, grams))
-        return pa.table({"key": sorted(keys)})
+        return pa.table({"key": pa.array(sorted(keys), pa.string())})
 
-    keys_ds = walks_ds.map_batches(partial_keys, batch_format="pyarrow")
-    # per-batch distinct → driver union (ds.unique is a sort-based groupby
-    # that degrades with many distinct keys); the id map is broadcast state
-    # and must fit the driver anyway
-    distinct = sorted(
-        {k for b in keys_ds.iter_batches(batch_format="pyarrow")
-         for k in b["key"].to_pylist()}
+    ids_ds = shuffle.dense_ids(
+        walks_ds.map_batches(partial_keys, batch_format="pyarrow"), "key"
     )
-    id_map = {tuple(k.split(SEP)): str(i) for i, k in enumerate(distinct)}
-    map_ref = ray.put(id_map)
 
-    ckey = str(map_ref)
-
-    def rewrite(batch: pa.Table) -> pa.Table:
-        # worker-process cache: the id map is deserialized once per worker,
-        # not copied on every batch (same pattern as the extractor cache)
-        nmap = _EXTRACTOR_CACHE.get(ckey)
-        if nmap is None:
-            nmap = dict(ray.get(map_ref))
-            _EXTRACTOR_CACHE[ckey] = nmap
-        ents, outs = [], []
+    def hole_rows(batch: pa.Table) -> pa.Table:
+        """One row per (variant, n-gram slot); slotless variants (short
+        walks the n-gram window never covers) get a slot=-1 sentinel row
+        so they survive the left join unchanged."""
+        ents, vjs, slots, keys = [], [], [], []
         for entity, walks in zip(
             batch["entity"].to_pylist(), batch["walks"].to_pylist()
         ):
-            out: set[tuple] = set()
+            seen: set = set()   # entities are row-unique: dedup in-row
             for walk in walks:
                 for w in walk_and_variants(walk):
-                    out.add(canon.take_n_grams(w, grams, nmap))
-            ents.append(entity)
-            outs.append([list(t) for t in sorted(out)])
+                    vj = SEP.join(w)
+                    if vj in seen:
+                        continue
+                    seen.add(vj)
+                    n_slots = 0
+                    for i in range(len(w)):
+                        if i == 0 or i % 2 == 1 or i < grams:
+                            continue
+                        ents.append(entity)
+                        vjs.append(vj)
+                        slots.append(i)
+                        keys.append(SEP.join(w[max(0, i - (grams - 1)): i + 1]))
+                        n_slots += 1
+                    if n_slots == 0:
+                        ents.append(entity)
+                        vjs.append(vj)
+                        slots.append(-1)
+                        keys.append("")
+        return pa.table({
+            "entity": pa.array(ents, pa.string()),
+            "vj": pa.array(vjs, pa.string()),
+            "slot": pa.array(slots, pa.int64()),
+            "key": pa.array(keys, pa.string()),
+        })
+
+    holes = walks_ds.map_batches(hole_rows, batch_format="pyarrow")
+    joined = hash_join(
+        holes, ids_ds, on=["key"], how="left",
+        lschema={"entity": "object", "vj": "object", "slot": "int64",
+                 "key": "object"},
+        rschema={"key": "object", "vid": "int64"},
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_e, out_w = [], []
+        for entity, sub in g.groupby("entity", sort=False):
+            walks_set: set = set()
+            for vj, sub2 in sub.groupby("vj", sort=False):
+                toks = vj.split(SEP)
+                for slot, vid in zip(
+                    sub2["slot"].to_numpy(), sub2["vid"].to_numpy()
+                ):
+                    if slot >= 0:
+                        toks[slot] = str(int(vid))
+                walks_set.add(tuple(toks))
+            out_e.append(entity)
+            out_w.append([list(t) for t in sorted(walks_set)])
+        return pd.DataFrame({"entity": out_e, "walks": out_w})
+
+    out = shuffle.bucket_apply(
+        joined, ["entity"], per_bucket, batch_format="pandas"
+    )
+
+    def to_schema(batch: pd.DataFrame) -> pa.Table:
         return pa.Table.from_pydict(
-            {"entity": ents, "walks": outs}, schema=WALKS_SCHEMA
+            {"entity": batch["entity"].tolist(),
+             "walks": batch["walks"].tolist()}, schema=WALKS_SCHEMA
         )
 
-    return walks_ds.map_batches(rewrite, batch_format="pyarrow")
+    return out.map_batches(to_schema, batch_format="pandas")
 
 
 def explode_walks(walks_ds: ray.data.Dataset) -> ray.data.Dataset:

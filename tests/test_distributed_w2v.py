@@ -65,3 +65,63 @@ def test_transform_unknown_raises():
     m = DistributedWord2Vec(num_workers=2, vector_size=8, epochs=1, seed=2).fit(CORPUS)
     with pytest.raises(ValueError, match="provided to fit"):
         m.transform(["zz_unknown"])
+
+
+def test_distributed_fasttext_buckets_and_oov():
+    """DistributedFastText (PS path): the distributed bucket reduce must
+    agree with the single-actor accumulation (fasttext.py:130-156 —
+    bucket vector = mean of word vectors whose subwords hash to it)
+    computed from the SAME trained matrix, and OOV transform = mean of
+    its ngram-bucket vectors."""
+    from pyrdf2vec_ray.embedders import ft_hash_bytes, compute_ngrams_bytes
+    from pyrdf2vec_ray.embedders_dist import DistributedFastText
+
+    B = 997
+    m = DistributedFastText(bucket=B, num_workers=2, num_ps=2,
+                            vector_size=8, epochs=2, seed=7).fit(CORPUS)
+    toks = [str(t) for t in m.vocab]
+    word_vecs = dict(zip(toks, m._pull_vectors(toks)))
+
+    # single-actor bucket algebra over the same word matrix
+    sums, counts = {}, {}
+    for t in toks:
+        for n in compute_ngrams_bytes(t, 0, 0):
+            h = ft_hash_bytes(n) % B
+            if h in sums:
+                sums[h] = sums[h] + word_vecs[t]
+                counts[h] += 1
+            else:
+                sums[h] = word_vecs[t].copy()
+                counts[h] = 1
+    expect = {h: sums[h] / counts[h] for h in sums}
+
+    got = {}
+    for b in m._bucket_ds.iter_batches(batch_format="pyarrow"):
+        for h, v in zip(b["bucket"].to_pylist(), b["vector"].to_pylist()):
+            got[int(h)] = np.asarray(v, dtype=np.float32)
+    assert set(got) == set(expect)
+    for h in expect:
+        assert np.allclose(got[h], expect[h], atol=1e-6), h
+
+    # OOV: '#'-fragment 'a' is in-vocab → vector = mean of the bucket
+    # vectors its ngrams hit (the 'http://x' fragment has no bucket)
+    oov = "http://x#a"
+    vec = m.get_vector(oov)
+    hit_buckets = [h for h in m.ft_ngram_hashes(oov) if h in got]
+    assert hit_buckets
+    assert np.allclose(vec, np.mean([got[h] for h in hit_buckets], axis=0),
+                       atol=1e-6)
+    # in-vocab transform still returns the word vector itself
+    assert np.array_equal(m.transform(["a"])[0], word_vecs["a"])
+
+
+def test_distributed_fasttext_deterministic():
+    from pyrdf2vec_ray.embedders_dist import DistributedFastText
+
+    a = DistributedFastText(bucket=101, num_workers=2, vector_size=8,
+                            epochs=1, seed=4).fit(CORPUS)
+    b = DistributedFastText(bucket=101, num_workers=2, vector_size=8,
+                            epochs=1, seed=4).fit(CORPUS)
+    probe = ["a", "http://x#b", "zz_unseen"]
+    for x, y in zip(a.transform(probe), b.transform(probe)):
+        assert np.array_equal(x, y)

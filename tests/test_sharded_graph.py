@@ -271,3 +271,56 @@ def test_sharded_walk_shape_invariants(pair, depth, max_walks):
             assert len(walks) <= max_walks
         # root present at position 0 for every non-hashed walk
         assert all(w[0] == e for w in walks)
+
+
+def test_lazy_shard_owner_routing(pair):
+    """VERDICT r4 item 2: a worker-side view resolves shards on first
+    touch — one entity's hops map only its owner shard (plus the shards
+    its neighbors route to when asked), never all 2·S up front."""
+    _, sh = pair
+    g = sh.local()
+    assert g.mapped_count() == 0          # nothing resident at creation
+    preds, objs = g.get_hops(IRI + "Alice")
+    assert len(objs) > 0
+    assert g.mapped_count() == 1          # exactly the owner (fwd) shard
+    # existence check touches fwd+rev of ONE shard, not 2·S = 8
+    g.contains_one(IRI + "Emma")
+    assert g.mapped_count() <= 3
+    # parity with the eager form on every vertex in the graph
+    import ray as _ray
+
+    eager = type(g)(
+        [_ray.get(r) for r in sh.fwd_refs],
+        [_ray.get(r) for r in sh.rev_refs],
+    )
+    for name in [IRI + "Alice", IRI + "Julio", synth.entity_iri(0),
+                 IRI + "Nope"]:
+        for rev in (False, True):
+            pl, ol = g.get_hops(name, rev)
+            pe, oe = eager.get_hops(name, rev)
+            assert pl.tolist() == pe.tolist()
+            assert ol.tolist() == oe.tolist()
+
+
+def test_keepset_lazy_and_shard_routed_input(pair, tmp_path):
+    """Dataset roots: the keep-set parquet doubles as the walk input and
+    its fragments are shard-pure; ShardedKeepSet resolves lazily."""
+    import pyarrow.parquet as pq
+    import zlib
+
+    from pyrdf2vec_ray.walkers import ShardedKeepSet, build_keepset_refs
+
+    ents = [IRI + "Alice", IRI + "Bob", IRI + "Carol", synth.entity_iri(5)]
+    ds = ray.data.from_items([{"entity": e} for e in ents])
+    refs, root = build_keepset_refs(ds, num_shards=4,
+                                    scratch_dir=str(tmp_path))
+    ks = ShardedKeepSet.from_refs(refs)
+    assert sum(a is not None for a in ks.shards) == 0
+    assert (IRI + "Alice") in ks and (IRI + "Nope") not in ks
+    assert sum(a is not None for a in ks.shards) <= 2
+    # read-back fragments are shard-pure: every file holds one shard
+    t = pq.read_table(root)
+    for e in t["entity"].to_pylist():
+        assert e in ks   # round-trips
+    shards_seen = {zlib.crc32(e.encode()) % 4 for e in ents}
+    assert len(shards_seen) >= 2   # the fixture actually spans shards
