@@ -2808,6 +2808,62 @@ def q_kg_sparql_text(sf_dir: str):
     """)
 
 
+def q_kg_bgp_union(sf_dir: str):
+    """SPARQL UNION (ops/sparql.py, round 5): entities of region:0
+    nations ∪ entities of nation:7 — each branch runs its own bgp_match
+    plan (branch FILTERs stay branch-local), is projected to the SELECT
+    vars, then ONE bucket shuffle dedups the concat (SELECT-DISTINCT
+    set semantics = the SQL UNION oracle)."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?x ?n WHERE {
+          { ?x in_nation ?n . ?n in_region "region:0" . }
+          UNION
+          { ?x in_nation ?n . FILTER(?n = "nation:7") }
+        }
+    """)
+
+
+def q_kg_bgp_groupsum(sf_dir: str):
+    """SPARQL numeric aggregates (ops/sparql.py, round 5): per-customer
+    SUM/AVG/MIN/MAX/COUNT over order-amount triples, all compiled to
+    ONE bucket_agg shuffle (mergeable partials; AVG = sum/size after
+    the shuffle; MIN/MAX compare the VARCHAR form like the SQL oracle).
+    The KG is augmented with (order:o, total_cents, <int-cents>)
+    numeric-literal triples — integer cents via half-away rounding
+    (matches SQL round()); per-customer cent sums ≪ 2^53 so float64
+    summation is exact in any order on both engines."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy()
+        c = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "subj": pa.array([f"order:{x}" for x in k], pa.string()),
+            "pred": pa.array(["total_cents"] * len(k), pa.string()),
+            "obj": pa.array([str(x) for x in c], pa.string()),
+        })
+
+    triples = _triples(sf_dir).union(
+        orders.map_batches(cents, batch_format="pyarrow")
+    )
+    return sparql_query(triples, """
+        SELECT ?c (SUM(?t) AS ?sum_cents) (AVG(?t) AS ?avg_cents)
+               (MIN(?t) AS ?min_lex) (MAX(?t) AS ?max_lex)
+               (COUNT(?t) AS ?n_orders)
+        WHERE { ?o placed_by ?c . ?o total_cents ?t . } GROUP BY ?c
+    """)
+
+
 def q_walks_sparql_roots(sf_dir: str):
     """The reference's HEADLINE workflow fully in-engine: SPARQL
     selects the entity set (customers of region:4 nations — the role a
@@ -5223,6 +5279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_relational": q_kg_bgp_relational,
         "kg_bgp_path": q_kg_bgp_path,
         "kg_sparql_text": q_kg_sparql_text,
+        "kg_bgp_union": q_kg_bgp_union,
+        "kg_bgp_groupsum": q_kg_bgp_groupsum,
         "kg_describe": q_kg_describe,
         "walks_sparql_roots": q_walks_sparql_roots,
         "lineitem_corr": q_lineitem_corr,
@@ -6575,6 +6633,33 @@ def oracle_sql() -> dict[str, str]:
                            AND t2.pred = 'in_region'
             WHERE t1.pred = 'in_nation'
             GROUP BY t2.obj, t1.obj
+        """,
+        "kg_bgp_union": _TRIPLES_CTE + """
+            SELECT t1.subj AS x, t1.obj AS n
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_region'
+                           AND t2.obj = 'region:0'
+            WHERE t1.pred = 'in_nation'
+            UNION
+            SELECT subj AS x, obj AS n FROM triples
+            WHERE pred = 'in_nation' AND obj = 'nation:7'
+        """,
+        "kg_bgp_groupsum": _TRIPLES_CTE + """,
+            cents AS (
+              SELECT 'order:' || o_orderkey AS o,
+                     CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR) AS t
+              FROM orders
+            )
+            SELECT p.obj AS c,
+                   SUM(CAST(t AS DOUBLE)) AS sum_cents,
+                   AVG(CAST(t AS DOUBLE)) AS avg_cents,
+                   MIN(t) AS min_lex, MAX(t) AS max_lex,
+                   CAST(COUNT(t) AS BIGINT) AS n_orders
+            FROM triples p JOIN cents ON cents.o = p.subj
+            WHERE p.pred = 'placed_by'
+            GROUP BY p.obj
         """,
         "kg_bgp_minus": _TRIPLES_CTE + """
             SELECT t1.subj AS c, t1.obj AS n

@@ -15,6 +15,21 @@ query strings) — for the supported subset:
         VALUES ?v { "x" "y" }        # inline per-var value list
     } [LIMIT n]
 
+    SELECT ?v ... WHERE { { ... } UNION { ... } }   # alternation:
+        each branch (own filters/OPTIONAL/MINUS/VALUES) is evaluated
+        independently, projected to the SELECT vars, concatenated, and
+        deduped with one bucket shuffle — SELECT-DISTINCT set
+        semantics (bag-UNION multiplicities are a documented
+        deviation; the SQL-oracle parity form is UNION, which dedups)
+
+    SELECT ?g (COUNT(?v) AS ?n) (SUM(?x) AS ?s) (AVG(?x) AS ?a)
+           (MIN(?x) AS ?lo) (MAX(?x) AS ?hi)
+    WHERE { ... } GROUP BY ?g        # aggregates compile to ONE
+        bucket_agg shuffle (partials combine per batch); SUM/AVG cast
+        their input to float64 (numeric literals are stored as
+        strings), MIN/MAX compare the raw string form (SQL VARCHAR
+        min/max parity), AVG divides sum/size after the shuffle
+
 Terms: ``?var``, ``"quoted literal"``, ``<iri>`` (angle brackets
 stripped), or a bare token (taken as a constant symbol — this engine's
 triple stores hold plain strings like ``customer:17``).  CONSTRUCT
@@ -100,17 +115,42 @@ class _Parser:
         return tok is not None and tok.upper() in names
 
     def parse_group(self) -> dict:
-        """{ ... } → patterns / filters / optional / minus / values."""
+        """{ ... } → patterns / filters / optional / minus / values /
+        union (a group is EITHER a `{A} UNION {B} [...]` alternation or
+        a plain pattern group — mixing the two raises)."""
         self.expect("{")
         out = {"patterns": [], "filters": [], "optional": [],
-               "minus": [], "values": {}}
+               "minus": [], "values": {}, "union": []}
         while True:
             tok = self.peek()
             if tok is None:
                 raise SparqlSyntaxError("unterminated group (missing })")
             if tok == "}":
                 self.next()
+                if out["union"] and (
+                    out["patterns"] or out["filters"] or out["optional"]
+                    or out["minus"] or out["values"]
+                ):
+                    raise SparqlSyntaxError(
+                        "UNION must be the only member of its group")
                 return out
+            if tok == "{":
+                branches = [self.parse_group()]
+                while self.keyword(self.peek(), "UNION"):
+                    self.next()
+                    branches.append(self.parse_group())
+                if len(branches) == 1:
+                    raise SparqlSyntaxError(
+                        "nested group must be a {A} UNION {B} alternation")
+                # UNION is associative: splice union-only branches flat
+                flat = []
+                for b in branches:
+                    if b["union"]:
+                        flat.extend(b["union"])
+                    else:
+                        flat.append(b)
+                out["union"].extend(flat)
+                continue
             if tok == ".":
                 self.next()
                 continue
@@ -185,18 +225,20 @@ class _Parser:
             if self.keyword(tok, "DISTINCT"):
                 self.next()
             sel: list[str] | None = []
-            aggs: list[tuple[str, str]] = []  # (counted var|'*', alias)
+            # (fn, input var|'*', alias): COUNT/SUM/AVG/MIN/MAX
+            aggs: list[tuple[str, str, str]] = []
             while not self.keyword(self.peek(), "WHERE"):
                 tok = self.next()
                 if tok == "*":
                     sel = None
                     continue
                 if tok == "(":
-                    # (COUNT(?v|*) AS ?alias)
-                    fn = self.next()
-                    if fn.upper() != "COUNT":
+                    # (FN(?v|*) AS ?alias), FN ∈ COUNT SUM AVG MIN MAX
+                    fn = self.next().upper()
+                    if fn not in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
                         raise SparqlSyntaxError(
-                            f"only COUNT aggregates supported, got {fn!r}")
+                            "only COUNT/SUM/AVG/MIN/MAX aggregates "
+                            f"supported, got {fn!r}")
                     self.expect("(")
                     counted = self.next()
                     self.expect(")")
@@ -206,7 +248,10 @@ class _Parser:
                     if not alias.startswith("?"):
                         raise SparqlSyntaxError(
                             f"AS expects a variable, got {alias!r}")
-                    aggs.append((counted, alias[1:]))
+                    if fn != "COUNT" and not counted.startswith("?"):
+                        raise SparqlSyntaxError(
+                            f"{fn} needs a ?variable, got {counted!r}")
+                    aggs.append((fn, counted, alias[1:]))
                     continue
                 if not tok.startswith("?"):
                     raise SparqlSyntaxError(
@@ -304,6 +349,38 @@ def sparql_query(
         closure_rounds=closure_rounds,
         num_buckets=num_buckets,
     )
+
+    def branch_solutions(b: dict, select):
+        bkw = dict(
+            optional=b["optional"] or None, filters=b["filters"] or None,
+            minus=b["minus"] or None, values=b["values"] or None,
+            closure_rounds=closure_rounds, num_buckets=num_buckets,
+        )
+        return bgp_match(triples, b["patterns"], select=select, **bkw)
+
+    def solutions(select):
+        """Solution set for the WHERE group: plain BGP, or `{A} UNION
+        {B}` — each branch evaluated independently (own filters /
+        OPTIONAL / MINUS / VALUES), projected to the SELECT vars (every
+        branch must bind them), concatenated, then deduped with ONE
+        bucket shuffle — SELECT-DISTINCT set semantics, matching a SQL
+        UNION oracle (bag-UNION multiplicities are a documented
+        deviation)."""
+        if g["union"]:
+            if not select:
+                raise SparqlSyntaxError(
+                    "UNION needs explicit SELECT / aggregate variables "
+                    "(each branch is projected to them)")
+            from pyrdf2vec_ray.shuffle import distinct
+
+            parts = [branch_solutions(b, list(select)) for b in g["union"]]
+            return distinct(parts[0].union(*parts[1:]), list(select),
+                            num_buckets=num_buckets)
+        return bgp_match(triples, g["patterns"], select=select, **kwargs)
+
+    if g["union"] and q["form"] in ("CONSTRUCT", "DESCRIBE"):
+        raise SparqlSyntaxError(
+            f"UNION is supported for SELECT/ASK, not {q['form']}")
     if q["form"] == "CONSTRUCT":
         out = bgp_construct(triples, g["patterns"], q["template"],
                             **{k: v for k, v in kwargs.items()
@@ -317,28 +394,80 @@ def sparql_query(
                               if k != "num_buckets"},
                            num_buckets=num_buckets)
     elif q["form"] == "ASK":
-        sols = bgp_match(triples, g["patterns"], **kwargs)
-        hit = len(sols.limit(1).take(1)) > 0
+        if g["union"]:
+            hit = any(
+                len(branch_solutions(b, None).limit(1).take(1)) > 0
+                for b in g["union"]
+            )
+        else:
+            sols = bgp_match(triples, g["patterns"], **kwargs)
+            hit = len(sols.limit(1).take(1)) > 0
         return ray.data.from_items([{"ask": hit}])
     elif "aggs" in q:
-        if len(q["aggs"]) != 1:
-            raise SparqlSyntaxError("exactly one COUNT aggregate "
-                                    "supported per query")
+        import pandas as pd
+
+        from pyrdf2vec_ray.shuffle import bucket_agg, bucket_count
+
         gvars = q.get("groupby") or q.get("select") or []
         if not gvars:
             raise SparqlSyntaxError(
-                "COUNT needs GROUP BY (global counts: GROUP BY a "
-                "constant-bound variable)")
-        from pyrdf2vec_ray.shuffle import bucket_count
+                "aggregates need GROUP BY (global aggregates: GROUP BY "
+                "a constant-bound variable)")
+        in_vars = [v[1:] for _, v, _ in q["aggs"] if v.startswith("?")]
+        need = list(dict.fromkeys(list(gvars) + in_vars))
+        sols = solutions(need)
+        if len(q["aggs"]) == 1 and q["aggs"][0][0] == "COUNT":
+            # over a null-free solution set COUNT(?v) == COUNT(*)
+            out = bucket_count(sols.select_columns(list(gvars)), list(gvars),
+                               count_col=q["aggs"][0][2],
+                               num_buckets=num_buckets)
+        else:
+            # SUM/AVG cast their input to float64 (numeric literals are
+            # stored as strings); MIN/MAX compare the raw string form
+            # (SQL VARCHAR min/max parity); AVG = mergeable sum + size
+            # partials divided after the ONE bucket shuffle.
+            num_vars = sorted({v[1:] for fn, v, _ in q["aggs"]
+                               if fn in ("SUM", "AVG")})
 
-        sols = bgp_match(triples, g["patterns"], **kwargs)
-        # over a null-free solution set COUNT(?v) == COUNT(*)
-        out = bucket_count(sols.select_columns(gvars), gvars,
-                           count_col=q["aggs"][0][1],
-                           num_buckets=num_buckets)
+            def cast_numeric(batch: pd.DataFrame) -> pd.DataFrame:
+                # derived __num columns: a var can feed SUM (numeric)
+                # and MIN/MAX (raw string) in the same query
+                batch = batch.copy()
+                for v in num_vars:
+                    batch[v + "__num"] = pd.to_numeric(batch[v]) \
+                        .astype("float64")
+                return batch
+
+            work = sols if not num_vars else sols.map_batches(
+                cast_numeric, batch_format="pandas")
+            spec: dict = {}
+            avg_aliases: list[str] = []
+            for fn, v, alias in q["aggs"]:
+                col = v[1:] if v.startswith("?") else gvars[0]
+                if fn == "COUNT":
+                    spec[alias] = (col, "size")
+                elif fn == "AVG":
+                    spec[alias + "__sum"] = (col + "__num", "sum")
+                    spec[alias + "__n"] = (col, "size")
+                    avg_aliases.append(alias)
+                elif fn == "SUM":
+                    spec[alias] = (col + "__num", "sum")
+                else:
+                    spec[alias] = (col, fn.lower())
+            out = bucket_agg(work, list(gvars), spec,
+                             num_buckets=num_buckets)
+            if avg_aliases:
+                def finish_avg(batch: pd.DataFrame) -> pd.DataFrame:
+                    batch = batch.copy()
+                    for a in avg_aliases:
+                        batch[a] = batch[a + "__sum"] / batch[a + "__n"]
+                        batch = batch.drop(
+                            columns=[a + "__sum", a + "__n"])
+                    return batch
+
+                out = out.map_batches(finish_avg, batch_format="pandas")
     else:
-        out = bgp_match(triples, g["patterns"],
-                        select=q.get("select"), **kwargs)
+        out = solutions(q.get("select"))
     if "order" in q:
         # a global sort of the RESULT set (result-sized, not
         # corpus-sized) — the one deliberate all-to-all here

@@ -165,3 +165,90 @@ def test_describe_form():
 def test_describe_unbound_var_raises():
     with pytest.raises(ValueError, match="DESCRIBE var"):
         sparql_query(_ds(), "DESCRIBE ?zzz WHERE { ?a knows ?b . }")
+
+
+def test_union_select_set_semantics():
+    """{A} UNION {B}: branch-independent evaluation, projection to the
+    SELECT vars, distinct concat (both branches bind alice → once)."""
+    out = sparql_query(_ds(), """
+        SELECT ?p WHERE {
+          { ?p lives_in ghent . }
+          UNION
+          { ?p knows bob . }
+        }
+    """)
+    assert _rows(out, ["p"]) == {("alice",), ("bob",)}
+
+
+def test_union_branches_keep_own_modifiers():
+    """A branch's FILTER applies to that branch only."""
+    out = sparql_query(_ds(), """
+        SELECT ?p ?city WHERE {
+          { ?p lives_in ?city . FILTER(?city != "ghent") }
+          UNION
+          { ?p lives_in ?city . ?p knows ?q . }
+        }
+    """)
+    assert _rows(out, ["p", "city"]) == {
+        ("carol", "paris"), ("alice", "ghent"), ("bob", "ghent")}
+
+
+def test_union_three_way_and_ask():
+    out = sparql_query(_ds(), """
+        SELECT ?x WHERE {
+          { ?x lives_in paris . } UNION { ?x in_country be . }
+          UNION { ?x knows alice . }
+        }
+    """)
+    assert _rows(out, ["x"]) == {("carol",), ("ghent",), ("bob",)}
+    ask = sparql_query(_ds(), """
+        ASK { { ?x lives_in nowhere . } UNION { ?x knows bob . } }
+    """).take_all()
+    assert ask == [{"ask": True}]
+
+
+def test_union_mixing_raises():
+    with pytest.raises(SparqlSyntaxError, match="only member"):
+        sparql_query(_ds(), """
+            SELECT ?x WHERE {
+              { ?x lives_in ghent . } UNION { ?x lives_in paris . }
+              ?x knows ?y .
+            }
+        """)
+    with pytest.raises(SparqlSyntaxError, match="UNION"):
+        sparql_query(_ds(), """
+            SELECT ?x WHERE { { ?x lives_in ghent . } }
+        """)
+
+
+def test_numeric_aggregates():
+    """SUM/AVG/MIN/MAX over string-stored numeric literals, grouped —
+    one bucket_agg shuffle; AVG = sum/size after the shuffle."""
+    rows = [
+        ("o1", "placed_by", "alice"), ("o1", "amount", "10"),
+        ("o2", "placed_by", "alice"), ("o2", "amount", "4"),
+        ("o3", "placed_by", "bob"), ("o3", "amount", "7"),
+    ]
+    s, p, o = zip(*rows)
+    ds = ray.data.from_pandas(pd.DataFrame({"subj": s, "pred": p, "obj": o}))
+    out = sparql_query(ds, """
+        SELECT ?c (SUM(?a) AS ?total) (AVG(?a) AS ?mean)
+               (MIN(?a) AS ?lo) (MAX(?a) AS ?hi) (COUNT(?a) AS ?n)
+        WHERE { ?o placed_by ?c . ?o amount ?a . } GROUP BY ?c
+    """).to_pandas().set_index("c").sort_index()
+    assert out.loc["alice", "total"] == 14.0
+    assert out.loc["alice", "mean"] == 7.0
+    assert out.loc["alice", "lo"] == "10"   # VARCHAR min: "10" < "4"
+    assert out.loc["alice", "hi"] == "4"
+    assert out.loc["alice", "n"] == 2
+    assert out.loc["bob", "total"] == 7.0 and out.loc["bob", "n"] == 1
+
+
+def test_aggregate_over_union():
+    out = sparql_query(_ds(), """
+        SELECT ?city (COUNT(?p) AS ?n) WHERE {
+          { ?p lives_in ?city . } UNION { ?p knows ?q . ?q lives_in ?city . }
+        } GROUP BY ?city
+    """).to_pandas().set_index("city")
+    # ghent: alice, bob (both branches agree after dedup); paris: carol
+    assert out.loc["ghent", "n"] == 2 and out.loc["paris", "n"] == 1
