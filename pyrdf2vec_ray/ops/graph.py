@@ -160,6 +160,7 @@ def link_scores(
     b_col: str = "b",
     max_center_degree: int | None = None,
     min_common: int = 1,
+    max_center_fanout: int | None = None,
 ) -> ray.data.Dataset:
     """Link-prediction scores for NON-adjacent vertex pairs sharing at
     least ``min_common`` neighbors: ``(u, w, n_common, aa, jaccard)``
@@ -176,21 +177,30 @@ def link_scores(
     contributing ~nothing to aa (1/ln(d) → 0).  ``max_center_degree``
     drops them BEFORE fan-out — the documented mitigation (Jaccard/AA
     denominators still use FULL degrees), mirroring how production
-    link-prediction prunes super-nodes.  ``min_common`` prunes the pair
-    table before the scoring joins (support threshold).
+    link-prediction prunes super-nodes.  ``max_center_fanout`` (round
+    5) bounds wedge volume HARDER than the cap alone: each surviving
+    center keeps only its first k neighbors in deterministic
+    ``(md5(v), v)`` order, so per-center fan-out is O(k²) regardless of
+    the cap, at a measured recall cost (SQL parity form:
+    ``ROW_NUMBER() OVER (PARTITION BY z ORDER BY md5(v), v) <= k``).
+    ``min_common`` is the support threshold on the aggregated pairs.
 
-    Shuffle shape: one distinct, then ONE center-bucket exchange that
-    does triple duty — the bucket holds every adjacency row of each
-    center z, so deg(z), the hub cap, and the wedge fan-out are all
-    LOCAL group-size operations (no separate degree join feeds the
-    centers) — then one pair-bucket aggregation, one pair-bucket
-    anti-join against the edge set, and two vertex-bucket joins
-    attaching the FULL degrees for Jaccard.  All key-bucketed
-    exchanges (shuffle.bucket_apply); nothing global-sorts and nothing
+    Shuffle shape (round 5 — FOUR key-bucket exchanges, down from
+    seven; measured wall time was barrier count, not wedge volume):
+    (1) one pair-bucket distinct of the canonical edge set; (2) ONE
+    v-keyed exchange annotating every adjacency row with its NEIGHBOR's
+    degree (the bucket holds all rows listing v, so dv is a local group
+    size — replaces the two pair-level degree joins that used to close
+    the pipeline); (3) the z-keyed wedge exchange — deg(z), the hub
+    cap, and the fan-out bound are local group operations, wedge rows
+    carry (invlog, du, dw), and a per-bucket partial combine collapses
+    pairs repeated across this bucket's centers before the shuffle;
+    (4) ONE pair-bucket pass over the tagged union of wedge partials
+    and edge rows that sums n_common/aa, drops adjacent pairs (the
+    anti-join, now in-bucket), applies min_common, and computes Jaccard
+    from the carried full degrees.  Nothing global-sorts and nothing
     reaches the driver."""
-    from pyrdf2vec_ray.ops import join as _join
-    from pyrdf2vec_ray.ops.join import hash_join, hash_semi_join
-    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply, distinct
+    from pyrdf2vec_ray.shuffle import bucket_apply, distinct
 
     def canon(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch[a_col].to_numpy()
@@ -199,9 +209,9 @@ def link_scores(
         a, b = a[keep], b[keep]
         return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
 
-    # e and deg each feed two consumers (wedges + anti-join; centers +
-    # final jaccard joins): materialize once into the object store —
-    # the multi-consumer pattern, not a driver collect.
+    # e feeds two consumers (the adjacency fan-out + the edge-tagged
+    # anti stream): materialize once into the object store — the
+    # multi-consumer pattern, not a driver collect.
     e = distinct(edges.map_batches(canon, batch_format="pandas"),
                  ["a", "b"]).materialize()
 
@@ -213,9 +223,18 @@ def link_scores(
                                   batch["a"].to_numpy()])})
 
     adj = e.map_batches(both_dirs, batch_format="pandas")
-    deg = bucket_agg(adj, ["z"], {"d": ("z", "size")}).materialize()
+
+    def annotate(g: pd.DataFrame) -> pd.DataFrame:
+        # deg(v) = #adjacency rows centered on v = #rows listing v as
+        # the neighbor (undirected symmetry) — a local group size here
+        dv = g.groupby("v")["z"].transform("size")
+        return g.assign(dv=dv.to_numpy())
+
+    ann = bucket_apply(adj, ["v"], annotate, batch_format="pandas")
 
     cap = None if max_center_degree is None else int(max_center_degree)
+    fanout = None if max_center_fanout is None else int(max_center_fanout)
+    mc = int(min_common)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         # deg(z) is exact here: the z-bucket holds ALL rows of each z
@@ -223,69 +242,61 @@ def link_scores(
         if cap is not None:
             g = g[d <= cap]
             d = d[g.index]
-        m = g[["z", "v"]].assign(d=d.to_numpy())
-        j = m.merge(m[["z", "v"]], on="z", suffixes=("", "_2"))
+        m = g[["z", "v", "dv"]].assign(d=d.to_numpy())
+        if fanout is not None:
+            import hashlib
+
+            m = m.assign(_h=[hashlib.md5(str(x).encode()).hexdigest()
+                             for x in m["v"]])
+            m = (m.sort_values(["z", "_h", "v"], kind="mergesort")
+                  .groupby("z", sort=False).head(fanout)
+                  .drop(columns="_h"))
+        j = m.merge(m[["z", "v", "dv"]], on="z", suffixes=("", "_2"))
         j = j[j["v"] < j["v_2"]]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"u": j["v"].to_numpy(), "w": j["v_2"].to_numpy(),
-             "invlog": 1.0 / np.log(j["d"].to_numpy(np.float64))})
+             "invlog": 1.0 / np.log(j["d"].to_numpy(np.float64)),
+             "du": j["dv"].to_numpy(np.int64),
+             "dw": j["dv_2"].to_numpy(np.int64)})
+        # partial combine: a pair reached via several centers of this
+        # bucket collapses to one row before the pair shuffle
+        p = out.groupby(["u", "w", "du", "dw"], as_index=False).agg(
+            n_partial=("invlog", "size"), aa=("invlog", "sum"))
+        p["is_edge"] = False
+        return p[["u", "w", "n_partial", "aa", "du", "dw", "is_edge"]]
 
-    wed = bucket_apply(adj, ["z"], wedges, batch_format="pandas")
-    sc = bucket_agg(wed, ["u", "w"],
-                    {"n_common": ("u", "size"), "aa": ("invlog", "sum")})
+    wed = bucket_apply(ann, ["z"], wedges, batch_format="pandas")
 
-    if min_common > 1:
-        mc = int(min_common)
-
-        def support(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["n_common"] >= mc].reset_index(drop=True)
-
-        sc = sc.map_batches(support, batch_format="pandas")
-
-    def as_ab(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.rename(columns={"u": "a", "w": "b"})
-
-    sc = sc.map_batches(as_ab, batch_format="pandas")
-
-    # Schema hints keep the whole pair chain LAZY and single-execution:
-    # each join would otherwise call .schema() on its input and
-    # re-execute the upstream shuffles once per hop (measured 34s→13s
-    # at sf0.01 for this stage alone).  e/deg are materialized, so
-    # their schemas are free; everything downstream is known statically
-    # from the vertex dtype.
-    vd = next(iter(_join._dtypes_of(e, None).values()))
-    sc_schema = {"a": vd, "b": vd, "n_common": np.dtype("int64"),
-                 "aa": np.dtype("float64")}
-    nonadj = hash_semi_join(sc, e, on=["a", "b"], anti=True,
-                            lschema=sc_schema)
-
-    def rn(new_z, new_d):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.rename(columns={"z": new_z, "d": new_d})
-        return fn
-
-    dd = np.dtype("int64")
-    out = hash_join(nonadj, deg.map_batches(rn("a", "du"),
-                                            batch_format="pandas"),
-                    on=["a"], lschema=sc_schema,
-                    rschema={"a": vd, "du": dd})
-    out = hash_join(out, deg.map_batches(rn("b", "dw"),
-                                         batch_format="pandas"),
-                    on=["b"],
-                    lschema={**sc_schema, "du": dd},
-                    rschema={"b": vd, "dw": dd})
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        nc = batch["n_common"].to_numpy(np.float64)
-        du = batch["du"].to_numpy(np.float64)
-        dw = batch["dw"].to_numpy(np.float64)
+    def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
         return pd.DataFrame(
             {"u": batch["a"].to_numpy(), "w": batch["b"].to_numpy(),
-             "n_common": batch["n_common"].to_numpy().astype(np.int64),
-             "aa": batch["aa"].to_numpy(np.float64),
+             "n_partial": np.zeros(n, np.int64),
+             "aa": np.zeros(n, np.float64),
+             "du": np.zeros(n, np.int64), "dw": np.zeros(n, np.int64),
+             "is_edge": np.ones(n, bool)})
+
+    tagged = wed.union(e.map_batches(edge_rows, batch_format="pandas"))
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        wrows = g[~g["is_edge"]]
+        agg = wrows.groupby(["u", "w"], as_index=False).agg(
+            n_common=("n_partial", "sum"), aa=("aa", "sum"),
+            du=("du", "first"), dw=("dw", "first"))
+        er = g.loc[g["is_edge"], ["u", "w"]]
+        m = agg.merge(er, on=["u", "w"], how="left", indicator=True)
+        m = m[(m["_merge"] == "left_only") & (m["n_common"] >= mc)]
+        nc = m["n_common"].to_numpy(np.float64)
+        du = m["du"].to_numpy(np.float64)
+        dw = m["dw"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {"u": m["u"].to_numpy(), "w": m["w"].to_numpy(),
+             "n_common": m["n_common"].to_numpy().astype(np.int64),
+             "aa": m["aa"].to_numpy(np.float64),
              "jaccard": nc / (du + dw - nc)})
 
-    return out.map_batches(finish, batch_format="pandas")
+    return bucket_apply(tagged, ["u", "w"], score_bucket,
+                        batch_format="pandas")
 
 
 def neighbor_mean_features(

@@ -106,3 +106,37 @@ def test_benford_half_away_rounding():
     assert int(out.get(1, 0)) == 1
     # np.round (half-even) would have produced 2, 2, 10 instead
     assert int(out.get(9, 0)) == 0
+
+
+def test_link_scores_fanout_bound():
+    """max_center_fanout: each center keeps its first k neighbors in
+    (md5(v), v) order — wedge volume O(k^2) per center; kept-neighbor
+    pairs score identically to the unbounded run (full degrees in
+    denominators), dropped pairs are exactly the non-kept ones."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from pyrdf2vec_ray.ops.graph import link_scores
+    from pyrdf2vec_ray.util import to_table
+
+    # star: center c with 6 leaves → all 15 leaf pairs share c
+    leaves = [f"v{i}" for i in range(6)]
+    df = pd.DataFrame({"a": ["c"] * 6, "b": leaves})
+    ds = ray.data.from_pandas(df).repartition(2)
+    full = to_table(link_scores(ds)).to_pandas()
+    assert len(full) == 15
+    k = 3
+    got = to_table(link_scores(ds, max_center_fanout=k)).to_pandas()
+    kept = sorted(leaves, key=lambda v: (
+        hashlib.md5(v.encode()).hexdigest(), v))[:k]
+    expect_pairs = {(u, w) for i, u in enumerate(kept)
+                    for w in kept[i + 1:]}
+    assert {(r.u, r.w) for r in got.itertuples()} == {
+        (min(u, w), max(u, w)) for u, w in expect_pairs}
+    # surviving pairs keep bit-identical scores (full-degree AA/Jaccard)
+    m = full.merge(got, on=["u", "w"], suffixes=("_f", "_g"))
+    assert len(m) == len(got)
+    assert (m["aa_f"] == m["aa_g"]).all()
+    assert (m["jaccard_f"] == m["jaccard_g"]).all()
