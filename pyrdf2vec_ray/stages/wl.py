@@ -171,12 +171,18 @@ def wl_labels_from_dataset(
     join-rounds formulation backing the sharded graph (no CSR, the
     per-triple state NEVER lands on the driver).
 
-    Per iteration, from the previous round's state (T = Dataset of
-    per-triple (subj, obj, pin-label); E = entity-label table,
-    vocabulary-scale, broadcast):
+    Round 5 shape (one exchange FEWER than rounds 3-4: name discovery
+    is fused into iteration 0's suffix shuffle instead of its own
+    bucket_count pass — the old E_0 exchange was ~25% of the fit):
+      0. FUSED round: every triple emits (name=obj, pin=pred) and a
+         (name=subj, pin=SENTINEL) presence row; ONE obj/name-keyed
+         bucket shuffle yields per-name suffix_0 (sorted-distinct real
+         pins) AND the complete entity name set (vocabulary-scale
+         collect) — E_0 = names, E_1 = H(E_0 + "-" + suffix_0).
+      Then per remaining iteration, from (T = Dataset of per-triple
+      (subj, obj, pin-label); E = entity-label table, broadcast):
       1. suffix(obj) = sorted-distinct pin labels concat — one bucket
-         shuffle of (obj, pin) + a vocabulary-scale collect (it becomes
-         part of the next E, which is broadcast state by definition);
+         shuffle of (obj, pin) + a vocabulary-scale collect;
       2. T' = map_batches: pin ← H(pin + "-" + E[subj]) via the
          broadcast E (a lookup join, no shuffle);
       3. E' = H(E + "-" + suffix) driver-side (vocabulary-scale).
@@ -188,7 +194,7 @@ def wl_labels_from_dataset(
     import ray
     import ray.data
 
-    from pyrdf2vec_ray.shuffle import bucket_apply, bucket_count
+    from pyrdf2vec_ray.shuffle import bucket_apply
     from pyrdf2vec_ray.util import to_table
 
     if num_buckets is None:
@@ -202,50 +208,78 @@ def wl_labels_from_dataset(
         except Exception:
             num_buckets = None
 
-    # E_0: all entity names label themselves (distinct subj ∪ obj —
-    # a grouped-count shuffle; the collected table is vocabulary-scale)
-    def names_batch(batch: pa.Table) -> pa.Table:
-        return pa.table({"name": pa.concat_arrays([
-            batch["subj"].combine_chunks().cast(pa.string()),
-            batch["obj"].combine_chunks().cast(pa.string()),
-        ])})
+    SENT = "\x00"   # engine strings never contain NUL
 
-    names_t = to_table(bucket_count(
-        triples_ds.map_batches(names_batch, batch_format="pyarrow"),
-        ["name"], "n", num_buckets=num_buckets,
+    # FUSED iteration 0: one exchange produces BOTH the entity name
+    # set (every subj/obj, sentinel presence rows) and suffix_0
+    def fused_rows(batch: pa.Table) -> pa.Table:
+        subj = batch["subj"].combine_chunks().cast(pa.string())
+        obj = batch["obj"].combine_chunks().cast(pa.string())
+        pred = batch["pred"].combine_chunks().cast(pa.string())
+        n = len(subj)
+        return pa.table({
+            "obj": pa.concat_arrays([obj, subj]),
+            "pin": pa.concat_arrays(
+                [pred, pa.array([SENT] * n, pa.string())]),
+        })
+
+    def pre_dedup(batch: pa.Table) -> pa.Table:
+        # per-batch (obj, pin) distinct combiner: early iterations'
+        # pin labels are low-cardinality (iteration 0 = predicates),
+        # so the suffix shuffle moves a fraction of the triple rows
+        return (batch.select(["obj", "pin"])
+                .group_by(["obj", "pin"]).aggregate([]))
+
+    def fused_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        real = g[g["pin"] != SENT].sort_values(["obj", "pin"])
+        suf = (real.groupby("obj", as_index=False)["pin"].agg("-".join)
+                   .rename(columns={"pin": "suffix"}))
+        names = pd.DataFrame({"obj": g["obj"].drop_duplicates()})
+        out = names.merge(suf, on="obj", how="left")
+        out["suffix"] = out["suffix"].fillna("")
+        return out
+
+    f0 = to_table(bucket_apply(
+        triples_ds.map_batches(fused_rows, batch_format="pyarrow"),
+        ["obj"], fused_bucket, num_buckets=num_buckets,
+        batch_format="pandas", pre=pre_dedup,
     ))
-    _, _uniq = pd.factorize(
-        np.asarray(names_t["name"].to_numpy(zero_copy_only=False)), sort=True
-    )
-    ent_names = np.asarray(_uniq).astype(np.str_)
-
-    def lookup(series_vals: np.ndarray, queries: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(ent_names, queries)
-        return series_vals[idx]
+    raw_names = np.asarray(f0["obj"].to_numpy(zero_copy_only=False))
+    order = np.argsort(raw_names.astype(np.str_), kind="stable")
+    ent_names = raw_names[order].astype(np.str_)
+    suffix0 = np.asarray(
+        f0["suffix"].to_numpy(zero_copy_only=False), dtype=object
+    )[order]
 
     ent_lab = ent_names.astype(object).copy()
     history = [ent_lab.copy()]
+    if wl_iterations == 0:
+        return {str(n): [str(ent_lab[i])]
+                for i, n in enumerate(ent_names)}
 
-    # T_0: per-triple pin label = predicate name
-    T = triples_ds.map_batches(
-        lambda b: pa.table({"subj": b["subj"], "obj": b["obj"],
-                            "pin": b["pred"]}),
-        batch_format="pyarrow",
-    )
+    # T_1: per-triple pin label = H(pred + "-" + E_0[subj]); E_0 is the
+    # identity labeling, so no broadcast pull is needed yet
+    def pin1(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[["subj", "obj", "pred"]].copy()
+        batch["pin"] = _hash_distinct(
+            batch["pred"].to_numpy(dtype=object) + "-"
+            + batch["subj"].to_numpy(dtype=object), md5_bytes)
+        return batch[["subj", "obj", "pin"]]
 
-    for _ in range(wl_iterations):
+    T = None
+    if wl_iterations > 1:
+        T = triples_ds.map_batches(pin1, batch_format="pandas").materialize()
+
+    ent_lab = _hash_distinct(ent_lab + "-" + suffix0, md5_bytes)
+    history.append(ent_lab.copy())
+
+    for it in range(1, wl_iterations):
         # 1. suffix per obj: one bucket shuffle, vectorized per bucket
         def suffix_bucket(g):
             g = g[["obj", "pin"]].drop_duplicates().sort_values(["obj", "pin"])
             return (g.groupby("obj", as_index=False)["pin"].agg("-".join)
                      .rename(columns={"pin": "suffix"}))
-
-        def pre_dedup(batch: pa.Table) -> pa.Table:
-            # per-batch (obj, pin) distinct combiner: early iterations'
-            # pin labels are low-cardinality (iteration 0 = predicates),
-            # so the suffix shuffle moves a fraction of the triple rows
-            return (batch.select(["obj", "pin"])
-                    .group_by(["obj", "pin"]).aggregate([]))
 
         suf = to_table(bucket_apply(
             T, ["obj"], suffix_bucket, num_buckets=num_buckets,
@@ -257,19 +291,25 @@ def wl_labels_from_dataset(
         )
         suffix[pos] = np.asarray(suf["suffix"].to_numpy(zero_copy_only=False))
 
-        # 2. pin update via the broadcast entity labels (lookup join)
-        lab_ref = ray.put((ent_names, ent_lab))
+        # 2. pin update via the broadcast entity labels (lookup join);
+        # E_{n-1} = the level the NEXT round's pins need.  Skipped on
+        # the final round — no later suffix consumes it (the pre-r5
+        # code paid an unused edge-scale materialize here).
+        if it + 1 < wl_iterations:
+            lab_ref = ray.put((ent_names, history[-1]))
 
-        def update_pin(batch: pd.DataFrame) -> pd.DataFrame:
-            names, labs = ray.get(lab_ref)
-            subj_lab = labs[np.searchsorted(names, batch["subj"].to_numpy())]
-            batch = batch.copy()
-            batch["pin"] = _hash_distinct(
-                batch["pin"].to_numpy(dtype=object) + "-" + subj_lab, md5_bytes
-            )
-            return batch
+            def update_pin(batch: pd.DataFrame,
+                           lab_ref=lab_ref) -> pd.DataFrame:
+                names, labs = ray.get(lab_ref)
+                subj_lab = labs[
+                    np.searchsorted(names, batch["subj"].to_numpy())]
+                batch = batch.copy()
+                batch["pin"] = _hash_distinct(
+                    batch["pin"].to_numpy(dtype=object) + "-" + subj_lab,
+                    md5_bytes)
+                return batch
 
-        T = T.map_batches(update_pin, batch_format="pandas").materialize()
+            T = T.map_batches(update_pin, batch_format="pandas").materialize()
 
         # 3. new entity labels (vocabulary-scale, driver-side)
         ent_lab = _hash_distinct(ent_lab + "-" + suffix, md5_bytes)
