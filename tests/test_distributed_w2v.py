@@ -125,3 +125,53 @@ def test_distributed_fasttext_deterministic():
     probe = ["a", "http://x#b", "zz_unseen"]
     for x, y in zip(a.transform(probe), b.transform(probe)):
         assert np.array_equal(x, y)
+
+
+def test_bounded_staleness_converges_and_default_sync():
+    """staleness=K (round 5 scale mode): training completes with up to
+    K apply rounds in flight, the deltas DO land (context matrix moves
+    off its zero init), and the run converges to the same SGNS
+    objective neighborhood as the synchronous deterministic schedule —
+    the meaningful convergence statement for an async mode.
+    staleness=0 stays the default and bit-deterministic."""
+    import numpy as np
+    import ray as _ray
+
+    from pyrdf2vec_ray.embedders_dist import DistributedWord2Vec
+
+    def pull_WC(m):
+        toks = [str(t) for t in m.vocab]
+        W = np.stack(m._pull_vectors(toks))
+        C = np.zeros_like(W)
+        for (lo, hi), p in zip(m._bounds, m._ps):
+            _, c = _ray.get(p.pull.remote(np.arange(lo, hi)))
+            C[lo:hi] = c
+        return toks, W, C
+
+    def sgns_score(m):
+        toks, W, C = pull_WC(m)
+        ids = {t: i for i, t in enumerate(toks)}
+        scores = [W[ids[a]] @ C[ids[b]]
+                  for ew in CORPUS for w in ew for a, b in zip(w, w[1:])]
+        return float(np.mean(1.0 / (1.0 + np.exp(-np.asarray(scores)))))
+
+    cfg = dict(num_workers=2, num_ps=2, vector_size=16, epochs=6, seed=11)
+    m_sync = DistributedWord2Vec(staleness=0, **cfg).fit(CORPUS)
+    m_stale = DistributedWord2Vec(staleness=2, **cfg).fit(CORPUS)
+    assert m_stale.staleness == 2
+
+    _, _, C_st = pull_WC(m_stale)
+    assert np.abs(C_st).sum() > 0          # deltas applied, not dropped
+    assert np.isfinite(C_st).all()
+    s_sync, s_stale = sgns_score(m_sync), sgns_score(m_stale)
+    # async schedule lands in the same objective neighborhood as the
+    # deterministic one (measured gap ~1e-3 on this corpus)
+    assert abs(s_sync - s_stale) < 0.05, (s_sync, s_stale)
+
+    # default stays synchronous and deterministic
+    a = DistributedWord2Vec(num_workers=2, vector_size=8, epochs=2, seed=6)
+    assert a.staleness == 0
+    va = a.fit(CORPUS).transform(["a", "b"])
+    vb = DistributedWord2Vec(num_workers=2, vector_size=8, epochs=2,
+                             seed=6).fit(CORPUS).transform(["a", "b"])
+    assert all(np.array_equal(x, y) for x, y in zip(va, vb))
