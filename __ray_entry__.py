@@ -1886,6 +1886,40 @@ def q_media_pgm_real(sf_dir: str):
     return pgm_resized(payloads, width=8, height=8)
 
 
+def q_media_any_image(sf_dir: str):
+    """Import-gated image codec (ops/multimodal.AnyImageResizer, round
+    5): the SAME planted binary-PGM payloads as media_pgm_real run
+    through the gated decoder — Pillow when installed (Pillow reads
+    PGM too), the stdlib P5 parser otherwise — and must reproduce the
+    identical resized checksums, so the fallback seam is content-
+    checked against the same SQL oracle on either branch."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.multimodal import any_images_resized
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    def synth(batch: pd.DataFrame) -> pa.Table:
+        ids, payloads = [], []
+        for did in batch["doc_id"].astype("int64"):
+            did = int(did)
+            w = 20 + (did % 4) * 10
+            h = 16 + (did % 3) * 8
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((x * 7 + y * 13 + did) % 256).astype(np.uint8)
+            payloads.append(b"P5\n%d %d\n255\n" % (w, h) + img.tobytes())
+            ids.append(did)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary())})
+
+    payloads = docs.map_batches(synth, batch_format="pandas")
+    return any_images_resized(payloads, width=8, height=8)
+
+
 def q_customer_rfm(sf_dir: str):
     """RFM segmentation (recency / frequency / monetary) per customer —
     the classic CRM feature triple, all-integer so the oracle is
@@ -5203,6 +5237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resized_dims": q_media_resized_dims,
         "media_wav_real": q_media_wav_real,
         "media_pgm_real": q_media_pgm_real,
+        "media_any_image": q_media_any_image,
         "media_frames_milli": q_media_frames_milli,
         "doc_bigram_lm": q_doc_bigram_lm,
         "orders_anti_join": q_orders_anti_join,
@@ -8358,4 +8393,7 @@ def oracle_sql() -> dict[str, str]:
     # the SPARQL-text query is semantically identical to kg_bgp_match
     # (same algebra, parsed from text) — one shared oracle definition
     oracles["kg_sparql_text"] = oracles["kg_bgp_match"]
+    # the import-gated image codec must reproduce the stdlib PGM
+    # pipeline's checksums on EITHER branch (Pillow reads PGM too)
+    oracles["media_any_image"] = oracles["media_pgm_real"]
     return oracles

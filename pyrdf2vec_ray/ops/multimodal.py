@@ -1,12 +1,16 @@
 """Multimodal span handling: media spans are opaque `binary`/ref columns
 with typed metadata; decode/feature-extract are actor-pool stages whose
 Ray-side plumbing (schema, batch size, actor signature, output layout)
-is real.  Codecs come in two tiers: COMPRESSED formats (JPEG/MP4/...)
-stay stubbed behind `mode="strict"` NotImplementedError seams — those
-libraries are not in this container (task brief: stub the decode step,
-keep the pipeline real) — while stdlib/numpy-decodable containers are
-REAL: `WavDecoder` parses RIFF/WAV PCM via the stdlib `wave` module and
-`PgmResizer` parses binary PGM (P5), both oracle-checked end to end.
+is real.  Codecs come in three tiers: COMPRESSED formats (JPEG/MP4/...)
+stay stubbed behind `mode="strict"` NotImplementedError seams when no
+codec library exists (task brief: stub the decode step, keep the
+pipeline real); stdlib/numpy-decodable containers are REAL —
+`WavDecoder` parses RIFF/WAV PCM via the stdlib `wave` module and
+`PgmResizer` parses binary PGM (P5), both oracle-checked end to end;
+and (round 5) `AnyImageResizer`/`AnyAudioDecoder` gate Pillow /
+soundfile behind optional imports, decoding JPEG/PNG/FLAC/OGG when the
+library is installed and falling back to the stdlib parsers otherwise —
+value-identical on the shared containers (oracle + pytest pinned).
 """
 
 from __future__ import annotations
@@ -396,12 +400,17 @@ class PgmResizer:
         img = np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w)
         return img
 
+    def _decode(self, payload: bytes) -> np.ndarray:
+        """Payload bytes → uint8 grayscale grid.  Subclasses plug real
+        codecs here (see :class:`AnyImageResizer`)."""
+        return self._parse_p5(payload)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"doc_id": [], "src_width": [], "src_height": [],
                "width": [], "height": [], "pix_sum": []}
         for did, payload in zip(batch["doc_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
-            img = self._parse_p5(payload)
+            img = self._decode(payload)
             ys = np.arange(self.h) * img.shape[0] // self.h
             xs = np.arange(self.w) * img.shape[1] // self.w
             resized = img[np.ix_(ys, xs)]
@@ -422,5 +431,127 @@ def pgm_resized(
     return payloads.map_batches(
         PgmResizer, batch_format="pyarrow", batch_size=batch_size,
         fn_constructor_kwargs={"width": width, "height": height},
+        concurrency=concurrency,
+    )
+
+
+# ---- import-gated real codecs (VERDICT r4 item 9) ----------------------------
+#
+# PIL / soundfile are NOT in this container, so the classes below gate
+# the real compressed-format decode behind optional imports and fall
+# back to the stdlib parsers above.  When the library IS installed the
+# same actor classes decode JPEG/PNG (Pillow) and FLAC/OGG (soundfile)
+# payloads with no pipeline change — the fallback parity is pinned by
+# pytest either way (Pillow also reads PGM, so the planted-fixture
+# parity test exercises whichever branch is active).
+
+
+def _optional(module: str):
+    import importlib
+
+    try:
+        return importlib.import_module(module)
+    except ImportError:
+        return None
+
+
+class AnyImageResizer(PgmResizer):
+    """Image decode+resize with an import-gated Pillow codec: any
+    format Pillow reads (JPEG/PNG/PGM/...) converts to uint8 grayscale;
+    without Pillow, the stdlib binary-PGM parser handles P5 payloads.
+    Output schema and resize math are identical to :class:`PgmResizer`,
+    so the oracle-checked pgm pipeline upgrades in place."""
+
+    def __init__(self, width: int = 8, height: int = 8):
+        super().__init__(width, height)
+        self._pil = _optional("PIL.Image")
+        self.backend = "pillow" if self._pil is not None else "stdlib-pgm"
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.uint8)
+        return self._parse_p5(payload)
+
+
+def any_images_resized(
+    payloads: ray.data.Dataset, width: int = 8, height: int = 8,
+    concurrency=(1, 4), batch_size: int = 256,
+) -> ray.data.Dataset:
+    """(doc_id, payload: binary image) → decoded + resized checksums,
+    Pillow when available, stdlib P5 otherwise."""
+    return payloads.map_batches(
+        AnyImageResizer, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"width": width, "height": height},
+        concurrency=concurrency,
+    )
+
+
+class AnyAudioDecoder(WavDecoder):
+    """Audio decode with an import-gated soundfile codec: any container
+    libsndfile reads (FLAC/OGG/WAV/...) decodes to samples; without
+    soundfile, the stdlib ``wave`` RIFF parser handles mono 16-bit PCM
+    WAV.  Feature math (RMS / zero-crossings / dominant frequency) is
+    shared, and for WAV payloads the stdlib path is byte-exact with
+    :class:`WavDecoder` (the oracle-checked pipeline)."""
+
+    def __init__(self):
+        super().__init__()
+        self._sf = _optional("soundfile")
+        self.backend = "soundfile" if self._sf is not None else "stdlib-wave"
+
+    def _read(self, payload: bytes):
+        import io
+
+        if self._sf is not None:
+            data, sr = self._sf.read(io.BytesIO(payload), dtype="int16",
+                                     always_2d=True)
+            if data.shape[1] != 1:
+                raise ValueError(
+                    f"AnyAudioDecoder supports mono only; got "
+                    f"{data.shape[1]} channels")
+            return data[:, 0].astype(np.float64), int(sr)
+        with self._wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError(
+                    "stdlib fallback supports mono 16-bit PCM only; got "
+                    f"{w.getnchannels()} ch x {w.getsampwidth()*8} bit")
+            sr = w.getframerate()
+            raw = w.readframes(w.getnframes())
+        return np.frombuffer(raw, dtype="<i2").astype(np.float64), sr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "n_samples": [], "sample_rate": [],
+               "rms": [], "zero_crossings": [], "dominant_freq": []}
+        for did, payload in zip(batch["doc_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            s, sr = self._read(payload)
+            n = len(s)
+            rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
+            zc = int(np.count_nonzero(s[1:] * s[:-1] < 0)) if n > 1 else 0
+            if n:
+                mag = np.abs(np.fft.rfft(s))
+                mag[0] = 0.0
+                dom = float(int(np.argmax(mag)) * sr / n)
+            else:
+                dom = 0.0
+            out["doc_id"].append(did)
+            out["n_samples"].append(n)
+            out["sample_rate"].append(sr)
+            out["rms"].append(rms)
+            out["zero_crossings"].append(zc)
+            out["dominant_freq"].append(dom)
+        return pa.Table.from_pydict(out, schema=WAV_FEATURES)
+
+
+def any_audio_features(
+    payloads: ray.data.Dataset, concurrency=(1, 4), batch_size: int = 256,
+) -> ray.data.Dataset:
+    """(doc_id, payload: binary audio) → decoded audio features,
+    soundfile when available, stdlib wave otherwise."""
+    return payloads.map_batches(
+        AnyAudioDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )

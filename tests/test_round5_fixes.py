@@ -140,3 +140,101 @@ def test_link_scores_fanout_bound():
     assert len(m) == len(got)
     assert (m["aa_f"] == m["aa_g"]).all()
     assert (m["jaccard_f"] == m["jaccard_g"]).all()
+
+
+def test_import_gated_codecs_fallback_parity():
+    """AnyImageResizer / AnyAudioDecoder (round 5): with Pillow /
+    soundfile absent they fall back to the stdlib P5 / wave parsers and
+    must be value-identical to the oracle-checked PgmResizer /
+    WavDecoder; with the libs present the same payloads exercise the
+    real codec branch (Pillow reads PGM) and the assertion is the same.
+    The Pillow branch's dispatch is additionally exercised via a stub
+    module so the gate itself is covered either way."""
+    import io
+    import struct
+    import sys
+    import types
+    import wave as wave_mod
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyrdf2vec_ray.ops.multimodal import (
+        AnyAudioDecoder,
+        AnyImageResizer,
+        PgmResizer,
+        WavDecoder,
+        any_images_resized,
+        pgm_resized,
+    )
+
+    # planted PGM payloads
+    payloads = []
+    for did in range(6):
+        w, h = 20 + (did % 4) * 10, 16 + (did % 3) * 8
+        y, x = np.mgrid[0:h, 0:w]
+        img = ((x * 7 + y * 13 + did) % 256).astype(np.uint8)
+        payloads.append({"doc_id": did,
+                         "payload": b"P5\n%d %d\n255\n" % (w, h)
+                                    + img.tobytes()})
+    ds = ray.data.from_items(payloads).map_batches(
+        lambda b: pa.table({"doc_id": pa.array(b["doc_id"], pa.int64()),
+                            "payload": pa.array(b["payload"], pa.binary())}),
+        batch_format="pandas")
+    base = pgm_resized(ds, 8, 8).to_pandas().sort_values("doc_id")
+    gated = any_images_resized(ds, 8, 8).to_pandas().sort_values("doc_id")
+    assert base.reset_index(drop=True).equals(gated.reset_index(drop=True))
+
+    # WAV payloads: gated audio decoder == oracle-checked WavDecoder
+    def wav_bytes(freq, n, sr=8000):
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            t = np.arange(n)
+            s = (3000 * np.sign(np.sin(2 * np.pi * freq * t / sr))
+                 ).astype("<i2")
+            w.writeframes(s.tobytes())
+        return buf.getvalue()
+
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "payload": pa.array([wav_bytes(440, 800),
+                                           wav_bytes(200, 640)],
+                                          pa.binary())})
+    a = WavDecoder()(batch).to_pandas()
+    b = AnyAudioDecoder()(batch).to_pandas()
+    assert a.equals(b)
+
+    # cover the Pillow dispatch branch with a stub module (real Pillow,
+    # when installed, takes this same path)
+    class _FakeImg:
+        def __init__(self, arr):
+            self._a = arr
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def __array__(self, dtype=None):
+            return self._a
+
+    fake = types.ModuleType("PIL.Image")
+    fake.open = lambda fp: _FakeImg(
+        PgmResizer._parse_p5(fp.getvalue()))
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = fake
+    sys.modules["PIL"] = pil_pkg
+    sys.modules["PIL.Image"] = fake
+    try:
+        r = AnyImageResizer(8, 8)
+        assert r.backend == "pillow"
+        one = pa.table({"doc_id": pa.array([0], pa.int64()),
+                        "payload": pa.array([payloads[0]["payload"]],
+                                            pa.binary())})
+        via_pil = r(one).to_pandas()
+        via_pgm = PgmResizer(8, 8)(one).to_pandas()
+        assert via_pil.equals(via_pgm)
+    finally:
+        del sys.modules["PIL"], sys.modules["PIL.Image"]
