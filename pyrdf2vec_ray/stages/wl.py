@@ -171,21 +171,24 @@ def wl_labels_from_dataset(
     join-rounds formulation backing the sharded graph (no CSR, the
     per-triple state NEVER lands on the driver).
 
-    Round 5 shape (one exchange FEWER than rounds 3-4: name discovery
-    is fused into iteration 0's suffix shuffle instead of its own
-    bucket_count pass — the old E_0 exchange was ~25% of the fit):
+    Round 5 shape (TWO exchanges total, independent of wl_iterations;
+    rounds 3-4 paid one suffix shuffle per iteration):
       0. FUSED round: every triple emits (name=obj, pin=pred) and a
          (name=subj, pin=SENTINEL) presence row; ONE obj/name-keyed
          bucket shuffle yields per-name suffix_0 (sorted-distinct real
          pins) AND the complete entity name set (vocabulary-scale
          collect) — E_0 = names, E_1 = H(E_0 + "-" + suffix_0).
-      Then per remaining iteration, from (T = Dataset of per-triple
-      (subj, obj, pin-label); E = entity-label table, broadcast):
-      1. suffix(obj) = sorted-distinct pin labels concat — one bucket
-         shuffle of (obj, pin) + a vocabulary-scale collect;
-      2. T' = map_batches: pin ← H(pin + "-" + E[subj]) via the
-         broadcast E (a lookup join, no shuffle);
-      3. E' = H(E + "-" + suffix) driver-side (vocabulary-scale).
+      1. T = per-triple (subj, obj, pin=H(pred + "-" + subj)) is
+         bucket-partitioned by hash(obj) ONCE — the suffix key never
+         changes across iterations, so later rounds need NO exchange:
+      Then per remaining iteration, over the obj-bucketed T:
+      a. suffix(obj) = block-local groupby (every row of an obj lives
+         in one block) + a vocabulary-scale collect; a driver-side
+         merge re-splits the few objs a block split may straddle
+         (loop-round pins are md5 hex, so '-' rejoin is unambiguous);
+      b. T' = map_batches: pin ← H(pin + "-" + E[subj]) via the
+         broadcast E (a lookup join, no shuffle, block-preserving);
+      c. E' = H(E + "-" + suffix) driver-side (vocabulary-scale).
 
     The returned name → [label_0..k] map is byte-identical to
     ``wl_labels`` over the broadcast CSR (pinned by tests)."""
@@ -269,27 +272,42 @@ def wl_labels_from_dataset(
 
     T = None
     if wl_iterations > 1:
-        T = triples_ds.map_batches(pin1, batch_format="pandas").materialize()
+        # bucket by hash(obj) ONCE (the only loop exchange): after this
+        # every row of an obj sits in one block, so each iteration's
+        # suffix groupby is block-local
+        T = bucket_apply(
+            triples_ds.map_batches(pin1, batch_format="pandas"),
+            ["obj"], lambda g: g, num_buckets=num_buckets,
+            batch_format="pandas",
+        ).materialize()
 
     ent_lab = _hash_distinct(ent_lab + "-" + suffix0, md5_bytes)
     history.append(ent_lab.copy())
 
     for it in range(1, wl_iterations):
-        # 1. suffix per obj: one bucket shuffle, vectorized per bucket
-        def suffix_bucket(g):
+        # a. suffix per obj: block-local groupby, NO exchange
+        def suffix_block(g):
             g = g[["obj", "pin"]].drop_duplicates().sort_values(["obj", "pin"])
             return (g.groupby("obj", as_index=False)["pin"].agg("-".join)
                      .rename(columns={"pin": "suffix"}))
 
-        suf = to_table(bucket_apply(
-            T, ["obj"], suffix_bucket, num_buckets=num_buckets,
-            batch_format="pandas", pre=pre_dedup,
-        ))
+        suf = to_table(T.map_batches(
+            suffix_block, batch_size=None, batch_format="pandas"))
+        suf_obj = np.asarray(suf["obj"].to_numpy(zero_copy_only=False))
+        suf_val = np.asarray(
+            suf["suffix"].to_numpy(zero_copy_only=False), dtype=object)
+        # merge partials for objs a block split straddled (rare; loop
+        # pins are md5 hex so '-' resplit is exact)
+        if len(np.unique(suf_obj)) != len(suf_obj):
+            frame = pd.DataFrame({"obj": suf_obj, "suffix": suf_val})
+            frame = frame.groupby("obj", as_index=False)["suffix"].agg(
+                lambda parts: "-".join(
+                    sorted(set(p for s in parts for p in s.split("-")))))
+            suf_obj = frame["obj"].to_numpy()
+            suf_val = frame["suffix"].to_numpy(dtype=object)
         suffix = np.full(len(ent_names), "", dtype=object)
-        pos = np.searchsorted(
-            ent_names, np.asarray(suf["obj"].to_numpy(zero_copy_only=False))
-        )
-        suffix[pos] = np.asarray(suf["suffix"].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(ent_names, suf_obj)
+        suffix[pos] = suf_val
 
         # 2. pin update via the broadcast entity labels (lookup join);
         # E_{n-1} = the level the NEXT round's pins need.  Skipped on
