@@ -388,14 +388,18 @@ def kcore_bounded(
     the same contract as the bounded LPA sweep and PageRank step.
 
     Scale shape per round: one vertex-bucket degree count over the
-    CURRENT edge set, then two adaptive anti-joins removing edges
-    with a low endpoint (the low-degree set is small by definition —
-    under the broadcast threshold it ships as a frozenset and the
-    removal is a stateless filter map, join.semi_join_adaptive) — the edge set only shrinks, every exchange is
-    key-bucketed, and the surviving-edge Dataset is pinned per round
-    (it feeds the degree count AND the next round's anti-joins: the
-    multi-consumer pattern).  O(rounds) sequential exchanges, the same
-    dependency depth as the reference-free iterative fits (WL, LPA)."""
+    CURRENT edge set, then the low-endpoint edges are removed.  The
+    low-degree set is small by definition: under the broadcast
+    threshold (matching join.semi_join_adaptive's 500k) it ships ONCE
+    as a frozenset and BOTH endpoint anti-joins fuse into a single
+    stateless filter map kept LAZY — the next round's degree count (or
+    the final degrees pass) re-applies the stacked cheap isin filters
+    over the one materialized base instead of re-writing the edge set
+    every round, so each round costs ONE substantial Dataset job.
+    Past the threshold the round falls back to two key-bucketed
+    hash anti-joins with a pinned edge set (no driver state at any
+    size).  O(rounds) sequential exchanges worst case, same dependency
+    depth as the reference-free iterative fits (WL, LPA)."""
     from pyrdf2vec_ray.ops.join import _dtypes_of, semi_join_adaptive
     from pyrdf2vec_ray.shuffle import bucket_agg, distinct
 
@@ -427,8 +431,28 @@ def kcore_bounded(
             return pd.DataFrame({"v": keep["v"].to_numpy()})
 
         low = deg.map_batches(low_only, batch_format="pandas").materialize()
-        if low.count() == 0:
+        n_low = low.count()
+        if n_low == 0:
             break  # fixpoint: later rounds are identity on both engines
+
+        if n_low <= 500_000:
+            # fused broadcast drop (both endpoints, one stateless map);
+            # cur stays LAZY — the stacked isin filters re-run over the
+            # materialized base, which beats writing the edge set per
+            # round (the removal is cheap, the write is not)
+            from pyrdf2vec_ray.util import to_table
+
+            low_ref = ray.put(frozenset(
+                to_table(low)["v"].to_pylist()))
+
+            def drop_low(batch: pd.DataFrame,
+                         low_ref=low_ref) -> pd.DataFrame:
+                s = ray.get(low_ref)
+                keep = (~batch["a"].isin(s) & ~batch["b"].isin(s))
+                return batch[keep.to_numpy()]
+
+            cur = cur.map_batches(drop_low, batch_format="pandas")
+            continue
 
         def as_key(col):
             def fn(batch: pd.DataFrame) -> pd.DataFrame:
