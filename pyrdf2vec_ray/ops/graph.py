@@ -23,6 +23,26 @@ __all__ = ["triangle_counts", "link_scores", "neighbor_mean_features",
            "kcore_bounded", "transitive_closure", "negative_edges"]
 
 
+def _broadcast_set(ds: ray.data.Dataset, col: str,
+                   threshold: int = 500_000) -> frozenset | None:
+    """Collect a MATERIALIZED single-column Dataset as a frozenset when
+    its row count (metadata-free on materialized data) is under the
+    broadcast threshold shared with join.semi_join_adaptive; ``None``
+    past it — callers fall back to the distributed join path.  The
+    iterative graph ops use this to fuse per-round removal joins into
+    stateless filter maps."""
+    n = ds.count()
+    if n > threshold:
+        return None
+    if n == 0:
+        # a zero-row Dataset can reach consumers schema-less — don't
+        # touch its (possibly absent) columns
+        return frozenset()
+    from pyrdf2vec_ray.util import to_table
+
+    return frozenset(to_table(ds)[col].to_pylist())
+
+
 def triangle_counts(
     edges: ray.data.Dataset,
     a_col: str = "a",
@@ -435,15 +455,13 @@ def kcore_bounded(
         if n_low == 0:
             break  # fixpoint: later rounds are identity on both engines
 
-        if n_low <= 500_000:
+        low_set = _broadcast_set(low, "v")
+        if low_set is not None:
             # fused broadcast drop (both endpoints, one stateless map);
             # cur stays LAZY — the stacked isin filters re-run over the
             # materialized base, which beats writing the edge set per
             # round (the removal is cheap, the write is not)
-            from pyrdf2vec_ray.util import to_table
-
-            low_ref = ray.put(frozenset(
-                to_table(low)["v"].to_pylist()))
+            low_ref = ray.put(low_set)
 
             def drop_low(batch: pd.DataFrame,
                          low_ref=low_ref) -> pd.DataFrame:
@@ -853,20 +871,68 @@ def mis_bounded(
                 return pd.DataFrame({out: batch[col].to_numpy()})
             return fn
 
-        half1 = semi_join_adaptive(
-            cur, in_v.map_batches(tagged("v", "a"),
-                                  batch_format="pandas"),
-            on=["a"], lschema=e_schema, rschema={"a": vd})
-        half2 = semi_join_adaptive(
-            cur, in_v.map_batches(tagged("v", "b"),
-                                  batch_format="pandas"),
-            on=["b"], lschema=e_schema, rschema={"b": vd})
-        out_v = distinct(
-            half1.map_batches(tagged("b", "v"), batch_format="pandas")
-            .union(half2.map_batches(tagged("a", "v"),
-                                     batch_format="pandas")),
-            ["v"]).materialize()
+        in_set = _broadcast_set(in_v, "v")
+        if in_set is not None:
+            # fused broadcast form: ONE map over the edge set emits
+            # every neighbor of an IN vertex (replacing two semi-join
+            # passes + a union); the distinct exchange moves only the
+            # emitted neighbor rows
+            in_ref = ray.put(in_set)
+
+            def nbrs_of_in(batch: pd.DataFrame,
+                           in_ref=in_ref) -> pd.DataFrame:
+                s = ray.get(in_ref)
+                a = batch["a"].to_numpy()
+                b = batch["b"].to_numpy()
+                ka = batch["a"].isin(s).to_numpy()
+                kb = batch["b"].isin(s).to_numpy()
+                return pd.DataFrame({"v": np.concatenate([b[ka], a[kb]])})
+
+            out_v = distinct(
+                cur.map_batches(nbrs_of_in, batch_format="pandas"),
+                ["v"]).materialize()
+        else:
+            half1 = semi_join_adaptive(
+                cur, in_v.map_batches(tagged("v", "a"),
+                                      batch_format="pandas"),
+                on=["a"], lschema=e_schema, rschema={"a": vd})
+            half2 = semi_join_adaptive(
+                cur, in_v.map_batches(tagged("v", "b"),
+                                      batch_format="pandas"),
+                on=["b"], lschema=e_schema, rschema={"b": vd})
+            out_v = distinct(
+                half1.map_batches(tagged("b", "v"),
+                                  batch_format="pandas")
+                .union(half2.map_batches(tagged("a", "v"),
+                                         batch_format="pandas")),
+                ["v"]).materialize()
         states.append((out_v, "out"))
+
+        out_set = _broadcast_set(out_v, "v") if in_set is not None else None
+        if out_set is not None:
+            # decided set broadcasts once; the undecided filter and the
+            # edge prune (drop edges with a decided endpoint — same set
+            # semantics as keeping both-undecided edges) are stateless
+            # maps, the edge prune kept LAZY as in kcore_bounded
+            dec_ref = ray.put(frozenset(in_set | out_set))
+
+            def undec_only(batch: pd.DataFrame,
+                           dec_ref=dec_ref) -> pd.DataFrame:
+                s = ray.get(dec_ref)
+                return batch[~batch["v"].isin(s).to_numpy()]
+
+            undecided = undecided.map_batches(
+                undec_only, batch_format="pandas").materialize()
+            if rnd + 1 < rounds:  # final round never reads the edge set
+                def drop_decided(batch: pd.DataFrame,
+                                 dec_ref=dec_ref) -> pd.DataFrame:
+                    s = ray.get(dec_ref)
+                    keep = (~batch["a"].isin(s)
+                            & ~batch["b"].isin(s)).to_numpy()
+                    return batch[keep]
+
+                cur = cur.map_batches(drop_decided, batch_format="pandas")
+            continue
 
         decided = in_v.union(out_v)
         undecided = semi_join_adaptive(
