@@ -2113,6 +2113,20 @@ def q_doc_prefix_dups(sf_dir: str):
     return prefix_duplicates(corpus, k=4)
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Exact duplicate-substring audit (ops/dedup.duplicate_spans):
+    per document, how many of its overlapping 5-token spans also occur
+    in another document (the detection half of Lee-et-al-style exact
+    substring dedup, window-fixed so the DuckDB oracle can unroll it
+    with list slicing).  The synthetic corpus's small vocabulary makes
+    cross-document repeats genuinely common, so the span shuffle and
+    the >=2-distinct-docs rule both do real work — no planting
+    needed."""
+    from pyrdf2vec_ray.ops.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(sf_dir), span_tokens=5)
+
+
 def q_kg_bfs_distances(sf_dir: str):
     """Multi-source shortest-path BFS (ops/graph.bfs_distances): exact
     min-hop distances from three seeds (the smallest order, customer:1,
@@ -5181,6 +5195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "doc_robust_stats": q_doc_robust_stats,
         "doc_prefix_dups": q_doc_prefix_dups,
+        "doc_dup_spans": q_doc_dup_spans,
         "kg_bfs_distances": q_kg_bfs_distances,
         "orders_diff": q_orders_diff,
         "doc_rank_in_lang": q_doc_rank_in_lang,
@@ -5982,6 +5997,36 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id != b.doc_id
              AND length(b.text) > length(a.text)
              AND starts_with(b.text, a.text)
+        """,
+        "doc_dup_spans": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z'']+') AS toks
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, toks,
+                     unnest(range(greatest(len(toks) - 4, 0))) AS i
+              FROM t
+            ),
+            sh AS (
+              SELECT doc_id,
+                     array_to_string(toks[i + 1 : i + 5], ' ') AS span
+              FROM pos
+            ),
+            nd AS (
+              SELECT span FROM sh
+              GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+            ),
+            dup AS (
+              SELECT s.doc_id, CAST(count(*) AS BIGINT) AS dup_spans
+              FROM sh s JOIN nd USING (span) GROUP BY s.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(greatest(len(t.toks) - 4, 0) AS BIGINT)
+                     AS n_spans,
+                   CAST(COALESCE(d.dup_spans, 0) AS BIGINT) AS dup_spans
+            FROM t LEFT JOIN dup d USING (doc_id)
         """,
         "kg_bfs_distances": _TRIPLES_CTE.replace(
             "WITH ", "WITH RECURSIVE ", 1) + """,

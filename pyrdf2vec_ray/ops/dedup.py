@@ -747,3 +747,110 @@ def prefix_duplicates(
 
         return distinct(long_dups.union(short_dups), [id_col])
     return long_dups
+
+
+def duplicate_spans(
+    docs: ray.data.Dataset,
+    span_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, n_spans, dup_spans): exact duplicate-substring audit —
+    for every document, how many of its L-token spans (every
+    overlapping window of ``span_tokens`` consecutive tokens, tokens =
+    lowercase ``[a-z']+`` runs, the engine's TF-IDF tokenizer) also
+    occur in AT LEAST ONE OTHER document.  This is the detection half
+    of exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — their suffix-array
+    pass finds 50-token repeats; a fixed window makes the operator
+    exactly SQL-checkable and the exchange key-bucketed). Repeats
+    confined to a single document do NOT count — cross-document
+    contamination is what the curation decision needs.
+
+    Scale shape: one map pass emits per-document span counts keyed by
+    the SPAN TEXT (per-doc pre-aggregated: each (span, doc) pair ships
+    once with its occurrence count, so the exchange volume is bounded
+    by distinct spans per doc, not positions); ONE span-keyed bucket
+    shuffle counts distinct docs per span and emits (doc, count)
+    contributions only for spans seen in >=2 docs; one doc-keyed
+    bucket_agg sums them; a final hash join attaches the per-doc span
+    totals (no broadcast — the span vocabulary is corpus-sized by
+    definition, like :func:`~pyrdf2vec_ray.ops.text.dedup_lines`).
+    The raw span string is the exchange key (exact semantics; a
+    hashed key would silently merge colliding spans)."""
+    import re
+
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
+
+    token_re = re.compile(r"[a-z']+")
+    L = int(span_tokens)
+    if L < 1:
+        raise ValueError("span_tokens must be >= 1")
+
+    def spans_of(txt: str) -> list[str]:
+        toks = token_re.findall(txt.lower())
+        return [" ".join(toks[i:i + L])
+                for i in range(len(toks) - L + 1)]
+
+    def per_doc_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        keys: list[str] = []
+        ids: list = []
+        cnts: list[int] = []
+        for did, txt in zip(batch[id_col].to_numpy(),
+                            batch[text_col].astype(str).to_numpy()):
+            sp = spans_of(txt)
+            if not sp:
+                continue
+            s = pd.Series(sp).value_counts()
+            keys.extend(s.index.to_numpy())
+            ids.extend([did] * len(s))
+            cnts.extend(s.to_numpy())
+        return pd.DataFrame({
+            "span": np.asarray(keys, dtype=object),
+            id_col: ids,
+            "cnt": np.asarray(cnts, dtype=np.int64)})
+
+    def span_totals(batch: pd.DataFrame) -> pd.DataFrame:
+        n = [max(len(token_re.findall(str(t).lower())) - L + 1, 0)
+             for t in batch[text_col].to_numpy()]
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_spans": np.asarray(n, dtype=np.int64)})
+
+    base = docs.select_columns([id_col, text_col])
+    pairs = base.map_batches(per_doc_counts, batch_format="pandas")
+    totals = base.map_batches(span_totals, batch_format="pandas")
+
+    def cross_doc(g: pd.DataFrame) -> pd.DataFrame:
+        # spans shared by >=2 distinct docs: every position of such a
+        # span in a doc is a duplicated span
+        ndocs = g.groupby("span")[id_col].transform("nunique")
+        hit = g[ndocs.to_numpy() >= 2]
+        out = hit.groupby(id_col, as_index=False)["cnt"].sum()
+        return pd.DataFrame({
+            id_col: out[id_col].to_numpy(),
+            "dup": out["cnt"].to_numpy().astype(np.int64)})
+
+    contrib = bucket_apply(pairs, ["span"], cross_doc,
+                           num_buckets=num_buckets,
+                           batch_format="pandas")
+    dup = bucket_agg(contrib, [id_col], {"dup_spans": ("dup", "sum")},
+                     num_buckets=num_buckets)
+
+    from pyrdf2vec_ray.ops.join import _dtypes_of
+
+    id_dtype = _dtypes_of(docs.select_columns([id_col]), None)[id_col]
+    joined = hash_join(
+        totals, dup, on=[id_col], how="left",
+        lschema={id_col: id_dtype, "n_spans": np.dtype("int64")},
+        rschema={id_col: id_dtype, "dup_spans": np.dtype("int64")})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["dup_spans"] = (
+            batch["dup_spans"].fillna(0).astype(np.int64))
+        return batch[[id_col, "n_spans", "dup_spans"]]
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -238,3 +238,55 @@ def test_import_gated_codecs_fallback_parity():
         assert via_pil.equals(via_pgm)
     finally:
         del sys.modules["PIL"], sys.modules["PIL.Image"]
+
+
+# ---- duplicate_spans --------------------------------------------------------
+
+
+def test_duplicate_spans_cross_doc_only():
+    from pyrdf2vec_ray.ops.dedup import duplicate_spans
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma delta",      # spans: "alpha beta", "beta gamma", "gamma delta"
+            "zzz alpha beta yyy",          # shares "alpha beta" with doc 1
+            "solo solo solo",              # within-doc repeat only: NOT duplicated
+            "",                            # no tokens -> 0 spans
+        ]})
+    out = (duplicate_spans(ray.data.from_pandas(docs), span_tokens=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 3, 4]
+    assert out["n_spans"].tolist() == [3, 3, 2, 0]
+    # only "alpha beta" crosses documents; doc 3's "solo solo" repeats
+    # twice inside ONE doc and counts zero
+    assert out["dup_spans"].tolist() == [1, 1, 0, 0]
+
+
+def test_duplicate_spans_counts_every_position():
+    from pyrdf2vec_ray.ops.dedup import duplicate_spans
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["x y x y x",   # "x y": pos 0 and 2; "y x": pos 1 and 3
+                 "x y"]})
+    out = (duplicate_spans(ray.data.from_pandas(docs), span_tokens=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 1 has 4 spans; "x y" occurs in doc 2 too, so BOTH of doc 1's
+    # "x y" positions count; its two "y x" spans stay single-doc
+    assert out["n_spans"].tolist() == [4, 1]
+    assert out["dup_spans"].tolist() == [2, 1]
+
+
+def test_duplicate_spans_tokenizer_is_lowercase_alpha():
+    from pyrdf2vec_ray.ops.dedup import duplicate_spans
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["Alpha, BETA!", "alpha beta 42"]})
+    out = (duplicate_spans(ray.data.from_pandas(docs), span_tokens=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # punctuation/digits are not tokens: both docs reduce to
+    # ["alpha","beta"] -> the single span matches cross-doc
+    assert out["n_spans"].tolist() == [1, 1]
+    assert out["dup_spans"].tolist() == [1, 1]
