@@ -290,3 +290,33 @@ def test_duplicate_spans_tokenizer_is_lowercase_alpha():
     # ["alpha","beta"] -> the single span matches cross-doc
     assert out["n_spans"].tolist() == [1, 1]
     assert out["dup_spans"].tolist() == [1, 1]
+
+
+# ---- fault tolerance ---------------------------------------------------------
+
+
+def test_transient_task_failure_retried_transparently(tmp_path):
+    """A map task that fails ONCE (first attempt) must be retried by
+    Ray Data with `retry_exceptions` and produce the same result as a
+    clean run — the single-node stand-in for the lost-worker case on a
+    real cluster (lineage re-executes the lost block; the engine's
+    stages are deterministic, so the retried block is bit-identical).
+    Partition-level resume for coarser failures is covered by the
+    checkpoint tests."""
+    import os
+
+    marker = str(tmp_path / "boom_once")
+
+    def flaky(batch: pd.DataFrame) -> pd.DataFrame:
+        if not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
+            raise RuntimeError("injected one-shot failure")
+        return batch
+
+    out = (ray.data.range(1000)
+           .map_batches(flaky, batch_format="pandas", batch_size=100,
+                        retry_exceptions=True)
+           .take_all())
+    assert sorted(r["id"] for r in out) == list(range(1000))
+    assert os.path.exists(marker)  # the failure really fired
