@@ -768,56 +768,65 @@ def duplicate_spans(
     confined to a single document do NOT count — cross-document
     contamination is what the curation decision needs.
 
-    Scale shape: one map pass emits per-document span counts keyed by
-    the SPAN TEXT (per-doc pre-aggregated: each (span, doc) pair ships
-    once with its occurrence count, so the exchange volume is bounded
-    by distinct spans per doc, not positions); ONE span-keyed bucket
-    shuffle counts distinct docs per span and emits (doc, count)
-    contributions only for spans seen in >=2 docs; one doc-keyed
-    bucket_agg sums them; a final hash join attaches the per-doc span
-    totals (no broadcast — the span vocabulary is corpus-sized by
-    definition, like :func:`~pyrdf2vec_ray.ops.text.dedup_lines`).
-    The raw span string is the exchange key (exact semantics; a
-    hashed key would silently merge colliding spans)."""
+    Scale shape: exactly TWO bucket exchanges.  One map pass emits
+    per-document span counts keyed by the SPAN TEXT (pre-aggregated
+    with ONE vectorized batch-level groupby — each (span, doc) pair
+    ships once with its occurrence count, so the exchange volume is
+    bounded by distinct spans per doc, not positions); the span-keyed
+    bucket shuffle applies the >=2-distinct-docs rule and emits
+    per-doc duplicate contributions; those rows UNION with the per-doc
+    span totals (a second cheap pass — a vectorized regex count, no
+    list materialization) as a TAGGED stream into one doc-keyed bucket
+    shuffle that pivots both kinds per doc — no join stage, no
+    broadcast (the span vocabulary is corpus-sized by definition, like
+    :func:`~pyrdf2vec_ray.ops.text.dedup_lines`).  The raw span string
+    is the exchange key (exact semantics; a hashed key would silently
+    merge colliding spans)."""
     import re
 
-    from pyrdf2vec_ray.ops.join import hash_join
-    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
+    from pyrdf2vec_ray.shuffle import bucket_apply
 
     token_re = re.compile(r"[a-z']+")
     L = int(span_tokens)
     if L < 1:
         raise ValueError("span_tokens must be >= 1")
 
-    def spans_of(txt: str) -> list[str]:
-        toks = token_re.findall(txt.lower())
-        return [" ".join(toks[i:i + L])
-                for i in range(len(toks) - L + 1)]
-
     def per_doc_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        keys: list[str] = []
-        ids: list = []
-        cnts: list[int] = []
+        span_parts: list[np.ndarray] = []
+        id_parts: list[np.ndarray] = []
         for did, txt in zip(batch[id_col].to_numpy(),
                             batch[text_col].astype(str).to_numpy()):
-            sp = spans_of(txt)
-            if not sp:
+            toks = token_re.findall(txt.lower())
+            n = len(toks) - L + 1
+            if n <= 0:
                 continue
-            s = pd.Series(sp).value_counts()
-            keys.extend(s.index.to_numpy())
-            ids.extend([did] * len(s))
-            cnts.extend(s.to_numpy())
+            span_parts.append(np.array(
+                [" ".join(toks[i:i + L]) for i in range(n)],
+                dtype=object))
+            id_parts.append(np.full(n, did))
+        if not span_parts:
+            return pd.DataFrame({
+                "span": pd.array([], dtype=object),
+                id_col: batch[id_col].iloc[:0],
+                "cnt": pd.array([], dtype="int64")})
+        flat = pd.DataFrame({
+            "span": np.concatenate(span_parts),
+            id_col: np.concatenate(id_parts)})
+        out = flat.groupby([id_col, "span"], as_index=False).size()
         return pd.DataFrame({
-            "span": np.asarray(keys, dtype=object),
-            id_col: ids,
-            "cnt": np.asarray(cnts, dtype=np.int64)})
+            "span": out["span"].to_numpy(dtype=object),
+            id_col: out[id_col].to_numpy(),
+            "cnt": out["size"].to_numpy().astype(np.int64)})
 
     def span_totals(batch: pd.DataFrame) -> pd.DataFrame:
-        n = [max(len(token_re.findall(str(t).lower())) - L + 1, 0)
-             for t in batch[text_col].to_numpy()]
+        # kind=0 carrier rows: one per document (vectorized regex
+        # count — no token lists), so zero-span docs stay present
+        n_tok = (batch[text_col].astype(str).str.lower()
+                 .str.count(token_re.pattern).to_numpy())
         return pd.DataFrame({
             id_col: batch[id_col].to_numpy(),
-            "n_spans": np.asarray(n, dtype=np.int64)})
+            "kind": np.zeros(len(batch), dtype=np.int64),
+            "val": np.maximum(n_tok - L + 1, 0).astype(np.int64)})
 
     base = docs.select_columns([id_col, text_col])
     pairs = base.map_batches(per_doc_counts, batch_format="pandas")
@@ -825,32 +834,30 @@ def duplicate_spans(
 
     def cross_doc(g: pd.DataFrame) -> pd.DataFrame:
         # spans shared by >=2 distinct docs: every position of such a
-        # span in a doc is a duplicated span
+        # span in a doc is a duplicated span (kind=1 rows)
         ndocs = g.groupby("span")[id_col].transform("nunique")
         hit = g[ndocs.to_numpy() >= 2]
         out = hit.groupby(id_col, as_index=False)["cnt"].sum()
         return pd.DataFrame({
             id_col: out[id_col].to_numpy(),
-            "dup": out["cnt"].to_numpy().astype(np.int64)})
+            "kind": np.ones(len(out), dtype=np.int64),
+            "val": out["cnt"].to_numpy().astype(np.int64)})
 
     contrib = bucket_apply(pairs, ["span"], cross_doc,
                            num_buckets=num_buckets,
                            batch_format="pandas")
-    dup = bucket_agg(contrib, [id_col], {"dup_spans": ("dup", "sum")},
-                     num_buckets=num_buckets)
 
-    from pyrdf2vec_ray.ops.join import _dtypes_of
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.pivot_table(index=id_col, columns="kind", values="val",
+                            aggfunc="sum", fill_value=0)
+        n_spans = (agg[0] if 0 in agg.columns
+                   else pd.Series(0, index=agg.index))
+        dup = (agg[1] if 1 in agg.columns
+               else pd.Series(0, index=agg.index))
+        return pd.DataFrame({
+            id_col: agg.index.to_numpy(),
+            "n_spans": n_spans.to_numpy().astype(np.int64),
+            "dup_spans": dup.to_numpy().astype(np.int64)})
 
-    id_dtype = _dtypes_of(docs.select_columns([id_col]), None)[id_col]
-    joined = hash_join(
-        totals, dup, on=[id_col], how="left",
-        lschema={id_col: id_dtype, "n_spans": np.dtype("int64")},
-        rschema={id_col: id_dtype, "dup_spans": np.dtype("int64")})
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["dup_spans"] = (
-            batch["dup_spans"].fillna(0).astype(np.int64))
-        return batch[[id_col, "n_spans", "dup_spans"]]
-
-    return joined.map_batches(finish, batch_format="pandas")
+    return bucket_apply(totals.union(contrib), [id_col], pivot,
+                        num_buckets=num_buckets, batch_format="pandas")
