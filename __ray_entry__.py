@@ -2879,6 +2879,25 @@ def q_kg_bgp_union(sf_dir: str):
     """)
 
 
+def q_kg_bgp_filter_str(sf_dir: str):
+    """SPARQL string-function FILTERs (ops/sparql.py, round 5):
+    regex / STRSTARTS / CONTAINS over a two-hop BGP — each compiles to
+    a vectorized pandas str kernel applied right after the mandatory
+    joins (regex is an unanchored search, the DuckDB regexp_matches
+    semantics)."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?o ?c ?n WHERE {
+          ?o placed_by ?c .
+          ?c in_nation ?n .
+          FILTER(regex(?c, "^customer:1[0-9]?$"))
+          FILTER(STRSTARTS(?n, "nation:1"))
+          FILTER(CONTAINS(?o, "7"))
+        }
+    """)
+
+
 def q_kg_bgp_groupsum(sf_dir: str):
     """SPARQL numeric aggregates (ops/sparql.py, round 5): per-customer
     SUM/AVG/MIN/MAX/COUNT over order-amount triples, all compiled to
@@ -5336,6 +5355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_path": q_kg_bgp_path,
         "kg_sparql_text": q_kg_sparql_text,
         "kg_bgp_union": q_kg_bgp_union,
+        "kg_bgp_filter_str": q_kg_bgp_filter_str,
         "kg_bgp_groupsum": q_kg_bgp_groupsum,
         "kg_describe": q_kg_describe,
         "walks_sparql_roots": q_walks_sparql_roots,
@@ -6730,6 +6750,16 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT subj AS x, obj AS n FROM triples
             WHERE pred = 'in_nation' AND obj = 'nation:7'
+        """,
+        "kg_bgp_filter_str": _TRIPLES_CTE + """
+            SELECT t1.subj AS o, t1.obj AS c, t2.obj AS n
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_nation'
+            WHERE t1.pred = 'placed_by'
+              AND regexp_matches(t1.obj, '^customer:1[0-9]?$')
+              AND starts_with(t2.obj, 'nation:1')
+              AND contains(t1.subj, '7')
         """,
         "kg_bgp_groupsum": _TRIPLES_CTE + """,
             cents AS (

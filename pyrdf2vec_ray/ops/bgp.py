@@ -292,6 +292,17 @@ _FILTER_OPS = {
     ">=": lambda a, b: a >= b,
 }
 
+# SPARQL string-function filters (regex is an unanchored SEARCH, like
+# DuckDB regexp_matches); constant rhs only — these run as vectorized
+# pandas str kernels, and a variable rhs would force a per-row loop
+_FILTER_STR_FUNCS = {
+    "regex": lambda a, b: a.str.contains(b, regex=True, na=False),
+    "contains": lambda a, b: a.str.contains(b, regex=False, na=False),
+    "strstarts": lambda a, b: a.str.startswith(b, na=False),
+    "strends": lambda a, b: a.str.endswith(b, na=False),
+}
+_FILTER_OPS.update(_FILTER_STR_FUNCS)
+
 
 def _eval_group(
     scans: list[tuple[ray.data.Dataset, list[str]]],
@@ -462,6 +473,10 @@ def bgp_match(
         for var, op, rhs in filters:
             if op not in _FILTER_OPS:
                 raise ValueError(f"unsupported filter op {op!r}")
+            if op in _FILTER_STR_FUNCS and _is_var(rhs):
+                raise ValueError(
+                    f"string filter {op!r} needs a constant pattern, "
+                    f"got variable {rhs!r}")
             if var not in acc_vars:
                 raise ValueError(
                     f"filter variable {var!r} not bound by the "

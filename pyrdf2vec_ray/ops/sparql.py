@@ -54,8 +54,8 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<string>"(?:[^"\\]|\\.)*")
       | (?P<iri><[^>\s]*>)
-      | (?P<punct>[{}().]|!=|<=|>=|=|<|>)
-      | (?P<word>[^\s{}()."<>=!]+)
+      | (?P<punct>[{}(),.]|!=|<=|>=|=|<|>)
+      | (?P<word>[^\s{}(),."<>=!]+)
     )""", re.VERBOSE)
 
 _FILTER_OPS = {"=": "==", "!=": "!=", "<": "<", "<=": "<=",
@@ -158,6 +158,27 @@ class _Parser:
                 self.next()
                 self.expect("(")
                 lhs = self.next()
+                if (self.keyword(lhs, "REGEX", "CONTAINS", "STRSTARTS",
+                                 "STRENDS") and self.peek() == "("):
+                    # string-function form: FILTER(regex(?v, "pat"))
+                    self.next()
+                    var = self.next()
+                    if not var.startswith("?"):
+                        raise SparqlSyntaxError(
+                            f"{lhs} needs a variable first argument, "
+                            f"got {var!r}")
+                    if self.peek() == ",":
+                        self.next()
+                    pat = self.next()
+                    if pat.startswith("?"):
+                        raise SparqlSyntaxError(
+                            f"{lhs} needs a constant pattern, got "
+                            f"variable {pat!r}")
+                    self.expect(")")
+                    self.expect(")")
+                    out["filters"].append(
+                        (var[1:], lhs.lower(), _term(pat)))
+                    continue
                 op = self.next()
                 rhs = self.next()
                 self.expect(")")

@@ -252,3 +252,33 @@ def test_aggregate_over_union():
     """).to_pandas().set_index("city")
     # ghent: alice, bob (both branches agree after dedup); paris: carol
     assert out.loc["ghent", "n"] == 2 and out.loc["paris", "n"] == 1
+
+
+def test_string_function_filters():
+    out = _rows(sparql_query(_ds(), """
+        SELECT ?p ?city WHERE {
+          ?p lives_in ?city . FILTER(regex(?p, "^[ab]"))
+        }
+    """), ["p", "city"])
+    assert out == {("alice", "ghent"), ("bob", "ghent")}
+
+    out = _rows(sparql_query(_ds(), """
+        SELECT ?p WHERE { ?p lives_in ?c . FILTER(CONTAINS(?c, "ent")) }
+    """), ["p"])
+    assert out == {("alice",), ("bob",)}
+
+    out = _rows(sparql_query(_ds(), """
+        SELECT ?p WHERE { ?p lives_in ?c . FILTER(STRSTARTS(?p, "car")) }
+    """), ["p"])
+    assert out == {("carol",)}
+
+    out = _rows(sparql_query(_ds(), """
+        SELECT ?p WHERE { ?p lives_in ?c . FILTER(STRENDS(?c, "ris")) }
+    """), ["p"])
+    assert out == {("carol",)}
+
+
+def test_string_filter_needs_constant_pattern():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            'SELECT ?p WHERE { ?p knows ?q . FILTER(regex(?p, ?q)) }')
