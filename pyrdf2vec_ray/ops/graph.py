@@ -1089,12 +1089,14 @@ def neighbor_jaccard(
     inter)`` is one int subtraction + one IEEE division on exact
     int64 inputs — bit-reproducible in SQL.
 
-    Shuffle shape: distinct (1), fan-in count + semi-filter (2),
-    out-degree count (1), wedge bucket (1), pair count (1), two
-    degree joins, bounded top-k tree — every exchange key-bucketed,
-    no global sort."""
+    Shuffle shape: distinct (1), fan-in count (1) + hub anti-filter
+    (0 exchanges when the over-cap hub set — at most ``|E|/max_fanin``
+    keys — fits the adaptive broadcast, else 1), out-degree count (1),
+    wedge bucket (1), pair count (1), degree attach (0 exchanges when
+    the capped-source degree map fits the broadcast, else two
+    key-bucket joins), bounded top-k tree — no global sort."""
     from pyrdf2vec_ray.ops.agg import global_topn
-    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.ops.join import hash_join, semi_join_adaptive
     from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply, distinct
 
     def canon(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1108,15 +1110,19 @@ def neighbor_jaccard(
 
     fanin = bucket_agg(e, ["b"], {"fi": ("a", "size")})
 
-    def low_fan(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[batch["fi"] <= max_fanin][["b"]].copy()
-        return out
+    # filter against the OVER-cap hub set, not the under-cap keep set:
+    # hubs number at most |E|/max_fanin (each needs > max_fanin in-edges),
+    # so the anti side is small by construction and usually broadcasts —
+    # the keep-set join it replaces exchanged the FULL edge set
+    def high_fan(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["fi"] > max_fanin][["b"]].copy()
 
-    kept = hash_join(
-        e, fanin.map_batches(low_fan, batch_format="pandas"), on=["b"]
+    kept = semi_join_adaptive(
+        e, fanin.map_batches(high_fan, batch_format="pandas"),
+        on=["b"], anti=True,
     ).materialize()
 
-    # consumed twice (u- and v-side joins): materialize once so the
+    # consumed twice (u- and v-side attach): materialize once so the
     # degree reduce doesn't replay per consumer
     deg = bucket_agg(kept, ["a"], {"deg": ("b", "size")}).materialize()
 
@@ -1132,15 +1138,33 @@ def neighbor_jaccard(
         ["u", "v"], {"inter": ("inter", "sum")}, pre=False,
     )
 
-    def as_u(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.rename(columns={"a": "u", "deg": "deg_u"})
+    # degree attach: the map is one int per CAPPED source vertex; when
+    # it fits the same adaptive-broadcast budget the AQE joins use,
+    # ship it once via ray.put and attach both sides in one stateless
+    # map (zero exchanges on 915k+ pairs) — else the key-bucket joins
+    broadcast_threshold = 2_000_000
+    if deg.count() <= broadcast_threshold:
+        dt = deg.to_pandas()
+        dmap_ref = ray.put(dict(zip(dt["a"], dt["deg"].astype(np.int64))))
 
-    def as_v(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.rename(columns={"a": "v", "deg": "deg_v"})
+        def attach(batch: pd.DataFrame) -> pd.DataFrame:
+            dmap = ray.get(dmap_ref)
+            out = batch.copy()
+            out["deg_u"] = out["u"].map(dmap).astype(np.int64)
+            out["deg_v"] = out["v"].map(dmap).astype(np.int64)
+            return out
 
-    du = deg.map_batches(as_u, batch_format="pandas")
-    dv = deg.map_batches(as_v, batch_format="pandas")
-    scored = hash_join(hash_join(pairs, du, on=["u"]), dv, on=["v"])
+        scored = pairs.map_batches(attach, batch_format="pandas")
+    else:
+        def as_u(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={"a": "u", "deg": "deg_u"})
+
+        def as_v(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={"a": "v", "deg": "deg_v"})
+
+        du = deg.map_batches(as_u, batch_format="pandas")
+        dv = deg.map_batches(as_v, batch_format="pandas")
+        scored = hash_join(hash_join(pairs, du, on=["u"]), dv, on=["v"])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         inter = batch["inter"].to_numpy(np.int64)
