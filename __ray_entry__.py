@@ -3114,6 +3114,38 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+_TRI_CACHE: dict[str, Any] = {}
+
+
+def _order_triangles(sf_dir: str):
+    """Materialized per-vertex triangle counts over the order
+    co-purchase graph (an undirected edge per pair of orders sharing a
+    customer), shared by q_order_triangles and q_order_clustering —
+    the clustering coefficient is a pure per-row finisher over the
+    same counts, so the O(m^1.5) wedge-closing plan runs once per
+    sweep (same fitted-state discipline as _TRIPLES_CACHE)."""
+    if sf_dir not in _TRI_CACHE:
+        import ray.data
+
+        from pyrdf2vec_ray.ops.graph import triangle_counts
+        from pyrdf2vec_ray.shuffle import bucket_apply
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey"])
+
+        def pairs(g):
+            j = g.merge(g, on="o_custkey", suffixes=("_a", "_b"))
+            j = j[j["o_orderkey_a"] < j["o_orderkey_b"]]
+            return j.rename(columns={"o_orderkey_a": "a",
+                                     "o_orderkey_b": "b"})[["a", "b"]]
+
+        edges = bucket_apply(orders, ["o_custkey"], pairs,
+                             batch_format="pandas")
+        _TRI_CACHE[sf_dir] = triangle_counts(edges).materialize()
+    return _TRI_CACHE[sf_dir]
+
+
 def q_order_triangles(sf_dir: str):
     """Per-vertex triangle counts (ops/graph.triangle_counts) over the
     order co-purchase graph: an undirected edge per pair of orders
@@ -3121,47 +3153,30 @@ def q_order_triangles(sf_dir: str):
     — O(m^1.5), hub-safe — all bucket-keyed exchanges.  Oracle: the
     same orientation + wedge-close expressed as row-value-comparison
     self-joins."""
-    import ray.data
-
-    from pyrdf2vec_ray.ops.graph import triangle_counts
-    from pyrdf2vec_ray.shuffle import bucket_apply
-
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-
-    def pairs(g):
-        j = g.merge(g, on="o_custkey", suffixes=("_a", "_b"))
-        j = j[j["o_orderkey_a"] < j["o_orderkey_b"]]
-        return j.rename(columns={"o_orderkey_a": "a",
-                                 "o_orderkey_b": "b"})[["a", "b"]]
-
-    edges = bucket_apply(orders, ["o_custkey"], pairs,
-                         batch_format="pandas")
-    return triangle_counts(edges)
+    return _order_triangles(sf_dir)
 
 
 def q_order_clustering(sf_dir: str):
     """Local clustering coefficients (ops/graph.clustering_coefficients)
     over the order co-purchase graph — the triangle pipeline's finisher:
     cc = 2·n_tri/(d·(d−1)), 0 below degree 2; float64 on exact counts,
-    bit-identical in SQL."""
-    import ray.data
+    bit-identical in SQL.  Reuses the sweep-shared materialized
+    triangle counts (_order_triangles) and adds NO exchange."""
+    import numpy as np
+    import pandas as pd
 
-    from pyrdf2vec_ray.ops.graph import clustering_coefficients
-    from pyrdf2vec_ray.shuffle import bucket_apply
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["degree"].to_numpy(np.float64)
+        t = batch["n_tri"].to_numpy(np.float64)
+        den = d * (d - 1.0)
+        cc = np.where(den > 0, (2.0 * t) / np.where(den > 0, den, 1.0),
+                      0.0)
+        out = batch[["v", "degree", "n_tri"]].copy()
+        out["cc"] = cc
+        return out
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-
-    def pairs(g):
-        j = g.merge(g, on="o_custkey", suffixes=("_a", "_b"))
-        j = j[j["o_orderkey_a"] < j["o_orderkey_b"]]
-        return j.rename(columns={"o_orderkey_a": "a",
-                                 "o_orderkey_b": "b"})[["a", "b"]]
-
-    edges = bucket_apply(orders, ["o_custkey"], pairs,
-                         batch_format="pandas")
-    return clustering_coefficients(edges)
+    return _order_triangles(sf_dir).map_batches(
+        finish, batch_format="pandas")
 
 
 def q_embedding_pq(sf_dir: str):

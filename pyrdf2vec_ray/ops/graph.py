@@ -64,12 +64,16 @@ def triangle_counts(
     nation-degree-6000 problem) sit at the HIGH end of the order and
     receive no fan-out.
 
-    Shuffle shape: one distinct, one degree count, two joins to attach
-    endpoint degrees, one center-bucket wedge generation, one
-    pair-bucket closing join, one vertex-bucket count — every exchange
-    is key-bucketed (shuffle.bucket_apply), none is a global sort, and
-    wedge volume is the algorithmic O(m^1.5) bound rather than the
-    naive sum of squared hub degrees."""
+    Shuffle shape: one distinct, one degree count, one center-bucket
+    wedge generation, one vertex-bucket count.  The degree attach, the
+    closing probe against the directed edge set, and the final
+    degree/count merge all follow the AQE discipline of the BGP chain:
+    when the side being probed (degree map / packed pair set /
+    triangle-count map) fits the broadcast budget it ships once via
+    ``ray.put`` and the probe is a stateless map — zero exchanges —
+    else each falls back to the key-bucket hash join.  None of the
+    exchanges is a global sort, and wedge volume is the algorithmic
+    O(m^1.5) bound rather than the naive sum of squared hub degrees."""
     from pyrdf2vec_ray.ops.join import hash_join
     from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply, distinct
 
@@ -111,12 +115,27 @@ def triangle_counts(
 
     vd = _dtypes_of(e, None)["a"]
     i8 = np.dtype("int64")
-    ea = hash_join(e, deg.map_batches(rn("v", "d", "a", "da"),
-                                      batch_format="pandas"), on=["a"])
-    eab = hash_join(ea, deg.map_batches(rn("v", "d", "b", "db"),
-                                        batch_format="pandas"), on=["b"],
-                    lschema={"a": vd, "b": vd, "da": i8},
-                    rschema={"b": vd, "db": i8})
+    broadcast_threshold = 2_000_000
+    if deg.count() <= broadcast_threshold:
+        ddf = deg.to_pandas()
+        deg_ref = ray.put(dict(zip(ddf["v"], ddf["d"].astype(np.int64))))
+
+        def attach_deg(batch: pd.DataFrame) -> pd.DataFrame:
+            dmap = ray.get(deg_ref)
+            out = batch.copy()
+            out["da"] = out["a"].map(dmap).astype(np.int64)
+            out["db"] = out["b"].map(dmap).astype(np.int64)
+            return out
+
+        eab = e.map_batches(attach_deg, batch_format="pandas")
+    else:
+        ea = hash_join(e, deg.map_batches(rn("v", "d", "a", "da"),
+                                          batch_format="pandas"), on=["a"])
+        eab = hash_join(ea, deg.map_batches(rn("v", "d", "b", "db"),
+                                            batch_format="pandas"),
+                        on=["b"],
+                        lschema={"a": vd, "b": vd, "da": i8},
+                        rschema={"b": vd, "db": i8})
 
     def orient(batch: pd.DataFrame) -> pd.DataFrame:
         da = batch["da"].to_numpy()
@@ -142,14 +161,36 @@ def triangle_counts(
 
     wed = bucket_apply(de, ["u"], wedges, batch_format="pandas")
 
-    def as_pq(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"p": batch["u"].to_numpy(),
-                             "q": batch["w"].to_numpy()})
+    # closing probe: the directed edge set is |E| keys; when it fits
+    # the broadcast budget, ship the (u, w) pair set once and filter
+    # wedges in a stateless map — the pair-bucket join it replaces
+    # exchanges the FULL O(m^1.5) wedge stream
+    if de.count() <= broadcast_threshold:
+        dedf = de.to_pandas()
+        pair_ref = ray.put(frozenset(zip(dedf["u"], dedf["w"])))
 
-    tri = hash_join(wed, de.map_batches(as_pq, batch_format="pandas"),
-                    on=["p", "q"],
-                    lschema={"p": vd, "q": vd, "center": vd},
-                    rschema={"p": vd, "q": vd})
+        def close(batch: pd.DataFrame) -> pd.DataFrame:
+            pairs_set = ray.get(pair_ref)
+            if not len(batch):
+                return batch
+            mask = np.fromiter(
+                (pq in pairs_set
+                 for pq in zip(batch["p"].to_numpy(),
+                               batch["q"].to_numpy())),
+                dtype=bool, count=len(batch))
+            return batch[mask]
+
+        tri = wed.map_batches(close, batch_format="pandas")
+    else:
+        def as_pq(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"p": batch["u"].to_numpy(),
+                                 "q": batch["w"].to_numpy()})
+
+        tri = hash_join(wed,
+                        de.map_batches(as_pq, batch_format="pandas"),
+                        on=["p", "q"],
+                        lschema={"p": vd, "q": vd, "center": vd},
+                        rschema={"p": vd, "q": vd})
 
     def roles(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -157,11 +198,29 @@ def triangle_counts(
                                   batch["q"].to_numpy(),
                                   batch["center"].to_numpy()])})
 
+    # materialized: .count() gates the broadcast choice and the chosen
+    # branch consumes the rows — without it the lazy chain replays
     pv = bucket_agg(tri.map_batches(roles, batch_format="pandas"),
-                    ["v"], {"n_tri": ("v", "size")})
+                    ["v"], {"n_tri": ("v", "size")}).materialize()
 
     # attach degree; vertices in no triangle surface with n_tri = 0 so
-    # the output covers the whole (deduplicated) vertex set
+    # the output covers the whole (deduplicated) vertex set.  The
+    # per-vertex triangle map is at most |V| ints — broadcast it when
+    # small and finish in one pass over the materialized degree table
+    if pv.count() <= broadcast_threshold:
+        pdf = pv.to_pandas()
+        tri_ref = ray.put(dict(zip(pdf["v"], pdf["n_tri"])))
+
+        def finish_b(batch: pd.DataFrame) -> pd.DataFrame:
+            tmap = ray.get(tri_ref)
+            return pd.DataFrame(
+                {"v": batch["v"].to_numpy(),
+                 "degree": batch["d"].to_numpy().astype(np.int64),
+                 "n_tri": batch["v"].map(tmap).fillna(0)
+                 .to_numpy(dtype=np.int64)})
+
+        return deg.map_batches(finish_b, batch_format="pandas")
+
     out = hash_join(deg, pv, on=["v"], how="left",
                     rschema={"v": vd, "n_tri": i8})
 
