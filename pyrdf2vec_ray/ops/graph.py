@@ -717,9 +717,12 @@ def bfs_distances(
     frontier starts as a tiny in-memory table and every expansion is
     distributed.
 
-    Scale shape per level: TWO exchanges only — one mid-vertex-bucket
+    Scale shape per level: the hop is a broadcast join when the
+    frontier fits the AQE budget (the frontier is the small side by
+    construction — seeds × reached vertices — so the edge set is only
+    SCANNED, never exchanged), falling back to one mid-vertex-bucket
     hash join of the frontier against the edge set (schema-hinted,
-    single-execution), then one fused (seed, vertex)-bucket pass that
+    single-execution); then one fused (seed, vertex)-bucket pass that
     both collapses parallel paths (distinct) AND drops already-settled
     vertices (anti vs visited) in the same kernel, so each vertex
     settles at its FIRST (= minimal) level — frontier and visited are
@@ -748,10 +751,20 @@ def bfs_distances(
             return pd.DataFrame({"seed": batch["seed"].to_numpy(),
                                  "m": batch["vertex"].to_numpy()})
 
-        hop = hash_join(
-            frontier.map_batches(as_left, batch_format="pandas"), es,
-            on=["m"], lschema={"seed": vd, "m": vd},
-            rschema={"m": vd, "nxt": vd})
+        fr = frontier.map_batches(as_left, batch_format="pandas")
+        # the frontier is the SMALL side at every level (seeds ×
+        # reached vertices); when it fits the broadcast budget the hop
+        # is a stateless scan of the edge set — the hash join it
+        # replaces exchanges the FULL edge set once per level
+        if frontier.count() <= 500_000:
+            from pyrdf2vec_ray.ops.join import broadcast_join
+
+            hop = broadcast_join(es, fr.materialize(), on=["m"])
+        else:
+            hop = hash_join(
+                fr, es,
+                on=["m"], lschema={"seed": vd, "m": vd},
+                rschema={"m": vd, "nxt": vd})
 
         def as_cand(batch: pd.DataFrame) -> pd.DataFrame:
             # per-batch combiner: local dedup before the fused shuffle
@@ -901,27 +914,53 @@ def mis_bounded(
                                        _md5_priority(a)])})
 
         mins = bucket_agg(cur.map_batches(nbr, batch_format="pandas"),
-                          ["v"], {"mn": ("np", "min")})
+                          ["v"], {"mn": ("np", "min")}).materialize()
 
         # local minima among undecided (vertices with no current edge
-        # have no mins row -> unconditionally IN)
-        from pyrdf2vec_ray.ops.join import hash_join
+        # have no mins row -> unconditionally IN); the min-neighbor
+        # map is one int per LIVE vertex — broadcast it when small so
+        # the decision is a stateless map, else key-bucket left join
+        if mins.count() <= 500_000:
+            mdf = mins.to_pandas()
+            # an edge-free round yields a schema-less empty frame
+            mmap0 = (dict(zip(mdf["v"], mdf["mn"].astype(np.int64)))
+                     if "v" in mdf.columns else {})
+            mins_ref = ray.put(mmap0)
 
-        j = hash_join(undecided, mins, on=["v"], how="left",
-                      lschema={"v": vd},
-                      rschema={"v": vd, "mn": np.dtype("int64")})
+            def local_min_b(batch: pd.DataFrame,
+                            mins_ref=mins_ref) -> pd.DataFrame:
+                if "v" not in batch.columns:
+                    # an EMPTY undecided set reaches the UDF as a
+                    # schema-less probe batch
+                    return pd.DataFrame({"v": np.array([], dtype=object)})
+                mmap = ray.get(mins_ref)
+                v = batch["v"].to_numpy()
+                p = _md5_priority(v)
+                mn = batch["v"].map(mmap)
+                isolated = mn.isna().to_numpy()
+                # exact int64 compare (a float cast of ~2^60 hashes
+                # could flip the strict < near 256-ulp coincidences)
+                mni = mn.fillna(0).to_numpy(np.int64)
+                return pd.DataFrame({"v": v[isolated | (p < mni)]})
 
-        def local_min(batch: pd.DataFrame) -> pd.DataFrame:
-            p = _md5_priority(batch["v"].to_numpy())
-            # exact int64 compare (a float cast of ~2^60 hashes could
-            # flip the strict < near 256-ulp coincidences)
-            isolated = batch["mn"].isna().to_numpy()
-            mn = batch["mn"].fillna(0).to_numpy(np.int64)
-            keep = isolated | (p < mn)
-            return pd.DataFrame({"v": batch["v"].to_numpy()[keep]})
+            in_v = undecided.map_batches(
+                local_min_b, batch_format="pandas").materialize()
+        else:
+            from pyrdf2vec_ray.ops.join import hash_join
 
-        in_v = j.map_batches(local_min,
-                             batch_format="pandas").materialize()
+            j = hash_join(undecided, mins, on=["v"], how="left",
+                          lschema={"v": vd},
+                          rschema={"v": vd, "mn": np.dtype("int64")})
+
+            def local_min(batch: pd.DataFrame) -> pd.DataFrame:
+                p = _md5_priority(batch["v"].to_numpy())
+                isolated = batch["mn"].isna().to_numpy()
+                mn = batch["mn"].fillna(0).to_numpy(np.int64)
+                keep = isolated | (p < mn)
+                return pd.DataFrame({"v": batch["v"].to_numpy()[keep]})
+
+            in_v = j.map_batches(local_min,
+                                 batch_format="pandas").materialize()
         states.append((in_v, "in"))
 
         # neighbors of IN drop out
