@@ -569,9 +569,11 @@ def transitive_closure(
     the documented bounded-depth closure, same contract as
     :func:`kcore_bounded`'s bounded peel.
 
-    Scale shape per round: one mid-vertex-bucket hash join (schema-
-    hinted, single-execution) + one pair-distinct; the relation is
-    pinned per round (it feeds both join sides and the union).  Ceiling
+    Scale shape per round: the composition is a broadcast scan while
+    the relation fits the AQE budget, else one mid-vertex-bucket hash
+    join (schema-hinted, single-execution); + one pair-distinct; the
+    relation is pinned per round (it feeds both join sides and the
+    union).  Ceiling
     is the closure ITSELF: reachability pair counts grow quadratically
     in dense graphs — closure is for hierarchy-shaped (DAG-ish, bounded
     fan-in) relations, not social graphs."""
@@ -596,11 +598,24 @@ def transitive_closure(
             return pd.DataFrame({"m": batch["src"].to_numpy(),
                                  "dst": batch["dst"].to_numpy()})
 
-        comp = hash_join(
-            cur.map_batches(as_left, batch_format="pandas"),
-            cur.map_batches(as_right, batch_format="pandas"),
-            on=["m"], lschema={"src": vd, "m": vd},
-            rschema={"m": vd, "dst": vd})
+        # composition: when the current relation fits the AQE budget,
+        # broadcast the right side and compose in a stateless scan
+        # (one exchange saved per doubling round); key-bucket join
+        # above it — the relation is materialized, so .count() is free
+        if cur.count() <= 500_000:
+            from pyrdf2vec_ray.ops.join import broadcast_join
+
+            comp = broadcast_join(
+                cur.map_batches(as_left, batch_format="pandas"),
+                cur.map_batches(as_right,
+                                batch_format="pandas").materialize(),
+                on=["m"])
+        else:
+            comp = hash_join(
+                cur.map_batches(as_left, batch_format="pandas"),
+                cur.map_batches(as_right, batch_format="pandas"),
+                on=["m"], lschema={"src": vd, "m": vd},
+                rschema={"m": vd, "dst": vd})
 
         def drop_m(batch: pd.DataFrame) -> pd.DataFrame:
             out = batch[["src", "dst"]]
