@@ -236,8 +236,16 @@ def wl_labels_from_dataset(
     def fused_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates()
         real = g[g["pin"] != SENT].sort_values(["obj", "pin"])
-        suf = (real.groupby("obj", as_index=False)["pin"].agg("-".join)
-                   .rename(columns={"pin": "suffix"}))
+        # pandas returns a SERIES from an empty SeriesGroupBy.agg — a
+        # bucket can legitimately hold only sentinel presence rows
+        # (subjects that never appear as an object)
+        if real.empty:
+            suf = pd.DataFrame({"obj": pd.Series(dtype=object),
+                                "suffix": pd.Series(dtype=object)})
+        else:
+            suf = (real.groupby("obj", as_index=False)["pin"]
+                       .agg("-".join)
+                       .rename(columns={"pin": "suffix"}))
         names = pd.DataFrame({"obj": g["obj"].drop_duplicates()})
         out = names.merge(suf, on="obj", how="left")
         out["suffix"] = out["suffix"].fillna("")
@@ -270,29 +278,58 @@ def wl_labels_from_dataset(
             + batch["subj"].to_numpy(dtype=object), md5_bytes)
         return batch[["subj", "obj", "pin"]]
 
+    # Tagged-union layout: every materialized T generation carries BOTH
+    # the per-triple rows (kind=0: subj/obj/pin) AND the block-local
+    # suffix rows the NEXT driver step consumes (kind=1: obj/suffix) —
+    # so each iteration is ONE edge-scale pass (update pins + group
+    # suffixes, fused) plus a zero-copy Arrow filter for the
+    # vocabulary-scale suffix collect, instead of separate suffix and
+    # update jobs over the full T.
+    COLS = ["subj", "obj", "pin", "suffix", "kind"]
+
+    def _suffix_rows(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:  # empty SeriesGroupBy.agg returns a Series
+            return pd.DataFrame({"obj": pd.Series(dtype=object),
+                                 "suffix": pd.Series(dtype=object)})
+        s = g[["obj", "pin"]].drop_duplicates().sort_values(["obj", "pin"])
+        return (s.groupby("obj", as_index=False)["pin"].agg("-".join)
+                 .rename(columns={"pin": "suffix"}))
+
+    def _tagged(t_rows: pd.DataFrame) -> pd.DataFrame:
+        suf = _suffix_rows(t_rows)
+        t = t_rows[["subj", "obj", "pin"]].copy()
+        t["suffix"] = ""
+        t["kind"] = np.int8(0)
+        s = pd.DataFrame({"subj": "", "obj": suf["obj"].to_numpy(),
+                          "pin": "",
+                          "suffix": suf["suffix"].to_numpy(),
+                          "kind": np.int8(1)})
+        return pd.concat([t[COLS], s[COLS]], ignore_index=True)
+
     T = None
     if wl_iterations > 1:
         # bucket by hash(obj) ONCE (the only loop exchange): after this
         # every row of an obj sits in one block, so each iteration's
-        # suffix groupby is block-local
+        # suffix groupby is block-local; the bucket kernel already
+        # emits iteration 1's suffix rows
         T = bucket_apply(
             triples_ds.map_batches(pin1, batch_format="pandas"),
-            ["obj"], lambda g: g, num_buckets=num_buckets,
+            ["obj"], _tagged, num_buckets=num_buckets,
             batch_format="pandas",
         ).materialize()
 
     ent_lab = _hash_distinct(ent_lab + "-" + suffix0, md5_bytes)
     history.append(ent_lab.copy())
 
-    for it in range(1, wl_iterations):
-        # a. suffix per obj: block-local groupby, NO exchange
-        def suffix_block(g):
-            g = g[["obj", "pin"]].drop_duplicates().sort_values(["obj", "pin"])
-            return (g.groupby("obj", as_index=False)["pin"].agg("-".join)
-                     .rename(columns={"pin": "suffix"}))
+    def take_suffix(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        return (batch.filter(pc.equal(batch["kind"], 1))
+                .select(["obj", "suffix"]))
 
-        suf = to_table(T.map_batches(
-            suffix_block, batch_size=None, batch_format="pandas"))
+    for it in range(1, wl_iterations):
+        # a. suffix per obj: zero-copy filter of the tagged rows the
+        # previous edge-scale pass already grouped — NO exchange
+        suf = to_table(T.map_batches(take_suffix, batch_format="pyarrow"))
         suf_obj = np.asarray(suf["obj"].to_numpy(zero_copy_only=False))
         suf_val = np.asarray(
             suf["suffix"].to_numpy(zero_copy_only=False), dtype=object)
@@ -309,25 +346,27 @@ def wl_labels_from_dataset(
         pos = np.searchsorted(ent_names, suf_obj)
         suffix[pos] = suf_val
 
-        # 2. pin update via the broadcast entity labels (lookup join);
-        # E_{n-1} = the level the NEXT round's pins need.  Skipped on
-        # the final round — no later suffix consumes it (the pre-r5
-        # code paid an unused edge-scale materialize here).
+        # 2. pin update via the broadcast entity labels (lookup join)
+        # FUSED with the next round's suffix grouping; E_{n-1} = the
+        # level the NEXT round's pins need.  Skipped on the final round
+        # — no later suffix consumes it.
         if it + 1 < wl_iterations:
             lab_ref = ray.put((ent_names, history[-1]))
 
-            def update_pin(batch: pd.DataFrame,
-                           lab_ref=lab_ref) -> pd.DataFrame:
+            def update_and_group(batch: pd.DataFrame,
+                                 lab_ref=lab_ref) -> pd.DataFrame:
                 names, labs = ray.get(lab_ref)
+                t = batch[batch["kind"] == 0][["subj", "obj", "pin"]]
                 subj_lab = labs[
-                    np.searchsorted(names, batch["subj"].to_numpy())]
-                batch = batch.copy()
-                batch["pin"] = _hash_distinct(
-                    batch["pin"].to_numpy(dtype=object) + "-" + subj_lab,
+                    np.searchsorted(names, t["subj"].to_numpy())]
+                t = t.copy()
+                t["pin"] = _hash_distinct(
+                    t["pin"].to_numpy(dtype=object) + "-" + subj_lab,
                     md5_bytes)
-                return batch
+                return _tagged(t)
 
-            T = T.map_batches(update_pin, batch_format="pandas").materialize()
+            T = T.map_batches(update_and_group, batch_size=None,
+                              batch_format="pandas").materialize()
 
         # 3. new entity labels (vocabulary-scale, driver-side)
         ent_lab = _hash_distinct(ent_lab + "-" + suffix, md5_bytes)
