@@ -2937,6 +2937,40 @@ def q_kg_bgp_groupsum(sf_dir: str):
     """)
 
 
+def q_kg_bgp_countdistinct(sf_dir: str):
+    """SPARQL COUNT(DISTINCT ?v) + HAVING (ops/sparql.py, round 5):
+    per-region member count (customers + suppliers via in_nation →
+    in_region) alongside an exact distinct-nation count.  The distinct
+    count rides its OWN (group, value)-distinct bucket shuffle (the
+    per-batch distinct combiner moves distinct pairs, not solution
+    rows) and hash_joins back onto the plain COUNT at group scale;
+    HAVING is a post-aggregate vectorized mask, no exchange."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?r (COUNT(?x) AS ?n_members) (COUNT(DISTINCT ?n) AS ?n_nations)
+        WHERE { ?x in_nation ?n . ?n in_region ?r . }
+        GROUP BY ?r HAVING(?n_members >= 5)
+    """)
+
+
+def q_kg_sparql_slice(sf_dir: str):
+    """SPARQL ORDER BY + LIMIT + OFFSET (ops/sparql.py, round 5): the
+    slice is an ordered block-boundary `split_at_indices` over the
+    RESULT-sized sorted set — rows never land on the driver.  ?c is
+    unique per solution (one nation per customer), so the lexicographic
+    total order is deterministic and the slice is engine-independent."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?c ?n WHERE {
+          ?c in_nation ?n .
+          ?n in_region "region:2" .
+          FILTER(STRSTARTS(?c, "customer:"))
+        } ORDER BY ?c LIMIT 40 OFFSET 25
+    """)
+
+
 def q_walks_sparql_roots(sf_dir: str):
     """The reference's HEADLINE workflow fully in-engine: SPARQL
     selects the entity set (customers of region:4 nations — the role a
@@ -5372,6 +5406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_union": q_kg_bgp_union,
         "kg_bgp_filter_str": q_kg_bgp_filter_str,
         "kg_bgp_groupsum": q_kg_bgp_groupsum,
+        "kg_bgp_countdistinct": q_kg_bgp_countdistinct,
+        "kg_sparql_slice": q_kg_sparql_slice,
         "kg_describe": q_kg_describe,
         "walks_sparql_roots": q_walks_sparql_roots,
         "lineitem_corr": q_lineitem_corr,
@@ -6791,6 +6827,27 @@ def oracle_sql() -> dict[str, str]:
             FROM triples p JOIN cents ON cents.o = p.subj
             WHERE p.pred = 'placed_by'
             GROUP BY p.obj
+        """,
+        "kg_bgp_countdistinct": _TRIPLES_CTE + """
+            SELECT t2.obj AS r,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(COUNT(DISTINCT t1.obj) AS BIGINT) AS n_nations
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_region'
+            WHERE t1.pred = 'in_nation'
+            GROUP BY t2.obj
+            HAVING COUNT(*) >= 5
+        """,
+        "kg_sparql_slice": _TRIPLES_CTE + """
+            SELECT t1.subj AS c, t1.obj AS n
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_region'
+                           AND t2.obj = 'region:2'
+            WHERE t1.pred = 'in_nation'
+              AND starts_with(t1.subj, 'customer:')
+            ORDER BY c LIMIT 40 OFFSET 25
         """,
         "kg_bgp_minus": _TRIPLES_CTE + """
             SELECT t1.subj AS c, t1.obj AS n

@@ -30,6 +30,24 @@ query strings) — for the supported subset:
         strings), MIN/MAX compare the raw string form (SQL VARCHAR
         min/max parity), AVG divides sum/size after the shuffle
 
+    (COUNT(DISTINCT ?v) AS ?n)       # exact distinct count: ONE
+        (group, value)-distinct bucket shuffle (per-batch distinct
+        combiner cuts the exchanged volume) + a group-scale count;
+        joined back to any plain aggregates with a group-scale
+        hash_join — approximate counting at extreme cardinality is
+        ops/sketch.hll_count, deliberately not silently substituted
+
+    ... GROUP BY ?g HAVING(?n > 5) [(?s <= 100) ...]
+        # post-aggregate filters over the ALIASED outputs, applied as
+        # a vectorized block-local mask (group-scale, no exchange);
+        # numeric compare when the literal parses as a number, else
+        # raw-string compare (matching the MIN/MAX VARCHAR semantics)
+
+    ... ORDER BY ?v [LIMIT n] [OFFSET m]   # OFFSET is an ordered
+        block-boundary split (`split_at_indices`) over the
+        RESULT-sized set — no driver materialization; LIMIT counts
+        rows after the OFFSET skip (either keyword order accepted)
+
 Terms: ``?var``, ``"quoted literal"``, ``<iri>`` (angle brackets
 stripped), or a bare token (taken as a constant symbol — this engine's
 triple stores hold plain strings like ``customer:17``).  CONSTRUCT
@@ -261,6 +279,13 @@ class _Parser:
                             "only COUNT/SUM/AVG/MIN/MAX aggregates "
                             f"supported, got {fn!r}")
                     self.expect("(")
+                    if self.keyword(self.peek(), "DISTINCT"):
+                        if fn != "COUNT":
+                            raise SparqlSyntaxError(
+                                f"DISTINCT is supported inside COUNT "
+                                f"only, got {fn}(DISTINCT ...)")
+                        self.next()
+                        fn = "COUNT_DISTINCT"
                     counted = self.next()
                     self.expect(")")
                     self.expect("AS")
@@ -315,6 +340,30 @@ class _Parser:
             if not gvars:
                 raise SparqlSyntaxError("GROUP BY needs ?variables")
             q["groupby"] = gvars
+        if self.keyword(self.peek(), "HAVING"):
+            self.next()
+            having: list[tuple[str, str, str]] = []
+            while self.peek() == "(":
+                self.expect("(")
+                lhs = self.next()
+                op = self.next()
+                rhs = self.next()
+                self.expect(")")
+                if not lhs.startswith("?"):
+                    raise SparqlSyntaxError(
+                        f"HAVING lhs must be a variable, got {lhs!r}")
+                if op not in _FILTER_OPS:
+                    raise SparqlSyntaxError(
+                        f"unsupported HAVING op {op!r}")
+                if rhs.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "HAVING compares an aggregate alias to a "
+                        f"constant, got variable rhs {rhs!r}")
+                having.append((lhs[1:], _FILTER_OPS[op], _term(rhs)))
+            if not having:
+                raise SparqlSyntaxError(
+                    "HAVING needs (?alias op constant) conditions")
+            q["having"] = having
         if self.keyword(self.peek(), "ORDER"):
             self.next()
             self.expect("BY")
@@ -332,12 +381,14 @@ class _Parser:
             if not order:
                 raise SparqlSyntaxError("ORDER BY needs ?variables")
             q["order"] = order
-        if self.keyword(self.peek(), "LIMIT"):
-            self.next()
+        while self.keyword(self.peek(), "LIMIT", "OFFSET"):
+            kw = self.next().upper()
             n = self.next()
             if not n.isdigit():
-                raise SparqlSyntaxError(f"LIMIT expects an int, got {n!r}")
-            q["limit"] = int(n)
+                raise SparqlSyntaxError(f"{kw} expects an int, got {n!r}")
+            if kw.lower() in q:
+                raise SparqlSyntaxError(f"duplicate {kw}")
+            q[kw.lower()] = int(n)
         if self.peek() is not None:
             raise SparqlSyntaxError(
                 f"trailing tokens from {self.peek()!r}")
@@ -437,17 +488,22 @@ def sparql_query(
         in_vars = [v[1:] for _, v, _ in q["aggs"] if v.startswith("?")]
         need = list(dict.fromkeys(list(gvars) + in_vars))
         sols = solutions(need)
-        if len(q["aggs"]) == 1 and q["aggs"][0][0] == "COUNT":
+        plain = [a for a in q["aggs"] if a[0] != "COUNT_DISTINCT"]
+        cdist = [a for a in q["aggs"] if a[0] == "COUNT_DISTINCT"]
+        out = None
+        if not plain:
+            pass
+        elif len(plain) == 1 and plain[0][0] == "COUNT":
             # over a null-free solution set COUNT(?v) == COUNT(*)
             out = bucket_count(sols.select_columns(list(gvars)), list(gvars),
-                               count_col=q["aggs"][0][2],
+                               count_col=plain[0][2],
                                num_buckets=num_buckets)
         else:
             # SUM/AVG cast their input to float64 (numeric literals are
             # stored as strings); MIN/MAX compare the raw string form
             # (SQL VARCHAR min/max parity); AVG = mergeable sum + size
             # partials divided after the ONE bucket shuffle.
-            num_vars = sorted({v[1:] for fn, v, _ in q["aggs"]
+            num_vars = sorted({v[1:] for fn, v, _ in plain
                                if fn in ("SUM", "AVG")})
 
             def cast_numeric(batch: pd.DataFrame) -> pd.DataFrame:
@@ -463,7 +519,7 @@ def sparql_query(
                 cast_numeric, batch_format="pandas")
             spec: dict = {}
             avg_aliases: list[str] = []
-            for fn, v, alias in q["aggs"]:
+            for fn, v, alias in plain:
                 col = v[1:] if v.startswith("?") else gvars[0]
                 if fn == "COUNT":
                     spec[alias] = (col, "size")
@@ -487,13 +543,59 @@ def sparql_query(
                     return batch
 
                 out = out.map_batches(finish_avg, batch_format="pandas")
+        for _, v, alias in cdist:
+            # exact distinct count: ONE (group, value)-distinct bucket
+            # shuffle (shuffle.distinct runs a per-batch distinct
+            # combiner, so the exchange moves distinct pairs, not
+            # solution rows), then a group-scale count.  Joined back to
+            # the plain aggregates with a GROUP-CARDINALITY-sized
+            # hash_join — never a corpus-scale exchange.
+            from pyrdf2vec_ray.ops.join import hash_join
+            from pyrdf2vec_ray.shuffle import distinct as _distinct
+
+            cols = list(dict.fromkeys(list(gvars) + [v[1:]]))
+            cd = bucket_count(
+                _distinct(sols.select_columns(cols), cols,
+                          num_buckets=num_buckets),
+                list(gvars), count_col=alias, num_buckets=num_buckets)
+            out = cd if out is None else hash_join(
+                out, cd, on=list(gvars), num_buckets=num_buckets)
+        if "having" in q:
+            conds = q["having"]
+
+            def apply_having(batch: pd.DataFrame,
+                             _conds=conds) -> pd.DataFrame:
+                import operator as _op
+                ops = {"==": _op.eq, "!=": _op.ne, "<": _op.lt,
+                       "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+                mask = pd.Series(True, index=batch.index)
+                for col, op, rhs in _conds:
+                    if col not in batch.columns:
+                        raise SparqlSyntaxError(
+                            f"HAVING references unknown alias ?{col}")
+                    try:
+                        rv: object = float(rhs)
+                        lv = pd.to_numeric(batch[col])
+                    except (ValueError, TypeError):
+                        rv, lv = rhs, batch[col]
+                    mask &= ops[op](lv, rv)
+                return batch[mask]
+
+            out = out.map_batches(apply_having, batch_format="pandas")
     else:
+        if "having" in q:
+            raise SparqlSyntaxError("HAVING needs aggregates")
         out = solutions(q.get("select"))
     if "order" in q:
         # a global sort of the RESULT set (result-sized, not
         # corpus-sized) — the one deliberate all-to-all here
         out = out.sort([c for c, _ in q["order"]],
                        descending=[d for _, d in q["order"]])
+    if q.get("offset"):
+        # ordered block-boundary split over the RESULT-sized set (the
+        # rows never land on the driver); LIMIT counts rows AFTER the
+        # skip, per the SPARQL slice semantics
+        out = out.split_at_indices([q["offset"]])[1]
     if "limit" in q:
         out = out.limit(q["limit"])
     return out

@@ -282,3 +282,94 @@ def test_string_filter_needs_constant_pattern():
     with pytest.raises(SparqlSyntaxError):
         parse_sparql(
             'SELECT ?p WHERE { ?p knows ?q . FILTER(regex(?p, ?q)) }')
+
+
+def _orders_ds():
+    rows = []
+    for c in range(4):
+        for o in range(c + 1):
+            oid = f"o{c}_{o}"
+            rows.append((oid, "placed_by", f"cust{c}"))
+            rows.append((oid, "amount", str(10 * (o + 1))))
+            rows.append((oid, "tag", f"t{o % 2}"))
+    s, p, o = zip(*rows)
+    return ray.data.from_pandas(
+        pd.DataFrame({"subj": s, "pred": p, "obj": o}))
+
+
+def test_count_distinct_mixed_with_plain_aggs():
+    """COUNT(DISTINCT ?v) rides its own (group, value)-distinct
+    shuffle and hash_joins back onto the plain-aggregate result."""
+    out = sparql_query(_orders_ds(), """
+        SELECT ?c (COUNT(?o) AS ?n) (COUNT(DISTINCT ?t) AS ?nt)
+               (SUM(?a) AS ?s)
+        WHERE { ?o placed_by ?c . ?o amount ?a . ?o tag ?t . }
+        GROUP BY ?c
+    """).to_pandas().set_index("c").sort_index()
+    # cust0 has 1 order (tag t0); cust3 has 4 orders but only 2 tags
+    assert out.loc["cust0", "n"] == 1 and out.loc["cust0", "nt"] == 1
+    assert out.loc["cust3", "n"] == 4 and out.loc["cust3", "nt"] == 2
+    assert out.loc["cust3", "s"] == 100.0
+
+
+def test_count_distinct_alone():
+    out = sparql_query(_orders_ds(), """
+        SELECT ?c (COUNT(DISTINCT ?t) AS ?nt)
+        WHERE { ?o placed_by ?c . ?o tag ?t . } GROUP BY ?c
+    """).to_pandas().set_index("c")
+    assert out["nt"].to_dict() == {
+        "cust0": 1, "cust1": 2, "cust2": 2, "cust3": 2}
+
+
+def test_distinct_inside_non_count_raises():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("""
+            SELECT ?c (SUM(DISTINCT ?a) AS ?s)
+            WHERE { ?o placed_by ?c . ?o amount ?a . } GROUP BY ?c
+        """)
+
+
+def test_having_filters_groups():
+    out = sparql_query(_orders_ds(), """
+        SELECT ?c (COUNT(?o) AS ?n) WHERE { ?o placed_by ?c . }
+        GROUP BY ?c HAVING(?n >= 2) ORDER BY ?c
+    """).to_pandas()
+    assert list(out["c"]) == ["cust1", "cust2", "cust3"]
+    assert list(out["n"]) == [2, 3, 4]
+
+
+def test_having_multiple_conditions():
+    out = sparql_query(_orders_ds(), """
+        SELECT ?c (COUNT(?o) AS ?n) (SUM(?a) AS ?s)
+        WHERE { ?o placed_by ?c . ?o amount ?a . }
+        GROUP BY ?c HAVING(?n >= 2) (?s < 100)
+    """).to_pandas()
+    assert set(out["c"]) == {"cust1", "cust2"}
+
+
+def test_having_without_aggregates_raises():
+    with pytest.raises(SparqlSyntaxError):
+        sparql_query(_ds(), """
+            SELECT ?p WHERE { ?p lives_in ?c . } HAVING(?p > "a")
+        """)
+
+
+def test_offset_and_limit_slice_after_sort():
+    out = sparql_query(_orders_ds(), """
+        SELECT ?o ?c WHERE { ?o placed_by ?c . }
+        ORDER BY ?o LIMIT 3 OFFSET 2
+    """).to_pandas()
+    assert list(out["o"]) == ["o1_1", "o2_0", "o2_1"]
+    # OFFSET before LIMIT parses too, same slice
+    out2 = sparql_query(_orders_ds(), """
+        SELECT ?o ?c WHERE { ?o placed_by ?c . }
+        ORDER BY ?o OFFSET 2 LIMIT 3
+    """).to_pandas()
+    assert list(out2["o"]) == list(out["o"])
+
+
+def test_offset_past_end_is_empty():
+    out = sparql_query(_orders_ds(), """
+        SELECT ?c WHERE { ?o placed_by ?c . } ORDER BY ?c OFFSET 999
+    """).to_pandas()
+    assert len(out) == 0
