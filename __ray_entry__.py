@@ -2971,6 +2971,37 @@ def q_kg_sparql_slice(sf_dir: str):
     """)
 
 
+def q_kg_sparql_seqpath(sf_dir: str):
+    """SPARQL sequence property path (ops/sparql.py, round 5):
+    ``?c in_nation/in_region ?r`` expands AT PARSE TIME into chained
+    patterns through a fresh join variable, so the evaluator runs the
+    ordinary multiplexed-scan + greedy-join bgp_match plan — sequence
+    paths add zero execution machinery."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?c ?r WHERE {
+          ?c in_nation/in_region ?r .
+          FILTER(STRSTARTS(?c, "customer:"))
+        }
+    """)
+
+
+def q_kg_sparql_invpath(sf_dir: str):
+    """SPARQL inverse step inside a sequence path (ops/sparql.py,
+    round 5): ``?r ^in_region/^in_nation ?s`` — each ^-step swaps its
+    pattern's endpoints at parse time (region ← nation ← member),
+    then the plain bgp_match plan runs unchanged."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?r ?s WHERE {
+          ?r ^in_region/^in_nation ?s .
+          FILTER(STRSTARTS(?s, "supplier:"))
+        }
+    """)
+
+
 def q_walks_sparql_roots(sf_dir: str):
     """The reference's HEADLINE workflow fully in-engine: SPARQL
     selects the entity set (customers of region:4 nations — the role a
@@ -5408,6 +5439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_groupsum": q_kg_bgp_groupsum,
         "kg_bgp_countdistinct": q_kg_bgp_countdistinct,
         "kg_sparql_slice": q_kg_sparql_slice,
+        "kg_sparql_seqpath": q_kg_sparql_seqpath,
+        "kg_sparql_invpath": q_kg_sparql_invpath,
         "kg_describe": q_kg_describe,
         "walks_sparql_roots": q_walks_sparql_roots,
         "lineitem_corr": q_lineitem_corr,
@@ -6848,6 +6881,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE t1.pred = 'in_nation'
               AND starts_with(t1.subj, 'customer:')
             ORDER BY c LIMIT 40 OFFSET 25
+        """,
+        "kg_sparql_seqpath": _TRIPLES_CTE + """
+            SELECT t1.subj AS c, t2.obj AS r
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_region'
+            WHERE t1.pred = 'in_nation'
+              AND starts_with(t1.subj, 'customer:')
+        """,
+        "kg_sparql_invpath": _TRIPLES_CTE + """
+            SELECT t2.obj AS r, t1.subj AS s
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_region'
+            WHERE t1.pred = 'in_nation'
+              AND starts_with(t1.subj, 'supplier:')
         """,
         "kg_bgp_minus": _TRIPLES_CTE + """
             SELECT t1.subj AS c, t1.obj AS n

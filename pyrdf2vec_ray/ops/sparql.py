@@ -8,7 +8,14 @@ query strings) — for the supported subset:
 
     SELECT [DISTINCT] ?v ... | * WHERE {
         ?s pred ?o .                 # triple patterns ('.' separated)
-        ?s (p1|p2)+ ?o .             # property paths
+        ?s (p1|p2)+ ?o .             # property paths (closure)
+        ?s p1/p2 ?o .                # sequence path: expanded at parse
+                                     #   time into chained patterns
+                                     #   through fresh join variables
+        ?s ^p ?o .                   # inverse path: endpoints swap;
+                                     #   steps compose (^a/b+/c works);
+                                     #   bare tokens only — <iri> and
+                                     #   quoted predicates opt out
         FILTER(?a != ?b)             # =, !=, <, <=, >, >=
         OPTIONAL { ... }             # nested pattern group
         MINUS { ... }                #   "
@@ -113,6 +120,7 @@ class _Parser:
     def __init__(self, tokens: list[str]):
         self.toks = tokens
         self.i = 0
+        self._gen = 0  # fresh join vars for sequence-path expansion
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -234,14 +242,54 @@ class _Parser:
             s = self.next()
             p = self._pred()
             o = self.next()
-            out["patterns"].append((_term(s), p, _term(o)))
+            if isinstance(p, list):
+                # sequence / inverse path: chain the steps through
+                # fresh join variables (projection drops them); an
+                # inverse step swaps its pattern's endpoints — the
+                # evaluator sees only plain patterns, so every
+                # bgp_match plan property (multiplexed scan, greedy
+                # join order, adaptive broadcast) applies unchanged
+                cur = _term(s)
+                last_term = _term(o)
+                for idx, (step, inv) in enumerate(p):
+                    if idx + 1 == len(p):
+                        nxt = last_term
+                    else:
+                        nxt = f"?__seq{self._gen}"
+                        self._gen += 1
+                    out["patterns"].append(
+                        (nxt, step, cur) if inv else (cur, step, nxt))
+                    cur = nxt
+            else:
+                out["patterns"].append((_term(s), p, _term(o)))
 
-    def _pred(self) -> str:
-        """Predicate position: a plain term, or a parenthesized
+    def _pred(self) -> str | list[tuple[str, bool]]:
+        """Predicate position: a plain term, a parenthesized
         property-path alternation ``(p1|p2)+`` reassembled from the
-        token stream."""
+        token stream, or (for BARE tokens only — quoted / <iri>
+        predicates opt out, their bodies may legitimately contain the
+        path characters) a sequence / inverse path:
+
+            p1/p2[/...]    each step one hop (steps may be ^-inverted
+                           or closures like p2+); returned as a step
+                           list the caller expands into chained
+                           patterns through fresh join variables
+            ^p             inverse: the pattern's endpoints swap
+        """
         tok = self.next()
         if tok != "(":
+            if tok.startswith("<") or tok.startswith('"'):
+                return _term(tok)
+            if "/" in tok or tok.startswith("^"):
+                steps: list[tuple[str, bool]] = []
+                for part in tok.split("/"):
+                    inv = part.startswith("^")
+                    body = part[1:] if inv else part
+                    if not body:
+                        raise SparqlSyntaxError(
+                            f"malformed property path {tok!r}")
+                    steps.append((_term(body), inv))
+                return steps
             return _term(tok)
         body = []
         while self.peek() != ")":

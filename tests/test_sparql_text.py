@@ -373,3 +373,50 @@ def test_offset_past_end_is_empty():
         SELECT ?c WHERE { ?o placed_by ?c . } ORDER BY ?c OFFSET 999
     """).to_pandas()
     assert len(out) == 0
+
+
+def test_sequence_path_expands_to_chained_patterns():
+    q = parse_sparql("SELECT ?c ?k WHERE { ?c lives_in/in_country ?k . }")
+    pats = q["group"]["patterns"]
+    assert len(pats) == 2
+    assert pats[0][:2] == ("?c", "lives_in")
+    mid = pats[0][2]
+    assert mid.startswith("?__seq")
+    assert pats[1] == (mid, "in_country", "?k")
+
+
+def test_sequence_path_end_to_end():
+    out = _rows(sparql_query(_ds(), """
+        SELECT ?c ?k WHERE { ?c lives_in/in_country ?k . }
+    """), ["c", "k"])
+    assert out == {("alice", "be"), ("bob", "be"), ("carol", "fr")}
+
+
+def test_inverse_path_swaps_endpoints():
+    out = _rows(sparql_query(_ds(), """
+        SELECT ?p WHERE { "ghent" ^lives_in ?p . }
+    """), ["p"])
+    assert out == {("alice",), ("bob",)}
+
+
+def test_inverse_inside_sequence():
+    # co-residents: ?a lives_in ?city, ?city ^lives_in ?b (incl self)
+    out = _rows(sparql_query(_ds(), """
+        SELECT ?a ?b WHERE { ?a lives_in/^lives_in ?b . }
+    """), ["a", "b"])
+    assert ("alice", "bob") in out and ("bob", "alice") in out
+    assert ("alice", "alice") in out          # identity pairs included
+    assert ("alice", "carol") not in out      # different cities
+
+
+def test_malformed_path_raises():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?a WHERE { ?a lives_in// ?b . }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?a WHERE { ?a ^ ?b . }")
+
+
+def test_iri_predicate_with_slash_is_not_a_path():
+    q = parse_sparql(
+        "SELECT ?a WHERE { ?a <http://ex.org/p> ?b . }")
+    assert q["group"]["patterns"] == [("?a", "http://ex.org/p", "?b")]
