@@ -2144,6 +2144,25 @@ def q_kg_bfs_distances(sf_dir: str):
     return bfs_distances(_kg_edges(sf_dir), seeds, max_depth=4)
 
 
+def q_kg_harmonic(sf_dir: str):
+    """Bounded-hop harmonic centrality (ops/graph.harmonic_centrality,
+    round 5) of the five region vertices over the REVERSED KG edges
+    (region ← nation ← member ← order reaches everything in ≤ 3 hops).
+    The score is an exact int64 rational over lcm(1..3)=6 — float
+    summation order never enters, so the oracle matches bit-for-bit —
+    plus the single-division float."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.graph import harmonic_centrality
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["b"], "b": batch["a"]})
+
+    redges = _kg_edges(sf_dir).map_batches(rev, batch_format="pandas")
+    seeds = [f"region:{i}" for i in range(5)]
+    return harmonic_centrality(redges, seeds, max_depth=3)
+
+
 def q_orders_diff(sf_dir: str):
     """Snapshot diff (ops/join.diff_tables): base order snapshot vs a
     derived next-day snapshot (keys %5 dropped, %7 re-priced, %11
@@ -3691,6 +3710,30 @@ def q_events_asof(sf_dir: str):
         right_cols=("event_id", "value"),
         right_prefix="view_",
     )
+
+
+def q_events_attribution(sf_dir: str):
+    """Last-touch marketing attribution (ops/events.attribution,
+    round 5): every purchase credited to the same user's most recent
+    click/view within a 6-hour lookback.  Composition: two pruned
+    masks over one event pass → asof_join with a tolerance window
+    (ONE user-bucket co-partitioning shuffle, vectorized merge_asof
+    per bucket; heterogeneous payload dtypes ride the typed-filler
+    tag-and-union).  Ties at one timestamp break to the largest touch
+    id — the LATERAL ORDER BY ts DESC, id DESC LIMIT 1 oracle."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import attribution
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return attribution(ev, conversion_type="purchase",
+                       touch_types=("click", "view"),
+                       lookback=pd.Timedelta(hours=6))
 
 
 def q_events_hourly(sf_dir: str):
@@ -5296,6 +5339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_prefix_dups": q_doc_prefix_dups,
         "doc_dup_spans": q_doc_dup_spans,
         "kg_bfs_distances": q_kg_bfs_distances,
+        "kg_harmonic": q_kg_harmonic,
         "orders_diff": q_orders_diff,
         "doc_rank_in_lang": q_doc_rank_in_lang,
         "table_profile": q_table_profile,
@@ -5348,6 +5392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_above_median": q_doc_above_median,
         "doc_length_quantiles": q_doc_length_quantiles,
         "events_asof": q_events_asof,
+        "events_attribution": q_events_attribution,
         "media_resized_dims": q_media_resized_dims,
         "media_wav_real": q_media_wav_real,
         "media_pgm_real": q_media_pgm_real,
@@ -6131,6 +6176,34 @@ def oracle_sql() -> dict[str, str]:
                      AS n_spans,
                    CAST(COALESCE(d.dup_spans, 0) AS BIGINT) AS dup_spans
             FROM t LEFT JOIN dup d USING (doc_id)
+        """,
+        "kg_harmonic": _TRIPLES_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1) + """,
+            edges AS (SELECT obj AS a, subj AS b FROM triples),
+            seeds AS (
+              SELECT 'region:' || r AS s FROM generate_series(0, 4) t(r)
+            ),
+            bfs AS (
+              SELECT s AS seed, s AS vertex, 0 AS d FROM seeds
+              UNION
+              SELECT bfs.seed, e.b, bfs.d + 1
+              FROM bfs JOIN edges e ON e.a = bfs.vertex
+              WHERE bfs.d < 3
+            ),
+            dist AS (
+              SELECT seed, vertex, min(d) AS dist
+              FROM bfs GROUP BY seed, vertex
+            ),
+            cnt AS (
+              SELECT seed,
+                     CAST(count(*) AS BIGINT) AS n_reached,
+                     CAST(sum(6 // dist) AS BIGINT) AS harmonic_num
+              FROM dist WHERE dist > 0 GROUP BY seed
+            )
+            SELECT seed, n_reached, harmonic_num,
+                   CAST(6 AS BIGINT) AS harmonic_den,
+                   harmonic_num / 6.0 AS harmonic
+            FROM cnt
         """,
         "kg_bfs_distances": _TRIPLES_CTE.replace(
             "WITH ", "WITH RECURSIVE ", 1) + """,
@@ -8133,6 +8206,32 @@ def oracle_sql() -> dict[str, str]:
                    r.event_id AS view_event_id, r.value AS view_value
             FROM l ASOF JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_attribution": """
+            WITH c AS (
+              SELECT user_id, ts, event_id, value
+              FROM events WHERE event_type = 'purchase'
+            ),
+            t0 AS (
+              SELECT user_id, ts, event_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id, ts ORDER BY event_id DESC
+                     ) AS rn
+              FROM events WHERE event_type IN ('click', 'view')
+            ),
+            t AS (
+              SELECT user_id, ts, event_id, event_type FROM t0
+              WHERE rn = 1
+            )
+            SELECT c.user_id, c.ts, c.event_id, c.value,
+                   b.event_id AS touch_event_id,
+                   b.event_type AS channel
+            FROM c, LATERAL (
+              SELECT t.event_id, t.event_type FROM t
+              WHERE t.user_id = c.user_id AND t.ts <= c.ts
+                AND t.ts >= c.ts - INTERVAL 6 HOUR
+              ORDER BY t.ts DESC LIMIT 1
+            ) b
         """,
         "doc_lang_id": _LANG_ID_SQL,
         "lang_confusion": (

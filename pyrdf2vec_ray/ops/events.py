@@ -107,12 +107,19 @@ def asof_join(
     left_cols: tuple = ("event_id", "value"),
     right_cols: tuple = ("event_id", "value"),
     right_prefix: str = "r_",
+    tolerance=None,
+    lschema=None,
+    rschema=None,
 ) -> ray.data.Dataset:
     """Distributed INNER as-of join: for every left row, the single
     right row with the same ``by`` key and the greatest ``on`` value
     <= the left row's (inclusive); left rows with no prior right row
     are dropped.  The operator Ray Data lacks and the task brief names;
     the time-attribution primitive ("which view preceded this click").
+    ``tolerance`` (optional) bounds the lookback: a right row older
+    than ``on − tolerance`` does not match (pass a ``pd.Timedelta``
+    for datetime ``on`` columns, a plain number for numeric ones) —
+    the marketing-attribution window.
 
     Shape: tag both sides, ONE co-partitioning bucket shuffle on ``by``
     (shuffle.bucket_apply), then a single ``pd.merge_asof`` (C-merge
@@ -124,53 +131,119 @@ def asof_join(
     (as `sessionize`): one key's rows fit one bucket task."""
     import numpy as np
 
+    from pyrdf2vec_ray.ops.join import _dtypes_of, _zeros
     from pyrdf2vec_ray.shuffle import bucket_apply
 
-    def tag(kind: int, cols: tuple):
+    # typed-filler tag-and-union (the hash_join pattern): each side
+    # carries the OTHER side's payload columns as typed fillers under
+    # distinct _l{i}/_r{i} names, so the union sees ONE schema even
+    # when the two payload lists have different dtypes (e.g. a double
+    # value on the left vs a string channel on the right)
+    ldt = _dtypes_of(left, lschema)
+    rdt = _dtypes_of(right, rschema)
+    lpay = [(f"_l{i}", c) for i, c in enumerate(left_cols)]
+    rpay = [(f"_r{i}", c) for i, c in enumerate(right_cols)]
+
+    def tag(kind: int, own, other, other_dt):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame(
                 {by: batch[by].reset_index(drop=True),
                  on: batch[on].reset_index(drop=True),
                  "kind": np.int8(kind)}
             )
-            for i, c in enumerate(cols):
-                out[f"_c{i}"] = batch[c].reset_index(drop=True)
-            return out
+            for name, c in own:
+                out[name] = batch[c].reset_index(drop=True)
+            for name, c in other:
+                out[name] = _zeros(len(out), other_dt[c], out.index)
+            cols = ([by, on, "kind"] + [n for n, _ in lpay]
+                    + [n for n, _ in rpay])
+            return out[cols]
 
         return fn
 
-    if len(left_cols) != len(right_cols):
-        raise ValueError("left_cols and right_cols must have equal length")
     tagged = left.map_batches(
-        tag(0, left_cols), batch_format="pandas"
-    ).union(right.map_batches(tag(1, right_cols), batch_format="pandas"))
+        tag(0, lpay, rpay, rdt), batch_format="pandas"
+    ).union(right.map_batches(tag(1, rpay, lpay, ldt),
+                              batch_format="pandas"))
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["kind"] == 0]
-        r = g[g["kind"] == 1]
+        lnames = [n for n, _ in lpay]
+        rnames = [n for n, _ in rpay]
+        l = g[g["kind"] == 0][[by, on] + lnames]
+        r = g[g["kind"] == 1][[by, on] + rnames]
         # dedupe right to one row per (by, on): max id (first col) wins
-        r = r.sort_values([by, on, "_c0"], kind="mergesort")
+        r = r.sort_values([by, on, rnames[0]], kind="mergesort")
         r = r.drop_duplicates([by, on], keep="last")
         l = l.sort_values(on, kind="mergesort")
         r = r.sort_values(on, kind="mergesort")
         m = pd.merge_asof(
-            l, r, on=on, by=by, direction="backward",
-            suffixes=("", "_r"),
+            l, r, on=on, by=by, direction="backward", tolerance=tolerance,
         )
-        m = m[m["_c0_r"].notna()]
+        m = m[m[rnames[0]].notna()]
         out = pd.DataFrame({by: m[by], on: m[on]})
-        for i, c in enumerate(left_cols):
-            out[c] = m[f"_c{i}"]
-        for i, c in enumerate(right_cols):
-            v = m[f"_c{i}_r"]
-            if pd.api.types.is_float_dtype(v) and pd.api.types.is_integer_dtype(
-                g[f"_c{i}"]
-            ):
+        for name, c in lpay:
+            out[c] = m[name]
+        for name, c in rpay:
+            v = m[name]
+            if (pd.api.types.is_float_dtype(v)
+                    and np.issubdtype(rdt[c], np.integer)):
                 v = v.astype("int64")
             out[f"{right_prefix}{c}"] = v
         return out
 
     return bucket_apply(tagged, [by], join_bucket, batch_format="pandas")
+
+
+def attribution(
+    events: ray.data.Dataset,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    lookback=None,
+    by: str = "user_id",
+    on: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Last-touch marketing attribution: every ``conversion_type``
+    event is credited to the same user's most recent ``touch_types``
+    event at-or-before it (optionally within a ``lookback`` window —
+    a ``pd.Timedelta`` for datetime ``on``).  Pure composition: two
+    pruned masks over ONE event pass feed :func:`asof_join` (one
+    co-partitioning user-bucket shuffle, vectorized merge_asof per
+    bucket); ties at the same timestamp break to the largest touch id,
+    matching an ``ORDER BY ts DESC, id DESC LIMIT 1`` SQL oracle.
+    Unattributed conversions (no touch in window) drop — inner
+    semantics.  Output: (by, on, id_col, value_col,
+    touch_<id_col>, channel).  A per-channel report is a group-scale
+    ``bucket_agg`` over this (conversions are touch-bounded, so the
+    rollup exchange is conversion-sized, never event-sized)."""
+    import pyarrow.compute as pc
+
+    def pick_conv(batch: "pa.Table") -> "pa.Table":
+        return batch.filter(
+            pc.equal(batch[type_col], conversion_type)
+        ).select([by, on, id_col, value_col])
+
+    def pick_touch(batch: "pa.Table") -> "pa.Table":
+        return batch.filter(
+            pc.is_in(batch[type_col],
+                     value_set=pa.array(list(touch_types)))
+        ).select([by, on, id_col, type_col])
+
+    conv = events.map_batches(pick_conv, batch_format="pyarrow")
+    touch = events.map_batches(pick_touch, batch_format="pyarrow")
+    joined = asof_join(
+        conv, touch, by=by, on=on,
+        left_cols=(id_col, value_col),
+        right_cols=(id_col, type_col),
+        right_prefix="touch_", tolerance=lookback,
+    )
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={f"touch_{type_col}": "channel"})
+
+    return joined.map_batches(rename, batch_format="pandas")
 
 
 def sliding_window(

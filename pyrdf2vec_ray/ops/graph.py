@@ -821,6 +821,75 @@ def bfs_distances(
     return out
 
 
+def harmonic_centrality(
+    edges: ray.data.Dataset,
+    seeds: list,
+    max_depth: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> ray.data.Dataset:
+    """Bounded-hop harmonic centrality for a SAMPLED seed set (the
+    composition :func:`bfs_distances`' docstring names): per seed,
+    ``Σ_{v reachable, d(v) ≤ max_depth, d > 0} 1/d(v)``, plus the
+    reachable-vertex count.
+
+    Float summation order is partition-dependent, so the score is
+    carried as an EXACT int64 rational over the fixed denominator
+    ``L = lcm(1..max_depth)``: ``harmonic_num = Σ_d n_d · (L/d)``,
+    ``harmonic_den = L`` — bit-identical on any engine — and the
+    float ``harmonic`` is the single IEEE division num/den (also
+    engine-independent).  Overflow bound (the gini_int convention):
+    requires ``n_reached · L < 2^63`` per seed; raises if
+    ``max_depth`` alone makes L overflow-prone (> 42, where
+    lcm exceeds 2^58).
+
+    Shape: bfs_distances does the traversal (frontier-sized joins,
+    edges scanned not exchanged); this adds one reached-volume
+    (seed, dist) pre-combined count exchange + one seed-scale reduce.
+    """
+    import math
+
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
+
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    L = math.lcm(*range(1, max_depth + 1))
+    if L > (1 << 58):
+        raise ValueError(
+            f"lcm(1..{max_depth}) = {L} leaves fewer than 32 bits of "
+            "per-seed headroom; use a smaller max_depth")
+
+    dists = bfs_distances(edges, seeds, max_depth, a_col=a_col,
+                          b_col=b_col)
+
+    def positive(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["dist"] > 0][["seed", "dist"]]
+
+    counts = bucket_agg(
+        dists.map_batches(positive, batch_format="pandas"),
+        ["seed", "dist"], {"n": ("dist", "size")},
+    )
+
+    def per_seed(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(dtype=np.int64)
+        # bound check BEFORE the sums — numpy int64 wraps silently
+        tot = g.groupby("seed")["n"].transform("sum").to_numpy(np.int64)
+        if (tot > (1 << 62) // L).any():
+            raise OverflowError(
+                "per-seed reachable count too large for the exact "
+                f"int64 rational at lcm={L}")
+        w = (L // g["dist"].to_numpy(dtype=np.int64)).astype(np.int64)
+        g = g.assign(_contrib=n * w)
+        out = g.groupby("seed", as_index=False).agg(
+            n_reached=("n", "sum"), harmonic_num=("_contrib", "sum"))
+        out["harmonic_den"] = np.int64(L)
+        out["harmonic"] = out["harmonic_num"] / np.float64(L)
+        return out
+
+    return bucket_apply(counts, ["seed"], per_seed,
+                        batch_format="pandas")
+
+
 def clustering_coefficients(
     edges: ray.data.Dataset,
     a_col: str = "a",

@@ -535,3 +535,49 @@ def test_cms_point_estimates_bound_exact_counts():
     half = cms_counters(ray.data.from_pandas(df.iloc[:100])).to_pandas()
     m = half.merge(counters, on=["d", "j"], suffixes=("_h", "_f"))
     assert (m["cnt_h"] <= m["cnt_f"]).all()
+
+
+def test_attribution_lookback_and_tiebreak():
+    import ray.data
+    from pyrdf2vec_ray.ops.events import attribution
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00",  # 0 view  u1
+        "2024-01-01 00:00:00",  # 1 click u1 (tied ts with 0)
+        "2024-01-01 01:00:00",  # 2 purchase u1 -> touch 1 (max id at tie)
+        "2024-01-01 09:00:00",  # 3 purchase u1 -> touch 8h old, OUTSIDE 6h
+        "2024-01-01 00:30:00",  # 4 view  u2
+        "2024-01-01 02:00:00",  # 5 purchase u2 -> touch 4 (90min <= 6h)
+        "2024-01-01 03:00:00",  # 6 purchase u3 -> no touch at all, dropped
+    ])
+    ev = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [0, 1, 2, 3, 4, 5, 6],
+        "ts": ts,
+        "user_id": [1, 1, 1, 1, 2, 2, 3],
+        "event_type": ["view", "click", "purchase", "purchase",
+                       "view", "purchase", "purchase"],
+        "value": [0.0, 0.0, 10.0, 20.0, 0.0, 30.0, 40.0],
+    }))
+    out = (attribution(ev, lookback=pd.Timedelta(hours=6))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert list(out["event_id"]) == [2, 5]
+    assert list(out["touch_event_id"]) == [1, 4]
+    assert list(out["channel"]) == ["click", "view"]
+    assert list(out["value"]) == [10.0, 30.0]
+
+
+def test_attribution_no_lookback_matches_any_prior_touch():
+    import ray.data
+    from pyrdf2vec_ray.ops.events import attribution
+
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-05 00:00:00"])
+    ev = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [0, 1],
+        "ts": ts,
+        "user_id": [1, 1],
+        "event_type": ["view", "purchase"],
+        "value": [0.0, 5.0],
+    }))
+    out = attribution(ev).to_pandas()
+    assert list(out["touch_event_id"]) == [0]
+    assert list(out["channel"]) == ["view"]

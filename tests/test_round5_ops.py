@@ -1,0 +1,41 @@
+"""Round-5 late-wave operators: last-touch attribution windows and
+bounded-hop harmonic centrality (exact int64 rational scores).
+
+Hand-computable invariants + oracle-shared definitions, same
+discipline as the driver gate."""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data
+
+
+def test_harmonic_centrality_exact_rational():
+    from pyrdf2vec_ray.ops.graph import harmonic_centrality
+
+    # star-with-tail: s -> a, s -> b, a -> c, c -> d
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "a": ["s", "s", "a", "c"],
+        "b": ["a", "b", "c", "d"],
+    }))
+    out = (harmonic_centrality(edges, ["s", "a"], max_depth=3)
+           .to_pandas().set_index("seed"))
+    # s reaches a,b @1; c @2; d @3 -> num = 2*6 + 1*3 + 1*2 = 17
+    assert out.loc["s", "n_reached"] == 4
+    assert out.loc["s", "harmonic_num"] == 17
+    assert out.loc["s", "harmonic_den"] == 6
+    assert out.loc["s", "harmonic"] == 17 / 6.0
+    # a reaches c @1, d @2 -> num = 6 + 3 = 9
+    assert out.loc["a", "n_reached"] == 2
+    assert out.loc["a", "harmonic_num"] == 9
+
+
+def test_harmonic_centrality_depth_guard():
+    from pyrdf2vec_ray.ops.graph import harmonic_centrality
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"a": ["x"], "b": ["y"]}))
+    with pytest.raises(ValueError):
+        harmonic_centrality(edges, ["x"], max_depth=0)
+    with pytest.raises(ValueError):
+        harmonic_centrality(edges, ["x"], max_depth=43)
