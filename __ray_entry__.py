@@ -3021,6 +3021,25 @@ def q_kg_sparql_invpath(sf_dir: str):
     """)
 
 
+def q_kg_sparql_bind(sf_dir: str):
+    """SPARQL BIND + nested plain group (ops/sparql.py, round 5): the
+    nested group splices into the parent conjunction at parse time
+    (FILTER placement over a pure join is semantics-preserving);
+    BIND adds a stateless per-batch column copy and a constant fill
+    after the pattern join — the projection pulls the underlying
+    source vars so distinct-projection semantics are unchanged."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?c ?n ?grp ?src WHERE {
+          ?c in_nation ?n .
+          { ?n in_region "region:3" . FILTER(STRSTARTS(?c, "customer:")) }
+          BIND(?n AS ?grp)
+          BIND("tpch" AS ?src)
+        }
+    """)
+
+
 def q_walks_sparql_roots(sf_dir: str):
     """The reference's HEADLINE workflow fully in-engine: SPARQL
     selects the entity set (customers of region:4 nations — the role a
@@ -5486,6 +5505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_slice": q_kg_sparql_slice,
         "kg_sparql_seqpath": q_kg_sparql_seqpath,
         "kg_sparql_invpath": q_kg_sparql_invpath,
+        "kg_sparql_bind": q_kg_sparql_bind,
         "kg_describe": q_kg_describe,
         "walks_sparql_roots": q_walks_sparql_roots,
         "lineitem_corr": q_lineitem_corr,
@@ -6970,6 +6990,16 @@ def oracle_sql() -> dict[str, str]:
                            AND t2.pred = 'in_region'
             WHERE t1.pred = 'in_nation'
               AND starts_with(t1.subj, 'supplier:')
+        """,
+        "kg_sparql_bind": _TRIPLES_CTE + """
+            SELECT t1.subj AS c, t1.obj AS n, t1.obj AS grp,
+                   'tpch' AS src
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_region'
+                           AND t2.obj = 'region:3'
+            WHERE t1.pred = 'in_nation'
+              AND starts_with(t1.subj, 'customer:')
         """,
         "kg_bgp_minus": _TRIPLES_CTE + """
             SELECT t1.subj AS c, t1.obj AS n

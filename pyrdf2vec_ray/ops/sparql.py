@@ -20,6 +20,15 @@ query strings) — for the supported subset:
         OPTIONAL { ... }             # nested pattern group
         MINUS { ... }                #   "
         VALUES ?v { "x" "y" }        # inline per-var value list
+        BIND(?x AS ?y)               # column copy / constant fill,
+                                     #   applied after the pattern
+                                     #   join (plain SELECT only)
+        { ?s p ?o . FILTER(...) }    # nested PLAIN group: spliced
+                                     #   into the parent (conjunction
+                                     #   is associative; FILTER over a
+                                     #   pure join is placement-
+                                     #   invariant) — nested OPTIONAL/
+                                     #   MINUS/UNION members raise
     } [LIMIT n]
 
     SELECT ?v ... WHERE { { ... } UNION { ... } }   # alternation:
@@ -146,7 +155,7 @@ class _Parser:
         a plain pattern group — mixing the two raises)."""
         self.expect("{")
         out = {"patterns": [], "filters": [], "optional": [],
-               "minus": [], "values": {}, "union": []}
+               "minus": [], "values": {}, "union": [], "binds": []}
         while True:
             tok = self.peek()
             if tok is None:
@@ -166,8 +175,28 @@ class _Parser:
                     self.next()
                     branches.append(self.parse_group())
                 if len(branches) == 1:
-                    raise SparqlSyntaxError(
-                        "nested group must be a {A} UNION {B} alternation")
+                    # single nested PLAIN group: conjunction is
+                    # associative and (with no OPTIONAL/MINUS/UNION
+                    # inside) FILTER placement over a pure join is
+                    # semantics-preserving, so splice it into the
+                    # parent — accepts the scoping braces real
+                    # queries carry without any execution change
+                    (sub,) = branches
+                    if sub["optional"] or sub["minus"] or sub["union"]:
+                        raise SparqlSyntaxError(
+                            "a nested group may contain only plain "
+                            "patterns / FILTER / VALUES / BIND (or be "
+                            "a {A} UNION {B} alternation)")
+                    out["patterns"].extend(sub["patterns"])
+                    out["filters"].extend(sub["filters"])
+                    out["binds"].extend(sub["binds"])
+                    for v, vals in sub["values"].items():
+                        if v in out["values"]:
+                            raise SparqlSyntaxError(
+                                f"VALUES ?{v} bound in both a nested "
+                                "group and its parent")
+                        out["values"][v] = vals
+                    continue
                 # UNION is associative: splice union-only branches flat
                 flat = []
                 for b in branches:
@@ -225,6 +254,19 @@ class _Parser:
                         f"{tok.upper()} groups support plain patterns "
                         "only")
                 out[tok.lower()].append(sub["patterns"])
+                continue
+            if self.keyword(tok, "BIND"):
+                self.next()
+                self.expect("(")
+                src = self.next()
+                self.expect("AS")
+                new = self.next()
+                self.expect(")")
+                if not new.startswith("?") or len(new) < 2:
+                    raise SparqlSyntaxError(
+                        f"BIND ... AS expects a variable, got {new!r}")
+                out["binds"].append((_term(src) if not src.startswith("?")
+                                     else src, new[1:]))
                 continue
             if self.keyword(tok, "VALUES"):
                 self.next()
@@ -461,6 +503,13 @@ def sparql_query(
     distributed-plan properties are theirs."""
     q = parse_sparql(text)
     g = q["group"]
+    binds = g["binds"]
+    if g["union"] and any(b["binds"] for b in g["union"]):
+        raise SparqlSyntaxError(
+            "BIND inside UNION branches is not supported")
+    if binds and ("aggs" in q or q["form"] != "SELECT"):
+        raise SparqlSyntaxError(
+            "BIND is supported in plain SELECT queries only")
     kwargs = dict(
         optional=g["optional"] or None,
         filters=g["filters"] or None,
@@ -633,7 +682,48 @@ def sparql_query(
     else:
         if "having" in q:
             raise SparqlSyntaxError("HAVING needs aggregates")
-        out = solutions(q.get("select"))
+        if binds:
+            # BIND = a stateless per-batch column copy (variable
+            # source) or constant fill, applied AFTER the pattern
+            # join; the projection asks bgp_match for the underlying
+            # source vars so the distinct-projection semantics are
+            # unchanged (the bind map is bijective per row)
+            sel = q.get("select")
+            targets = {n for _, n in binds}
+            base = None
+            if sel is not None:
+                base = []
+                for v in sel:
+                    if v in targets:
+                        src = next(s for s, n in binds if n == v)
+                        if src.startswith("?") and src[1:] not in base:
+                            base.append(src[1:])
+                    elif v not in base:
+                        base.append(v)
+                if not base:
+                    raise SparqlSyntaxError(
+                        "projection needs at least one pattern "
+                        "variable alongside BIND targets")
+            sols = solutions(base)
+
+            def add_binds(batch, _binds=binds):
+                batch = batch.copy()
+                for src, new in _binds:
+                    if src.startswith("?"):
+                        name = src[1:]
+                        if name not in batch.columns:
+                            raise SparqlSyntaxError(
+                                f"BIND source ?{name} is not bound")
+                        batch[new] = batch[name]
+                    else:
+                        batch[new] = src
+                return batch
+
+            out = sols.map_batches(add_binds, batch_format="pandas")
+            if sel is not None:
+                out = out.select_columns(list(sel))
+        else:
+            out = solutions(q.get("select"))
     if "order" in q:
         # a global sort of the RESULT set (result-sized, not
         # corpus-sized) — the one deliberate all-to-all here

@@ -215,10 +215,12 @@ def test_union_mixing_raises():
               ?x knows ?y .
             }
         """)
-    with pytest.raises(SparqlSyntaxError, match="UNION"):
-        sparql_query(_ds(), """
-            SELECT ?x WHERE { { ?x lives_in ghent . } }
-        """)
+    # a single nested PLAIN group is legal (round 5): it splices into
+    # the parent — conjunction is associative
+    out = _rows(sparql_query(_ds(), """
+        SELECT ?x WHERE { { ?x lives_in ghent . } }
+    """), ["x"])
+    assert out == {("alice",), ("bob",)}
 
 
 def test_numeric_aggregates():
@@ -420,3 +422,45 @@ def test_iri_predicate_with_slash_is_not_a_path():
     q = parse_sparql(
         "SELECT ?a WHERE { ?a <http://ex.org/p> ?b . }")
     assert q["group"]["patterns"] == [("?a", "http://ex.org/p", "?b")]
+
+
+def test_nested_plain_group_splices():
+    out = _rows(sparql_query(_ds(), """
+        SELECT ?c ?k WHERE {
+          ?c lives_in ?city .
+          { ?city in_country ?k . FILTER(?k = "be") }
+        }
+    """), ["c", "k"])
+    assert out == {("alice", "be"), ("bob", "be")}
+
+
+def test_nested_group_with_optional_raises():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("""
+            SELECT ?c WHERE {
+              ?c lives_in ?city .
+              { ?city in_country ?k . OPTIONAL { ?c knows ?f . } }
+            }
+        """)
+
+
+def test_bind_copies_and_constants():
+    out = sparql_query(_ds(), """
+        SELECT ?p ?alias ?tag WHERE {
+          ?p lives_in ?city .
+          BIND(?city AS ?alias)
+          BIND("resident" AS ?tag)
+        }
+    """).to_pandas().sort_values("p").reset_index(drop=True)
+    assert list(out.columns) == ["p", "alias", "tag"]
+    assert list(out["alias"]) == ["ghent", "ghent", "paris"]
+    assert set(out["tag"]) == {"resident"}
+
+
+def test_bind_with_aggregates_raises():
+    with pytest.raises(SparqlSyntaxError):
+        sparql_query(_ds(), """
+            SELECT ?city (COUNT(?p) AS ?n) WHERE {
+              ?p lives_in ?city . BIND(?p AS ?q)
+            } GROUP BY ?city
+        """)
