@@ -2163,6 +2163,49 @@ def q_kg_harmonic(sf_dir: str):
     return harmonic_centrality(redges, seeds, max_depth=3)
 
 
+def q_nation_members_outer(sf_dir: str):
+    """FULL OUTER hash_join (ops/join.py, round 5): per-nation customer
+    counts ⟗ per-nation supplier counts — at small scale factors many
+    nations have customers but no suppliers (and possibly vice versa),
+    so both unmatched sides are exercised; counts COALESCE to 0 on
+    both engines so no NULL crosses the compare boundary.  The same
+    co-partitioning bucket shuffle as inner/left — every key's rows
+    from both sides land in one bucket, including the unmatched."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_count
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
+
+    def key(col):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"nationkey": batch[col]})
+
+        return fn
+
+    cc = bucket_count(cust.map_batches(key("c_nationkey"),
+                                       batch_format="pandas"),
+                      ["nationkey"], count_col="n_cust")
+    sc = bucket_count(supp.map_batches(key("s_nationkey"),
+                                       batch_format="pandas"),
+                      ["nationkey"], count_col="n_supp")
+    out = hash_join(cc, sc, on=["nationkey"], how="outer")
+
+    def fill(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        for c in ("n_cust", "n_supp"):
+            batch[c] = batch[c].fillna(0).astype("int64")
+        return batch
+
+    return out.map_batches(fill, batch_format="pandas")
+
+
 def q_orders_diff(sf_dir: str):
     """Snapshot diff (ops/join.diff_tables): base order snapshot vs a
     derived next-day snapshot (keys %5 dropped, %7 re-priced, %11
@@ -5359,6 +5402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans": q_doc_dup_spans,
         "kg_bfs_distances": q_kg_bfs_distances,
         "kg_harmonic": q_kg_harmonic,
+        "nation_members_outer": q_nation_members_outer,
         "orders_diff": q_orders_diff,
         "doc_rank_in_lang": q_doc_rank_in_lang,
         "table_profile": q_table_profile,
@@ -6196,6 +6240,22 @@ def oracle_sql() -> dict[str, str]:
                      AS n_spans,
                    CAST(COALESCE(d.dup_spans, 0) AS BIGINT) AS dup_spans
             FROM t LEFT JOIN dup d USING (doc_id)
+        """,
+        "nation_members_outer": """
+            WITH cc AS (
+              SELECT c_nationkey AS nationkey,
+                     CAST(count(*) AS BIGINT) AS n_cust
+              FROM customer GROUP BY 1
+            ),
+            sc AS (
+              SELECT s_nationkey AS nationkey,
+                     CAST(count(*) AS BIGINT) AS n_supp
+              FROM supplier GROUP BY 1
+            )
+            SELECT COALESCE(cc.nationkey, sc.nationkey) AS nationkey,
+                   COALESCE(cc.n_cust, 0) AS n_cust,
+                   COALESCE(sc.n_supp, 0) AS n_supp
+            FROM cc FULL OUTER JOIN sc ON sc.nationkey = cc.nationkey
         """,
         "kg_harmonic": _TRIPLES_CTE.replace(
             "WITH ", "WITH RECURSIVE ", 1) + """,

@@ -71,15 +71,19 @@ def hash_join(
     rschema=None,
 ) -> ray.data.Dataset:
     """Equi-join ``left`` ⋈ ``right`` on the shared key columns ``on``.
-    ``how`` ∈ {"inner", "left"}.  Non-key right columns colliding with
-    left names get ``rsuffix``.  For ``how="left"``, unmatched right
-    columns surface as pandas NA of the joined dtype (callers needing
-    typed output fill them downstream).  ``lschema``/``rschema`` are
+    ``how`` ∈ {"inner", "left", "outer"}.  Non-key right columns
+    colliding with left names get ``rsuffix``.  For ``how="left"``,
+    unmatched right columns surface as pandas NA of the joined dtype
+    (callers needing typed output fill them downstream); ``"outer"``
+    (FULL OUTER) additionally keeps right rows with no left match, so
+    BOTH sides' non-key columns go nullable — per-bucket correctness
+    holds because co-partitioning puts every key's rows from both
+    sides in one bucket, including the unmatched ones.  ``lschema``/``rschema`` are
     optional schema hints (ordered ``{col: dtype}``) — pass them when a
     side is a lazy shuffle chain so the join does not execute it just
     to read ``.schema()`` (see ``_dtypes_of``)."""
-    if how not in ("inner", "left"):
-        raise ValueError("how must be 'inner' or 'left'")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError("how must be 'inner', 'left' or 'outer'")
     ldt_named = _dtypes_of(left, lschema)
     rdt_named = _dtypes_of(right, rschema)
     lcols = list(ldt_named)
@@ -128,7 +132,7 @@ def hash_join(
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lb = g[g["_side"]][on + l_extra]
         rb = g[~g["_side"]][on + rcols]
-        if how == "left":
+        if how in ("left", "outer"):
             # cast BEFORE the merge: pandas promotes plain int/uint to
             # float64 when a bucket has unmatched rows, which both
             # splits the block schema across buckets AND silently
@@ -139,6 +143,14 @@ def hash_join(
                 ext = _nullable.get(np.dtype(rdt[c]).kind)
                 if ext is not None:
                     rb[c] = rb[c].astype(ext)
+        if how == "outer":
+            # FULL OUTER also surfaces left misses — left non-key
+            # columns need the same nullable treatment
+            lb = lb.copy()
+            for c in l_extra:
+                ext = _nullable.get(np.dtype(ldt[c]).kind)
+                if ext is not None:
+                    lb[c] = lb[c].astype(ext)
         return lb.merge(rb, on=on, how=how)
 
     return bucket_apply(tagged, on, join_bucket,

@@ -39,3 +39,20 @@ def test_harmonic_centrality_depth_guard():
         harmonic_centrality(edges, ["x"], max_depth=0)
     with pytest.raises(ValueError):
         harmonic_centrality(edges, ["x"], max_depth=43)
+
+
+def test_hash_join_full_outer():
+    from pyrdf2vec_ray.ops.join import hash_join
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3], "lv": [10, 20, 30]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": [2, 3, 4], "rv": [200, 300, 400]}))
+    out = (hash_join(left, right, on=["k"], how="outer")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(out["k"]) == [1, 2, 3, 4]
+    # unmatched sides surface as NA of the nullable joined dtype
+    assert out["lv"].isna().tolist() == [False, False, False, True]
+    assert out["rv"].isna().tolist() == [True, False, False, False]
+    assert out.loc[1, "lv"] == 20 and out.loc[1, "rv"] == 200
+    assert str(out["lv"].dtype) == "Int64"
