@@ -64,4 +64,24 @@ print(sparql_query(kg, '''
     }
 ''').to_pandas())
 
+print("== round-5 text-surface additions ==")
+# sequence + inverse property paths (parse-time expansion)
+print(sparql_query(kg, '''
+    SELECT ?a ?city WHERE { ?a works_at/in_city ?city . }
+''').to_pandas())
+print(sparql_query(kg, '''
+    SELECT ?who WHERE { lab1 ^works_at ?who . }
+''').to_pandas())
+# aggregates with COUNT(DISTINCT), HAVING, and an ordered slice
+print(sparql_query(kg, '''
+    SELECT ?l (COUNT(?a) AS ?n) (COUNT(DISTINCT ?a) AS ?nd)
+    WHERE { ?a works_at ?l . } GROUP BY ?l HAVING(?n >= 2)
+''').to_pandas())
+print(sparql_query(kg, '''
+    SELECT ?a ?b WHERE {
+      { ?a knows ?b . } UNION { ?b knows ?a . }
+      BIND("social" AS ?kind)
+    } ORDER BY ?a ?b LIMIT 3 OFFSET 1
+''').to_pandas())
+
 ray.shutdown()
