@@ -2144,6 +2144,19 @@ def q_kg_bfs_distances(sf_dir: str):
     return bfs_distances(_kg_edges(sf_dir), seeds, max_depth=4)
 
 
+def q_kg_pagerank_rounds(sf_dir: str):
+    """Fully distributed PageRank (ops/graph.pagerank_rounds, round 5)
+    — the SURVEY A5 scale path (scores⋈edges + dst reduce per round)
+    whose driver-twin `_pagerank_from_pairs` backs the sampler fit.
+    Two power-iteration rounds over the distinct KG edge relation; the
+    oracle unrolls the same two rounds in SQL (dangling mass, uniform
+    teleport).  Cross-pinned: pytest matches both the broadcast and
+    hash_join paths to the driver form at 1e-12."""
+    from pyrdf2vec_ray.ops.graph import pagerank_rounds
+
+    return pagerank_rounds(_kg_edges(sf_dir), rounds=2)
+
+
 def q_kg_harmonic(sf_dir: str):
     """Bounded-hop harmonic centrality (ops/graph.harmonic_centrality,
     round 5) of the five region vertices over the REVERSED KG edges
@@ -5402,6 +5415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans": q_doc_dup_spans,
         "kg_bfs_distances": q_kg_bfs_distances,
         "kg_harmonic": q_kg_harmonic,
+        "kg_pagerank_rounds": q_kg_pagerank_rounds,
         "nation_members_outer": q_nation_members_outer,
         "orders_diff": q_orders_diff,
         "doc_rank_in_lang": q_doc_rank_in_lang,
@@ -6256,6 +6270,37 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(cc.n_cust, 0) AS n_cust,
                    COALESCE(sc.n_supp, 0) AS n_supp
             FROM cc FULL OUTER JOIN sc ON sc.nationkey = cc.nationkey
+        """,
+        "kg_pagerank_rounds": _TRIPLES_CTE + """
+            , t AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples),
+            nodes AS (SELECT src AS name FROM t UNION SELECT dst FROM t),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg
+                   FROM t GROUP BY src),
+            x0 AS (SELECT name, 1.0 / (SELECT n FROM nn) AS x FROM nodes),
+            d1 AS (SELECT coalesce(sum(x), 0) AS dm FROM x0
+                   WHERE name NOT IN (SELECT src FROM t)),
+            c1 AS (SELECT t.dst AS name, sum(x0.x / od.odeg) AS c
+                   FROM t JOIN od ON od.src = t.src
+                          JOIN x0 ON x0.name = t.src
+                   GROUP BY t.dst),
+            x1 AS (SELECT nodes.name,
+                          0.85 * coalesce(c1.c, 0)
+                          + (0.85 * (SELECT dm FROM d1) + 0.15)
+                            / (SELECT n FROM nn) AS x
+                   FROM nodes LEFT JOIN c1 ON c1.name = nodes.name),
+            d2 AS (SELECT coalesce(sum(x), 0) AS dm FROM x1
+                   WHERE name NOT IN (SELECT src FROM t)),
+            c2 AS (SELECT t.dst AS name, sum(x1.x / od.odeg) AS c
+                   FROM t JOIN od ON od.src = t.src
+                          JOIN x1 ON x1.name = t.src
+                   GROUP BY t.dst),
+            x2 AS (SELECT nodes.name,
+                          0.85 * coalesce(c2.c, 0)
+                          + (0.85 * (SELECT dm FROM d2) + 0.15)
+                            / (SELECT n FROM nn) AS x
+                   FROM nodes LEFT JOIN c2 ON c2.name = nodes.name)
+            SELECT name, x AS pagerank FROM x2
         """,
         "kg_harmonic": _TRIPLES_CTE.replace(
             "WITH ", "WITH RECURSIVE ", 1) + """,

@@ -821,6 +821,196 @@ def bfs_distances(
     return out
 
 
+def pagerank_rounds(
+    edges: ray.data.Dataset,
+    rounds: int,
+    alpha: float = 0.85,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_buckets: int | None = None,
+    broadcast_threshold: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Distributed PageRank power iteration — the SURVEY A5 scale path
+    (k rounds of scores⋈edges + a dst-keyed reduce) whose vectorized
+    driver twin is ``samplers._pagerank_from_pairs`` (that form pulls
+    the DISTINCT EDGE LIST to the driver and serves graphs that fit
+    the object store; this one never does).  Same networkx update rule
+    — uniform personalization, dangling mass redistributed — so at
+    equal round counts the two agree to float-sum reassociation
+    (pytest-pinned; the oracle's 1e-6 rounding absorbs it).
+
+    Pinned state: the distinct-edge relation with source out-degree
+    attached is materialized ONCE; the node table (name, od) likewise.
+    Per round: one scalar dangling-mass reduce, one score attach over
+    the pinned edges — a broadcast searchsorted map while the node
+    count is under ``broadcast_threshold`` (scores are node-scale;
+    edges are the big side), falling back to a src-keyed co-partition
+    hash_join — one dst-keyed pre-combined sum, and a node-table fill
+    (same adaptive choice).  Returns (name, pagerank)."""
+    import pyarrow as pa
+
+    import ray
+
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_count, distinct
+    from pyrdf2vec_ray.util import to_table
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": batch[a_col].astype(str),
+                             "dst": batch[b_col].astype(str)})
+
+    rel = distinct(edges.map_batches(pairs, batch_format="pandas"),
+                   ["src", "dst"], num_buckets=num_buckets).materialize()
+
+    def names_of(batch: pa.Table) -> pa.Table:
+        return pa.table({"name": pa.concat_arrays([
+            batch["src"].combine_chunks().cast(pa.string()),
+            batch["dst"].combine_chunks().cast(pa.string())])})
+
+    outdeg = bucket_count(rel, ["src"], count_col="od",
+                          num_buckets=num_buckets)
+    node_names = distinct(rel.map_batches(names_of, batch_format="pyarrow"),
+                          ["name"], num_buckets=num_buckets)
+    # node table with out-degree (0 = dangling): group-scale left join
+    nodes = hash_join(
+        node_names, outdeg.map_batches(
+            lambda b: b.rename(columns={"src": "name"}),
+            batch_format="pandas"),
+        on=["name"], how="left",
+        lschema={"name": object}, rschema={"name": object, "od": np.int64},
+    ).map_batches(
+        lambda b: b.assign(od=b["od"].fillna(0).astype("int64")),
+        batch_format="pandas",
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_items([])
+
+    small = n <= broadcast_threshold
+
+    def attach_rel_od():
+        """(src, dst, od) pinned once — the per-round join input."""
+        if small:
+            t = to_table(nodes)
+            names = np.asarray(t["name"].to_numpy(zero_copy_only=False),
+                               dtype=np.str_)
+            order = np.argsort(names, kind="stable")
+            ref = ray.put((names[order],
+                           t["od"].to_numpy()[order].astype(np.float64)))
+
+            def am(batch: pd.DataFrame, ref=ref) -> pd.DataFrame:
+                nm, od = ray.get(ref)
+                batch = batch.copy()
+                batch["od"] = od[np.searchsorted(
+                    nm, batch["src"].to_numpy(dtype=np.str_))]
+                return batch
+
+            return rel.map_batches(am, batch_format="pandas").materialize()
+        return hash_join(
+            rel, outdeg, on=["src"],
+            lschema={"src": object, "dst": object},
+            rschema={"src": object, "od": np.int64},
+        ).materialize()
+
+    rel_od = attach_rel_od()
+
+    # scores live WITH the od flag so the dangling reduce is one
+    # stateless filtered sum per round
+    x0 = 1.0 / n
+    scores = nodes.map_batches(
+        lambda b: b.assign(x=np.float64(x0)), batch_format="pandas",
+    ).materialize()
+
+    for _ in range(rounds):
+        dang = scores.map_batches(
+            lambda b: pd.DataFrame(
+                {"d": [float(b.loc[b["od"] == 0, "x"].sum())]}),
+            batch_format="pandas").sum("d")
+        const = (alpha * float(dang or 0.0) + (1.0 - alpha)) / n
+
+        if small:
+            t = to_table(scores)
+            names = np.asarray(t["name"].to_numpy(zero_copy_only=False),
+                               dtype=np.str_)
+            order = np.argsort(names, kind="stable")
+            ref = ray.put((names[order],
+                           t["x"].to_numpy()[order].astype(np.float64)))
+
+            def contrib(batch: pd.DataFrame, ref=ref) -> pd.DataFrame:
+                nm, xv = ray.get(ref)
+                c = xv[np.searchsorted(
+                    nm, batch["src"].to_numpy(dtype=np.str_))] \
+                    / batch["od"].to_numpy(dtype=np.float64)
+                return pd.DataFrame({"dst": batch["dst"], "c": c})
+
+            edge_c = rel_od.map_batches(contrib, batch_format="pandas")
+        else:
+            joined = hash_join(
+                rel_od, scores.map_batches(
+                    lambda b: b.rename(columns={"name": "src"})
+                               .drop(columns=["od"]),
+                    batch_format="pandas"),
+                on=["src"],
+                lschema={"src": object, "dst": object, "od": np.int64},
+                rschema={"src": object, "x": np.float64},
+            )
+
+            def contrib_j(batch: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {"dst": batch["dst"],
+                     "c": batch["x"].to_numpy(dtype=np.float64)
+                     / batch["od"].to_numpy(dtype=np.float64)})
+
+            edge_c = joined.map_batches(contrib_j, batch_format="pandas")
+
+        csum = bucket_agg(edge_c, ["dst"], {"c": ("c", "sum")},
+                          num_buckets=num_buckets)
+
+        if small:
+            ct = to_table(csum)
+            cd = np.asarray(ct["dst"].to_numpy(zero_copy_only=False),
+                            dtype=np.str_)
+            corder = np.argsort(cd, kind="stable")
+            cref = ray.put((cd[corder],
+                            ct["c"].to_numpy()[corder].astype(np.float64)))
+
+            def fill(batch: pd.DataFrame, cref=cref,
+                     const=const) -> pd.DataFrame:
+                nm, cv = ray.get(cref)
+                names_b = batch["name"].to_numpy(dtype=np.str_)
+                pos = np.searchsorted(nm, names_b)
+                pos_c = np.clip(pos, 0, max(len(nm) - 1, 0))
+                hit = (len(nm) > 0) & (nm[pos_c] == names_b)
+                cval = np.where(hit, cv[pos_c] if len(nm) else 0.0, 0.0)
+                batch = batch.copy()
+                batch["x"] = alpha * cval + const
+                return batch
+
+            scores = nodes.map_batches(
+                fill, batch_format="pandas").materialize()
+        else:
+            scores = hash_join(
+                nodes, csum.map_batches(
+                    lambda b: b.rename(columns={"dst": "name"}),
+                    batch_format="pandas"),
+                on=["name"], how="left",
+                lschema={"name": object, "od": np.int64},
+                rschema={"name": object, "c": np.float64},
+            ).map_batches(
+                lambda b, const=const: b.assign(
+                    x=alpha * b["c"].astype("Float64").fillna(0.0)
+                    .astype("float64") + const).drop(columns=["c"]),
+                batch_format="pandas").materialize()
+
+    def out(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"name": batch["name"],
+                             "pagerank": batch["x"]})
+
+    return scores.map_batches(out, batch_format="pandas")
+
+
 def harmonic_centrality(
     edges: ray.data.Dataset,
     seeds: list,

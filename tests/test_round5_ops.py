@@ -56,3 +56,51 @@ def test_hash_join_full_outer():
     assert out["rv"].isna().tolist() == [True, False, False, False]
     assert out.loc[1, "lv"] == 20 and out.loc[1, "rv"] == 200
     assert str(out["lv"].dtype) == "Int64"
+
+
+def test_pagerank_rounds_matches_driver_form():
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.graph import pagerank_rounds
+    from pyrdf2vec_ray.samplers import _pagerank_from_pairs
+
+    # graph with a hub, a cycle, and a dangling node (e)
+    E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a"),
+         ("c", "e")]
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"a": [s for s, _ in E], "b": [t for _, t in E]}))
+    names = sorted({v for e in E for v in e})
+    idx = {v: i for i, v in enumerate(names)}
+    src = np.array([idx[s] for s, _ in E], dtype=np.int64)
+    dst = np.array([idx[t] for _, t in E], dtype=np.int64)
+
+    for k in (1, 2, 5):
+        want = _pagerank_from_pairs(
+            src, dst, np.ones(len(names), dtype=bool), len(names),
+            alpha=0.85, tol=0.0, max_iter=k)
+        got = (pagerank_rounds(edges, rounds=k).to_pandas()
+               .set_index("name")["pagerank"])
+        for v in names:
+            assert abs(got[v] - want[idx[v]]) < 1e-12, (k, v)
+
+
+def test_pagerank_rounds_distributed_join_path():
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.graph import pagerank_rounds
+    from pyrdf2vec_ray.samplers import _pagerank_from_pairs
+
+    E = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"a": [s for s, _ in E], "b": [t for _, t in E]}))
+    names = sorted({v for e in E for v in e})
+    idx = {v: i for i, v in enumerate(names)}
+    want = _pagerank_from_pairs(
+        np.array([idx[s] for s, _ in E]), np.array([idx[t] for _, t in E]),
+        np.ones(len(names), dtype=bool), len(names),
+        alpha=0.85, tol=0.0, max_iter=3)
+    # broadcast_threshold=0 forces the co-partition hash_join fallback
+    got = (pagerank_rounds(edges, rounds=3, broadcast_threshold=0)
+           .to_pandas().set_index("name")["pagerank"])
+    for v in names:
+        assert abs(got[v] - want[idx[v]]) < 1e-12, v
