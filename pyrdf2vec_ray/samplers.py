@@ -92,8 +92,13 @@ def pagerank_scores(g: LocalGraph, alpha: float = 0.85, tol: float = 1e-6,
     Power iteration with uniform personalization and dangling-mass
     redistribution, matching networkx.pagerank semantics.  Non-entity
     ids get score 0.  At cluster scale this is k rounds of
-    edges-join-scores + groupby(dst).sum() (SURVEY.md A5); the vectorized
-    single-pass form here serves graphs that fit the object store."""
+    edges-join-scores + groupby(dst).sum() (SURVEY.md A5) — implemented
+    as ops/graph.pagerank_rounds (round 5), which never pulls the edge
+    list to the driver and matches this form at 1e-12 (pytest-pinned);
+    the vectorized single-pass form here serves graphs whose DISTINCT
+    EDGE LIST fits the object store and stays the sampler default
+    because its scores are bit-identical across both graph backends
+    (walk reproducibility pins on that)."""
     a = g.a
     # unique entity→entity edges
     key = a.fwd_obj.astype(np.int64)
