@@ -104,3 +104,48 @@ def test_pagerank_rounds_distributed_join_path():
            .to_pandas().set_index("name")["pagerank"])
     for v in names:
         assert abs(got[v] - want[idx[v]]) < 1e-12, v
+
+
+def test_round5_ops_partition_invariant():
+    """Outputs must not depend on the input's block layout — the
+    determinism contract every shuffle op in this repo claims."""
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.events import attribution
+    from pyrdf2vec_ray.ops.graph import harmonic_centrality, pagerank_rounds
+
+    ts = pd.to_datetime([f"2024-01-01 {h:02d}:00:00" for h in range(12)])
+    ev = pd.DataFrame({
+        "event_id": range(12),
+        "ts": ts,
+        "user_id": [1, 1, 2, 2, 1, 3, 3, 2, 1, 3, 2, 1],
+        "event_type": ["view", "purchase", "click", "purchase",
+                       "view", "view", "purchase", "click",
+                       "purchase", "purchase", "purchase", "view"],
+        "value": [float(i) for i in range(12)],
+    })
+    a1 = (attribution(ray.data.from_pandas(ev),
+                      lookback=pd.Timedelta(hours=3))
+          .to_pandas().sort_values("event_id").reset_index(drop=True))
+    a2 = (attribution(ray.data.from_pandas(ev).repartition(7),
+                      lookback=pd.Timedelta(hours=3))
+          .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a1, a2)
+
+    E = pd.DataFrame({"a": ["s", "s", "a", "c", "d", "b"],
+                      "b": ["a", "b", "c", "d", "a", "d"]})
+    h1 = (harmonic_centrality(ray.data.from_pandas(E), ["s", "a"], 3)
+          .to_pandas().sort_values("seed").reset_index(drop=True))
+    h2 = (harmonic_centrality(ray.data.from_pandas(E).repartition(5),
+                              ["s", "a"], 3)
+          .to_pandas().sort_values("seed").reset_index(drop=True))
+    pd.testing.assert_frame_equal(h1, h2)
+
+    p1 = (pagerank_rounds(ray.data.from_pandas(E), rounds=2)
+          .to_pandas().sort_values("name").reset_index(drop=True))
+    p2 = (pagerank_rounds(ray.data.from_pandas(E).repartition(5), rounds=2)
+          .to_pandas().sort_values("name").reset_index(drop=True))
+    assert list(p1["name"]) == list(p2["name"])
+    # float sums may reassociate across layouts; 1e-12 is the pinned bound
+    assert np.max(np.abs(p1["pagerank"].to_numpy()
+                         - p2["pagerank"].to_numpy())) < 1e-12
