@@ -2144,6 +2144,19 @@ def q_kg_bfs_distances(sf_dir: str):
     return bfs_distances(_kg_edges(sf_dir), seeds, max_depth=4)
 
 
+def q_kg_hits_rounds(sf_dir: str):
+    """Distributed un-normalized HITS, two full rounds
+    (ops/graph.hits_rounds, round 5) — ALL-INTEGER, so unlike the
+    float PageRank oracle this one is BIT-exact: per round
+    authority(v) = Σ hub over in-edges then hub(u) = Σ authority over
+    out-edges, two attach+reduce passes over the once-pinned distinct
+    edge relation.  The classic unit-norm scores differ only by a
+    positive scalar per round (rankings identical)."""
+    from pyrdf2vec_ray.ops.graph import hits_rounds
+
+    return hits_rounds(_kg_edges(sf_dir), rounds=2)
+
+
 def q_kg_pagerank_rounds(sf_dir: str):
     """Fully distributed PageRank (ops/graph.pagerank_rounds, round 5)
     — the SURVEY A5 scale path (scores⋈edges + dst reduce per round)
@@ -5416,6 +5429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_distances": q_kg_bfs_distances,
         "kg_harmonic": q_kg_harmonic,
         "kg_pagerank_rounds": q_kg_pagerank_rounds,
+        "kg_hits_rounds": q_kg_hits_rounds,
         "nation_members_outer": q_nation_members_outer,
         "orders_diff": q_orders_diff,
         "doc_rank_in_lang": q_doc_rank_in_lang,
@@ -6270,6 +6284,24 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(cc.n_cust, 0) AS n_cust,
                    COALESCE(sc.n_supp, 0) AS n_supp
             FROM cc FULL OUTER JOIN sc ON sc.nationkey = cc.nationkey
+        """,
+        "kg_hits_rounds": _TRIPLES_CTE + """
+            , t AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples),
+            nodes AS (SELECT src AS name FROM t UNION SELECT dst FROM t),
+            a1 AS (SELECT dst AS name, CAST(count(*) AS BIGINT) AS v
+                   FROM t GROUP BY dst),
+            h1 AS (SELECT t.src AS name, CAST(sum(a1.v) AS BIGINT) AS v
+                   FROM t JOIN a1 ON a1.name = t.dst GROUP BY t.src),
+            a2 AS (SELECT t.dst AS name, CAST(sum(h1.v) AS BIGINT) AS v
+                   FROM t JOIN h1 ON h1.name = t.src GROUP BY t.dst),
+            h2 AS (SELECT t.src AS name, CAST(sum(a2.v) AS BIGINT) AS v
+                   FROM t JOIN a2 ON a2.name = t.dst GROUP BY t.src)
+            SELECT nodes.name,
+                   coalesce(h2.v, 0) AS hub,
+                   coalesce(a2.v, 0) AS authority
+            FROM nodes
+            LEFT JOIN h2 ON h2.name = nodes.name
+            LEFT JOIN a2 ON a2.name = nodes.name
         """,
         "kg_pagerank_rounds": _TRIPLES_CTE + """
             , t AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples),

@@ -1011,6 +1011,165 @@ def pagerank_rounds(
     return scores.map_batches(out, batch_format="pandas")
 
 
+def hits_rounds(
+    edges: ray.data.Dataset,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_buckets: int | None = None,
+    broadcast_threshold: int = 2_000_000,
+) -> ray.data.Dataset:
+    """UN-NORMALIZED HITS power iteration, k rounds, ALL-INTEGER —
+    the bit-exact iterated counterpart of :func:`pagerank_rounds`
+    (whose float teleport sums can only ever match an oracle to
+    rounding).  From h_0 = 1 everywhere: per round,
+    ``authority(v) = Σ_{(u,v)} hub(u)`` then ``hub(u) = Σ_{(u,v)}
+    authority(v)`` over the DISTINCT edge relation.  Skipping the
+    per-round normalization keeps every value int64 and
+    engine-independent; callers wanting the classic unit-norm scores
+    divide once at the end (rankings are identical — normalization is
+    a positive scalar per round).
+
+    Growth bound: values multiply by ≤ (max in-degree · max
+    out-degree) per round — the per-round int64 guard raises before a
+    silent numpy wrap (the gini_int convention).  Per round: two
+    attach+reduce passes over the once-pinned edge relation (adaptive
+    broadcast searchsorted maps under ``broadcast_threshold``,
+    key-bucket hash_join past it — same policy as pagerank_rounds).
+    Returns (name, hub, authority) after ``rounds`` full rounds."""
+    import pyarrow as pa
+
+    import ray
+
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+    from pyrdf2vec_ray.util import to_table
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": batch[a_col].astype(str),
+                             "dst": batch[b_col].astype(str)})
+
+    rel = distinct(edges.map_batches(pairs, batch_format="pandas"),
+                   ["src", "dst"], num_buckets=num_buckets).materialize()
+
+    def names_of(batch: pa.Table) -> pa.Table:
+        return pa.table({"name": pa.concat_arrays([
+            batch["src"].combine_chunks().cast(pa.string()),
+            batch["dst"].combine_chunks().cast(pa.string())])})
+
+    nodes = distinct(rel.map_batches(names_of, batch_format="pyarrow"),
+                     ["name"], num_buckets=num_buckets).materialize()
+    n = nodes.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_items([])
+    small = n <= broadcast_threshold
+
+    def propagate(vec: ray.data.Dataset, key: str, other: str,
+                  out_name: str) -> ray.data.Dataset:
+        """out(other) = Σ_{edges} vec(key): attach vec to the pinned
+        edges on `key`, pre-combined integer sum keyed on `other`,
+        then fill 0 for nodes with no incident edge on that side."""
+        if small:
+            t = to_table(vec)
+            nm = np.asarray(t["name"].to_numpy(zero_copy_only=False),
+                            dtype=np.str_)
+            order = np.argsort(nm, kind="stable")
+            ref = ray.put((nm[order],
+                           t["v"].to_numpy()[order].astype(np.int64)))
+
+            def edge_v(batch: pd.DataFrame, ref=ref) -> pd.DataFrame:
+                names, vals = ray.get(ref)
+                return pd.DataFrame(
+                    {other: batch[other],
+                     "v": vals[np.searchsorted(
+                         names, batch[key].to_numpy(dtype=np.str_))]})
+
+            contrib = rel.map_batches(edge_v, batch_format="pandas")
+        else:
+            joined = hash_join(
+                rel, vec.map_batches(
+                    lambda b: b.rename(columns={"name": key}),
+                    batch_format="pandas"),
+                on=[key],
+                lschema={"src": object, "dst": object},
+                rschema={key: object, "v": np.int64},
+            )
+            contrib = joined.map_batches(
+                lambda b: b[[other, "v"]], batch_format="pandas")
+        summed = bucket_agg(contrib, [other], {"v": ("v", "sum")},
+                            num_buckets=num_buckets)
+        if small:
+            st = to_table(summed)
+            sn = np.asarray(st[other].to_numpy(zero_copy_only=False),
+                            dtype=np.str_)
+            sorder = np.argsort(sn, kind="stable")
+            sref = ray.put((sn[sorder],
+                            st["v"].to_numpy()[sorder].astype(np.int64)))
+
+            def fill(batch: pd.DataFrame, sref=sref) -> pd.DataFrame:
+                names, vals = ray.get(sref)
+                b_names = batch["name"].to_numpy(dtype=np.str_)
+                pos = np.clip(np.searchsorted(names, b_names), 0,
+                              max(len(names) - 1, 0))
+                hit = (len(names) > 0) & (names[pos] == b_names)
+                out = np.where(hit, vals[pos] if len(names) else 0, 0)
+                if out.size and out.max() > (1 << 62):
+                    raise OverflowError(
+                        f"HITS {out_name} values exceed the int64 "
+                        "guard; reduce rounds")
+                return pd.DataFrame({"name": batch["name"],
+                                     "v": out.astype(np.int64)})
+
+            return nodes.map_batches(
+                fill, batch_format="pandas").materialize()
+        out = hash_join(
+            nodes, summed.map_batches(
+                lambda b: b.rename(columns={other: "name"}),
+                batch_format="pandas"),
+            on=["name"], how="left",
+            lschema={"name": object},
+            rschema={"name": object, "v": np.int64},
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {"name": b["name"],
+                 "v": b["v"].fillna(0).astype("int64")}),
+            batch_format="pandas").materialize()
+        mx = out.max("v")
+        if mx is not None and mx > (1 << 62):
+            raise OverflowError(
+                f"HITS {out_name} values exceed the int64 guard; "
+                "reduce rounds")
+        return out
+
+    hub = nodes.map_batches(
+        lambda b: b.assign(v=np.int64(1)), batch_format="pandas",
+    ).materialize()
+    auth = None
+    for _ in range(rounds):
+        auth = propagate(hub, "src", "dst", "authority")
+        hub = propagate(auth, "dst", "src", "hub")
+
+    def merge(hub, auth):
+        return hash_join(
+            hub.map_batches(
+                lambda b: b.rename(columns={"v": "hub"}),
+                batch_format="pandas"),
+            auth.map_batches(
+                lambda b: b.rename(columns={"v": "authority"}),
+                batch_format="pandas"),
+            on=["name"],
+            lschema={"name": object, "hub": np.int64},
+            rschema={"name": object, "authority": np.int64},
+        )
+
+    return merge(hub, auth)
+
+
 def harmonic_centrality(
     edges: ray.data.Dataset,
     seeds: list,

@@ -149,3 +149,25 @@ def test_round5_ops_partition_invariant():
     # float sums may reassociate across layouts; 1e-12 is the pinned bound
     assert np.max(np.abs(p1["pagerank"].to_numpy()
                          - p2["pagerank"].to_numpy())) < 1e-12
+
+
+def test_hits_rounds_integer_exact():
+    from pyrdf2vec_ray.ops.graph import hits_rounds
+
+    # s -> a, s -> b, a -> b, b -> a (hand-unrolled two rounds)
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"a": ["s", "s", "a", "b"], "b": ["a", "b", "b", "a"]}))
+    out = (hits_rounds(edges, rounds=2).to_pandas()
+           .set_index("name").sort_index())
+    assert out.loc["s", "authority"] == 0
+    assert out.loc["a", "authority"] == 6 and out.loc["b", "authority"] == 6
+    assert out.loc["s", "hub"] == 12
+    assert out.loc["a", "hub"] == 6 and out.loc["b", "hub"] == 6
+    # forced hash_join path is value-identical (integers, no rounding)
+    out2 = (hits_rounds(edges, rounds=2, broadcast_threshold=0)
+            .to_pandas().set_index("name").sort_index())
+    pd.testing.assert_frame_equal(out.sort_index(axis=1),
+                                  out2.sort_index(axis=1))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hits_rounds(edges, rounds=0)
