@@ -3824,6 +3824,41 @@ def q_events_attribution(sf_dir: str):
                        lookback=pd.Timedelta(hours=6))
 
 
+def q_events_window_join(sf_dir: str):
+    """Symmetric stream-stream window join (ops/events.window_join,
+    round 5): every (click, error) pair by the same user within ±15
+    minutes — error-correlation analysis, the third time-join next to
+    as-of (nearest ≤) and interval (point-stabs-range).  One
+    co-partitioning user-bucket shuffle; per bucket a vectorized
+    searchsorted range sweep (two binary searches per key segment +
+    one repeat/arange expansion)."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import window_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def pick(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.equal(batch["event_type"], kind)
+            ).drop_columns(["event_type"])
+
+        return fn
+
+    clicks = ev.map_batches(pick("click"), batch_format="pyarrow")
+    errors = ev.map_batches(pick("error"), batch_format="pyarrow")
+    return window_join(clicks, errors,
+                       window=pd.Timedelta(minutes=15))
+
+
 def q_events_hourly(sf_dir: str):
     import ray.data
 
@@ -5484,6 +5519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": q_doc_length_quantiles,
         "events_asof": q_events_asof,
         "events_attribution": q_events_attribution,
+        "events_window_join": q_events_window_join,
         "media_resized_dims": q_media_resized_dims,
         "media_wav_real": q_media_wav_real,
         "media_pgm_real": q_media_pgm_real,
@@ -8373,6 +8409,21 @@ def oracle_sql() -> dict[str, str]:
                    r.event_id AS view_event_id, r.value AS view_value
             FROM l ASOF JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_window_join": """
+            WITH l AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click'
+            ),
+            r AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'error'
+            )
+            SELECT l.user_id, l.ts, r.ts AS r_ts,
+                   l.event_id, r.event_id AS r_event_id
+            FROM l JOIN r ON r.user_id = l.user_id
+               AND r.ts BETWEEN l.ts - INTERVAL 15 MINUTE
+                            AND l.ts + INTERVAL 15 MINUTE
         """,
         "events_attribution": """
             WITH c AS (

@@ -246,6 +246,122 @@ def attribution(
     return joined.map_batches(rename, batch_format="pandas")
 
 
+def window_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    window,
+    by: str = "user_id",
+    on: str = "ts",
+    left_cols: tuple = ("event_id",),
+    right_cols: tuple = ("event_id",),
+    right_prefix: str = "r_",
+    lschema=None,
+    rschema=None,
+) -> ray.data.Dataset:
+    """Symmetric stream-stream WINDOW join: every (l, r) pair sharing
+    the ``by`` key with ``|l.on − r.on| ≤ window`` (inclusive both
+    ends) — the third time-join primitive next to :func:`asof_join`
+    (nearest single match at-or-before) and :func:`interval_join`
+    (point-stabs-range).  ``window`` matches the ``on`` dtype
+    (``pd.Timedelta`` for datetimes, a plain number otherwise).
+
+    Shape: typed-filler tag-and-union, ONE ``by``-keyed co-partition
+    bucket shuffle, then per bucket a vectorized searchsorted range
+    sweep per left row (two binary searches into the (by, on)-sorted
+    right frame + one repeat/arange expansion — no per-pair Python).
+    Output volume = the true pair count; a hot key with dense
+    timestamps produces quadratic pairs BY DEFINITION — callers bound
+    ``window`` accordingly (the documented skew contract)."""
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.join import _dtypes_of, _zeros
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    ldt = _dtypes_of(left, lschema)
+    rdt = _dtypes_of(right, rschema)
+    lpay = [(f"_l{i}", c) for i, c in enumerate(left_cols)]
+    rpay = [(f"_r{i}", c) for i, c in enumerate(right_cols)]
+    if hasattr(window, "to_timedelta64"):  # pd.Timedelta → numpy
+        window = window.to_timedelta64()
+
+    def tag(kind: int, own, other, other_dt):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {by: batch[by].reset_index(drop=True),
+                 on: batch[on].reset_index(drop=True),
+                 "kind": np.int8(kind)})
+            for name, c in own:
+                out[name] = batch[c].reset_index(drop=True)
+            for name, c in other:
+                out[name] = _zeros(len(out), other_dt[c], out.index)
+            cols = ([by, on, "kind"] + [n for n, _ in lpay]
+                    + [n for n, _ in rpay])
+            return out[cols]
+
+        return fn
+
+    tagged = left.map_batches(
+        tag(0, lpay, rpay, rdt), batch_format="pandas"
+    ).union(right.map_batches(tag(1, rpay, lpay, ldt),
+                              batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lnames = [nm for nm, _ in lpay]
+        rnames = [nm for nm, _ in rpay]
+        l = g[g["kind"] == 0].sort_values(
+            [by, on] + lnames, kind="mergesort")
+        r = g[g["kind"] == 1].sort_values(
+            [by, on] + rnames, kind="mergesort")
+        if l.empty or r.empty:
+            cols = {by: l[by][:0], on: l[on][:0], f"{right_prefix}{on}":
+                    r[on][:0]}
+            for nm, c in lpay:
+                cols[c] = l[nm][:0]
+            for nm, c in rpay:
+                cols[f"{right_prefix}{c}"] = r[nm][:0]
+            return pd.DataFrame(cols)
+        # per-key offset spaces: both frames are (by, on)-sorted, so
+        # key segments are contiguous ranges — one searchsorted pair
+        # per key over ITS OWN slice (O(total rows), no boolean masks)
+        keys = np.unique(np.concatenate(
+            [l[by].to_numpy(), r[by].to_numpy()]))
+        lk = np.searchsorted(keys, l[by].to_numpy())
+        rk = np.searchsorted(keys, r[by].to_numpy())
+        lt = l[on].to_numpy()
+        rt = r[on].to_numpy()
+        lseg = np.searchsorted(lk, np.arange(len(keys) + 1))
+        rseg = np.searchsorted(rk, np.arange(len(keys) + 1))
+        lo = np.zeros(len(l), dtype=np.int64)
+        hi = np.zeros(len(l), dtype=np.int64)
+        for k in range(len(keys)):
+            la, lb = lseg[k], lseg[k + 1]
+            a, b = rseg[k], rseg[k + 1]
+            if la == lb:
+                continue
+            if a == b:
+                lo[la:lb] = hi[la:lb] = a
+                continue
+            lo[la:lb] = a + np.searchsorted(rt[a:b], lt[la:lb] - window,
+                                            side="left")
+            hi[la:lb] = a + np.searchsorted(rt[a:b], lt[la:lb] + window,
+                                            side="right")
+        counts = hi - lo
+        li = np.repeat(np.arange(len(l)), counts)
+        ri = (np.repeat(lo, counts)
+              + (np.arange(counts.sum())
+                 - np.repeat(np.cumsum(counts) - counts, counts)))
+        out = pd.DataFrame({by: l[by].to_numpy()[li],
+                            on: lt[li],
+                            f"{right_prefix}{on}": rt[ri]})
+        for nm, c in lpay:
+            out[c] = l[nm].to_numpy()[li]
+        for nm, c in rpay:
+            out[f"{right_prefix}{c}"] = r[nm].to_numpy()[ri]
+        return out
+
+    return bucket_apply(tagged, [by], join_bucket, batch_format="pandas")
+
+
 def sliding_window(
     events: ray.data.Dataset,
     window_s: int = 3600,

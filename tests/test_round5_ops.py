@@ -171,3 +171,23 @@ def test_hits_rounds_integer_exact():
     import pytest as _pt
     with _pt.raises(ValueError):
         hits_rounds(edges, rounds=0)
+
+
+def test_window_join_pairs_and_bounds():
+    from pyrdf2vec_ray.ops.events import window_join
+
+    lts = pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 12:00:00"])
+    rts = pd.to_datetime(["2024-01-01 09:30:00", "2024-01-01 10:30:00",
+                          "2024-01-01 11:30:01", "2024-01-01 10:00:00"])
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"user_id": [1, 1], "ts": lts, "event_id": [100, 101]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"user_id": [1, 1, 1, 2], "ts": rts,
+         "event_id": [7, 8, 9, 10]}))
+    out = (window_join(left, right, window=pd.Timedelta(minutes=30))
+           .to_pandas().sort_values(["event_id", "r_event_id"])
+           .reset_index(drop=True))
+    # l@10:00 ±30m matches r@09:30 (boundary inclusive) and r@10:30;
+    # l@12:00 ±30m matches r@11:30:01 only; the user-2 row never pairs
+    got = set(zip(out["event_id"], out["r_event_id"]))
+    assert got == {(100, 7), (100, 8), (101, 9)}
