@@ -3859,6 +3859,33 @@ def q_events_window_join(sf_dir: str):
                        window=pd.Timedelta(minutes=15))
 
 
+def q_events_props_extract(sf_dir: str):
+    """Vectorized flat-key JSON extraction (ops/events.
+    json_extract_flat, round 5) over the events ``props`` column —
+    one RE2-compatible str.extract per key, never a per-row
+    json.loads — composed with a per-value count.  Oracle: DuckDB's
+    real JSON parser (json_extract_string), so the regex subset is
+    value-checked against a full parser on 10k machine-written
+    objects."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import json_extract_flat
+    from pyrdf2vec_ray.shuffle import bucket_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    flat = json_extract_flat(ev, col="props", keys=(("k", "int64"),),
+                             keep=("props",))
+
+    def to_plain(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": batch["k"].astype("int64")})
+
+    return bucket_count(flat.map_batches(to_plain, batch_format="pandas"),
+                        ["k"], count_col="n")
+
+
 def q_events_hourly(sf_dir: str):
     import ray.data
 
@@ -5520,6 +5547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q_events_asof,
         "events_attribution": q_events_attribution,
         "events_window_join": q_events_window_join,
+        "events_props_extract": q_events_props_extract,
         "media_resized_dims": q_media_resized_dims,
         "media_wav_real": q_media_wav_real,
         "media_pgm_real": q_media_pgm_real,
@@ -8409,6 +8437,12 @@ def oracle_sql() -> dict[str, str]:
                    r.event_id AS view_event_id, r.value AS view_value
             FROM l ASOF JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_props_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     AS k,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
         """,
         "events_window_join": """
             WITH l AS (

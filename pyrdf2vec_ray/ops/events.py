@@ -246,6 +246,53 @@ def attribution(
     return joined.map_batches(rename, batch_format="pandas")
 
 
+def json_extract_flat(
+    ds: ray.data.Dataset,
+    col: str = "props",
+    keys: tuple = (("k", "int64"),),
+    keep: tuple | None = None,
+) -> ray.data.Dataset:
+    """Vectorized FLAT-key JSON field extraction for machine-written
+    JSON object columns (the events ``props`` shape, ``{"k": 69}``):
+    each requested ``(key, dtype)`` compiles to ONE RE2-compatible
+    regex ``str.extract`` per batch — never a per-row ``json.loads``
+    loop.  Supported dtypes: "int64"/"float64" (numeric literals; →
+    nullable Int64/Float64, missing = NA) and "str" (quoted values
+    without escaped quotes — the documented subset; nested objects,
+    arrays and escapes belong to a per-row UDF at per-row cost, which
+    this operator deliberately is not).  ``keep`` limits the
+    passthrough columns (default: all but ``col``).  Stateless and
+    shuffle-free."""
+    import re as _re
+
+    extractors = []
+    for key, dt in keys:
+        esc = _re.escape(key)
+        if dt in ("int64", "float64"):
+            pat = f'"{esc}"\\s*:\\s*(-?[0-9][0-9.eE+-]*)'
+        elif dt == "str":
+            pat = f'"{esc}"\\s*:\\s*"([^"\\\\]*)"'
+        else:
+            raise ValueError(f"unsupported dtype {dt!r} for key {key!r}")
+        extractors.append((key, dt, pat))
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = list(batch.columns if keep is None else keep)
+        out = batch[[c for c in cols if c != col]].copy()
+        s = batch[col].astype(str)
+        for key, dt, pat in extractors:
+            v = s.str.extract(pat, expand=False)
+            if dt == "int64":
+                out[key] = pd.to_numeric(v).astype("Int64")
+            elif dt == "float64":
+                out[key] = pd.to_numeric(v).astype("Float64")
+            else:
+                out[key] = v
+        return out
+
+    return ds.map_batches(extract, batch_format="pandas")
+
+
 def window_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -191,3 +191,23 @@ def test_window_join_pairs_and_bounds():
     # l@12:00 ±30m matches r@11:30:01 only; the user-2 row never pairs
     got = set(zip(out["event_id"], out["r_event_id"]))
     assert got == {(100, 7), (100, 8), (101, 9)}
+
+
+def test_json_extract_flat_types_and_missing():
+    from pyrdf2vec_ray.ops.events import json_extract_flat
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "props": ['{"k": 69, "w": 1.5, "tag": "a"}',
+                  '{"w": -2e3, "k": -7}',
+                  '{"tag": "x y"}',
+                  '{}'],
+    }))
+    out = (json_extract_flat(
+        ds, keys=(("k", "int64"), ("w", "float64"), ("tag", "str")))
+        .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["k"].tolist()[:2] == [69, -7]
+    assert pd.isna(out["k"][2]) and pd.isna(out["k"][3])
+    assert out["w"][0] == 1.5 and out["w"][1] == -2000.0
+    assert out["tag"][0] == "a" and out["tag"][2] == "x y"
+    assert str(out["k"].dtype) == "Int64"
