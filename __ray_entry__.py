@@ -3859,6 +3859,25 @@ def q_events_window_join(sf_dir: str):
                        window=pd.Timedelta(minutes=15))
 
 
+def q_events_session_paths(sf_dir: str):
+    """Session path mining (ops/events.session_paths, round 5):
+    per-session ordered event-type sequences counted corpus-wide,
+    pruned to n ≥ 3.  Reuses sessionize's user-bucket shuffle; bucket
+    kernels emit PRE-COUNTED (path, n) partials and one path-keyed
+    bucket_agg sums them.  The (ts, event_id) sort tie-break makes
+    equal-timestamp order engine-independent — the oracle's
+    string_agg uses the same ORDER BY."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import session_paths
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return session_paths(ev, gap_minutes=30, min_count=3)
+
+
 def q_events_props_extract(sf_dir: str):
     """Vectorized flat-key JSON extraction (ops/events.
     json_extract_flat, round 5) over the events ``props`` column —
@@ -5548,6 +5567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": q_events_attribution,
         "events_window_join": q_events_window_join,
         "events_props_extract": q_events_props_extract,
+        "events_session_paths": q_events_session_paths,
         "media_resized_dims": q_media_resized_dims,
         "media_wav_real": q_media_wav_real,
         "media_pgm_real": q_media_pgm_real,
@@ -8437,6 +8457,35 @@ def oracle_sql() -> dict[str, str]:
                    r.event_id AS view_event_id, r.value AS view_value
             FROM l ASOF JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_session_paths": """
+            WITH lagd AS (
+              SELECT user_id, ts, event_id, event_type,
+                     lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS pts
+              FROM events
+            ),
+            b AS (
+              SELECT *, CASE WHEN pts IS NULL
+                               OR ts - pts > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS brk
+              FROM lagd
+            ),
+            s AS (
+              SELECT *, sum(brk) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM b
+            ),
+            p AS (
+              SELECT user_id, sid,
+                     string_agg(event_type, '->'
+                                ORDER BY ts, event_id) AS path
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY path HAVING count(*) >= 3
         """,
         "events_props_extract": """
             SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)

@@ -99,6 +99,48 @@ def sessionize(
     )
 
 
+def session_paths(
+    events: ray.data.Dataset,
+    gap_minutes: int = 30,
+    min_count: int = 1,
+    sep: str = "->",
+) -> ray.data.Dataset:
+    """Session path mining: per-session ordered event-type sequences
+    ("view->click->purchase") counted corpus-wide — the navigation-
+    pattern summary a funnel analysis starts from (funnel() checks ONE
+    fixed sequence; this surfaces which sequences exist).
+
+    Shape: sessionize's user-bucket shuffle reused verbatim (sort by
+    (user, ts, event_id) — the id tie-break makes equal-timestamp
+    order engine-independent — gap boundary cumsum), then the bucket
+    kernel emits PRE-COUNTED (path, n) partials and ONE path-keyed
+    bucket_agg sums them; ``min_count`` prunes the long tail after
+    the sum (the path vocabulary is corpus-sized in the worst case —
+    the same contract as dedup_lines, never a broadcast)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
+
+    def paths_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        boundary = (g["user_id"].ne(g["user_id"].shift())
+                    | (g["ts"].diff() > gap))
+        sid = boundary.cumsum()
+        paths = g.groupby(sid)["event_type"].agg(sep.join)
+        counts = paths.value_counts()
+        return pd.DataFrame({"path": counts.index.to_numpy(),
+                             "n": counts.to_numpy().astype("int64")})
+
+    partials = bucket_apply(events, ["user_id"], paths_bucket,
+                            batch_format="pandas")
+    summed = bucket_agg(partials, ["path"], {"n": ("n", "sum")})
+    if min_count <= 1:
+        return summed
+    return summed.map_batches(
+        lambda b: b[b["n"] >= min_count], batch_format="pandas")
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

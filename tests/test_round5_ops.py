@@ -211,3 +211,26 @@ def test_json_extract_flat_types_and_missing():
     assert out["w"][0] == 1.5 and out["w"][1] == -2000.0
     assert out["tag"][0] == "a" and out["tag"][2] == "x y"
     assert str(out["k"].dtype) == "Int64"
+
+
+def test_session_paths_hand_computed():
+    from pyrdf2vec_ray.ops.events import session_paths
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00:00", "2024-01-01 10:05:00",  # u1 s1: view,click
+        "2024-01-01 12:00:00",                          # u1 s2: view
+        "2024-01-01 10:00:00", "2024-01-01 10:10:00",  # u2 s1: view,click
+        "2024-01-01 09:00:00",                          # u3 s1: view
+    ])
+    ev = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": ts,
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "event_type": ["view", "click", "view", "view", "click", "view"],
+    }))
+    out = (session_paths(ev, gap_minutes=30).to_pandas()
+           .set_index("path")["n"].to_dict())
+    assert out == {"view->click": 2, "view": 2}
+    pruned = (session_paths(ev, gap_minutes=30, min_count=2)
+              .to_pandas())
+    assert set(pruned["path"]) == {"view->click", "view"}
