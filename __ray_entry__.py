@@ -5422,6 +5422,159 @@ def q_kg_neighbor_jaccard(sf_dir: str):
     return neighbor_jaccard(_kg_edges(sf_dir), max_fanin=40, k=50)
 
 
+def q_kg_sameas_canonical(sf_dir: str):
+    """owl:sameAs canonicalization (ops/er.sameas_canonicalize, round
+    5): the KG-construction cleanup the reference assumes away
+    (/root/reference/pyrdf2vec/graphs/kg.py stores IRIs verbatim) —
+    names transitively linked by sameAs edges collapse to the
+    lexicographically smallest member, alias facts rewrite onto the
+    canonical node, sameAs triples drop, and the result dedups.
+
+    Plant: every customer custkey<40 gets a 4-node alias CHAIN
+    (customer:k ~ dup:…:1 ~ dup:…:2 ~ dup:…:3 — transitivity must
+    propagate across 3 hops, exercising the multi-round CC, not one
+    sweep), its subject facts re-emitted under dup:…:1 and its
+    placed_by object slots under dup:…:2.  'customer:' < 'dup:' so the
+    canonical name is the original and cleaning must recover EXACTLY
+    the base KG — the oracle is the plain distinct triple set, and any
+    un-rewritten alias or lost fact breaks the hash."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.er import sameas_canonicalize
+
+    tri = _triples(sf_dir)
+
+    def alias_subj(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["subj"].str.match(r"^customer:\d+$")
+        sub = batch[m].copy()
+        if len(sub):
+            sub = sub[sub["subj"].str.slice(9).astype(int) < 40]
+            sub["subj"] = "dup:" + sub["subj"] + ":1"
+        return sub
+
+    def alias_obj(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["obj"].str.match(r"^customer:\d+$")
+        sub = batch[m].copy()
+        if len(sub):
+            sub = sub[sub["obj"].str.slice(9).astype(int) < 40]
+            sub["obj"] = "dup:" + sub["obj"] + ":2"
+        return sub
+
+    chains = []
+    for k in range(0, 40):
+        c = f"customer:{k}"
+        chains += [
+            {"subj": c, "pred": "owl:sameAs", "obj": f"dup:{c}:1"},
+            {"subj": f"dup:{c}:1", "pred": "owl:sameAs",
+             "obj": f"dup:{c}:2"},
+            {"subj": f"dup:{c}:2", "pred": "owl:sameAs",
+             "obj": f"dup:{c}:3"},
+        ]
+    dirty = tri.union(
+        tri.map_batches(alias_subj, batch_format="pandas"),
+        tri.map_batches(alias_obj, batch_format="pandas"),
+        ray.data.from_items(chains),
+    )
+    return sameas_canonicalize(dirty, sameas_pred="owl:sameAs")
+
+
+def q_kg_conflict_resolve(sf_dir: str):
+    """Functional-property conflict resolution (truth discovery over a
+    dirty assertion stream): multiple extractors assert in_nation
+    values per entity; keep the MAJORITY object per subject with the
+    deterministic (count DESC, value ASC) tie-break —
+    `ops/agg.grouped_mode` riding its (subj, obj)-count combiner
+    shuffle + one subject-bucket argmax, so occurrences are counted
+    once and never exchanged twice.
+
+    Plant: base in_nation facts (1 vote each) + a SECOND true vote for
+    customers custkey<30 + a WRONG 'nation:zzz:…' vote for custkey<40.
+    custkey<30: majority (2 vs 1) decides; 30≤custkey<40: a 1–1 TIE
+    decided by value order ('nation:…' < 'nation:zzz:…'); suppliers
+    pass through unanimous — all three verdict paths in one query."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.agg import grouped_mode
+
+    tri = _triples(sf_dir)
+
+    def base(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["pred"] == "in_nation"]
+        return sub[["subj", "obj"]]
+
+    def extra(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[(batch["pred"] == "in_nation")
+                    & batch["subj"].str.match(r"^customer:\d+$")].copy()
+        if not len(sub):
+            return sub[["subj", "obj"]]
+        keys = sub["subj"].str.slice(9).astype(int)
+        true2 = sub[keys < 30][["subj", "obj"]]
+        wrong = sub[keys < 40][["subj"]].copy()
+        wrong["obj"] = "nation:zzz:" + (keys[keys < 40] % 5).astype(str)
+        return pd.concat([true2, wrong], ignore_index=True)
+
+    votes = tri.map_batches(base, batch_format="pandas").union(
+        tri.map_batches(extra, batch_format="pandas"))
+    out = grouped_mode(votes, "subj", "obj")
+    return _rename(out, {"mode": "obj", "n": "votes"})
+
+
+def q_kg_bgp_exists(sf_dir: str):
+    """SPARQL FILTER EXISTS (ops/sparql.py + ops/bgp.py exists=, round
+    5): customers that ordered part:55, keeping their nation — the
+    TWO-pattern sub-BGP joins internally (same greedy/AQE plan as a
+    mandatory group), then its DISTINCT shared-variable keys SEMI-join
+    the solution set in one key-bucket exchange; the sub-group's plain
+    patterns ride the same multiplexed corpus scan as the mandatory
+    ones."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?c ?n WHERE {
+          ?c in_nation ?n .
+          FILTER(STRSTARTS(?c, "customer:"))
+          FILTER EXISTS { ?o placed_by ?c . ?o contains "part:55" }
+        }
+    """)
+
+
+def q_kg_bgp_notexists(sf_dir: str):
+    """SPARQL FILTER NOT EXISTS: customers that NEVER ordered part:55
+    (the overwhelming majority — the polarity where the anti-join
+    keep-set is large) — the same machinery as kg_bgp_exists with the
+    ANTI polarity; for this engine's null-free solution sets it
+    coincides with MINUS exactly when a variable is shared, and the
+    divergent SPARQL cases raise."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?c ?n WHERE {
+          ?c in_nation ?n .
+          FILTER(STRSTARTS(?c, "customer:"))
+          FILTER NOT EXISTS { ?o placed_by ?c . ?o contains "part:55" }
+        }
+    """)
+
+
+def q_kg_bgp_groupconcat(sf_dir: str):
+    """SPARQL GROUP_CONCAT (ops/sparql.py, round 5): per-region nation
+    roster — DISTINCT values sorted and space-joined (deterministic
+    where the SPARQL spec leaves order open; the oracle is
+    string_agg(DISTINCT … ORDER BY)), sharing the COUNT-DISTINCT
+    exchange shape: ONE (group, value)-distinct bucket shuffle + a
+    group-bucket fold, hash-joined to the distinct count at group
+    scale."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?r (GROUP_CONCAT(?n) AS ?nations)
+               (COUNT(DISTINCT ?n) AS ?n_nations)
+        WHERE { ?n in_region ?r } GROUP BY ?r
+    """)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -5657,6 +5810,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_union": q_kg_bgp_union,
         "kg_bgp_filter_str": q_kg_bgp_filter_str,
         "kg_bgp_groupsum": q_kg_bgp_groupsum,
+        "kg_bgp_exists": q_kg_bgp_exists,
+        "kg_bgp_notexists": q_kg_bgp_notexists,
+        "kg_bgp_groupconcat": q_kg_bgp_groupconcat,
+        "kg_sameas_canonical": q_kg_sameas_canonical,
+        "kg_conflict_resolve": q_kg_conflict_resolve,
         "kg_bgp_countdistinct": q_kg_bgp_countdistinct,
         "kg_sparql_slice": q_kg_sparql_slice,
         "kg_sparql_seqpath": q_kg_sparql_seqpath,
@@ -7148,6 +7306,67 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT subj AS x, obj AS n FROM triples
             WHERE pred = 'in_nation' AND obj = 'nation:7'
+        """,
+        "kg_bgp_exists": _TRIPLES_CTE + """
+            SELECT DISTINCT t1.subj AS c, t1.obj AS n
+            FROM triples t1
+            WHERE t1.pred = 'in_nation'
+              AND t1.subj LIKE 'customer:%'
+              AND EXISTS (SELECT 1 FROM triples t2
+                          JOIN triples t3 ON t3.subj = t2.subj
+                                         AND t3.pred = 'contains'
+                                         AND t3.obj = 'part:55'
+                          WHERE t2.pred = 'placed_by'
+                            AND t2.obj = t1.subj)
+        """,
+        "kg_bgp_notexists": _TRIPLES_CTE + """
+            SELECT DISTINCT t1.subj AS c, t1.obj AS n
+            FROM triples t1
+            WHERE t1.pred = 'in_nation'
+              AND t1.subj LIKE 'customer:%'
+              AND NOT EXISTS (SELECT 1 FROM triples t2
+                              JOIN triples t3 ON t3.subj = t2.subj
+                                             AND t3.pred = 'contains'
+                                             AND t3.obj = 'part:55'
+                              WHERE t2.pred = 'placed_by'
+                                AND t2.obj = t1.subj)
+        """,
+        "kg_bgp_groupconcat": _TRIPLES_CTE + """
+            SELECT obj AS r,
+                   string_agg(DISTINCT subj, ' ' ORDER BY subj)
+                       AS nations,
+                   CAST(count(DISTINCT subj) AS BIGINT) AS n_nations
+            FROM triples WHERE pred = 'in_region'
+            GROUP BY obj
+        """,
+        "kg_sameas_canonical": _TRIPLES_CTE + """
+            SELECT subj, pred, obj FROM triples
+        """,
+        "kg_conflict_resolve": _TRIPLES_CTE + """
+            , base AS (
+              SELECT subj, obj FROM triples WHERE pred = 'in_nation'
+            ),
+            extra AS (
+              SELECT 'customer:' || c_custkey AS subj,
+                     'nation:' || c_nationkey AS obj
+              FROM customer WHERE c_custkey < 30
+              UNION ALL
+              SELECT 'customer:' || c_custkey,
+                     'nation:zzz:' || (c_custkey % 5)
+              FROM customer WHERE c_custkey < 40
+            ),
+            votes AS (
+              SELECT subj, obj, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT * FROM base UNION ALL SELECT * FROM extra) u
+              GROUP BY subj, obj
+            ),
+            ranked AS (
+              SELECT subj, obj, n,
+                     row_number() OVER (PARTITION BY subj
+                                        ORDER BY n DESC, obj ASC) AS rn
+              FROM votes
+            )
+            SELECT subj, obj, n AS votes FROM ranked WHERE rn = 1
         """,
         "kg_bgp_filter_str": _TRIPLES_CTE + """
             SELECT t1.subj AS o, t1.obj AS c, t2.obj AS n

@@ -383,6 +383,8 @@ def bgp_match(
     filters: list[tuple[str, str, str]] | None = None,
     minus: list[list[tuple[str, str, str]]] | None = None,
     values: dict[str, list[str]] | None = None,
+    exists: list[list[tuple[str, str, str]]] | None = None,
+    not_exists: list[list[tuple[str, str, str]]] | None = None,
     unbound: str = "",
     closure_rounds: int = 6,
     broadcast_threshold: int = 200_000,
@@ -419,6 +421,18 @@ def bgp_match(
       required — SPARQL's disjoint-domain MINUS no-op case raises
       instead of silently keeping everything).  Applied after filters,
       before OPTIONAL.
+    * ``exists=[[pattern, ...], ...]`` / ``not_exists=[...]`` — SPARQL
+      ``FILTER EXISTS { ... }`` / ``FILTER NOT EXISTS { ... }`` groups:
+      keep (resp. drop) every solution for which the group's sub-BGP
+      has at least one match on the shared variables — a key-bucket
+      SEMI-join (resp. ANTI-join) against the sub-BGP's DISTINCT
+      shared-variable keys, exactly the MINUS machinery with the
+      polarity flipped (for this engine's null-free solution sets
+      NOT EXISTS and MINUS coincide when ≥1 variable is shared — the
+      SPARQL cases where they differ, unshared domains and unbound
+      correlation, both raise here).  Applied after ``filters``,
+      alongside MINUS, before OPTIONAL; the groups' plain patterns
+      ride the same ONE multiplexed corpus scan.
     * ``values={"c": ["customer:1", ...], ...}`` — SPARQL VALUES with
       per-variable independent value lists (the parameterized-query
       form: "run this pattern for THESE entities"); a vectorized isin
@@ -433,6 +447,8 @@ def bgp_match(
     # patterns ride their own closure relation and can't share it
     groups: list[list[tuple[str, str, str]]] = (
         [list(patterns)] + [list(g) for g in (minus or [])]
+        + [list(g) for g in (exists or [])]
+        + [list(g) for g in (not_exists or [])]
         + [list(g) for g in (optional or [])])
     plain = [(gi, pi) for gi, g in enumerate(groups)
              for pi, p in enumerate(g) if not _is_path(p[1])]
@@ -497,27 +513,30 @@ def bgp_match(
         acc = acc.map_batches(apply_filters, batch_format="pandas")
 
     o = np.dtype("O")
-    for gi, group in enumerate(minus or [], start=1):
+    semi_groups = (
+        [(g, True, "MINUS") for g in (minus or [])]
+        + [(g, False, "FILTER EXISTS") for g in (exists or [])]
+        + [(g, True, "FILTER NOT EXISTS") for g in (not_exists or [])])
+    for gi, (group, anti, kind) in enumerate(semi_groups, start=1):
         sub, _ = _eval_group(group_scans(gi), group,
                              broadcast_threshold, num_buckets)
         sub_vars = _bgp_vars(group)
         on = [v for v in acc_vars if v in sub_vars]
         if not on:
             raise ValueError(
-                f"MINUS group {group} shares no variable with the "
-                "mandatory patterns (SPARQL would keep every solution "
+                f"{kind} group {group} shares no variable with the "
+                "mandatory patterns (SPARQL's unshared-domain case "
                 "— pass the shared variable or drop the group)")
         from pyrdf2vec_ray.ops.join import hash_semi_join
 
         keys = distinct(sub.select_columns(on), on,
                         num_buckets=num_buckets)
         acc = hash_semi_join(
-            acc, keys, on=on, anti=True, num_buckets=num_buckets,
+            acc, keys, on=on, anti=anti, num_buckets=num_buckets,
             lschema={v: o for v in acc_vars},
             rschema={v: o for v in on})
 
-    n_minus = len(minus or [])
-    for gi, group in enumerate(optional or [], start=1 + n_minus):
+    for gi, group in enumerate(optional or [], start=1 + len(semi_groups)):
         sub, _ = _eval_group(group_scans(gi), group,
                              broadcast_threshold, num_buckets)
         sub_vars = _bgp_vars(group)

@@ -21,7 +21,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-__all__ = ["batched_levenshtein", "er_match_pairs"]
+__all__ = ["batched_levenshtein", "er_match_pairs",
+           "sameas_canonicalize"]
 
 
 def batched_levenshtein(sa, sb) -> np.ndarray:
@@ -174,3 +175,138 @@ def er_resolve(
             .union(records.select_columns([id_col]).map_batches(
                 identity_rows, batch_format="pandas")))
     return bucket_agg(both, [id_col], {"canonical": ("canonical", "min")})
+
+
+def sameas_canonicalize(
+    triples: ray.data.Dataset,
+    sameas_pred: str = "owl:sameAs",
+    broadcast_threshold: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Collapse ``owl:sameAs`` equivalence classes in a ``(subj, pred,
+    obj)`` triple set: every name transitively linked by ``sameas_pred``
+    edges is rewritten to its class's canonical representative (the
+    LEXICOGRAPHICALLY SMALLEST name — SQL-replayable, unlike an
+    id-order pick), the sameAs triples themselves are dropped, and the
+    rewritten facts are deduplicated.  This is the KG-construction
+    cleanup the reference cannot do (it assumes pre-canonicalized IRIs,
+    /root/reference/pyrdf2vec/graphs/kg.py stores vertex names
+    verbatim): merging Wikidata/DBpedia/crawl aliases into one node
+    BEFORE walks, so embeddings train on one vertex per entity.
+
+    Distributed shape (never materializes the fact corpus):
+
+    1. ONE pass splits the stream into sameAs edges and facts
+       (vectorized Arrow masks).
+    2. Alias names get dense int64 ids (`shuffle.dense_ids` — closed
+       form, no global sort), the edge list joins to int pairs, and
+       `ops/components.connected_components` (neighbor-min label
+       propagation + pointer jumping, O(log diameter) rounds of
+       bucket exchanges over the EDGE-scale table) finds classes.
+    3. min(name) per class = canonical; the (name, canon) alias map is
+       ALIAS-TABLE-sized.
+    4. Fact rewrite is adaptive, the bgp_match AQE discipline: the map
+       broadcasts (`ray.put` once, stateless per-batch merge — zero
+       shuffles) while under ``broadcast_threshold`` rows, else two
+       co-partitioning `hash_join`s (subj side, obj side).  Final
+       distinct is ONE bucket shuffle over the rewritten facts.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyrdf2vec_ray.ops.components import connected_components
+    from pyrdf2vec_ray.ops.join import broadcast_join, hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, dense_ids, distinct
+
+    def edge_scan(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch["pred"], sameas_pred))
+        return pa.table({"a": kept["subj"], "b": kept["obj"]})
+
+    def fact_scan(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(
+            pc.invert(pc.equal(batch["pred"], sameas_pred)))
+        return pa.table({"subj": kept["subj"], "pred": kept["pred"],
+                         "obj": kept["obj"]})
+
+    # the sameAs edge set is alias-table-scale (tiny next to the fact
+    # corpus) — materialize it once: the no-alias case short-circuits,
+    # and the id joins below re-read the pinned blocks instead of
+    # re-filtering the corpus
+    edges = triples.map_batches(
+        edge_scan, batch_format="pyarrow").materialize()
+    facts = triples.map_batches(fact_scan, batch_format="pyarrow")
+    if edges.count() == 0:
+        return distinct(facts, ["subj", "pred", "obj"],
+                        num_buckets=num_buckets)
+
+    def col_as(name_from: str, name_to: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({name_to: batch[name_from]})
+        return fn
+
+    names = edges.map_batches(col_as("a", "name"),
+                              batch_format="pyarrow").union(
+        edges.map_batches(col_as("b", "name"), batch_format="pyarrow"))
+    ids = dense_ids(names, "name", num_buckets=num_buckets)
+
+    o = np.dtype("O")
+    i8 = np.dtype("int64")
+    ida = ids.map_batches(
+        lambda b: pa.table({"a": b["name"], "ia": b["vid"]}),
+        batch_format="pyarrow")
+    idb = ids.map_batches(
+        lambda b: pa.table({"b": b["name"], "ib": b["vid"]}),
+        batch_format="pyarrow")
+    pairs = hash_join(
+        hash_join(edges, ida, on=["a"], num_buckets=num_buckets,
+                  lschema={"a": o, "b": o}, rschema={"a": o, "ia": i8}),
+        idb, on=["b"], num_buckets=num_buckets,
+        lschema={"a": o, "b": o, "ia": i8}, rschema={"b": o, "ib": i8})
+    comp = connected_components(pairs, "ia", "ib",
+                                num_buckets=num_buckets)
+
+    # (name, component) -> canonical = min(name) within the class; the
+    # map stays distributed (alias-table-scale exchanges only)
+    named = hash_join(
+        comp, ids.map_batches(
+            lambda b: pa.table({"node": b["vid"], "name": b["name"]}),
+            batch_format="pyarrow"),
+        on=["node"], num_buckets=num_buckets,
+        lschema={"node": i8, "component": i8},
+        rschema={"node": i8, "name": o})
+    canon = bucket_agg(named, ["component"], {"canon": ("name", "min")},
+                       num_buckets=num_buckets)
+    amap = hash_join(
+        named, canon, on=["component"], num_buckets=num_buckets,
+        lschema={"component": i8, "node": i8, "name": o},
+        rschema={"component": i8, "canon": o}
+    ).select_columns(["name", "canon"])
+
+    def rewrite_with(side: str, mapped: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            hit = out[mapped].notna()
+            out.loc[hit, side] = out.loc[hit, mapped]
+            return out.drop(columns=[mapped])
+        return fn
+
+    amap = amap.materialize()
+    small = amap.count() <= broadcast_threshold
+    for side in ("subj", "obj"):
+        side_map = amap.map_batches(
+            lambda b, _s=side: pa.table({_s: b["name"],
+                                         "__canon": b["canon"]}),
+            batch_format="pyarrow")
+        if small:
+            facts = broadcast_join(facts, side_map, on=[side],
+                                   how="left")
+        else:
+            facts = hash_join(
+                facts, side_map, on=[side], how="left",
+                num_buckets=num_buckets,
+                lschema={"subj": o, "pred": o, "obj": o},
+                rschema={side: o, "__canon": o})
+        facts = facts.map_batches(rewrite_with(side, "__canon"),
+                                  batch_format="pandas")
+    return distinct(facts.select_columns(["subj", "pred", "obj"]),
+                    ["subj", "pred", "obj"], num_buckets=num_buckets)

@@ -17,6 +17,11 @@ query strings) — for the supported subset:
                                      #   bare tokens only — <iri> and
                                      #   quoted predicates opt out
         FILTER(?a != ?b)             # =, !=, <, <=, >, >=
+        FILTER EXISTS { ... }        # sub-BGP SEMI-join on shared vars
+        FILTER NOT EXISTS { ... }    # sub-BGP ANTI-join (for null-free
+                                     #   solution sets ≡ MINUS when a
+                                     #   variable is shared; the SPARQL
+                                     #   divergence cases raise)
         OPTIONAL { ... }             # nested pattern group
         MINUS { ... }                #   "
         VALUES ?v { "x" "y" }        # inline per-var value list
@@ -45,6 +50,12 @@ query strings) — for the supported subset:
         their input to float64 (numeric literals are stored as
         strings), MIN/MAX compare the raw string form (SQL VARCHAR
         min/max parity), AVG divides sum/size after the shuffle
+
+    (GROUP_CONCAT(?v) AS ?s)         # DISTINCT values sorted and
+        space-joined (deterministic; SPARQL leaves order unspecified —
+        oracle form ``string_agg(DISTINCT v, ' ' ORDER BY v)``); same
+        ONE (group, value)-distinct shuffle as COUNT DISTINCT + a
+        group-bucket fold
 
     (COUNT(DISTINCT ?v) AS ?n)       # exact distinct count: ONE
         (group, value)-distinct bucket shuffle (per-batch distinct
@@ -155,7 +166,8 @@ class _Parser:
         a plain pattern group — mixing the two raises)."""
         self.expect("{")
         out = {"patterns": [], "filters": [], "optional": [],
-               "minus": [], "values": {}, "union": [], "binds": []}
+               "minus": [], "values": {}, "union": [], "binds": [],
+               "exists": [], "not_exists": []}
         while True:
             tok = self.peek()
             if tok is None:
@@ -164,7 +176,8 @@ class _Parser:
                 self.next()
                 if out["union"] and (
                     out["patterns"] or out["filters"] or out["optional"]
-                    or out["minus"] or out["values"]
+                    or out["minus"] or out["values"] or out["exists"]
+                    or out["not_exists"]
                 ):
                     raise SparqlSyntaxError(
                         "UNION must be the only member of its group")
@@ -190,6 +203,10 @@ class _Parser:
                     out["patterns"].extend(sub["patterns"])
                     out["filters"].extend(sub["filters"])
                     out["binds"].extend(sub["binds"])
+                    # semi/anti-join members commute with the join —
+                    # splicing preserves semantics exactly like FILTER
+                    out["exists"].extend(sub["exists"])
+                    out["not_exists"].extend(sub["not_exists"])
                     for v, vals in sub["values"].items():
                         if v in out["values"]:
                             raise SparqlSyntaxError(
@@ -211,6 +228,26 @@ class _Parser:
                 continue
             if self.keyword(tok, "FILTER"):
                 self.next()
+                if self.keyword(self.peek(), "EXISTS", "NOT"):
+                    # FILTER [NOT] EXISTS { patterns } — a sub-BGP
+                    # semi/anti-join (ops/bgp.bgp_match exists= /
+                    # not_exists=); plain patterns only, like
+                    # OPTIONAL / MINUS groups
+                    neg = self.keyword(self.peek(), "NOT")
+                    self.next()
+                    if neg:
+                        self.expect("EXISTS")
+                    sub = self.parse_group()
+                    if (sub["filters"] or sub["optional"]
+                            or sub["minus"] or sub["values"]
+                            or sub["union"] or sub["binds"]
+                            or sub["exists"] or sub["not_exists"]):
+                        raise SparqlSyntaxError(
+                            "FILTER [NOT] EXISTS groups support plain "
+                            "patterns only")
+                    out["not_exists" if neg else "exists"].append(
+                        sub["patterns"])
+                    continue
                 self.expect("(")
                 lhs = self.next()
                 if (self.keyword(lhs, "REGEX", "CONTAINS", "STRSTARTS",
@@ -249,7 +286,8 @@ class _Parser:
                 self.next()
                 sub = self.parse_group()
                 if (sub["filters"] or sub["optional"] or sub["minus"]
-                        or sub["values"]):
+                        or sub["values"] or sub["exists"]
+                        or sub["not_exists"]):
                     raise SparqlSyntaxError(
                         f"{tok.upper()} groups support plain patterns "
                         "only")
@@ -364,10 +402,11 @@ class _Parser:
                 if tok == "(":
                     # (FN(?v|*) AS ?alias), FN ∈ COUNT SUM AVG MIN MAX
                     fn = self.next().upper()
-                    if fn not in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+                    if fn not in ("COUNT", "SUM", "AVG", "MIN", "MAX",
+                                  "GROUP_CONCAT"):
                         raise SparqlSyntaxError(
-                            "only COUNT/SUM/AVG/MIN/MAX aggregates "
-                            f"supported, got {fn!r}")
+                            "only COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT "
+                            f"aggregates supported, got {fn!r}")
                     self.expect("(")
                     if self.keyword(self.peek(), "DISTINCT"):
                         if fn != "COUNT":
@@ -515,6 +554,8 @@ def sparql_query(
         filters=g["filters"] or None,
         minus=g["minus"] or None,
         values=g["values"] or None,
+        exists=g["exists"] or None,
+        not_exists=g["not_exists"] or None,
         closure_rounds=closure_rounds,
         num_buckets=num_buckets,
     )
@@ -523,6 +564,8 @@ def sparql_query(
         bkw = dict(
             optional=b["optional"] or None, filters=b["filters"] or None,
             minus=b["minus"] or None, values=b["values"] or None,
+            exists=b["exists"] or None,
+            not_exists=b["not_exists"] or None,
             closure_rounds=closure_rounds, num_buckets=num_buckets,
         )
         return bgp_match(triples, b["patterns"], select=select, **bkw)
@@ -585,8 +628,10 @@ def sparql_query(
         in_vars = [v[1:] for _, v, _ in q["aggs"] if v.startswith("?")]
         need = list(dict.fromkeys(list(gvars) + in_vars))
         sols = solutions(need)
-        plain = [a for a in q["aggs"] if a[0] != "COUNT_DISTINCT"]
+        plain = [a for a in q["aggs"]
+                 if a[0] not in ("COUNT_DISTINCT", "GROUP_CONCAT")]
         cdist = [a for a in q["aggs"] if a[0] == "COUNT_DISTINCT"]
+        gcat = [a for a in q["aggs"] if a[0] == "GROUP_CONCAT"]
         out = None
         if not plain:
             pass
@@ -657,6 +702,36 @@ def sparql_query(
                 list(gvars), count_col=alias, num_buckets=num_buckets)
             out = cd if out is None else hash_join(
                 out, cd, on=list(gvars), num_buckets=num_buckets)
+        for _, v, alias in gcat:
+            # GROUP_CONCAT = the DISTINCT values sorted and
+            # space-joined (deterministic — SPARQL leaves the order
+            # unspecified; the oracle parity form is
+            # ``string_agg(DISTINCT v, ' ' ORDER BY v)``).  Same
+            # exchange shape as COUNT DISTINCT: ONE (group, value)-
+            # distinct bucket shuffle, then a group-bucket fold; the
+            # per-group value list is group-cardinality-bounded by the
+            # distinct (a group with unbounded distinct values has an
+            # unbounded concat on ANY engine).
+            from pyrdf2vec_ray.ops.join import hash_join
+            from pyrdf2vec_ray.shuffle import bucket_apply
+            from pyrdf2vec_ray.shuffle import distinct as _distinct
+
+            val = v[1:]
+            cols = list(dict.fromkeys(list(gvars) + [val]))
+            d = _distinct(sols.select_columns(cols), cols,
+                          num_buckets=num_buckets)
+
+            def concat_bucket(g: pd.DataFrame, _g=tuple(gvars),
+                              _v=val, _a=alias) -> pd.DataFrame:
+                g = g.sort_values(list(_g) + [_v])
+                return g.groupby(list(_g), as_index=False).agg(
+                    **{_a: (_v, " ".join)})
+
+            gc = bucket_apply(d, list(gvars), concat_bucket,
+                              num_buckets=num_buckets,
+                              batch_format="pandas")
+            out = gc if out is None else hash_join(
+                out, gc, on=list(gvars), num_buckets=num_buckets)
         if "having" in q:
             conds = q["having"]
 

@@ -1,0 +1,179 @@
+"""Round-5 continuation wave: owl:sameAs canonicalization, SPARQL
+FILTER [NOT] EXISTS, and GROUP_CONCAT.
+
+Hand-computable fixtures, same discipline as the driver gate (the
+sf0.01 oracle checks live in __ray_entry__: kg_sameas_canonical,
+kg_conflict_resolve, kg_bgp_exists/notexists, kg_bgp_groupconcat)."""
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def _tri(rows):
+    return ray.data.from_arrow(pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string()),
+    }))
+
+
+# ---- sameas_canonicalize ---------------------------------------------------
+
+def test_sameas_chain_collapses_and_rewrites_both_positions():
+    from pyrdf2vec_ray.ops.er import sameas_canonicalize
+
+    # chain c1 ~ d1 ~ d1b (3 nodes, 2 hops); alias facts on BOTH the
+    # subject slot (d1b in_nation n1, duplicate of the base fact) and
+    # the object slot (z touches d1)
+    tri = _tri([
+        ("c1", "in_nation", "n1"),
+        ("d1", "owl:sameAs", "d1b"),
+        ("d1b", "owl:sameAs", "c1"),
+        ("d1b", "in_nation", "n1"),
+        ("z", "touches", "d1"),
+    ])
+    out = sameas_canonicalize(tri).to_pandas()
+    got = set(map(tuple, out[["subj", "pred", "obj"]].values))
+    assert got == {("c1", "in_nation", "n1"), ("z", "touches", "c1")}
+
+
+def test_sameas_canonical_is_lexicographic_min():
+    from pyrdf2vec_ray.ops.er import sameas_canonicalize
+
+    tri = _tri([
+        ("x9", "owl:sameAs", "a1"),   # canonical must be a1, not x9
+        ("x9", "p", "v"),
+        ("w", "q", "x9"),
+    ])
+    out = sameas_canonicalize(tri).to_pandas()
+    got = set(map(tuple, out[["subj", "pred", "obj"]].values))
+    assert got == {("a1", "p", "v"), ("w", "q", "a1")}
+
+
+def test_sameas_no_edges_is_identity_distinct():
+    from pyrdf2vec_ray.ops.er import sameas_canonicalize
+
+    tri = _tri([("a", "p", "b"), ("a", "p", "b"), ("b", "q", "c")])
+    out = sameas_canonicalize(tri).to_pandas()
+    got = sorted(map(tuple, out[["subj", "pred", "obj"]].values))
+    assert got == [("a", "p", "b"), ("b", "q", "c")]
+
+
+def test_sameas_two_disjoint_classes_do_not_merge():
+    from pyrdf2vec_ray.ops.er import sameas_canonicalize
+
+    tri = _tri([
+        ("a2", "owl:sameAs", "a1"),
+        ("b2", "owl:sameAs", "b1"),
+        ("a2", "p", "b2"),
+    ])
+    out = sameas_canonicalize(tri).to_pandas()
+    got = set(map(tuple, out[["subj", "pred", "obj"]].values))
+    assert got == {("a1", "p", "b1")}
+
+
+# ---- SPARQL FILTER [NOT] EXISTS -------------------------------------------
+
+_KG = [
+    ("c1", "in_nation", "n1"),
+    ("c2", "in_nation", "n1"),
+    ("c3", "in_nation", "n2"),
+    ("o1", "placed_by", "c1"),
+    ("o2", "placed_by", "c2"),
+    ("o1", "contains", "p5"),
+    ("n1", "in_region", "r1"),
+    ("n2", "in_region", "r1"),
+]
+
+
+def test_filter_exists_semi_join():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    out = sparql_query(_tri(_KG), """
+        SELECT ?c WHERE {
+          ?c in_nation ?n .
+          FILTER EXISTS { ?o placed_by ?c }
+        }""").to_pandas()
+    assert sorted(out["c"]) == ["c1", "c2"]
+
+
+def test_filter_not_exists_anti_join_multi_pattern_group():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    # only c1's order contains p5 -> NOT EXISTS keeps c2 and c3
+    out = sparql_query(_tri(_KG), """
+        SELECT ?c WHERE {
+          ?c in_nation ?n .
+          FILTER NOT EXISTS { ?o placed_by ?c . ?o contains p5 }
+        }""").to_pandas()
+    assert sorted(out["c"]) == ["c2", "c3"]
+
+
+def test_exists_group_must_share_a_variable():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        sparql_query(_tri(_KG), """
+            SELECT ?c WHERE {
+              ?c in_nation ?n .
+              FILTER EXISTS { ?x in_region ?y }
+            }""").to_pandas()
+
+
+def test_exists_group_rejects_nested_machinery():
+    from pyrdf2vec_ray.ops.sparql import SparqlSyntaxError, sparql_query
+
+    with pytest.raises(SparqlSyntaxError, match="plain patterns only"):
+        sparql_query(_tri(_KG), """
+            SELECT ?c WHERE {
+              ?c in_nation ?n .
+              FILTER EXISTS { ?o placed_by ?c . FILTER(?o != o1) }
+            }""")
+
+
+def test_exists_spliced_from_nested_plain_group():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    out = sparql_query(_tri(_KG), """
+        SELECT ?c WHERE {
+          { ?c in_nation ?n . FILTER NOT EXISTS { ?o placed_by ?c } }
+        }""").to_pandas()
+    assert sorted(out["c"]) == ["c3"]
+
+
+# ---- SPARQL GROUP_CONCAT ---------------------------------------------------
+
+def test_group_concat_sorted_distinct():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    out = sparql_query(_tri(_KG), """
+        SELECT ?n (GROUP_CONCAT(?c) AS ?cs) WHERE { ?c in_nation ?n }
+        GROUP BY ?n""").to_pandas().set_index("n")
+    assert out.loc["n1", "cs"] == "c1 c2"
+    assert out.loc["n2", "cs"] == "c3"
+
+
+def test_group_concat_joins_with_other_aggregates():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    out = sparql_query(_tri(_KG), """
+        SELECT ?r (COUNT(?n) AS ?k) (GROUP_CONCAT(?n) AS ?ns)
+        WHERE { ?n in_region ?r } GROUP BY ?r""").to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "k"] == 2
+    assert out.loc[0, "ns"] == "n1 n2"
+
+
+def test_group_concat_dedups_values():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    # two customers of n1 -> (?n, ?r) solutions repeat region r1; the
+    # concat of ?n per ?r must still list each nation once
+    out = sparql_query(_tri(_KG), """
+        SELECT ?r (GROUP_CONCAT(?n) AS ?ns)
+        WHERE { ?c in_nation ?n . ?n in_region ?r } GROUP BY ?r
+        """).to_pandas()
+    assert out.loc[0, "ns"] == "n1 n2"
