@@ -5575,6 +5575,99 @@ def q_kg_bgp_groupconcat(sf_dir: str):
     """)
 
 
+def q_customer_k_anonymity(sf_dir: str):
+    """k-anonymity audit (ops/validate.k_anonymity, round 5): customer
+    (nation, market-segment) quasi-identifier combinations shared by
+    fewer than k=10 rows — the privacy risk set a reviewer must
+    generalize before the table ships.  ONE pre-aggregating bucket
+    shuffle over the combination DOMAIN + a block-local n<k mask."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.validate import k_anonymity
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment"])
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+def q_fk_orphan_audit(sf_dir: str):
+    """Referential-integrity audit: orphan counts for the five TPC-H
+    foreign-key relationships (`ops/join.hash_semi_join` ANTI per
+    relationship — the right side reduces to distinct keys before its
+    one co-partitioning exchange — then per-batch pre-counted (rel, n)
+    partials into ONE tiny rel-bucket sum; zero-orphan relationships
+    surface via anchor rows, so the report schema is closed).
+
+    Two relationships get PLANTED dirt (customer keys +9M into the
+    orders side, part keys +9M into the lineitem side) so both the
+    clean-pass and the violation path are value-checked; a broken
+    anti-join shows up as a wrong count in either direction."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.join import hash_semi_join
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    i8 = np.dtype("int64")
+    rels = [
+        ("orders.o_custkey", "orders", "o_custkey",
+         "customer", "c_custkey", ("customer", "c_custkey", 15)),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey",
+         "orders", "o_orderkey", None),
+        ("lineitem.l_partkey", "lineitem", "l_partkey",
+         "part", "p_partkey", ("part", "p_partkey", 25)),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey", None),
+        ("customer.c_nationkey", "customer", "c_nationkey",
+         "nation", "n_nationkey", None),
+    ]
+
+    def as_key(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table(
+                {"key": pc.cast(batch[col], pa.int64())})
+        return fn
+
+    def planted(col, cap):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            keys = pc.cast(batch[col], pa.int64())
+            kept = keys.filter(pc.less(keys, cap))
+            return pa.table({"key": pc.add(kept, 9_000_000)})
+        return fn
+
+    parts = []
+    for rel, ct, cc, pt, pk, dirt in rels:
+        child = ray.data.read_parquet(
+            f"{sf_dir}/{ct}.parquet", columns=[cc]
+        ).map_batches(as_key(cc), batch_format="pyarrow")
+        if dirt is not None:
+            dt, dc, cap = dirt
+            child = child.union(ray.data.read_parquet(
+                f"{sf_dir}/{dt}.parquet", columns=[dc]
+            ).map_batches(planted(dc, cap), batch_format="pyarrow"))
+        parent = ray.data.read_parquet(
+            f"{sf_dir}/{pt}.parquet", columns=[pk]
+        ).map_batches(as_key(pk), batch_format="pyarrow")
+        orphans = hash_semi_join(child, parent, on=["key"], anti=True,
+                                 lschema={"key": i8},
+                                 rschema={"key": i8})
+
+        def tag(batch: pd.DataFrame, _r=rel) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"rel": [_r] * len(batch),
+                 "n": np.ones(len(batch), dtype=np.int64)})
+
+        parts.append(orphans.map_batches(tag, batch_format="pandas"))
+    anchors = ray.data.from_items(
+        [{"rel": r[0], "n": 0} for r in rels])
+    allrows = anchors.union(*parts)
+    return bucket_agg(allrows, ["rel"], {"n_orphans": ("n", "sum")})
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -5815,6 +5908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_groupconcat": q_kg_bgp_groupconcat,
         "kg_sameas_canonical": q_kg_sameas_canonical,
         "kg_conflict_resolve": q_kg_conflict_resolve,
+        "customer_k_anonymity": q_customer_k_anonymity,
+        "fk_orphan_audit": q_fk_orphan_audit,
         "kg_bgp_countdistinct": q_kg_bgp_countdistinct,
         "kg_sparql_slice": q_kg_sparql_slice,
         "kg_sparql_seqpath": q_kg_sparql_seqpath,
@@ -7341,6 +7436,55 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_sameas_canonical": _TRIPLES_CTE + """
             SELECT subj, pred, obj FROM triples
+        """,
+        "customer_k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            HAVING count(*) < 10
+        """,
+        "fk_orphan_audit": """
+            WITH oc AS (
+              SELECT o_custkey AS key FROM orders
+              UNION ALL
+              SELECT c_custkey + 9000000 FROM customer
+              WHERE c_custkey < 15
+            ),
+            lp AS (
+              SELECT l_partkey AS key FROM lineitem
+              UNION ALL
+              SELECT p_partkey + 9000000 FROM part WHERE p_partkey < 25
+            )
+            SELECT 'orders.o_custkey' AS rel,
+                   CAST((SELECT count(*) FROM oc
+                         WHERE NOT EXISTS (SELECT 1 FROM customer
+                                           WHERE c_custkey = oc.key))
+                        AS BIGINT) AS n_orphans
+            UNION ALL
+            SELECT 'lineitem.l_orderkey',
+                   CAST((SELECT count(*) FROM lineitem
+                         WHERE NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_orderkey = l_orderkey))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem.l_partkey',
+                   CAST((SELECT count(*) FROM lp
+                         WHERE NOT EXISTS (SELECT 1 FROM part
+                                           WHERE p_partkey = lp.key))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem.l_suppkey',
+                   CAST((SELECT count(*) FROM lineitem
+                         WHERE NOT EXISTS (SELECT 1 FROM supplier
+                                 WHERE s_suppkey = l_suppkey))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'customer.c_nationkey',
+                   CAST((SELECT count(*) FROM customer
+                         WHERE NOT EXISTS (SELECT 1 FROM nation
+                                 WHERE n_nationkey = c_nationkey))
+                        AS BIGINT)
         """,
         "kg_conflict_resolve": _TRIPLES_CTE + """
             , base AS (

@@ -1430,7 +1430,7 @@ def type_token_ratio(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Per-document lexical diversity: ``ttr = distinct tokens /
     tokens`` over the lowercase ``[a-z']+`` contract (degenerate and
     templated text scores low — the quality-gate sibling of
-    repetition_signals, at token granularity).  Output
+    repetition_stats, at token granularity).  Output
     ``(doc_id, n_tokens, n_types, ttr)``; empty docs score 1.0.
 
     Vectorized per batch: one token extraction pass, per-doc distinct

@@ -169,3 +169,39 @@ def benford_firstdigit(
          "observed": pa.array(obs, pa.int64()),
          "expected": pa.array(exp, pa.float64()),
          "term": pa.array(term, pa.float64())}))
+
+
+def k_anonymity(
+    ds: ray.data.Dataset,
+    quasi_cols: list[str],
+    k: int = 5,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Re-identification risk audit (Sweeney 2002 k-anonymity): every
+    quasi-identifier combination shared by FEWER than ``k`` rows, with
+    its group size — the groups a privacy reviewer must generalize or
+    suppress before a dataset ships for training.  Output: the
+    ``quasi_cols`` plus ``n`` (group size), risk groups only; an empty
+    result certifies the table k-anonymous for this quasi-identifier
+    set.
+
+    Scale shape: ONE pre-aggregating bucket shuffle
+    (`shuffle.bucket_count` — per-batch combiner moves (combination,
+    partial-count) rows, so the exchange is bounded by the
+    quasi-identifier DOMAIN per block, not the row count), then a
+    vectorized block-local ``n < k`` mask.  The output is
+    risk-set-sized; the input table never collects anywhere."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    from pyrdf2vec_ray.shuffle import bucket_count
+
+    counts = bucket_count(ds.select_columns(list(quasi_cols)),
+                          list(quasi_cols), count_col="n",
+                          num_buckets=num_buckets)
+
+    def risk_only(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["n"] < k]
+
+    return counts.map_batches(risk_only, batch_format="pandas")

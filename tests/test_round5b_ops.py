@@ -177,3 +177,34 @@ def test_group_concat_dedups_values():
         WHERE { ?c in_nation ?n . ?n in_region ?r } GROUP BY ?r
         """).to_pandas()
     assert out.loc[0, "ns"] == "n1 n2"
+
+
+# ---- k_anonymity -----------------------------------------------------------
+
+def test_k_anonymity_returns_risk_groups_only():
+    from pyrdf2vec_ray.ops.validate import k_anonymity
+
+    rows = ([{"nat": 1, "seg": "A"}] * 5 + [{"nat": 1, "seg": "B"}] * 2
+            + [{"nat": 2, "seg": "A"}])
+    out = (k_anonymity(ray.data.from_items(rows), ["nat", "seg"], k=3)
+           .to_pandas().sort_values(["nat", "seg"]).reset_index(drop=True))
+    assert list(map(tuple, out[["nat", "seg", "n"]].values)) == [
+        (1, "B", 2), (2, "A", 1)]
+
+
+def test_k_anonymity_certifies_clean_table_empty():
+    from pyrdf2vec_ray.ops.validate import k_anonymity
+
+    rows = [{"g": i % 2} for i in range(10)]
+    out = k_anonymity(ray.data.from_items(rows), ["g"], k=3).to_pandas()
+    assert len(out) == 0
+
+
+def test_k_anonymity_rejects_bad_args():
+    from pyrdf2vec_ray.ops.validate import k_anonymity
+
+    ds = ray.data.from_items([{"g": 1}])
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity(ds, ["g"], k=1)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity(ds, [], k=5)
