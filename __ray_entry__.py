@@ -5668,6 +5668,87 @@ def q_fk_orphan_audit(sf_dir: str):
     return bucket_agg(allrows, ["rel"], {"n_orphans": ("n", "sum")})
 
 
+def q_user_purchase_auc(sf_dir: str):
+    """Exact ROC AUC (ops/agg.auc_exact, round 5): does per-user event
+    volume separate purchasers from non-purchasers?  The model-eval
+    metric a training pipeline reports — Mann–Whitney 2U with the ½
+    tie adjustment, everything int64 until the final division, so the
+    window-function oracle replays it bit-for-bit.  Per-user features
+    come from ONE user-bucket reduce (count + any-purchase max); the
+    AUC fold runs over the distinct-SCORE table (value-domain scale)."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import auc_exact
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "n": np.int64(1),
+            "lab": (batch["event_type"] == "purchase")
+            .to_numpy(np.int64)})
+        return part.groupby("user_id", as_index=False).agg(
+            n=("n", "sum"), lab=("lab", "max"))
+
+    users = bucket_agg(
+        ev.map_batches(pre, batch_format="pandas"), ["user_id"],
+        {"score": ("n", "sum"), "label": ("lab", "max")}, pre=False)
+    return auc_exact(users, "score", "label")
+
+
+def q_kg_type_inference(sf_dir: str):
+    """RDFS-style type inference via SPARQL 1.1 property paths
+    (ops/sparql.py sequence step + closure step composed:
+    ``rdf_type/subclassof+``): every entity's INFERRED supertypes
+    through a planted class hierarchy (Customer/Supplier ⊑ Agent ⊑
+    Thing, Order ⊑ Event) — the materialize-the-ontology step of KG
+    construction.  The sequence expands at parse time into a chained
+    pattern through a fresh join variable; the closure step rides
+    `transitive_closure` (path doubling); the direct-type pattern
+    joins it with the usual adaptive plan."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    tri = _triples(sf_dir)
+
+    def types(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pref, cls in (("customer:", "Customer"),
+                          ("supplier:", "Supplier"),
+                          ("order:", "Order")):
+            m = batch["subj"].str.startswith(pref)
+            if m.any():
+                out.append(pd.DataFrame(
+                    {"subj": batch.loc[m, "subj"],
+                     "pred": "rdf_type", "obj": cls}))
+        if not out:
+            return pd.DataFrame(
+                {"subj": pd.Series(dtype=object),
+                 "pred": pd.Series(dtype=object),
+                 "obj": pd.Series(dtype=object)})
+        return pd.concat(out, ignore_index=True).drop_duplicates()
+
+    hierarchy = ray.data.from_items([
+        {"subj": "Customer", "pred": "subclassof", "obj": "Agent"},
+        {"subj": "Supplier", "pred": "subclassof", "obj": "Agent"},
+        {"subj": "Agent", "pred": "subclassof", "obj": "Thing"},
+        {"subj": "Order", "pred": "subclassof", "obj": "Event"},
+    ])
+    kg = tri.union(tri.map_batches(types, batch_format="pandas"),
+                   hierarchy)
+    return sparql_query(kg, """
+        SELECT ?x ?t WHERE { ?x rdf_type/subclassof+ ?t }
+    """)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -5909,6 +5990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_canonical": q_kg_sameas_canonical,
         "kg_conflict_resolve": q_kg_conflict_resolve,
         "customer_k_anonymity": q_customer_k_anonymity,
+        "user_purchase_auc": q_user_purchase_auc,
+        "kg_type_inference": q_kg_type_inference,
         "fk_orphan_audit": q_fk_orphan_audit,
         "kg_bgp_countdistinct": q_kg_bgp_countdistinct,
         "kg_sparql_slice": q_kg_sparql_slice,
@@ -7443,6 +7526,57 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY c_nationkey, c_mktsegment
             HAVING count(*) < 10
+        """,
+        "user_purchase_auc": """
+            WITH s AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+                     max(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS label
+              FROM events GROUP BY user_id
+            ),
+            c AS (
+              SELECT score, CAST(sum(label) AS BIGINT) AS pos,
+                     CAST(sum(1 - label) AS BIGINT) AS neg
+              FROM s GROUP BY score
+            ),
+            o AS (
+              SELECT score, pos, neg,
+                     CAST(coalesce(sum(neg) OVER (
+                          ORDER BY score ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS cumneg
+              FROM c
+            )
+            SELECT CAST((SELECT sum(pos) FROM c) AS BIGINT) AS n_pos,
+                   CAST((SELECT sum(neg) FROM c) AS BIGINT) AS n_neg,
+                   CAST(sum(pos * (2 * cumneg + neg)) AS BIGINT)
+                     AS auc_num,
+                   CAST(2 * (SELECT sum(pos) FROM c)
+                          * (SELECT sum(neg) FROM c) AS BIGINT)
+                     AS auc_den,
+                   CAST(sum(pos * (2 * cumneg + neg)) AS DOUBLE)
+                     / (2 * (SELECT sum(pos) FROM c)
+                          * (SELECT sum(neg) FROM c)) AS auc
+            FROM o
+        """,
+        "kg_type_inference": _TRIPLES_CTE + """
+            , ents AS (
+              SELECT DISTINCT subj AS x,
+                     CASE WHEN subj LIKE 'customer:%' THEN 'Customer'
+                          WHEN subj LIKE 'supplier:%' THEN 'Supplier'
+                          ELSE 'Order' END AS cls
+              FROM triples
+              WHERE subj LIKE 'customer:%' OR subj LIKE 'supplier:%'
+                 OR subj LIKE 'order:%'
+            ),
+            sup AS (
+              SELECT * FROM (VALUES
+                ('Customer', 'Agent'), ('Customer', 'Thing'),
+                ('Supplier', 'Agent'), ('Supplier', 'Thing'),
+                ('Agent', 'Thing'), ('Order', 'Event')) v(cls, t)
+            )
+            SELECT DISTINCT e.x AS x, s.t AS t
+            FROM ents e JOIN sup s USING (cls)
         """,
         "fk_orphan_audit": """
             WITH oc AS (

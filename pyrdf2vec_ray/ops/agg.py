@@ -1449,3 +1449,68 @@ def grouped_gini(
 
     return bucket_apply(hist, [group_col], per_bucket,
                         num_buckets=num_buckets, batch_format="pandas")
+
+
+def auc_exact(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact ROC AUC of an integer score against a binary label — the
+    Mann–Whitney rank statistic with the standard tie adjustment (a
+    tied positive/negative pair counts ½), computed WITHOUT a global
+    row sort:
+
+        2U  =  Σ_v  pos_v · (2·neg_below(v) + neg_v)
+        AUC =  2U / (2 · n_pos · n_neg)
+
+    so everything except the final division is exact int64 and the
+    result replays bit-identically in SQL (window-function oracle).
+    Output: ONE row ``(n_pos, n_neg, auc_num, auc_den, auc)`` with
+    ``auc_num = 2U``, ``auc_den = 2·n_pos·n_neg`` (AUC undefined when
+    a class is empty — then num = den = 0 and ``auc`` is NaN exactly
+    like SQL's NULL-division).
+
+    Scale shape: per-batch (score → pos/neg count) combiner + ONE
+    score-bucket reduce; the fold then runs over the DISTINCT-SCORE
+    table — value-domain scale, not row scale, the same bound contract
+    as `hot_keys` / `value_histogram` (integer scores from counts,
+    ranks, or quantized models have bounded domains; quantize first
+    otherwise — the bound is stated here because the fold collects
+    that table).  Overflow: needs ``2·n_pos·n_neg < 2^63`` (any corpus
+    below ~2·10⁹ rows of each class), checked explicitly."""
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        lab = batch[label_col].to_numpy(np.int64)
+        if ((lab != 0) & (lab != 1)).any():
+            raise ValueError(f"{label_col} must be binary 0/1")
+        part = pd.DataFrame({
+            "score": batch[score_col].to_numpy(np.int64),
+            "pos": lab, "neg": np.int64(1) - lab})
+        return part.groupby("score", as_index=False).sum()
+
+    counts = bucket_agg(
+        ds.select_columns([score_col, label_col]).map_batches(
+            pre, batch_format="pandas"),
+        ["score"], {"pos": ("pos", "sum"), "neg": ("neg", "sum")},
+        num_buckets=num_buckets, pre=False)
+    # distinct-score-scale fold (bound documented above)
+    c = counts.to_pandas().sort_values("score").reset_index(drop=True)
+    pos = c["pos"].to_numpy(np.int64)
+    neg = c["neg"].to_numpy(np.int64)
+    n_pos, n_neg = int(pos.sum()), int(neg.sum())
+    if n_pos and n_neg and 2 * n_pos * n_neg >= (1 << 63):
+        raise OverflowError(
+            "auc_exact needs 2*n_pos*n_neg < 2^63; subsample first")
+    cum_below = np.concatenate([[0], np.cumsum(neg)[:-1]])
+    u2 = int((pos * (2 * cum_below + neg)).sum())
+    den = 2 * n_pos * n_neg
+    return ray.data.from_arrow(pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "auc_num": pa.array([u2 if den else 0], pa.int64()),
+        "auc_den": pa.array([den], pa.int64()),
+        "auc": pa.array([u2 / den if den else float("nan")],
+                        pa.float64()),
+    }))

@@ -208,3 +208,72 @@ def test_k_anonymity_rejects_bad_args():
         k_anonymity(ds, ["g"], k=1)
     with pytest.raises(ValueError, match="quasi_cols"):
         k_anonymity(ds, [], k=5)
+
+
+# ---- auc_exact -------------------------------------------------------------
+
+def test_auc_exact_perfect_and_reverse_separation():
+    from pyrdf2vec_ray.ops.agg import auc_exact
+
+    rows = [{"s": 10, "y": 1}, {"s": 9, "y": 1},
+            {"s": 1, "y": 0}, {"s": 2, "y": 0}]
+    out = auc_exact(ray.data.from_items(rows), "s", "y").to_pandas()
+    assert out.loc[0, "auc"] == 1.0
+    rev = [{"s": 10 - r["s"], "y": r["y"]} for r in rows]
+    out = auc_exact(ray.data.from_items(rev), "s", "y").to_pandas()
+    assert out.loc[0, "auc"] == 0.0
+
+
+def test_auc_exact_ties_count_half():
+    from pyrdf2vec_ray.ops.agg import auc_exact
+
+    # one pos/neg tie at 5, one pos above one neg -> pairs: (5,1)=1,
+    # (5,5)=0.5, (7,1)=1, (7,5)=1 -> U=3.5 of 4 -> 0.875
+    rows = [{"s": 5, "y": 1}, {"s": 7, "y": 1},
+            {"s": 5, "y": 0}, {"s": 1, "y": 0}]
+    out = auc_exact(ray.data.from_items(rows), "s", "y").to_pandas()
+    assert out.loc[0, "auc_num"] == 7      # 2U
+    assert out.loc[0, "auc_den"] == 8
+    assert out.loc[0, "auc"] == 0.875
+
+
+def test_auc_exact_matches_sklearn_formula_random():
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.agg import auc_exact
+
+    rng = np.random.RandomState(7)
+    s = rng.randint(0, 20, size=300)
+    y = (rng.rand(300) < 1.0 / (1.0 + np.exp(3 - 0.4 * s))).astype(int)
+    if y.sum() in (0, len(y)):
+        y[0] = 1 - y[0]
+    out = auc_exact(
+        ray.data.from_items(
+            [{"s": int(a), "y": int(b)} for a, b in zip(s, y)]),
+        "s", "y").to_pandas()
+    # reference: rank-based AUC with average ranks (scipy-free)
+    import pandas as pd
+
+    r = pd.Series(s).rank(method="average").to_numpy()
+    npos, nneg = int(y.sum()), int((1 - y).sum())
+    u = r[y == 1].sum() - npos * (npos + 1) / 2.0
+    assert abs(out.loc[0, "auc"] - u / (npos * nneg)) < 1e-12
+
+
+def test_auc_exact_degenerate_single_class():
+    from pyrdf2vec_ray.ops.agg import auc_exact
+
+    out = auc_exact(
+        ray.data.from_items([{"s": 3, "y": 1}, {"s": 5, "y": 1}]),
+        "s", "y").to_pandas()
+    assert out.loc[0, "auc_den"] == 0
+    import math
+    assert math.isnan(out.loc[0, "auc"])
+
+
+def test_auc_exact_rejects_nonbinary_labels():
+    from pyrdf2vec_ray.ops.agg import auc_exact
+
+    with pytest.raises(Exception, match="binary"):
+        auc_exact(ray.data.from_items([{"s": 1, "y": 2}]),
+                  "s", "y").to_pandas()
