@@ -5749,6 +5749,41 @@ def q_kg_type_inference(sf_dir: str):
     """)
 
 
+def q_kg_scc(sf_dir: str):
+    """Bounded strongly-connected components (ops/graph.scc_bounded,
+    round 5): directed-cycle detection over the in_nation/in_region
+    KG subgraph (a DAG — every real node must stay a singleton)
+    plus 20 PLANTED 3-cycles of 'peer_of' edges among customers and
+    one acyclic 2-edge chain: mutual-reachability pairs from the
+    path-doubling closure, ONE semi-join against the swapped relation,
+    ONE min-reduce — no label iteration.  Any spurious merge on the
+    DAG part or missed cycle member breaks the hash."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.graph import scc_bounded
+
+    tri = _triples(sf_dir)
+
+    def as_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["pred"].isin(["in_nation", "in_region"])]
+        return pd.DataFrame({"a": sub["subj"].to_numpy(),
+                             "b": sub["obj"].to_numpy()})
+
+    planted = []
+    for k in range(20):
+        for j in range(3):
+            planted.append({"a": f"customer:{3 * k + j}",
+                            "b": f"customer:{3 * k + (j + 1) % 3}"})
+    for j in range(2):
+        planted.append({"a": f"customer:{100 + j}",
+                        "b": f"customer:{101 + j}"})
+    edges = tri.map_batches(as_edges, batch_format="pandas").union(
+        ray.data.from_items(planted))
+    return scc_bounded(edges, rounds=2)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -5992,6 +6027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_k_anonymity": q_customer_k_anonymity,
         "user_purchase_auc": q_user_purchase_auc,
         "kg_type_inference": q_kg_type_inference,
+        "kg_scc": q_kg_scc,
         "fk_orphan_audit": q_fk_orphan_audit,
         "kg_bgp_countdistinct": q_kg_bgp_countdistinct,
         "kg_sparql_slice": q_kg_sparql_slice,
@@ -7558,6 +7594,30 @@ def oracle_sql() -> dict[str, str]:
                      / (2 * (SELECT sum(pos) FROM c)
                           * (SELECT sum(neg) FROM c)) AS auc
             FROM o
+        """,
+        "kg_scc": _TRIPLES_CTE + """
+            , e AS (
+              SELECT subj, obj FROM triples
+              WHERE pred IN ('in_nation', 'in_region')
+            ),
+            members AS (
+              SELECT k.range AS k,
+                     'customer:' || (3 * k.range + j.range) AS node
+              FROM range(20) k CROSS JOIN range(3) j
+            ),
+            lab AS (SELECT k, min(node) AS scc FROM members GROUP BY k),
+            mm AS (
+              SELECT m.node, l.scc FROM members m JOIN lab l USING (k)
+            ),
+            nodes AS (
+              SELECT subj AS node FROM e
+              UNION SELECT obj FROM e
+              UNION SELECT node FROM members
+              UNION SELECT 'customer:' || (100 + j.range)
+                    FROM range(3) j
+            )
+            SELECT n.node AS node, coalesce(mm.scc, n.node) AS scc
+            FROM nodes n LEFT JOIN mm USING (node)
         """,
         "kg_type_inference": _TRIPLES_CTE + """
             , ents AS (

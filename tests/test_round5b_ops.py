@@ -277,3 +277,56 @@ def test_auc_exact_rejects_nonbinary_labels():
     with pytest.raises(Exception, match="binary"):
         auc_exact(ray.data.from_items([{"s": 1, "y": 2}]),
                   "s", "y").to_pandas()
+
+
+# ---- scc_bounded -----------------------------------------------------------
+
+def test_scc_cycle_and_tail():
+    from pyrdf2vec_ray.ops.graph import scc_bounded
+
+    edges = ray.data.from_items([
+        {"a": "b", "b": "c"}, {"a": "c", "b": "d"},
+        {"a": "d", "b": "b"},                       # 3-cycle b-c-d
+        {"a": "d", "b": "t"},                       # tail
+    ])
+    out = (scc_bounded(edges, rounds=2).to_pandas()
+           .set_index("node")["scc"].to_dict())
+    assert out == {"b": "b", "c": "b", "d": "b", "t": "t"}
+
+
+def test_scc_one_way_link_does_not_merge_cycles():
+    from pyrdf2vec_ray.ops.graph import scc_bounded
+
+    edges = ray.data.from_items([
+        {"a": "a1", "b": "a2"}, {"a": "a2", "b": "a1"},
+        {"a": "b1", "b": "b2"}, {"a": "b2", "b": "b1"},
+        {"a": "a1", "b": "b1"},                     # one-way bridge
+    ])
+    out = (scc_bounded(edges, rounds=3).to_pandas()
+           .set_index("node")["scc"].to_dict())
+    assert out == {"a1": "a1", "a2": "a1", "b1": "b1", "b2": "b1"}
+
+
+def test_scc_bound_contract_undercovered_cycle_falls_apart():
+    from pyrdf2vec_ray.ops.graph import scc_bounded
+
+    cyc = [{"a": f"n{i}", "b": f"n{(i + 1) % 6}"} for i in range(6)]
+    edges = ray.data.from_items(cyc)
+    # rounds=1 covers paths <= 2: no mutual pair of a 6-cycle fits
+    out = scc_bounded(edges, rounds=1).to_pandas()
+    assert (out["node"] == out["scc"]).all()
+    # rounds=3 covers paths <= 8 >= the 5-hop way back: one class
+    out = (scc_bounded(edges, rounds=3).to_pandas()
+           .set_index("node")["scc"].to_dict())
+    assert set(out.values()) == {"n0"}
+
+
+def test_scc_int_keyed_edges():
+    from pyrdf2vec_ray.ops.graph import scc_bounded
+
+    edges = ray.data.from_items([
+        {"a": 7, "b": 3}, {"a": 3, "b": 7}, {"a": 7, "b": 9},
+    ])
+    out = (scc_bounded(edges, rounds=2).to_pandas()
+           .set_index("node")["scc"].to_dict())
+    assert out == {3: 3, 7: 3, 9: 9}
