@@ -5784,6 +5784,38 @@ def q_kg_scc(sf_dir: str):
     return scc_bounded(edges, rounds=2)
 
 
+def q_user_purchase_pr(sf_dir: str):
+    """Precision/recall curve (ops/agg.pr_curve, round 5): operating
+    points of the purchase-propensity score at every distinct
+    threshold — the shared auc_exact reduction (per-batch combiner +
+    ONE score-bucket exchange) with cumulative folds over the
+    distinct-score table; exact int64 tp/fp/fn, oracle-identical
+    float divisions."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.agg import pr_curve
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "n": np.int64(1),
+            "lab": (batch["event_type"] == "purchase")
+            .to_numpy(np.int64)})
+        return part.groupby("user_id", as_index=False).agg(
+            n=("n", "sum"), lab=("lab", "max"))
+
+    users = bucket_agg(
+        ev.map_batches(pre, batch_format="pandas"), ["user_id"],
+        {"score": ("n", "sum"), "label": ("lab", "max")}, pre=False)
+    return pr_curve(users, "score", "label")
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6026,6 +6058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conflict_resolve": q_kg_conflict_resolve,
         "customer_k_anonymity": q_customer_k_anonymity,
         "user_purchase_auc": q_user_purchase_auc,
+        "user_purchase_pr": q_user_purchase_pr,
         "kg_type_inference": q_kg_type_inference,
         "kg_scc": q_kg_scc,
         "fk_orphan_audit": q_fk_orphan_audit,
@@ -7593,6 +7626,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(pos * (2 * cumneg + neg)) AS DOUBLE)
                      / (2 * (SELECT sum(pos) FROM c)
                           * (SELECT sum(neg) FROM c)) AS auc
+            FROM o
+        """,
+        "user_purchase_pr": """
+            WITH s AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+                     max(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS label
+              FROM events GROUP BY user_id
+            ),
+            c AS (
+              SELECT score, CAST(sum(label) AS BIGINT) AS pos,
+                     CAST(sum(1 - label) AS BIGINT) AS neg
+              FROM s GROUP BY score
+            ),
+            o AS (
+              SELECT score AS threshold,
+                     CAST(sum(pos) OVER (ORDER BY score DESC)
+                          AS BIGINT) AS tp,
+                     CAST(sum(neg) OVER (ORDER BY score DESC)
+                          AS BIGINT) AS fp
+              FROM c
+            )
+            SELECT threshold, tp, fp,
+                   CAST((SELECT sum(pos) FROM c) - tp AS BIGINT) AS fn,
+                   CAST(tp AS DOUBLE) / (tp + fp) AS "precision",
+                   CAST(tp AS DOUBLE) / (SELECT sum(pos) FROM c)
+                     AS recall
             FROM o
         """,
         "kg_scc": _TRIPLES_CTE + """

@@ -1451,6 +1451,29 @@ def grouped_gini(
                         num_buckets=num_buckets, batch_format="pandas")
 
 
+def _score_class_counts(ds, score_col, label_col, num_buckets):
+    """(score, pos, neg) exact int64 counts per DISTINCT score, sorted
+    ascending — the shared reduction of auc_exact / pr_curve: per-batch
+    combiner + ONE score-bucket reduce, then the value-domain-scale
+    table collects for the fold (bound contract stated by callers)."""
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        lab = batch[label_col].to_numpy(np.int64)
+        if ((lab != 0) & (lab != 1)).any():
+            raise ValueError(f"{label_col} must be binary 0/1")
+        part = pd.DataFrame({
+            "score": batch[score_col].to_numpy(np.int64),
+            "pos": lab, "neg": np.int64(1) - lab})
+        return part.groupby("score", as_index=False).sum()
+
+    counts = bucket_agg(
+        ds.select_columns([score_col, label_col]).map_batches(
+            pre, batch_format="pandas"),
+        ["score"], {"pos": ("pos", "sum"), "neg": ("neg", "sum")},
+        num_buckets=num_buckets, pre=False)
+    return counts.to_pandas().sort_values("score").reset_index(drop=True)
+
+
 def auc_exact(
     ds: ray.data.Dataset,
     score_col: str,
@@ -1481,22 +1504,7 @@ def auc_exact(
     that table).  Overflow: needs ``2·n_pos·n_neg < 2^63`` (any corpus
     below ~2·10⁹ rows of each class), checked explicitly."""
 
-    def pre(batch: pd.DataFrame) -> pd.DataFrame:
-        lab = batch[label_col].to_numpy(np.int64)
-        if ((lab != 0) & (lab != 1)).any():
-            raise ValueError(f"{label_col} must be binary 0/1")
-        part = pd.DataFrame({
-            "score": batch[score_col].to_numpy(np.int64),
-            "pos": lab, "neg": np.int64(1) - lab})
-        return part.groupby("score", as_index=False).sum()
-
-    counts = bucket_agg(
-        ds.select_columns([score_col, label_col]).map_batches(
-            pre, batch_format="pandas"),
-        ["score"], {"pos": ("pos", "sum"), "neg": ("neg", "sum")},
-        num_buckets=num_buckets, pre=False)
-    # distinct-score-scale fold (bound documented above)
-    c = counts.to_pandas().sort_values("score").reset_index(drop=True)
+    c = _score_class_counts(ds, score_col, label_col, num_buckets)
     pos = c["pos"].to_numpy(np.int64)
     neg = c["neg"].to_numpy(np.int64)
     n_pos, n_neg = int(pos.sum()), int(neg.sum())
@@ -1513,4 +1521,46 @@ def auc_exact(
         "auc_den": pa.array([den], pa.int64()),
         "auc": pa.array([u2 / den if den else float("nan")],
                         pa.float64()),
+    }))
+
+
+def pr_curve(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Precision/recall operating points at EVERY distinct score
+    threshold (predict positive iff ``score >= threshold``) — the
+    curve a pipeline reports next to :func:`auc_exact`.  Output one
+    row per distinct score, descending:
+    ``(threshold, tp, fp, fn, precision, recall)`` with exact int64
+    counts and float64 ratios formed as ``tp / (tp + fp)`` /
+    ``tp / n_pos`` (the SQL oracle writes the same divisions, so
+    parity is bit-for-bit).
+
+    Scale shape: the shared `_score_class_counts` reduction (per-batch
+    combiner + ONE score-bucket exchange), then cumulative sums over
+    the DISTINCT-SCORE table — value-domain scale with the same stated
+    bound as :func:`auc_exact` / `hot_keys`."""
+    c = _score_class_counts(ds, score_col, label_col, num_buckets)
+    c = c.iloc[::-1].reset_index(drop=True)  # descending thresholds
+    pos = c["pos"].to_numpy(np.int64)
+    neg = c["neg"].to_numpy(np.int64)
+    tp = np.cumsum(pos)
+    fp = np.cumsum(neg)
+    n_pos = int(pos.sum())
+    fn = n_pos - tp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        precision = tp.astype(np.float64) / np.maximum(tp + fp, 1)
+        recall = (tp.astype(np.float64) / n_pos if n_pos
+                  else np.zeros(len(tp)))
+    return ray.data.from_arrow(pa.table({
+        "threshold": pa.array(c["score"].to_numpy(np.int64),
+                              pa.int64()),
+        "tp": pa.array(tp, pa.int64()),
+        "fp": pa.array(fp, pa.int64()),
+        "fn": pa.array(fn, pa.int64()),
+        "precision": pa.array(precision, pa.float64()),
+        "recall": pa.array(recall, pa.float64()),
     }))

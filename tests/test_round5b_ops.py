@@ -330,3 +330,28 @@ def test_scc_int_keyed_edges():
     out = (scc_bounded(edges, rounds=2).to_pandas()
            .set_index("node")["scc"].to_dict())
     assert out == {3: 3, 7: 3, 9: 9}
+
+
+# ---- pr_curve --------------------------------------------------------------
+
+def test_pr_curve_hand_example():
+    from pyrdf2vec_ray.ops.agg import pr_curve
+
+    rows = [{"s": 9, "y": 1}, {"s": 7, "y": 0},
+            {"s": 5, "y": 1}, {"s": 3, "y": 0}]
+    out = pr_curve(ray.data.from_items(rows), "s", "y").to_pandas()
+    assert list(out["threshold"]) == [9, 7, 5, 3]
+    assert list(out["tp"]) == [1, 1, 2, 2]
+    assert list(out["fp"]) == [0, 1, 1, 2]
+    assert list(out["fn"]) == [1, 1, 0, 0]
+    assert list(out["precision"]) == [1.0, 0.5, 2 / 3, 0.5]
+    assert list(out["recall"]) == [0.5, 0.5, 1.0, 1.0]
+
+
+def test_pr_curve_ties_fold_into_one_threshold():
+    from pyrdf2vec_ray.ops.agg import pr_curve
+
+    rows = [{"s": 5, "y": 1}, {"s": 5, "y": 0}, {"s": 5, "y": 1}]
+    out = pr_curve(ray.data.from_items(rows), "s", "y").to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "tp"] == 2 and out.loc[0, "fp"] == 1
