@@ -5816,6 +5816,16 @@ def q_user_purchase_pr(sf_dir: str):
     return pr_curve(users, "score", "label")
 
 
+def q_doc_zipf(sf_dir: str):
+    """Zipf exponent of the corpus vocabulary (ops/text.zipf_slope,
+    round 5): weighted OLS of ln(freq) on ln(rank) with tied-average
+    ranks taken from the counts-of-counts histogram — vocab-scale +
+    frequency-domain-scale exchanges only, no vocabulary sort."""
+    from pyrdf2vec_ray.ops.text import zipf_slope
+
+    return zipf_slope(_docs(sf_dir))
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6059,6 +6069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_k_anonymity": q_customer_k_anonymity,
         "user_purchase_auc": q_user_purchase_auc,
         "user_purchase_pr": q_user_purchase_pr,
+        "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_scc": q_kg_scc,
         "fk_orphan_audit": q_fk_orphan_audit,
@@ -7627,6 +7638,52 @@ def oracle_sql() -> dict[str, str]:
                      / (2 * (SELECT sum(pos) FROM c)
                           * (SELECT sum(neg) FROM c)) AS auc
             FROM o
+        """,
+        "doc_zipf": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       x -> x != '')) AS w
+              FROM documents
+            ),
+            tf AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS f
+              FROM toks GROUP BY w
+            ),
+            ff AS (
+              SELECT f, CAST(count(*) AS BIGINT) AS m
+              FROM tf GROUP BY f
+            ),
+            r AS (
+              SELECT f, m,
+                     CAST(coalesce(sum(m) OVER (ORDER BY f DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          1 PRECEDING), 0) AS BIGINT) AS above
+              FROM ff
+            ),
+            pts AS (
+              SELECT ln(above + (m + 1) / 2.0) AS x,
+                     ln(CAST(f AS DOUBLE)) AS y,
+                     CAST(m AS DOUBLE) AS wgt
+              FROM r
+            ),
+            agg AS (
+              SELECT sum(wgt) AS sw, sum(wgt * x) AS sx,
+                     sum(wgt * y) AS sy, sum(wgt * x * x) AS sxx,
+                     sum(wgt * x * y) AS sxy
+              FROM pts
+            )
+            SELECT CAST((SELECT sum(m) FROM ff) AS BIGINT)
+                     AS vocab_size,
+                   CAST((SELECT sum(f * m) FROM ff) AS BIGINT)
+                     AS total_tokens,
+                   CAST((SELECT count(*) FROM ff) AS BIGINT)
+                     AS n_freq_classes,
+                   (sw * sxy - sx * sy) / (sw * sxx - sx * sx)
+                     AS slope,
+                   (sy - (sw * sxy - sx * sy) / (sw * sxx - sx * sx)
+                     * sx) / sw AS intercept
+            FROM agg
         """,
         "user_purchase_pr": """
             WITH s AS (

@@ -1462,3 +1462,76 @@ def type_token_ratio(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pandas", batch_size=2048)
+
+
+def zipf_slope(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Zipf-law fit of the corpus vocabulary: weighted least-squares
+    slope of ``ln(frequency)`` against ``ln(rank)`` — natural text
+    sits near −1; templated or synthetic corpora drift off, which
+    makes the exponent a one-number corpus-health signal next to
+    `type_token_ratio` / `repetition_stats`.
+
+    Ranks come from the FREQUENCY-OF-FREQUENCY histogram, not a vocab
+    sort: tokens sharing frequency ``f`` occupy a contiguous rank
+    block, so their tied average rank is ``(#tokens with higher f) +
+    (m_f + 1)/2`` — closed form per frequency class, and the OLS point
+    for the class gets weight ``m_f``.  Output ONE row
+    ``(vocab_size, total_tokens, n_freq_classes, slope, intercept)``.
+
+    Scale shape: per-batch token partial counts → ONE token-bucket
+    reduce (vocab-scale exchange); per-batch frequency partials → ONE
+    frequency-bucket reduce; the fold then collects the
+    FREQUENCY-DOMAIN table (counts-of-counts — thousands of rows for
+    billions of tokens, the same stated bound as `gini_int`'s
+    histogram).  No vocabulary ever sorts or collects."""
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    def tok_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].astype(str).str.split().explode().dropna()
+        part = pd.DataFrame({"w": toks.to_numpy(), "n": np.int64(1)})
+        return part.groupby("w", as_index=False).sum()
+
+    tf = bucket_agg(
+        docs.select_columns(["text"]).map_batches(
+            tok_partial, batch_format="pandas"),
+        ["w"], {"f": ("n", "sum")}, pre=False)
+
+    def freq_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if "f" not in batch.columns:  # fully-empty corpus block
+            return pd.DataFrame({"f": pd.Series(dtype="int64"),
+                                 "m": pd.Series(dtype="int64")})
+        part = pd.DataFrame({"f": batch["f"].to_numpy(np.int64),
+                             "m": np.int64(1)})
+        return part.groupby("f", as_index=False).sum()
+
+    ff = bucket_agg(tf.map_batches(freq_partial, batch_format="pandas"),
+                    ["f"], {"m": ("m", "sum")}, pre=False)
+
+    c = ff.to_pandas()
+    if "f" not in c.columns:
+        c = pd.DataFrame({"f": pd.Series(dtype="int64"),
+                          "m": pd.Series(dtype="int64")})
+    c = c.sort_values("f", ascending=False).reset_index(drop=True)
+    f = c["f"].to_numpy(np.int64)
+    m = c["m"].to_numpy(np.int64)
+    vocab = int(m.sum())
+    total = int((f * m).sum())
+    if vocab == 0:
+        slope = intercept = float("nan")
+    else:
+        above = np.concatenate([[0], np.cumsum(m)[:-1]])
+        x = np.log(above + (m + 1) / 2.0)
+        y = np.log(f.astype(np.float64))
+        w = m.astype(np.float64)
+        sw, sx, sy = w.sum(), (w * x).sum(), (w * y).sum()
+        sxx, sxy = (w * x * x).sum(), (w * x * y).sum()
+        den = sw * sxx - sx * sx
+        slope = (sw * sxy - sx * sy) / den if den else float("nan")
+        intercept = ((sy - slope * sx) / sw if den else float("nan"))
+    return ray.data.from_arrow(pa.table({
+        "vocab_size": pa.array([vocab], pa.int64()),
+        "total_tokens": pa.array([total], pa.int64()),
+        "n_freq_classes": pa.array([len(c)], pa.int64()),
+        "slope": pa.array([slope], pa.float64()),
+        "intercept": pa.array([intercept], pa.float64()),
+    }))

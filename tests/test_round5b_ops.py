@@ -355,3 +355,51 @@ def test_pr_curve_ties_fold_into_one_threshold():
     out = pr_curve(ray.data.from_items(rows), "s", "y").to_pandas()
     assert len(out) == 1
     assert out.loc[0, "tp"] == 2 and out.loc[0, "fp"] == 1
+
+
+# ---- zipf_slope ------------------------------------------------------------
+
+def test_zipf_slope_exact_power_law():
+    from pyrdf2vec_ray.ops.text import zipf_slope
+
+    # frequencies 8,4,2,1 at ranks 1..4: ln f = ln 8 - ln 2 * ln r /
+    # ... construct text with exact halving counts; slope of ln f vs
+    # ln r for f = 16/r is exactly -1 at r in {1,2,4,8}... use direct
+    # check against numpy polyfit instead of a closed form
+    words = (["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = ray.data.from_items([{"doc_id": 0, "text": " ".join(words)}])
+    out = zipf_slope(docs).to_pandas()
+    assert out.loc[0, "vocab_size"] == 4
+    assert out.loc[0, "total_tokens"] == 15
+    assert out.loc[0, "n_freq_classes"] == 4
+    import numpy as np
+
+    x = np.log(np.arange(1, 5, dtype=float))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope_ref = np.polyfit(x, y, 1)[0]
+    assert abs(out.loc[0, "slope"] - slope_ref) < 1e-9
+
+
+def test_zipf_slope_tied_frequencies_average_rank():
+    from pyrdf2vec_ray.ops.text import zipf_slope
+
+    # two tokens tied at f=3 (ranks 1,2 -> avg 1.5), one at f=1 (rank 3)
+    docs = ray.data.from_items(
+        [{"doc_id": 0, "text": "a a a b b b c"}])
+    out = zipf_slope(docs).to_pandas()
+    import numpy as np
+
+    x = np.array([np.log(1.5), np.log(1.5), np.log(3.0)])
+    y = np.array([np.log(3.0), np.log(3.0), np.log(1.0)])
+    slope_ref = np.polyfit(x, y, 1)[0]
+    assert abs(out.loc[0, "slope"] - slope_ref) < 1e-9
+
+
+def test_zipf_slope_empty_corpus_nan():
+    from pyrdf2vec_ray.ops.text import zipf_slope
+
+    import math
+    docs = ray.data.from_items([{"doc_id": 0, "text": ""}])
+    out = zipf_slope(docs).to_pandas()
+    assert out.loc[0, "vocab_size"] == 0
+    assert math.isnan(out.loc[0, "slope"])
