@@ -5668,19 +5668,14 @@ def q_fk_orphan_audit(sf_dir: str):
     return bucket_agg(allrows, ["rel"], {"n_orphans": ("n", "sum")})
 
 
-def q_user_purchase_auc(sf_dir: str):
-    """Exact ROC AUC (ops/agg.auc_exact, round 5): does per-user event
-    volume separate purchasers from non-purchasers?  The model-eval
-    metric a training pipeline reports — Mann–Whitney 2U with the ½
-    tie adjustment, everything int64 until the final division, so the
-    window-function oracle replays it bit-for-bit.  Per-user features
-    come from ONE user-bucket reduce (count + any-purchase max); the
-    AUC fold runs over the distinct-SCORE table (value-domain scale)."""
+def _user_purchase_features(sf_dir: str):
+    """Per-user (score = event count, label = ever-purchased) feature
+    table shared by the eval-family queries (auc / pr / calibration):
+    per-batch combiner + ONE user-bucket reduce."""
     import pandas as pd
 
     import ray.data
 
-    from pyrdf2vec_ray.ops.agg import auc_exact
     from pyrdf2vec_ray.shuffle import bucket_agg
 
     ev = ray.data.read_parquet(
@@ -5695,10 +5690,22 @@ def q_user_purchase_auc(sf_dir: str):
         return part.groupby("user_id", as_index=False).agg(
             n=("n", "sum"), lab=("lab", "max"))
 
-    users = bucket_agg(
+    return bucket_agg(
         ev.map_batches(pre, batch_format="pandas"), ["user_id"],
         {"score": ("n", "sum"), "label": ("lab", "max")}, pre=False)
-    return auc_exact(users, "score", "label")
+
+
+def q_user_purchase_auc(sf_dir: str):
+    """Exact ROC AUC (ops/agg.auc_exact, round 5): does per-user event
+    volume separate purchasers from non-purchasers?  The model-eval
+    metric a training pipeline reports — Mann–Whitney 2U with the ½
+    tie adjustment, everything int64 until the final division, so the
+    window-function oracle replays it bit-for-bit.  Per-user features
+    come from ONE user-bucket reduce (count + any-purchase max); the
+    AUC fold runs over the distinct-SCORE table (value-domain scale)."""
+    from pyrdf2vec_ray.ops.agg import auc_exact
+
+    return auc_exact(_user_purchase_features(sf_dir), "score", "label")
 
 
 def q_kg_type_inference(sf_dir: str):
@@ -5791,29 +5798,9 @@ def q_user_purchase_pr(sf_dir: str):
     ONE score-bucket exchange) with cumulative folds over the
     distinct-score table; exact int64 tp/fp/fn, oracle-identical
     float divisions."""
-    import pandas as pd
-
-    import ray.data
-
     from pyrdf2vec_ray.ops.agg import pr_curve
-    from pyrdf2vec_ray.shuffle import bucket_agg
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
-
-    def pre(batch: pd.DataFrame) -> pd.DataFrame:
-        part = pd.DataFrame({
-            "user_id": batch["user_id"].to_numpy(np.int64),
-            "n": np.int64(1),
-            "lab": (batch["event_type"] == "purchase")
-            .to_numpy(np.int64)})
-        return part.groupby("user_id", as_index=False).agg(
-            n=("n", "sum"), lab=("lab", "max"))
-
-    users = bucket_agg(
-        ev.map_batches(pre, batch_format="pandas"), ["user_id"],
-        {"score": ("n", "sum"), "label": ("lab", "max")}, pre=False)
-    return pr_curve(users, "score", "label")
+    return pr_curve(_user_purchase_features(sf_dir), "score", "label")
 
 
 def q_doc_zipf(sf_dir: str):
@@ -5824,6 +5811,17 @@ def q_doc_zipf(sf_dir: str):
     from pyrdf2vec_ray.ops.text import zipf_slope
 
     return zipf_slope(_docs(sf_dir))
+
+
+def q_user_purchase_calibration(sf_dir: str):
+    """Reliability diagram (ops/agg.calibration_bins, round 5): does
+    the event-volume score's MAGNITUDE track purchase probability?
+    8 equal-width integer bins over [0, max]; exact counts, integer
+    floor binning shared with the SQL oracle, the shared auc/pr
+    score-class reduction underneath."""
+    from pyrdf2vec_ray.ops.agg import calibration_bins
+
+    return calibration_bins(_user_purchase_features(sf_dir), "score", "label", n_bins=8)
 
 
 # ---- contract --------------------------------------------------------------
@@ -6069,6 +6067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_k_anonymity": q_customer_k_anonymity,
         "user_purchase_auc": q_user_purchase_auc,
         "user_purchase_pr": q_user_purchase_pr,
+        "user_purchase_calibration": q_user_purchase_calibration,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_scc": q_kg_scc,
@@ -7684,6 +7683,29 @@ def oracle_sql() -> dict[str, str]:
                    (sy - (sw * sxy - sx * sy) / (sw * sxx - sx * sx)
                      * sx) / sw AS intercept
             FROM agg
+        """,
+        "user_purchase_calibration": """
+            WITH s AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+                     max(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS label
+              FROM events GROUP BY user_id
+            ),
+            mx AS (SELECT max(score) AS m FROM s),
+            b AS (
+              SELECT (score * 8) // ((SELECT m FROM mx) + 1) AS bin,
+                     count(*) AS n, sum(label) AS n_pos,
+                     sum(score) AS sn
+              FROM s GROUP BY 1
+            )
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   bin * (((SELECT m FROM mx) + 1) / 8.0) AS lo,
+                   (bin + 1) * (((SELECT m FROM mx) + 1) / 8.0) AS hi,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(sn AS DOUBLE) / n AS mean_score,
+                   CAST(n_pos AS DOUBLE) / n AS pos_rate
+            FROM b
         """,
         "user_purchase_pr": """
             WITH s AS (

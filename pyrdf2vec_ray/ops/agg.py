@@ -1564,3 +1564,61 @@ def pr_curve(
         "precision": pa.array(precision, pa.float64()),
         "recall": pa.array(recall, pa.float64()),
     }))
+
+
+def calibration_bins(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_max: int | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Reliability diagram for an integer score: equal-width bins over
+    ``[0, score_max]`` with each bin's exact count, mean score, and
+    positive rate — the third leg of the eval family
+    (:func:`auc_exact` ranks, :func:`pr_curve` thresholds, this one
+    asks whether the score MAGNITUDE is honest).  Output one row per
+    non-empty bin: ``(bin, lo, hi, n, n_pos, mean_score, pos_rate)``;
+    ``score_max`` defaults to the observed max (one extra value-domain
+    fold, no extra exchange — the distinct-score table is already
+    collected).
+
+    Bin rule: ``bin = floor(score * n_bins / (score_max + 1))`` —
+    integer arithmetic only, so the SQL oracle bins identically
+    (``CAST(score * n_bins / (score_max + 1) AS BIGINT)`` with BIGINT
+    division truncating like floor for non-negative scores; negative
+    scores raise here).
+
+    Scale shape: the shared `_score_class_counts` reduction, then a
+    bin fold over the distinct-score table (value-domain scale, stated
+    bound as for auc_exact)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    c = _score_class_counts(ds, score_col, label_col, num_buckets)
+    if len(c) and int(c["score"].min()) < 0:
+        raise ValueError("calibration_bins needs non-negative scores")
+    if score_max is None:
+        score_max = int(c["score"].max()) if len(c) else 0
+    s = c["score"].to_numpy(np.int64)
+    pos = c["pos"].to_numpy(np.int64)
+    tot = pos + c["neg"].to_numpy(np.int64)
+    b = s * np.int64(n_bins) // np.int64(score_max + 1)
+    g = pd.DataFrame({"bin": b, "n": tot, "n_pos": pos, "sn": s * tot})
+    g = g.groupby("bin", as_index=False).sum()
+    width = (score_max + 1) / n_bins
+    return ray.data.from_arrow(pa.table({
+        "bin": pa.array(g["bin"].to_numpy(np.int64), pa.int64()),
+        "lo": pa.array(g["bin"].to_numpy(np.int64) * width,
+                       pa.float64()),
+        "hi": pa.array((g["bin"].to_numpy(np.int64) + 1) * width,
+                       pa.float64()),
+        "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        "n_pos": pa.array(g["n_pos"].to_numpy(np.int64), pa.int64()),
+        "mean_score": pa.array(
+            g["sn"].to_numpy(np.int64)
+            / g["n"].to_numpy(np.float64), pa.float64()),
+        "pos_rate": pa.array(
+            g["n_pos"].to_numpy(np.int64)
+            / g["n"].to_numpy(np.float64), pa.float64()),
+    }))

@@ -403,3 +403,30 @@ def test_zipf_slope_empty_corpus_nan():
     out = zipf_slope(docs).to_pandas()
     assert out.loc[0, "vocab_size"] == 0
     assert math.isnan(out.loc[0, "slope"])
+
+
+# ---- calibration_bins ------------------------------------------------------
+
+def test_calibration_bins_hand_example():
+    from pyrdf2vec_ray.ops.agg import calibration_bins
+
+    # scores 0..9, label = score >= 5; 2 bins over [0, 10)
+    rows = [{"s": i, "y": int(i >= 5)} for i in range(10)]
+    out = (calibration_bins(ray.data.from_items(rows), "s", "y",
+                            n_bins=2).to_pandas()
+           .sort_values("bin").reset_index(drop=True))
+    assert list(out["bin"]) == [0, 1]
+    assert list(out["n"]) == [5, 5]
+    assert list(out["n_pos"]) == [0, 5]
+    assert out.loc[0, "pos_rate"] == 0.0
+    assert out.loc[1, "pos_rate"] == 1.0
+    assert out.loc[0, "mean_score"] == 2.0
+    assert out.loc[1, "mean_score"] == 7.0
+
+
+def test_calibration_bins_rejects_negative_scores():
+    from pyrdf2vec_ray.ops.agg import calibration_bins
+
+    with pytest.raises(Exception, match="non-negative"):
+        calibration_bins(
+            ray.data.from_items([{"s": -1, "y": 0}]), "s", "y")
