@@ -5708,21 +5708,12 @@ def q_user_purchase_auc(sf_dir: str):
     return auc_exact(_user_purchase_features(sf_dir), "score", "label")
 
 
-def q_kg_type_inference(sf_dir: str):
-    """RDFS-style type inference via SPARQL 1.1 property paths
-    (ops/sparql.py sequence step + closure step composed:
-    ``rdf_type/subclassof+``): every entity's INFERRED supertypes
-    through a planted class hierarchy (Customer/Supplier ⊑ Agent ⊑
-    Thing, Order ⊑ Event) — the materialize-the-ontology step of KG
-    construction.  The sequence expands at parse time into a chained
-    pattern through a fresh join variable; the closure step rides
-    `transitive_closure` (path doubling); the direct-type pattern
-    joins it with the usual adaptive plan."""
+def _typed_kg(sf_dir: str):
+    """KG ∪ planted rdf_type triples ∪ class hierarchy — shared input
+    of the type-inference path queries."""
     import pandas as pd
 
     import ray.data
-
-    from pyrdf2vec_ray.ops.sparql import sparql_query
 
     tri = _triples(sf_dir)
 
@@ -5749,9 +5740,23 @@ def q_kg_type_inference(sf_dir: str):
         {"subj": "Agent", "pred": "subclassof", "obj": "Thing"},
         {"subj": "Order", "pred": "subclassof", "obj": "Event"},
     ])
-    kg = tri.union(tri.map_batches(types, batch_format="pandas"),
-                   hierarchy)
-    return sparql_query(kg, """
+    return tri.union(tri.map_batches(types, batch_format="pandas"),
+                     hierarchy)
+
+
+def q_kg_type_inference(sf_dir: str):
+    """RDFS-style type inference via SPARQL 1.1 property paths
+    (ops/sparql.py sequence step + closure step composed:
+    ``rdf_type/subclassof+``): every entity's INFERRED supertypes
+    through a planted class hierarchy (Customer/Supplier ⊑ Agent ⊑
+    Thing, Order ⊑ Event) — the materialize-the-ontology step of KG
+    construction.  The sequence expands at parse time into a chained
+    pattern through a fresh join variable; the closure step rides
+    `transitive_closure` (path doubling); the direct-type pattern
+    joins it with the usual adaptive plan."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_typed_kg(sf_dir), """
         SELECT ?x ?t WHERE { ?x rdf_type/subclassof+ ?t }
     """)
 
@@ -5822,6 +5827,20 @@ def q_user_purchase_calibration(sf_dir: str):
     from pyrdf2vec_ray.ops.agg import calibration_bins
 
     return calibration_bins(_user_purchase_features(sf_dir), "score", "label", n_bins=8)
+
+
+def q_kg_bgp_star(sf_dir: str):
+    """SPARQL ``p*`` zero-or-more property path (ops/bgp.py, round 5):
+    ``rdf_type/subclassof*`` yields DIRECT types (the zero-length
+    tail — the identity relation over every graph node, the standard
+    store reading of SPARQL's zero-length path) plus every inferred
+    supertype from the closure, in one plan; one extra pair-distinct
+    guards set semantics when closure and identity overlap."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_typed_kg(sf_dir), """
+        SELECT ?x ?t WHERE { ?x rdf_type/subclassof* ?t }
+    """)
 
 
 # ---- contract --------------------------------------------------------------
@@ -6070,6 +6089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_purchase_calibration": q_user_purchase_calibration,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
+        "kg_bgp_star": q_kg_bgp_star,
         "kg_scc": q_kg_scc,
         "fk_orphan_audit": q_fk_orphan_audit,
         "kg_bgp_countdistinct": q_kg_bgp_countdistinct,
@@ -7757,6 +7777,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n.node AS node, coalesce(mm.scc, n.node) AS scc
             FROM nodes n LEFT JOIN mm USING (node)
+        """,
+        "kg_bgp_star": _TRIPLES_CTE + """
+            , ents AS (
+              SELECT DISTINCT subj AS x,
+                     CASE WHEN subj LIKE 'customer:%' THEN 'Customer'
+                          WHEN subj LIKE 'supplier:%' THEN 'Supplier'
+                          ELSE 'Order' END AS cls
+              FROM triples
+              WHERE subj LIKE 'customer:%' OR subj LIKE 'supplier:%'
+                 OR subj LIKE 'order:%'
+            ),
+            sup AS (
+              SELECT * FROM (VALUES
+                ('Customer', 'Customer'), ('Customer', 'Agent'),
+                ('Customer', 'Thing'),
+                ('Supplier', 'Supplier'), ('Supplier', 'Agent'),
+                ('Supplier', 'Thing'),
+                ('Order', 'Order'), ('Order', 'Event')) v(cls, t)
+            )
+            SELECT DISTINCT e.x AS x, s.t AS t
+            FROM ents e JOIN sup s USING (cls)
         """,
         "kg_type_inference": _TRIPLES_CTE + """
             , ents AS (

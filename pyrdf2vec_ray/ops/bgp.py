@@ -76,17 +76,25 @@ def _bgp_vars(patterns: list[tuple[str, str, str]]) -> list[str]:
 def _path_relation(
     triples: ray.data.Dataset, pred: str, closure_rounds: int,
 ) -> ray.data.Dataset:
-    """SPARQL 1.1 property-path relation for a ``p+`` /
-    ``(p1|p2)+`` predicate term: the transitive closure (path length
-    ≥ 1) of the union of the named predicates' edges, as a
-    ``(subj, obj)`` Dataset.  Rides :func:`ops.graph.transitive_closure`
-    (path doubling — O(log diameter) exchanges); ``closure_rounds``
-    bounds covered path length at ``2^rounds`` (the documented
-    bounded-depth contract).  Endpoint constants filter AFTER the
-    closure — correct for the hierarchy-shaped relations closure is
-    for; seed-restricted expansion is `ops/graph.bfs_distances`."""
+    """SPARQL 1.1 property-path relation for a ``p+`` / ``(p1|p2)+``
+    predicate term — the transitive closure (path length ≥ 1) of the
+    union of the named predicates' edges — or the ``p*`` / ``(p1|p2)*``
+    zero-or-more form: the same closure UNIONED with the identity
+    relation over every graph node (SPARQL's zero-length path binds
+    ``?x = ?y`` for each term in the graph; restricting to the triple
+    set's subj ∪ obj values is the standard store behavior).  Returned
+    as a ``(subj, obj)`` Dataset.  Rides
+    :func:`ops.graph.transitive_closure` (path doubling — O(log
+    diameter) exchanges); ``closure_rounds`` bounds covered path
+    length at ``2^rounds`` (the documented bounded-depth contract).
+    Endpoint constants filter AFTER the closure — correct for the
+    hierarchy-shaped relations closure is for; seed-restricted
+    expansion is `ops/graph.bfs_distances`.  Note the ``*`` identity
+    side is NODE-scale — a star path over an unconstrained pattern
+    carries every graph term, on any engine."""
     from pyrdf2vec_ray.ops.graph import transitive_closure
 
+    star = pred.endswith("*")
     body = pred[:-1]
     if body.startswith("(") and body.endswith(")"):
         body = body[1:-1]
@@ -106,12 +114,24 @@ def _path_relation(
     def back(batch: pa.Table) -> pa.Table:
         return pa.table({"subj": batch["src"], "obj": batch["dst"]})
 
-    return closed.map_batches(back, batch_format="pyarrow")
+    rel = closed.map_batches(back, batch_format="pyarrow")
+    if not star:
+        return rel
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([batch["subj"].combine_chunks(),
+                                 batch["obj"].combine_chunks()])
+        return pa.table({"subj": both, "obj": both})
+
+    ident = triples.map_batches(nodes, batch_format="pyarrow")
+    # a cyclic graph puts (n, n) in the CLOSURE too — one pair-distinct
+    # keeps the relation a set (the BGP join algebra's invariant)
+    return distinct(rel.union(ident), ["subj", "obj"])
 
 
 def _is_path(term: str) -> bool:
     return (isinstance(term, str) and not _is_var(term)
-            and term.endswith("+"))
+            and (term.endswith("+") or term.endswith("*")))
 
 
 def _pattern_scan_rel(

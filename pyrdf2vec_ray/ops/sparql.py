@@ -377,12 +377,13 @@ class _Parser:
                 raise SparqlSyntaxError("unterminated ( in predicate")
             body.append(self.next())
         self.next()  # ')'
-        plus = self.peek()
-        if plus != "+" and not (plus or "").startswith("+"):
+        suffix = self.peek()
+        if suffix not in ("+", "*"):
             raise SparqlSyntaxError(
-                "parenthesized predicate must be a (p1|p2)+ path")
+                "parenthesized predicate must be a (p1|p2)+ or "
+                "(p1|p2)* path")
         self.next()
-        return "(" + "".join(body) + ")+"
+        return "(" + "".join(body) + ")" + suffix
 
     def parse(self) -> dict:
         head = self.next().upper()

@@ -430,3 +430,38 @@ def test_calibration_bins_rejects_negative_scores():
     with pytest.raises(Exception, match="non-negative"):
         calibration_bins(
             ray.data.from_items([{"s": -1, "y": 0}]), "s", "y")
+
+
+# ---- p* zero-or-more paths -------------------------------------------------
+
+def test_star_path_includes_zero_length():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    tri = _tri([
+        ("a", "up", "b"), ("b", "up", "c"),
+        ("x", "other", "y"),
+    ])
+    out = sparql_query(tri, "SELECT ?t WHERE { a up* ?t }").to_pandas()
+    assert sorted(out["t"]) == ["a", "b", "c"]
+    # plus form excludes the zero-length binding
+    out = sparql_query(tri, "SELECT ?t WHERE { a up+ ?t }").to_pandas()
+    assert sorted(out["t"]) == ["b", "c"]
+
+
+def test_star_path_cycle_stays_a_set():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    tri = _tri([("a", "p", "b"), ("b", "p", "a")])
+    # closure holds (a,a) via the cycle AND identity holds (a,a):
+    # the relation must stay a set -> exactly one solution row each
+    out = sparql_query(tri, "SELECT ?t WHERE { a p* ?t }").to_pandas()
+    assert sorted(out["t"]) == ["a", "b"]
+
+
+def test_star_path_alternation_form():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    tri = _tri([("a", "p", "b"), ("b", "q", "c")])
+    out = sparql_query(
+        tri, "SELECT ?t WHERE { a (p|q)* ?t }").to_pandas()
+    assert sorted(out["t"]) == ["a", "b", "c"]
