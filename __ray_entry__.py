@@ -5843,6 +5843,30 @@ def q_kg_bgp_star(sf_dir: str):
     """)
 
 
+def q_cohort_purchase_auc(sf_dir: str):
+    """Per-cohort exact AUC (ops/agg.grouped_auc, round 5): the sliced
+    model-eval form — same int64 Mann–Whitney arithmetic as
+    user_purchase_auc but folded per group with vectorized segment
+    cumsums inside ONE group-bucket exchange; NOTHING collects on the
+    driver.  Cohort = user_id % 4 (a deterministic synthetic slice —
+    AUCs should be near-equal across cohorts, which is itself the
+    monitoring signal)."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.agg import grouped_auc
+
+    users = _user_purchase_features(sf_dir)
+
+    def cohort(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["cohort"] = batch["user_id"].to_numpy(np.int64) % 4
+        return batch
+
+    return grouped_auc(
+        users.map_batches(cohort, batch_format="pandas"),
+        "cohort", "score", "label")
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6087,6 +6111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_purchase_auc": q_user_purchase_auc,
         "user_purchase_pr": q_user_purchase_pr,
         "user_purchase_calibration": q_user_purchase_calibration,
+        "cohort_purchase_auc": q_cohort_purchase_auc,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -7703,6 +7728,38 @@ def oracle_sql() -> dict[str, str]:
                    (sy - (sw * sxy - sx * sy) / (sw * sxx - sx * sx)
                      * sx) / sw AS intercept
             FROM agg
+        """,
+        "cohort_purchase_auc": """
+            WITH s AS (
+              SELECT user_id % 4 AS cohort,
+                     CAST(count(*) AS BIGINT) AS score,
+                     max(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS label
+              FROM events GROUP BY user_id
+            ),
+            c AS (
+              SELECT cohort, score,
+                     CAST(sum(label) AS BIGINT) AS pos,
+                     CAST(sum(1 - label) AS BIGINT) AS neg
+              FROM s GROUP BY cohort, score
+            ),
+            o AS (
+              SELECT cohort, score, pos, neg,
+                     CAST(coalesce(sum(neg) OVER (PARTITION BY cohort
+                          ORDER BY score ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS cumneg
+              FROM c
+            )
+            SELECT cohort,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(neg) AS BIGINT) AS n_neg,
+                   CAST(sum(pos * (2 * cumneg + neg)) AS BIGINT)
+                     AS auc_num,
+                   CAST(2 * sum(pos) * sum(neg) AS BIGINT) AS auc_den,
+                   CAST(sum(pos * (2 * cumneg + neg)) AS DOUBLE)
+                     / (2 * sum(pos) * sum(neg)) AS auc
+            FROM o GROUP BY cohort
         """,
         "user_purchase_calibration": """
             WITH s AS (

@@ -1622,3 +1622,79 @@ def calibration_bins(
             g["n_pos"].to_numpy(np.int64)
             / g["n"].to_numpy(np.float64), pa.float64()),
     }))
+
+
+def grouped_auc(
+    ds: ray.data.Dataset,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group exact ROC AUC — the sliced-evaluation form of
+    :func:`auc_exact` (per-language, per-source, per-cohort model
+    monitoring): same Mann–Whitney 2U with ½-tie adjustment, same
+    int64-exact arithmetic, but the fold is FULLY DISTRIBUTED — no
+    driver collection at all: per-batch (group, score) → pos/neg
+    combiner, ONE (group, score)-bucket reduce, then ONE group-bucket
+    exchange where each bucket folds its groups with vectorized
+    segment cumsums (sort within bucket + reduceat — no per-group
+    Python loop).  Output one row per group:
+    ``(group, n_pos, n_neg, auc_num, auc_den, auc)``; single-class
+    groups get num = den = 0 and NaN like auc_exact.  Overflow bound
+    ``2·n_pos·n_neg < 2^63`` is PER GROUP, checked."""
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        lab = batch[label_col].to_numpy(np.int64)
+        if ((lab != 0) & (lab != 1)).any():
+            raise ValueError(f"{label_col} must be binary 0/1")
+        part = pd.DataFrame({
+            group_col: batch[group_col].to_numpy(),
+            "score": batch[score_col].to_numpy(np.int64),
+            "pos": lab, "neg": np.int64(1) - lab})
+        return part.groupby([group_col, "score"], as_index=False).sum()
+
+    counts = bucket_agg(
+        ds.select_columns([group_col, score_col, label_col])
+        .map_batches(pre, batch_format="pandas"),
+        [group_col, "score"],
+        {"pos": ("pos", "sum"), "neg": ("neg", "sum")},
+        num_buckets=num_buckets, pre=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        from pyrdf2vec_ray.shuffle import segment_spans
+
+        g = g.sort_values([group_col, "score"]).reset_index(drop=True)
+        keys, codes = np.unique(g[group_col].to_numpy(), return_inverse=True)
+        starts, lens = segment_spans(np.sort(codes))
+        pos = g["pos"].to_numpy(np.int64)
+        neg = g["neg"].to_numpy(np.int64)
+        ends = starts + lens
+        n_pos = np.add.reduceat(pos, starts)
+        n_neg = np.add.reduceat(neg, starts)
+        if (2.0 * n_pos * n_neg >= float(1 << 63)).any():
+            raise OverflowError(
+                "grouped_auc needs 2*n_pos*n_neg < 2^63 per group")
+        # cum_below per row WITHIN its group: global cumsum minus the
+        # group's base (the value just before its first row)
+        cum = np.cumsum(neg)
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        cum_below = np.concatenate([[0], cum[:-1]])
+        cum_below = cum_below - np.repeat(base, lens)
+        cum_below[starts] = 0
+        u2_terms = pos * (2 * cum_below + neg)
+        u2 = np.add.reduceat(u2_terms, starts)
+        den = 2 * n_pos * n_neg
+        with np.errstate(divide="ignore", invalid="ignore"):
+            auc = np.where(den > 0, u2 / np.maximum(den, 1),
+                           np.nan)
+        return pd.DataFrame({
+            group_col: keys,
+            "n_pos": n_pos, "n_neg": n_neg,
+            "auc_num": np.where(den > 0, u2, 0).astype(np.int64),
+            "auc_den": den.astype(np.int64),
+            "auc": auc.astype(np.float64)})
+
+    return bucket_apply(counts, [group_col], fold,
+                        num_buckets=num_buckets, batch_format="pandas")

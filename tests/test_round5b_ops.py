@@ -465,3 +465,36 @@ def test_star_path_alternation_form():
     out = sparql_query(
         tri, "SELECT ?t WHERE { a (p|q)* ?t }").to_pandas()
     assert sorted(out["t"]) == ["a", "b", "c"]
+
+
+# ---- grouped_auc -----------------------------------------------------------
+
+def test_grouped_auc_matches_global_per_group():
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.agg import auc_exact, grouped_auc
+
+    rng = np.random.RandomState(3)
+    rows = [{"g": ["a", "b"][i % 2], "s": int(rng.randint(0, 12)),
+             "y": int(rng.rand() < 0.4)} for i in range(200)]
+    got = (grouped_auc(ray.data.from_items(rows), "g", "s", "y")
+           .to_pandas().set_index("g"))
+    for gname in ("a", "b"):
+        sub = [r for r in rows if r["g"] == gname]
+        ref = auc_exact(ray.data.from_items(sub), "s", "y").to_pandas()
+        assert got.loc[gname, "auc_num"] == ref.loc[0, "auc_num"]
+        assert got.loc[gname, "auc_den"] == ref.loc[0, "auc_den"]
+
+
+def test_grouped_auc_single_class_group_nan():
+    import math
+
+    from pyrdf2vec_ray.ops.agg import grouped_auc
+
+    rows = [{"g": "ok", "s": 2, "y": 1}, {"g": "ok", "s": 1, "y": 0},
+            {"g": "deg", "s": 5, "y": 1}, {"g": "deg", "s": 6, "y": 1}]
+    out = (grouped_auc(ray.data.from_items(rows), "g", "s", "y")
+           .to_pandas().set_index("g"))
+    assert out.loc["ok", "auc"] == 1.0
+    assert out.loc["deg", "auc_den"] == 0
+    assert math.isnan(out.loc["deg", "auc"])
