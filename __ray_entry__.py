@@ -5867,6 +5867,45 @@ def q_cohort_purchase_auc(sf_dir: str):
         "cohort", "score", "label")
 
 
+def q_media_image_dups(sf_dir: str):
+    """Perceptual image dedup over REALLY-decoded payloads
+    (ops/multimodal.image_dup_pairs, round 5): every doc gets a
+    genuine binary PGM with formula pixels (the media_pgm_real
+    corpus), docs < 25 get EXACT re-encodes planted at +1M, and the
+    actor pool decodes → 8×8 aHash → hash-bucket pair generation.
+    The oracle REBUILDS THE HASH FROM FIRST PRINCIPLES in SQL (64
+    closed-form resample cells per image, power-of-two-exact mean,
+    bit weights as BIGINT shifts) and self-joins — so both the
+    planted duplicates AND the formula corpus's natural aHash
+    collisions must match exactly, catching any decode, resize,
+    threshold, or pairing drift."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.multimodal import image_dup_pairs
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    def synth(batch: pd.DataFrame) -> pa.Table:
+        ids, payloads = [], []
+        for did in batch["doc_id"].astype("int64"):
+            for out_id in ([int(did), int(did) + 1_000_000]
+                           if int(did) < 25 else [int(did)]):
+                base = out_id % 1_000_000
+                w = 20 + (base % 4) * 10
+                h = 16 + (base % 3) * 8
+                y, x = np.mgrid[0:h, 0:w]
+                img = ((x * 7 + y * 13 + base) % 256).astype(np.uint8)
+                payloads.append(
+                    b"P5\n%d %d\n255\n" % (w, h) + img.tobytes())
+                ids.append(out_id)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary())})
+
+    return image_dup_pairs(
+        docs.map_batches(synth, batch_format="pandas"))
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6112,6 +6151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_purchase_pr": q_user_purchase_pr,
         "user_purchase_calibration": q_user_purchase_calibration,
         "cohort_purchase_auc": q_cohort_purchase_auc,
+        "media_image_dups": q_media_image_dups,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -7728,6 +7768,44 @@ def oracle_sql() -> dict[str, str]:
                    (sy - (sw * sxy - sx * sy) / (sw * sxx - sx * sx)
                      * sx) / sw AS intercept
             FROM agg
+        """,
+        "media_image_dups": """
+            WITH ids AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 FROM documents WHERE doc_id < 25
+            ),
+            d2 AS (
+              SELECT doc_id, doc_id % 1000000 AS base,
+                     20 + ((doc_id % 1000000) % 4) * 10 AS w,
+                     16 + ((doc_id % 1000000) % 3) * 8 AS h
+              FROM ids
+            ),
+            px AS (
+              SELECT doc_id, i.range AS i, j.range AS j,
+                     (((j.range * w) // 8) * 7
+                      + ((i.range * h) // 8) * 13 + base) % 256 AS p
+              FROM d2 CROSS JOIN range(8) i CROSS JOIN range(8) j
+            ),
+            mn AS (SELECT doc_id, avg(p) AS m FROM px GROUP BY doc_id),
+            bits AS (
+              SELECT px.doc_id, i * 8 + j AS k,
+                     CASE WHEN p > m THEN 1 ELSE 0 END AS b
+              FROM px JOIN mn ON mn.doc_id = px.doc_id
+            ),
+            hs AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN k < 32
+                          THEN b * (CAST(1 AS BIGINT) << k)
+                          ELSE 0 END) AS BIGINT) AS hi,
+                     CAST(sum(CASE WHEN k >= 32
+                          THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                          ELSE 0 END) AS BIGINT) AS lo
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM hs a JOIN hs b
+              ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
         """,
         "cohort_purchase_auc": """
             WITH s AS (

@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -555,3 +556,88 @@ def any_audio_features(
         AnyAudioDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+IMAGE_AHASH = pa.schema(
+    [("doc_id", pa.int64()), ("hash_hi", pa.int64()),
+     ("hash_lo", pa.int64())])
+
+
+class ImageAHasher(PgmResizer):
+    """Actor-pool perceptual AVERAGE-HASH over really-decoded images:
+    decode (PGM here; :class:`AnyImageResizer`'s gated Pillow path
+    plugs in through ``_decode``) → nearest-resize to 8×8 → one bit
+    per cell, ``pixel > mean`` — the classic aHash.  The 64 bits ship
+    as TWO int64 halves (``hash_hi`` = cells 0–31 row-major with
+    weight 2^k, ``hash_lo`` = cells 32–63) so a SQL oracle can rebuild
+    them without 64-bit-unsigned gymnastics, and downstream joins stay
+    plain integer equality.
+
+    The mean is sum/64 — a power-of-two division, so the threshold is
+    bit-exact in ANY engine (no float-rounding seam in the hash)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "hash_hi": [], "hash_lo": []}
+        w8 = np.int64(1) << np.arange(32, dtype=np.int64)
+        for did, payload in zip(batch["doc_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            img = self._decode(payload)
+            ys = np.arange(8) * img.shape[0] // 8
+            xs = np.arange(8) * img.shape[1] // 8
+            r = img[np.ix_(ys, xs)].astype(np.float64)
+            bits = (r > r.mean()).flatten().astype(np.int64)
+            out["doc_id"].append(did)
+            out["hash_hi"].append(int((bits[:32] * w8).sum()))
+            out["hash_lo"].append(int((bits[32:] * w8).sum()))
+        return pa.Table.from_pydict(out, schema=IMAGE_AHASH)
+
+
+def image_ahash(
+    payloads: ray.data.Dataset,
+    concurrency=(1, 4), batch_size: int = 256,
+) -> ray.data.Dataset:
+    """(doc_id, payload) → (doc_id, hash_hi, hash_lo) perceptual
+    hashes; stateful decode in an actor pool, one hash row per image —
+    image bytes never leave the stage."""
+    return payloads.map_batches(
+        ImageAHasher, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def image_dup_pairs(
+    payloads: ray.data.Dataset,
+    concurrency=(1, 4), batch_size: int = 256,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Perceptually-identical image pairs (equal aHash — hamming 0):
+    ``(id_a, id_b)`` with ``id_a < id_b``, every pair within a hash
+    class.  The multimodal face of the exact-dedup discipline: ONE
+    hash-bucket shuffle of HASH ROWS (not image bytes), per-group
+    sorted pair generation; pair volume is Σ C(class, 2) — aHash
+    classes are tiny on real imagery, and a pathological corpus of
+    near-constant images would explode pairs on any engine (the
+    LSH-band contract, stated).  Near-duplicate (hamming ≤ d) search
+    rides the same hashes through `ops/dedup`'s band machinery."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    hashes = image_ahash(payloads, concurrency=concurrency,
+                         batch_size=batch_size)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby(["hash_hi", "hash_lo"]):
+            if len(grp) < 2:
+                continue
+            ids = np.sort(grp["doc_id"].to_numpy(np.int64))
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame(
+                {"id_a": ids[ia], "id_b": ids[ib]}))
+        if not outs:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_apply(hashes, ["hash_hi", "hash_lo"], pairs,
+                        num_buckets=num_buckets, batch_format="pandas")

@@ -498,3 +498,44 @@ def test_grouped_auc_single_class_group_nan():
     assert out.loc["ok", "auc"] == 1.0
     assert out.loc["deg", "auc_den"] == 0
     assert math.isnan(out.loc["deg", "auc"])
+
+
+# ---- image aHash dedup -----------------------------------------------------
+
+def _pgm(w, h, fn):
+    import numpy as np
+    y, x = np.mgrid[0:h, 0:w]
+    img = fn(x, y).astype(np.uint8)
+    return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def test_image_ahash_known_bits():
+    from pyrdf2vec_ray.ops.multimodal import image_ahash
+
+    # 8x8 image, left half 0 / right half 255: mean 127.5 ->
+    # bits row-major = 00001111 repeated; cells k where j >= 4 set
+    pay = _pgm(8, 8, lambda x, y: (x >= 4) * 255)
+    ds = ray.data.from_items([{"doc_id": 1, "payload": pay}])
+    out = image_ahash(ds, concurrency=1).to_pandas()
+    hi = sum(1 << k for k in range(32) if (k % 8) >= 4)
+    lo = sum(1 << (k - 32) for k in range(32, 64) if (k % 8) >= 4)
+    assert out.loc[0, "hash_hi"] == hi
+    assert out.loc[0, "hash_lo"] == lo
+
+
+def test_image_dup_pairs_finds_rescaled_identical_content():
+    from pyrdf2vec_ray.ops.multimodal import image_dup_pairs
+
+    # same half-split pattern at two resolutions -> identical aHash;
+    # the TRANSPOSED split (bright bottom, not bright right) must not
+    # pair with them — note an x-gradient WOULD pair, by design: aHash
+    # thresholds at the mean, so monotone-in-x images with the same
+    # crossing are perceptual duplicates
+    items = [
+        {"doc_id": 1, "payload": _pgm(8, 8, lambda x, y: (x >= 4) * 255)},
+        {"doc_id": 2, "payload": _pgm(16, 16, lambda x, y: (x >= 8) * 255)},
+        {"doc_id": 3, "payload": _pgm(8, 8, lambda x, y: (y >= 4) * 255)},
+    ]
+    out = (image_dup_pairs(ray.data.from_items(items), concurrency=1)
+           .to_pandas().sort_values(["id_a", "id_b"]))
+    assert list(map(tuple, out[["id_a", "id_b"]].values)) == [(1, 2)]
