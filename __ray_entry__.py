@@ -5906,6 +5906,42 @@ def q_media_image_dups(sf_dir: str):
         docs.map_batches(synth, batch_format="pandas"))
 
 
+def q_media_image_neardups(sf_dir: str):
+    """Banded NEAR-duplicate image search
+    (ops/multimodal.image_neardup_pairs, round 5): all pairs of the
+    formula-PGM corpus within aHash hamming ≤ 3 — four 16-bit bands
+    generate candidates (pigeonhole-exact at ≤3 differing bits), a
+    vectorized popcount verifies, ONE pair-distinct dedups multi-band
+    hits.  The oracle rebuilds every hash from the closed-form pixels
+    and brute-forces hamming over ALL pairs with xor+bit_count — the
+    engine's banded path must reproduce the exhaustive answer
+    exactly (missed band = missing pair, surviving collision = extra
+    pair)."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.multimodal import image_neardup_pairs
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    def synth(batch: pd.DataFrame) -> pa.Table:
+        ids, payloads = [], []
+        for did in batch["doc_id"].astype("int64"):
+            did = int(did)
+            w = 20 + (did % 4) * 10
+            h = 16 + (did % 3) * 8
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((x * 7 + y * 13 + did) % 256).astype(np.uint8)
+            payloads.append(
+                b"P5\n%d %d\n255\n" % (w, h) + img.tobytes())
+            ids.append(did)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary())})
+
+    return image_neardup_pairs(
+        docs.map_batches(synth, batch_format="pandas"), max_hamming=3)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6152,6 +6188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_purchase_calibration": q_user_purchase_calibration,
         "cohort_purchase_auc": q_cohort_purchase_auc,
         "media_image_dups": q_media_image_dups,
+        "media_image_neardups": q_media_image_neardups,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -7768,6 +7805,43 @@ def oracle_sql() -> dict[str, str]:
                    (sy - (sw * sxy - sx * sy) / (sw * sxx - sx * sx)
                      * sx) / sw AS intercept
             FROM agg
+        """,
+        "media_image_neardups": """
+            WITH d2 AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     20 + (doc_id % 4) * 10 AS w,
+                     16 + (doc_id % 3) * 8 AS h
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, i.range AS i, j.range AS j,
+                     (((j.range * w) // 8) * 7
+                      + ((i.range * h) // 8) * 13 + doc_id) % 256 AS p
+              FROM d2 CROSS JOIN range(8) i CROSS JOIN range(8) j
+            ),
+            mn AS (SELECT doc_id, avg(p) AS m FROM px GROUP BY doc_id),
+            bits AS (
+              SELECT px.doc_id, i * 8 + j AS k,
+                     CASE WHEN p > m THEN 1 ELSE 0 END AS b
+              FROM px JOIN mn ON mn.doc_id = px.doc_id
+            ),
+            hs AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN k < 32
+                          THEN b * (CAST(1 AS BIGINT) << k)
+                          ELSE 0 END) AS BIGINT) AS hi,
+                     CAST(sum(CASE WHEN k >= 32
+                          THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                          ELSE 0 END) AS BIGINT) AS lo
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.hi, b.hi))
+                        + bit_count(xor(a.lo, b.lo)) AS BIGINT)
+                     AS hamming
+            FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.hi, b.hi))
+                  + bit_count(xor(a.lo, b.lo)) <= 3
         """,
         "media_image_dups": """
             WITH ids AS (

@@ -641,3 +641,85 @@ def image_dup_pairs(
 
     return bucket_apply(hashes, ["hash_hi", "hash_lo"], pairs,
                         num_buckets=num_buckets, batch_format="pandas")
+
+
+def image_neardup_pairs(
+    payloads: ray.data.Dataset,
+    max_hamming: int = 3,
+    concurrency=(1, 4), batch_size: int = 256,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """NEAR-duplicate image pairs: ``(id_a, id_b, hamming)`` for every
+    pair whose 64-bit aHashes differ in at most ``max_hamming`` bits —
+    re-encoded, slightly cropped, or noise-dusted copies that exact
+    hash equality misses.  EXACT for ``max_hamming <= 3``: the hash
+    splits into FOUR 16-bit bands, candidates must share one band
+    verbatim, and by pigeonhole ≤3 differing bits cannot dirty all
+    four bands — the same band-then-verify discipline as MinHash LSH
+    (`ops/dedup`), so no pair is missed and the verify step (vectorized
+    uint8-view popcount) kills band-collision false positives.
+    ``max_hamming > 3`` would break the guarantee and raises.
+
+    Scale shape: 4 band rows per IMAGE HASH (never image bytes), ONE
+    (band, value)-bucket shuffle, per-group sorted pair generation +
+    popcount verify, then ONE pair-distinct (a pair can share several
+    bands).  Pair volume is Σ C(band-class, 2) — the stated LSH-band
+    contract."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "max_hamming must be in [0, 3] (4-band pigeonhole bound); "
+            f"got {max_hamming}")
+    from pyrdf2vec_ray.shuffle import bucket_apply, distinct
+
+    hashes = image_ahash(payloads, concurrency=concurrency,
+                         batch_size=batch_size)
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        hi = batch["hash_hi"].to_numpy(np.int64)
+        lo = batch["hash_lo"].to_numpy(np.int64)
+        did = batch["doc_id"].to_numpy(np.int64)
+        bands = [hi & 0xFFFF, hi >> 16, lo & 0xFFFF, lo >> 16]
+        n = len(batch)
+        return pd.DataFrame({
+            "band": np.repeat(np.arange(4, dtype=np.int64), n),
+            "val": np.concatenate(bands),
+            "doc_id": np.tile(did, 4),
+            "hash_hi": np.tile(hi, 4),
+            "hash_lo": np.tile(lo, 4)})
+
+    banded = hashes.map_batches(band_rows, batch_format="pandas")
+
+    def popcount64(v: np.ndarray) -> np.ndarray:
+        return np.unpackbits(
+            v.astype(np.uint64).view(np.uint8).reshape(len(v), 8),
+            axis=1).sum(axis=1).astype(np.int64)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby(["band", "val"]):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy(np.int64)
+            hi = grp["hash_hi"].to_numpy(np.int64)
+            lo = grp["hash_lo"].to_numpy(np.int64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ham = (popcount64(np.bitwise_xor(hi[ia], hi[ib]))
+                   + popcount64(np.bitwise_xor(lo[ia], lo[ib])))
+            keep = ham <= max_hamming
+            if keep.any():
+                outs.append(pd.DataFrame(
+                    {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                     "hamming": ham[keep]}))
+        if not outs:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = bucket_apply(banded, ["band", "val"], pairs,
+                        num_buckets=num_buckets,
+                        batch_format="pandas")
+    return distinct(cand, ["id_a", "id_b", "hamming"],
+                    num_buckets=num_buckets)

@@ -539,3 +539,46 @@ def test_image_dup_pairs_finds_rescaled_identical_content():
     out = (image_dup_pairs(ray.data.from_items(items), concurrency=1)
            .to_pandas().sort_values(["id_a", "id_b"]))
     assert list(map(tuple, out[["id_a", "id_b"]].values)) == [(1, 2)]
+
+
+def test_image_neardup_pairs_pigeonhole_exact():
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.multimodal import (image_ahash,
+                                              image_neardup_pairs)
+
+    # base: left-bright split; near: same with ONE resample cell
+    # flipped (paint an 1x1 block the resizer samples); far: transpose
+    base = _pgm(8, 8, lambda x, y: (x >= 4) * 255)
+    def near_fn(x, y):
+        v = (x >= 4) * 255
+        v = np.where((x == 0) & (y == 0), 255, v)  # flip cell (0,0)
+        return v
+    near = _pgm(8, 8, near_fn)
+    far = _pgm(8, 8, lambda x, y: (y >= 4) * 255)
+    items = [{"doc_id": 1, "payload": base},
+             {"doc_id": 2, "payload": near},
+             {"doc_id": 3, "payload": far}]
+    ds = ray.data.from_items(items)
+    h = image_ahash(ds, concurrency=1).to_pandas().set_index("doc_id")
+    # sanity: base vs near differ in a small number of bits
+    def pop(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+    d12 = (pop(h.loc[1, "hash_hi"], h.loc[2, "hash_hi"])
+           + pop(h.loc[1, "hash_lo"], h.loc[2, "hash_lo"]))
+    assert 1 <= d12 <= 3
+    out = (image_neardup_pairs(ds, max_hamming=3, concurrency=1)
+           .to_pandas().sort_values(["id_a", "id_b"]))
+    assert list(map(tuple, out[["id_a", "id_b"]].values)) == [(1, 2)]
+    assert out.iloc[0]["hamming"] == d12
+
+
+def test_image_neardup_rejects_unguaranteed_hamming():
+    import pytest as _pytest
+
+    from pyrdf2vec_ray.ops.multimodal import image_neardup_pairs
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(
+            ray.data.from_items([{"doc_id": 1, "payload": b""}]),
+            max_hamming=4)
