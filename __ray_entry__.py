@@ -5942,6 +5942,35 @@ def q_media_image_neardups(sf_dir: str):
         docs.map_batches(synth, batch_format="pandas"), max_hamming=3)
 
 
+def q_events_sliding_distinct(sf_dir: str):
+    """Trailing-7-day approximate distinct users per day
+    (ops/sketch.hll_sliding_estimate, round 5): daily HLL registers
+    OR-merged across each window — sketch mergeability × the
+    sliding-window replication discipline, with an
+    event-volume-independent exchange.  The oracle replays the md5
+    register math AND the estimator formula in SQL, so the merged
+    sketches and the small-range correction are both value-checked."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.sketch import hll_sliding_estimate
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def day(batch: pd.DataFrame) -> pd.DataFrame:
+        # epoch-day via ns — explicit unit cast, the parquet column
+        # arrives µs-resolution in pandas 2.x
+        ns = batch["ts"].astype("datetime64[ns]").astype("int64")
+        return pd.DataFrame(
+            {"day": ns // 86_400_000_000_000,
+             "u": batch["user_id"].astype("int64").astype(str)})
+
+    ds = events.map_batches(day, batch_format="pandas")
+    return hll_sliding_estimate(ds, "day", "u", window=7)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6189,6 +6218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_purchase_auc": q_cohort_purchase_auc,
         "media_image_dups": q_media_image_dups,
         "media_image_neardups": q_media_image_neardups,
+        "events_sliding_distinct": q_events_sliding_distinct,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9083,6 +9113,61 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "events_sliding_distinct": r"""
+            WITH d AS (
+              SELECT DISTINCT
+                     datediff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS day,
+                     CAST(user_id AS VARCHAR) AS u
+              FROM events
+            ),
+            h AS (
+              SELECT day,
+                     CAST(concat('0x', substr(md5(u), 1, 16))
+                          AS UBIGINT) AS hv
+              FROM d
+            ),
+            rb AS (
+              SELECT day, CAST(hv >> 54 AS BIGINT) AS reg,
+                     hv & ((1::UBIGINT << 54) - 1) AS w
+              FROM h
+            ),
+            r AS (
+              SELECT day, reg,
+                     CASE WHEN w = 0 THEN 55
+                          ELSE 55 - length(bin(w)) END AS rho
+              FROM rb
+            ),
+            daily AS (
+              SELECT day, reg, CAST(max(rho) AS BIGINT) AS rho_max
+              FROM r GROUP BY day, reg
+            ),
+            win AS (
+              SELECT daily.day + o.range AS day, reg, rho_max
+              FROM daily CROSS JOIN range(7) o
+            ),
+            merged AS (
+              SELECT day, reg, max(rho_max) AS rho_max FROM win
+              WHERE day IN (SELECT DISTINCT day FROM daily)
+              GROUP BY day, reg
+            ),
+            folded AS (
+              SELECT day,
+                     count(*) AS present,
+                     sum(power(2, -rho_max)) AS sp
+              FROM merged GROUP BY day
+            )
+            SELECT day,
+                   CASE WHEN (0.7213 / (1 + 1.079 / 1024))
+                             * 1024 * 1024
+                             / ((1024 - present) + sp) <= 2.5 * 1024
+                             AND present < 1024
+                        THEN 1024 * ln(1024.0 / (1024 - present))
+                        ELSE (0.7213 / (1 + 1.079 / 1024))
+                             * 1024 * 1024 / ((1024 - present) + sp)
+                   END AS est_distinct
+            FROM folded
         """,
         "events_hll_daily": r"""
             WITH d AS (

@@ -420,3 +420,76 @@ def hll_registers_values(
         parts, [group_col, "reg"], {"rho_max": ("rho_max", "max")},
         pre=False,
     )
+
+
+def hll_sliding_estimate(
+    ds: ray.data.Dataset,
+    day_col: str,
+    value_col: str,
+    window: int = 7,
+    p: int = P_DEFAULT,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Sliding-window approximate distinct count — e.g. trailing-7-day
+    distinct users per day — by OR-merging (max) DAILY HLL registers
+    across each window: the mergeability that justifies sketches in
+    the first place, composed with the `ops/events.sliding_window`
+    discipline (k-fold replication of PRE-AGGREGATED rows — register
+    rows here, never events).  ``day_col`` must be an integer day
+    (e.g. epoch days).  Output ``(day, est_distinct)`` for every day
+    PRESENT in the input; day d covers ``[d - window + 1, d]``.
+
+    Exchange budget: daily registers are days × 2^p rows
+    (event-volume-independent); replication multiplies by ``window``;
+    the merge is ONE (day, reg)-bucket max-reduce and the estimate is
+    a day-bucket vectorized fold.  The estimator (alpha·m²/Σ2^-reg
+    with linear-counting small-range correction) is exactly
+    :func:`hll_estimate`'s."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from pyrdf2vec_ray.ops.join import hash_semi_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply, distinct
+
+    regs = hll_registers_values(ds, day_col, value_col, p=p)
+
+    def repl(batch: pd.DataFrame) -> pd.DataFrame:
+        reps = []
+        for off in range(window):
+            b = batch.copy()
+            b[day_col] = b[day_col].to_numpy(np.int64) + off
+            reps.append(b)
+        return pd.concat(reps, ignore_index=True)
+
+    win = regs.map_batches(repl, batch_format="pandas")
+    merged = bucket_agg(win, [day_col, "reg"],
+                        {"rho_max": ("rho_max", "max")},
+                        num_buckets=num_buckets)
+    i8 = np.dtype("int64")
+    days = distinct(regs.select_columns([day_col]), [day_col],
+                    num_buckets=num_buckets)
+    merged = hash_semi_join(
+        merged, days, on=[day_col], num_buckets=num_buckets,
+        lschema={day_col: i8, "reg": i8, "rho_max": i8},
+        rschema={day_col: i8})
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def est(g: pd.DataFrame) -> pd.DataFrame:
+        out_day, out_est = [], []
+        for day, rows in g.groupby(day_col):
+            rho = rows["rho_max"].to_numpy(np.int64)
+            present = len(rho)
+            denom = float(m - present) + np.exp2(
+                -rho.astype(np.float64)).sum()
+            e = alpha * m * m / denom
+            zeros = m - present
+            if e <= 2.5 * m and zeros:
+                e = m * np.log(m / zeros)
+            out_day.append(day)
+            out_est.append(float(e))
+        return pd.DataFrame({day_col: np.array(out_day, dtype=np.int64),
+                             "est_distinct": out_est})
+
+    return bucket_apply(merged, [day_col], est,
+                        num_buckets=num_buckets, batch_format="pandas")

@@ -582,3 +582,38 @@ def test_image_neardup_rejects_unguaranteed_hamming():
         image_neardup_pairs(
             ray.data.from_items([{"doc_id": 1, "payload": b""}]),
             max_hamming=4)
+
+
+# ---- hll_sliding_estimate --------------------------------------------------
+
+def test_hll_sliding_merges_windows():
+    from pyrdf2vec_ray.ops.sketch import hll_sliding_estimate
+
+    # day 0: users a,b ; day 1: users b,c ; window=2 -> day1 sees 3
+    rows = ([{"day": 0, "u": "a"}, {"day": 0, "u": "b"},
+             {"day": 1, "u": "b"}, {"day": 1, "u": "c"}])
+    out = (hll_sliding_estimate(ray.data.from_items(rows), "day", "u",
+                                window=2)
+           .to_pandas().set_index("day")["est_distinct"])
+    # small-range linear counting is near-exact at these cardinalities
+    assert abs(out.loc[0] - 2) < 0.1
+    assert abs(out.loc[1] - 3) < 0.1
+
+
+def test_hll_sliding_window_one_equals_daily():
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.sketch import (hll_estimate,
+                                          hll_registers_values,
+                                          hll_sliding_estimate)
+
+    rows = [{"day": d, "u": f"u{d}_{i}"} for d in range(3)
+            for i in range(10 + d)]
+    ds = ray.data.from_items(rows)
+    slid = (hll_sliding_estimate(ds, "day", "u", window=1)
+            .to_pandas().sort_values("day").reset_index(drop=True))
+    regs = hll_registers_values(ds, "day", "u").to_pandas()
+    daily = (hll_estimate(regs, "day").sort_values("day")
+             .reset_index(drop=True))
+    assert (abs(slid["est_distinct"]
+                - daily["est_distinct"]) < 1e-9).all()
