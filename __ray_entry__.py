@@ -5971,6 +5971,47 @@ def q_events_sliding_distinct(sf_dir: str):
     return hll_sliding_estimate(ds, "day", "u", window=7)
 
 
+def q_customer_er_link(sf_dir: str):
+    """Two-table record linkage (ops/er.er_link_pairs, round 5): a
+    dirty inbound feed matched against the clean customer master —
+    custkey<200 rows corrupt ONE name character (edit distance 1,
+    must link at max_dist=1), custkeys 200–299 corrupt TWO (distance
+    2, must NOT link) — so both match and reject paths are
+    value-checked.  Blocking = the name's last 4 characters (typos
+    are planted in the prefix, so blocks survive — the stated
+    blocking contract); ONE block-bucket shuffle, vectorized
+    left×right Levenshtein DP per block.  The oracle joins on the
+    same block and DuckDB's levenshtein."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.er import er_link_pairs
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+
+    def dirty(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch["c_custkey"].to_numpy(np.int64)
+        m1 = keys < 200
+        m2 = (keys >= 200) & (keys < 300)
+        names = batch["c_name"].astype(str)
+        one = names[m1].str.slice(0, 9) + "X" + names[m1].str.slice(10)
+        two = (names[m2].str.slice(0, 8) + "XY"
+               + names[m2].str.slice(10))
+        return pd.DataFrame({
+            "c_custkey": np.concatenate([keys[m1], keys[m2]]),
+            "c_name": pd.concat([one, two]).to_numpy()})
+
+    feed = cust.map_batches(dirty, batch_format="pandas")
+
+    def block(names: pd.Series) -> pd.Series:
+        return names.str.slice(-4)
+
+    return er_link_pairs(cust, feed, "c_custkey", "c_name",
+                         max_dist=1, block_fn=block)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6219,6 +6260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_dups": q_media_image_dups,
         "media_image_neardups": q_media_image_neardups,
         "events_sliding_distinct": q_events_sliding_distinct,
+        "customer_er_link": q_customer_er_link,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9113,6 +9155,26 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "customer_er_link": """
+            WITH feed AS (
+              SELECT c_custkey,
+                     substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+                       AS name
+              FROM customer WHERE c_custkey < 200
+              UNION ALL
+              SELECT c_custkey,
+                     substr(c_name, 1, 8) || 'XY' || substr(c_name, 11)
+              FROM customer
+              WHERE c_custkey >= 200 AND c_custkey < 300
+            )
+            SELECT c.c_custkey AS id_l, f.c_custkey AS id_r,
+                   CAST(levenshtein(c.c_name, f.name) AS BIGINT)
+                     AS dist
+            FROM customer c JOIN feed f
+              ON substr(c.c_name, length(c.c_name) - 3)
+                 = substr(f.name, length(f.name) - 3)
+            WHERE levenshtein(c.c_name, f.name) <= 1
         """,
         "events_sliding_distinct": r"""
             WITH d AS (

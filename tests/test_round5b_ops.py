@@ -617,3 +617,30 @@ def test_hll_sliding_window_one_equals_daily():
              .reset_index(drop=True))
     assert (abs(slid["est_distinct"]
                 - daily["est_distinct"]) < 1e-9).all()
+
+
+# ---- er_link_pairs ---------------------------------------------------------
+
+def test_er_link_cross_table_only():
+    from pyrdf2vec_ray.ops.er import er_link_pairs
+
+    left = ray.data.from_items([
+        {"id": 1, "name": "acme corp"}, {"id": 2, "name": "acne corp"}])
+    right = ray.data.from_items([
+        {"id": 10, "name": "acme corp"}, {"id": 11, "name": "zzzz inc"}])
+    out = (er_link_pairs(left, right, "id", "name", max_dist=1)
+           .to_pandas().sort_values(["id_l", "id_r"]))
+    # within-left pair (1,2) must NOT appear; both lefts link to 10
+    assert list(map(tuple, out[["id_l", "id_r", "dist"]].values)) == [
+        (1, 10, 0), (2, 10, 1)]
+
+
+def test_er_link_blocking_contract():
+    from pyrdf2vec_ray.ops.er import er_link_pairs
+
+    # same distance-1 names in DIFFERENT blocks never pair
+    left = ray.data.from_items([{"id": 1, "name": "abc x"}])
+    right = ray.data.from_items([{"id": 2, "name": "abd y"}])
+    out = er_link_pairs(left, right, "id", "name",
+                        max_dist=2).to_pandas()
+    assert len(out) == 0
