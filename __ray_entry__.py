@@ -6012,6 +6012,23 @@ def q_customer_er_link(sf_dir: str):
                          max_dist=1, block_fn=block)
 
 
+def q_kg_bgp_optional_filter(sf_dir: str):
+    """FILTER inside OPTIONAL (ops/bgp.py + ops/sparql.py, round 5):
+    entities of nation:3 keep their binding whether or not they have
+    an order:1xx order — the filter applies to the OPTIONAL group's
+    OWN solutions BEFORE the left join (a filtered-out order is "no
+    match", the mandatory row survives with the unbound fill), which
+    is NOT equivalent to filtering after the join."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?c ?o WHERE {
+          ?c in_nation "nation:3" .
+          OPTIONAL { ?o placed_by ?c . FILTER(STRSTARTS(?o, "order:1")) }
+        }
+    """)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6261,6 +6278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_neardups": q_media_image_neardups,
         "events_sliding_distinct": q_events_sliding_distinct,
         "customer_er_link": q_customer_er_link,
+        "kg_bgp_optional_filter": q_kg_bgp_optional_filter,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9155,6 +9173,15 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "kg_bgp_optional_filter": _TRIPLES_CTE + """
+            SELECT DISTINCT t1.subj AS c, coalesce(t2.subj, '') AS o
+            FROM triples t1
+            LEFT JOIN (
+              SELECT subj, obj FROM triples
+              WHERE pred = 'placed_by' AND subj LIKE 'order:1%'
+            ) t2 ON t2.obj = t1.subj
+            WHERE t1.pred = 'in_nation' AND t1.obj = 'nation:3'
         """,
         "customer_er_link": """
             WITH feed AS (

@@ -434,7 +434,13 @@ def bgp_match(
       variables with ``unbound`` (default ``""``) instead of NULL, so
       the output schema stays closed and null-free — the documented
       deviation from SPARQL's unbound-slot representation (oracle:
-      ``coalesce(col, '')``).
+      ``coalesce(col, '')``).  A group may also be a dict
+      ``{"patterns": [...], "filters": [...]}`` — the filters apply to
+      the group's OWN solution set BEFORE the left join (SPARQL's
+      filter-inside-OPTIONAL evaluation: a row failing the filter
+      counts as no match, so the mandatory binding survives with
+      unbound fills); filter variables must be bound by the group's
+      patterns.
     * ``minus=[[pattern, ...], ...]`` — SPARQL MINUS groups: drop every
       solution for which the group's sub-BGP has at least one match on
       the shared variables (a key-bucket ANTI-join; ≥1 shared variable
@@ -462,6 +468,15 @@ def bgp_match(
       join a Dataset instead."""
     if not patterns:
         raise ValueError("empty BGP")
+    # normalize OPTIONAL groups: plain pattern list, or a dict with
+    # group-local filters applied before the left join
+    opt_norm: list[tuple[list, list]] = []
+    for g in (optional or []):
+        if isinstance(g, dict):
+            opt_norm.append((list(g["patterns"]),
+                             list(g.get("filters") or [])))
+        else:
+            opt_norm.append((list(g), []))
     # ONE multiplexed corpus pass covering the mandatory patterns AND
     # every MINUS / OPTIONAL group's plain patterns — property-path
     # patterns ride their own closure relation and can't share it
@@ -469,7 +484,7 @@ def bgp_match(
         [list(patterns)] + [list(g) for g in (minus or [])]
         + [list(g) for g in (exists or [])]
         + [list(g) for g in (not_exists or [])]
-        + [list(g) for g in (optional or [])])
+        + [p for p, _f in opt_norm])
     plain = [(gi, pi) for gi, g in enumerate(groups)
              for pi, p in enumerate(g) if not _is_path(p[1])]
     mux = _multiplex_scans(
@@ -556,10 +571,37 @@ def bgp_match(
             lschema={v: o for v in acc_vars},
             rschema={v: o for v in on})
 
-    for gi, group in enumerate(optional or [], start=1 + len(semi_groups)):
+    for gi, (group, gfilters) in enumerate(
+            opt_norm, start=1 + len(semi_groups)):
         sub, _ = _eval_group(group_scans(gi), group,
                              broadcast_threshold, num_buckets)
         sub_vars = _bgp_vars(group)
+        if gfilters:
+            # filter-inside-OPTIONAL: applies to the group's OWN
+            # solutions BEFORE the left join — a filtered-out row is
+            # "no match", the mandatory binding survives unbound
+            for var, op, rhs in gfilters:
+                if op not in _FILTER_OPS:
+                    raise ValueError(f"unsupported filter op {op!r}")
+                if var not in sub_vars:
+                    raise ValueError(
+                        f"OPTIONAL filter variable {var!r} not bound "
+                        f"by the group's patterns {sorted(sub_vars)}")
+                if _is_var(rhs) and rhs[1:] not in sub_vars:
+                    raise ValueError(
+                        f"OPTIONAL filter rhs {rhs!r} not bound by "
+                        f"the group's patterns {sorted(sub_vars)}")
+
+            def apply_gfilters(batch, _filters=list(gfilters)):
+                mask = None
+                for var, op, rhs in _filters:
+                    rv = batch[rhs[1:]] if _is_var(rhs) else rhs
+                    m = _FILTER_OPS[op](batch[var], rv)
+                    mask = m if mask is None else (mask & m)
+                return batch[mask]
+
+            sub = sub.map_batches(apply_gfilters,
+                                  batch_format="pandas")
         on = [v for v in acc_vars if v in sub_vars]
         if not on:
             raise ValueError(
@@ -617,7 +659,8 @@ def bgp_construct(
     tvars = [t[1:] for t in template if _is_var(t)]
     sol_vars = set(_bgp_vars(patterns))
     for g in match_kwargs.get("optional") or []:
-        sol_vars |= set(_bgp_vars(g))
+        sol_vars |= set(_bgp_vars(
+            g["patterns"] if isinstance(g, dict) else g))
     missing = [v for v in tvars if v not in sol_vars]
     if missing:
         raise ValueError(f"template vars {missing} not bound by the "

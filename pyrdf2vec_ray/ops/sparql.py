@@ -285,13 +285,22 @@ class _Parser:
             if self.keyword(tok, "OPTIONAL", "MINUS"):
                 self.next()
                 sub = self.parse_group()
-                if (sub["filters"] or sub["optional"] or sub["minus"]
-                        or sub["values"] or sub["exists"]
-                        or sub["not_exists"]):
+                is_opt = tok.upper() == "OPTIONAL"
+                if (sub["optional"] or sub["minus"] or sub["values"]
+                        or sub["exists"] or sub["not_exists"]
+                        or sub["binds"]
+                        or (sub["filters"] and not is_opt)):
                     raise SparqlSyntaxError(
                         f"{tok.upper()} groups support plain patterns "
-                        "only")
-                out[tok.lower()].append(sub["patterns"])
+                        + ("(and FILTER) " if is_opt else "") + "only")
+                if is_opt and sub["filters"]:
+                    # filter-inside-OPTIONAL: applied to the group's
+                    # own solutions before the left join
+                    out["optional"].append(
+                        {"patterns": sub["patterns"],
+                         "filters": sub["filters"]})
+                else:
+                    out[tok.lower()].append(sub["patterns"])
                 continue
             if self.keyword(tok, "BIND"):
                 self.next()

@@ -644,3 +644,40 @@ def test_er_link_blocking_contract():
     out = er_link_pairs(left, right, "id", "name",
                         max_dist=2).to_pandas()
     assert len(out) == 0
+
+
+# ---- FILTER inside OPTIONAL ------------------------------------------------
+
+def test_optional_filter_applies_before_left_join():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    out = sparql_query(_tri(_KG), """
+        SELECT ?c ?o WHERE {
+          ?c in_nation ?n .
+          OPTIONAL { ?o placed_by ?c . FILTER(?o = "o1") }
+        }""").to_pandas().set_index("c")["o"].to_dict()
+    # c1's o1 passes; c2's o2 is filtered INSIDE the group -> c2 keeps
+    # its row with the unbound fill (post-join filtering would drop it)
+    assert out == {"c1": "o1", "c2": "", "c3": ""}
+
+
+def test_minus_still_rejects_filters():
+    from pyrdf2vec_ray.ops.sparql import SparqlSyntaxError, sparql_query
+
+    with pytest.raises(SparqlSyntaxError, match="plain patterns"):
+        sparql_query(_tri(_KG), """
+            SELECT ?c WHERE {
+              ?c in_nation ?n .
+              MINUS { ?o placed_by ?c . FILTER(?o = "o1") }
+            }""")
+
+
+def test_optional_filter_var_must_be_group_bound():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    with pytest.raises(ValueError, match="not bound by the group"):
+        sparql_query(_tri(_KG), """
+            SELECT ?c WHERE {
+              ?c in_nation ?n .
+              OPTIONAL { ?o placed_by ?c . FILTER(?zzz = "x") }
+            }""").to_pandas()
