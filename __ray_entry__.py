@@ -6029,6 +6029,36 @@ def q_kg_bgp_optional_filter(sf_dir: str):
     """)
 
 
+def q_kg_betweenness(sf_dir: str):
+    """Sampled betweenness centrality (ops/graph.betweenness_sampled,
+    round 5): Brandes dependency accumulation from the 3
+    smallest-keyed orders, depth 3, over the full KG edge set — the
+    forward pass carries exact int64 shortest-path counts (an order's
+    parts sharing a supplier give σ>1, so path multiplicity is really
+    exercised), the backward pass walks the levels in reverse with
+    one adaptive join each.  The oracle unrolls all 3 levels + the
+    backward recurrence in SQL."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.graph import betweenness_sampled
+
+    tri = _triples(sf_dir)
+
+    def as_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["subj"].to_numpy(),
+                             "b": batch["obj"].to_numpy()})
+
+    keys = sorted(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).to_pandas()["o_orderkey"].astype(int).tolist())[:3]
+    seeds = [f"order:{k}" for k in keys]
+    return betweenness_sampled(
+        tri.map_batches(as_edges, batch_format="pandas"), seeds,
+        max_depth=3)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6279,6 +6309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_distinct": q_events_sliding_distinct,
         "customer_er_link": q_customer_er_link,
         "kg_bgp_optional_filter": q_kg_bgp_optional_filter,
+        "kg_betweenness": q_kg_betweenness,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9173,6 +9204,67 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "kg_betweenness": _TRIPLES_CTE + """
+            , e AS (SELECT subj AS m, obj AS nxt FROM triples),
+            sd AS (SELECT 'order:' || o_orderkey AS s FROM orders
+                   ORDER BY o_orderkey LIMIT 3),
+            l0 AS (SELECT s AS seed, s AS v,
+                          CAST(1 AS BIGINT) AS sig FROM sd),
+            l1 AS (
+              SELECT l0.seed, e.nxt AS v,
+                     CAST(sum(l0.sig) AS BIGINT) AS sig
+              FROM l0 JOIN e ON e.m = l0.v
+              LEFT JOIN l0 p ON p.seed = l0.seed AND p.v = e.nxt
+              WHERE p.v IS NULL
+              GROUP BY l0.seed, e.nxt
+            ),
+            v1 AS (SELECT seed, v FROM l0 UNION ALL
+                   SELECT seed, v FROM l1),
+            l2 AS (
+              SELECT l1.seed, e.nxt AS v,
+                     CAST(sum(l1.sig) AS BIGINT) AS sig
+              FROM l1 JOIN e ON e.m = l1.v
+              LEFT JOIN v1 p ON p.seed = l1.seed AND p.v = e.nxt
+              WHERE p.v IS NULL
+              GROUP BY l1.seed, e.nxt
+            ),
+            v2 AS (SELECT seed, v FROM v1 UNION ALL
+                   SELECT seed, v FROM l2),
+            l3 AS (
+              SELECT l2.seed, e.nxt AS v,
+                     CAST(sum(l2.sig) AS BIGINT) AS sig
+              FROM l2 JOIN e ON e.m = l2.v
+              LEFT JOIN v2 p ON p.seed = l2.seed AND p.v = e.nxt
+              WHERE p.v IS NULL
+              GROUP BY l2.seed, e.nxt
+            ),
+            d2 AS (
+              SELECT l2.seed, l2.v,
+                     l2.sig * coalesce(sum((1.0 + 0.0) / l3.sig), 0)
+                       AS delta
+              FROM l2
+              LEFT JOIN e ON e.m = l2.v
+              LEFT JOIN l3 ON l3.seed = l2.seed AND l3.v = e.nxt
+              GROUP BY l2.seed, l2.v, l2.sig
+            ),
+            d1 AS (
+              SELECT l1.seed, l1.v,
+                     l1.sig * coalesce(
+                       sum((1.0 + d2.delta) / l2.sig), 0) AS delta
+              FROM l1
+              LEFT JOIN e ON e.m = l1.v
+              LEFT JOIN l2 ON l2.seed = l1.seed AND l2.v = e.nxt
+              LEFT JOIN d2 ON d2.seed = l2.seed AND d2.v = l2.v
+              GROUP BY l1.seed, l1.v, l1.sig
+            ),
+            alld AS (
+              SELECT seed, v, delta FROM d1
+              UNION ALL SELECT seed, v, delta FROM d2
+              UNION ALL SELECT seed, v, 0.0 FROM l3
+            )
+            SELECT v AS vertex, sum(delta) AS betweenness
+            FROM alld GROUP BY v
         """,
         "kg_bgp_optional_filter": _TRIPLES_CTE + """
             SELECT DISTINCT t1.subj AS c, coalesce(t2.subj, '') AS o

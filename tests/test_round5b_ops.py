@@ -681,3 +681,43 @@ def test_optional_filter_var_must_be_group_bound():
               ?c in_nation ?n .
               OPTIONAL { ?o placed_by ?c . FILTER(?zzz = "x") }
             }""").to_pandas()
+
+
+# ---- betweenness_sampled ---------------------------------------------------
+
+def test_betweenness_diamond_hand_computed():
+    from pyrdf2vec_ray.ops.graph import betweenness_sampled
+
+    # s -> a,b ; a,b -> c ; c -> t : sigma(c)=2, delta(a)=delta(b)=1,
+    # delta(c)=1, delta(t)=0 (Brandes from the single seed s)
+    edges = ray.data.from_items([
+        {"a": "s", "b": "a"}, {"a": "s", "b": "b"},
+        {"a": "a", "b": "c"}, {"a": "b", "b": "c"},
+        {"a": "c", "b": "t"},
+    ])
+    out = (betweenness_sampled(edges, ["s"], max_depth=3)
+           .to_pandas().set_index("vertex")["betweenness"].to_dict())
+    assert out == {"a": 1.0, "b": 1.0, "c": 1.0, "t": 0.0}
+
+
+def test_betweenness_multi_seed_sums():
+    from pyrdf2vec_ray.ops.graph import betweenness_sampled
+
+    # path x -> y -> z, seeds x and y: from x delta(y)=1, z=0;
+    # from y delta(z)=0 -> y: 1, z: 0
+    edges = ray.data.from_items([
+        {"a": "x", "b": "y"}, {"a": "y", "b": "z"}])
+    out = (betweenness_sampled(edges, ["x", "y"], max_depth=2)
+           .to_pandas().set_index("vertex")["betweenness"].to_dict())
+    assert out == {"y": 1.0, "z": 0.0}
+
+
+def test_betweenness_depth_bound_truncates():
+    from pyrdf2vec_ray.ops.graph import betweenness_sampled
+
+    edges = ray.data.from_items([
+        {"a": "s", "b": "m"}, {"a": "m", "b": "t"}])
+    # depth 1: t never reached -> m has no successors -> delta 0
+    out = (betweenness_sampled(edges, ["s"], max_depth=1)
+           .to_pandas().set_index("vertex")["betweenness"].to_dict())
+    assert out == {"m": 0.0}
