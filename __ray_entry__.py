@@ -6059,6 +6059,47 @@ def q_kg_betweenness(sf_dir: str):
         max_depth=3)
 
 
+def q_embedding_procrustes(sf_dir: str):
+    """Orthogonal Procrustes space alignment
+    (ops/similarity.procrustes_align, round 5): the retrained-embedder
+    fix — recover the rotation between two embedding versions from
+    their shared ids and map the old space through it.  The planted
+    target space is the REVERSED-dims, alternating-sign map of the
+    embeddings table (a signed permutation is orthogonal AND
+    SQL-expressible), so the recovered R must reproduce it to float
+    precision and the aligned vectors value-check dimension by
+    dimension: the query returns the first 6 aligned dims per vec_id,
+    the oracle computes ±embedding[k] directly."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.similarity import procrustes_align
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def rotated(batch: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        d = X.shape[1]
+        signs = np.where(np.arange(d) % 2 == 0, 1.0, -1.0)
+        Y = X[:, ::-1] * signs  # out[k] = sign(k) * in[d-1-k]
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(),
+                             "embedding": list(Y)})
+
+    dst = emb.map_batches(rotated, batch_format="pandas")
+    _R, aligned = procrustes_align(emb, dst)
+
+    def first_dims(batch: pd.DataFrame) -> pd.DataFrame:
+        A = np.stack(batch["embedding"].to_numpy())
+        out = {"vec_id": batch["vec_id"].to_numpy()}
+        for k in range(6):
+            out[f"d{k}"] = A[:, k]
+        return pd.DataFrame(out)
+
+    return aligned.map_batches(first_dims, batch_format="pandas")
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6310,6 +6351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_er_link": q_customer_er_link,
         "kg_bgp_optional_filter": q_kg_bgp_optional_filter,
         "kg_betweenness": q_kg_betweenness,
+        "embedding_procrustes": q_embedding_procrustes,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9204,6 +9246,16 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "embedding_procrustes": """
+            SELECT vec_id,
+                   CAST(embedding[64] AS DOUBLE) AS d0,
+                   -CAST(embedding[63] AS DOUBLE) AS d1,
+                   CAST(embedding[62] AS DOUBLE) AS d2,
+                   -CAST(embedding[61] AS DOUBLE) AS d3,
+                   CAST(embedding[60] AS DOUBLE) AS d4,
+                   -CAST(embedding[59] AS DOUBLE) AS d5
+            FROM embeddings
         """,
         "kg_betweenness": _TRIPLES_CTE + """
             , e AS (SELECT subj AS m, obj AS nxt FROM triples),

@@ -714,3 +714,84 @@ def pq_encode(
 
     return emb.select_columns([id_col, vec_col]).map_batches(
         encode, batch_format="pandas")
+
+
+def procrustes_align(
+    src: ray.data.Dataset,
+    dst: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int | None = None,
+):
+    """Orthogonal Procrustes alignment between two embedding SPACES:
+    the rotation ``R = argmin_{RᵀR=I} ‖src·R − dst‖`` over the ids
+    the two tables share — the standard fix when a retrained /
+    incrementally-updated embedder (`embedders_dist` ``is_update``)
+    lands in a rotated basis and downstream ANN / centroid state must
+    keep working.  Returns ``(R, aligned)``: the d×d rotation and a
+    Dataset of ALL src rows mapped through it.
+
+    Schönemann 1966: ``R = U Vᵀ`` from the SVD of the d×d
+    cross-covariance ``M = Σ srcᵢᵀ dstᵢ``.  Distributed shape: ONE
+    co-partitioning id-bucket join of the two vector tables, per-batch
+    d×d partial cross-products (combiner-bounded, the `pca_fit`
+    sufficient-statistics discipline), driver-side SVD of the d×d sum
+    (d², never corpus-scale), then a stateless broadcast matmul over
+    the src stream.  No reflection guard is applied (proper SVD
+    orthogonal map, determinant ±1) — Schönemann's exact optimum."""
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.util import to_table
+
+    def side(ds, name):
+        # vectors ship as float64 BYTES through the exchange (the
+        # ops/dedup tobytes/frombuffer discipline) — binary columns
+        # shuffle uniformly where per-block tensor/list inference
+        # would not
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            V = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            return pd.DataFrame(
+                {id_col: batch[id_col].to_numpy(),
+                 name: [row.tobytes() for row in V]})
+        return ds.select_columns([id_col, vec_col]).map_batches(
+            fn, batch_format="pandas")
+
+    o = np.dtype("O")
+    i8 = np.dtype("int64")
+    joined = hash_join(
+        side(src, "xs"), side(dst, "ys"), on=[id_col],
+        num_buckets=num_buckets,
+        lschema={id_col: i8, "xs": o}, rschema={id_col: i8, "ys": o})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.frombuffer(b, dtype=np.float64)
+                      for b in batch["xs"]])
+        Y = np.stack([np.frombuffer(b, dtype=np.float64)
+                      for b in batch["ys"]])
+        return pd.DataFrame({"m": [(X.T @ Y).ravel()],
+                             "n": [len(X)]})
+
+    parts = to_table(joined.map_batches(
+        partial, batch_format="pandas")).to_pandas()
+    if not len(parts) or int(parts["n"].sum()) == 0:
+        raise ValueError("no shared ids between src and dst")
+    m = np.sum(np.stack(parts["m"].to_numpy()), axis=0)
+    d = int(round(np.sqrt(m.shape[0])))
+    M = m.reshape(d, d)
+    U, _sv, Vt = np.linalg.svd(M)
+    R = U @ Vt
+
+    import ray
+
+    r_ref = ray.put(R)
+
+    def apply_r(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        Rm = _ray.get(r_ref)
+        X = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        A = X @ Rm
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             vec_col: list(A)})
+
+    aligned = src.select_columns([id_col, vec_col]).map_batches(
+        apply_r, batch_format="pandas")
+    return R, aligned

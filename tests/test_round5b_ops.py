@@ -721,3 +721,64 @@ def test_betweenness_depth_bound_truncates():
     out = (betweenness_sampled(edges, ["s"], max_depth=1)
            .to_pandas().set_index("vertex")["betweenness"].to_dict())
     assert out == {"m": 0.0}
+
+
+# ---- procrustes_align ------------------------------------------------------
+
+def _rot(d, seed):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    q, _ = np.linalg.qr(rng.randn(d, d))
+    return q
+
+
+def test_procrustes_recovers_planted_rotation():
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.similarity import procrustes_align
+
+    rng = np.random.RandomState(11)
+    d = 8
+    X = rng.randn(60, d)
+    R0 = _rot(d, 5)
+    Y = X @ R0
+    src = ray.data.from_items(
+        [{"vec_id": i, "embedding": X[i].tolist()} for i in range(60)])
+    dst = ray.data.from_items(
+        [{"vec_id": i, "embedding": Y[i].tolist()} for i in range(60)])
+    R, aligned = procrustes_align(src, dst)
+    assert np.allclose(R, R0, atol=1e-8)
+    A = (aligned.to_pandas().sort_values("vec_id"))
+    got = np.stack(A["embedding"].to_numpy())
+    assert np.allclose(got, Y, atol=1e-8)
+
+
+def test_procrustes_partial_overlap_and_noise():
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.similarity import procrustes_align
+
+    rng = np.random.RandomState(3)
+    d = 6
+    X = rng.randn(80, d)
+    R0 = _rot(d, 9)
+    Y = X @ R0 + 0.001 * rng.randn(80, d)
+    src = ray.data.from_items(
+        [{"vec_id": i, "embedding": X[i].tolist()} for i in range(80)])
+    # dst only covers half the ids — the join anchors on the overlap
+    dst = ray.data.from_items(
+        [{"vec_id": i, "embedding": Y[i].tolist()}
+         for i in range(0, 80, 2)])
+    R, _ = procrustes_align(src, dst)
+    assert np.allclose(R, R0, atol=1e-2)
+
+
+def test_procrustes_no_overlap_raises():
+    import pytest as _pytest
+
+    from pyrdf2vec_ray.ops.similarity import procrustes_align
+
+    src = ray.data.from_items([{"vec_id": 1, "embedding": [1.0, 0.0]}])
+    dst = ray.data.from_items([{"vec_id": 9, "embedding": [0.0, 1.0]}])
+    with _pytest.raises(ValueError, match="no shared ids"):
+        procrustes_align(src, dst)
