@@ -6100,6 +6100,36 @@ def q_embedding_procrustes(sf_dir: str):
     return aligned.map_batches(first_dims, batch_format="pandas")
 
 
+def q_kg_weighted_distances(sf_dir: str):
+    """Bounded weighted shortest paths (ops/graph.weighted_distances,
+    round 5): min-plus Bellman–Ford from the 3 smallest-keyed orders
+    over the KG with edge weight = length(obj) (deterministic,
+    SQL-replayable) — exact int64 distances, 3 rounds, each ONE
+    adaptive frontier⋈edges join + ONE (seed, vertex)-bucket
+    min-reduce.  The oracle unrolls the three relaxation rounds."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.graph import weighted_distances
+
+    tri = _triples(sf_dir)
+
+    def as_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"a": batch["subj"].to_numpy(),
+             "b": batch["obj"].to_numpy(),
+             "w": batch["obj"].str.len().to_numpy(np.int64)})
+
+    keys = sorted(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).to_pandas()["o_orderkey"].astype(int).tolist())[:3]
+    seeds = [f"order:{k}" for k in keys]
+    return weighted_distances(
+        tri.map_batches(as_edges, batch_format="pandas"), seeds,
+        rounds=3)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6352,6 +6382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_optional_filter": q_kg_bgp_optional_filter,
         "kg_betweenness": q_kg_betweenness,
         "embedding_procrustes": q_embedding_procrustes,
+        "kg_weighted_distances": q_kg_weighted_distances,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9246,6 +9277,40 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "kg_weighted_distances": _TRIPLES_CTE + """
+            , e AS (SELECT subj AS m, obj AS nxt,
+                           CAST(length(obj) AS BIGINT) AS w
+                    FROM triples),
+            sd AS (SELECT 'order:' || o_orderkey AS s FROM orders
+                   ORDER BY o_orderkey LIMIT 3),
+            d0 AS (SELECT s AS seed, s AS vertex,
+                          CAST(0 AS BIGINT) AS dist FROM sd),
+            d1 AS (
+              SELECT seed, vertex, CAST(min(dist) AS BIGINT) AS dist
+              FROM (SELECT * FROM d0
+                    UNION ALL
+                    SELECT d0.seed, e.nxt, d0.dist + e.w
+                    FROM d0 JOIN e ON e.m = d0.vertex) u
+              GROUP BY seed, vertex
+            ),
+            d2 AS (
+              SELECT seed, vertex, CAST(min(dist) AS BIGINT) AS dist
+              FROM (SELECT * FROM d1
+                    UNION ALL
+                    SELECT d1.seed, e.nxt, d1.dist + e.w
+                    FROM d1 JOIN e ON e.m = d1.vertex) u
+              GROUP BY seed, vertex
+            ),
+            d3 AS (
+              SELECT seed, vertex, CAST(min(dist) AS BIGINT) AS dist
+              FROM (SELECT * FROM d2
+                    UNION ALL
+                    SELECT d2.seed, e.nxt, d2.dist + e.w
+                    FROM d2 JOIN e ON e.m = d2.vertex) u
+              GROUP BY seed, vertex
+            )
+            SELECT seed, vertex, dist FROM d3
         """,
         "embedding_procrustes": """
             SELECT vec_id,

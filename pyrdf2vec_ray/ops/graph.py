@@ -1983,3 +1983,84 @@ def betweenness_sampled(
         allv.map_batches(proj, batch_format="pandas"), ["vertex"],
         {"betweenness": ("betweenness", "sum")},
         num_buckets=num_buckets)
+
+
+def weighted_distances(
+    edges: ray.data.Dataset,
+    seeds: list,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    w_col: str = "w",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Bounded multi-source WEIGHTED shortest paths — the min-plus
+    semiring member completing the family (reachability =
+    :func:`transitive_closure`, hop counts = :func:`bfs_distances`,
+    this one = Bellman–Ford over non-negative int64 edge weights):
+    ``(seed, vertex, dist)`` with dist = the minimum total weight over
+    paths of at most ``rounds`` EDGES.  Exact when ``rounds >= the
+    hop count of some minimum-weight path`` to every reached vertex
+    (for non-negative weights, rounds = V−1 always suffices; bounded
+    rounds are the documented contract, as everywhere in this file).
+
+    Distributed shape per round: one adaptive join of the
+    (seed-frontier-scale) tentative-distance table against the edge
+    scan (broadcast under the AQE budget — the edge set is scanned,
+    never exchanged), then ONE (seed, vertex)-bucket min-reduce of
+    the candidate ∪ current rows with a per-batch min combiner.
+    Distances are exact int64 — no float accumulation anywhere.
+    Rows only ever improve; a round with no improvements still costs
+    its exchange (no convergence short-circuit across rounds is
+    attempted — `rounds` is caller-bounded and small)."""
+    from pyrdf2vec_ray.ops.join import (_dtypes_of, broadcast_join,
+                                        hash_join)
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[w_col].to_numpy(np.int64)
+        if (w < 0).any():
+            raise ValueError("weighted_distances needs non-negative "
+                             "weights")
+        return pd.DataFrame({"m": batch[a_col].to_numpy(),
+                             "nxt": batch[b_col].to_numpy(),
+                             "w": w})
+
+    es = edges.map_batches(canon, batch_format="pandas").materialize()
+    vd = _dtypes_of(es, None)["m"]
+    i8 = np.dtype("int64")
+
+    dist = ray.data.from_pandas(pd.DataFrame(
+        {"seed": np.asarray(seeds), "vertex": np.asarray(seeds),
+         "dist": np.zeros(len(seeds), dtype=np.int64)})).materialize()
+
+    for _r in range(int(rounds)):
+        def as_left(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"seed": batch["seed"].to_numpy(),
+                                 "m": batch["vertex"].to_numpy(),
+                                 "dist": batch["dist"].to_numpy()})
+
+        fr = dist.map_batches(as_left, batch_format="pandas")
+        if dist.count() <= 500_000:
+            hop = broadcast_join(es, fr.materialize(), on=["m"])
+        else:
+            hop = hash_join(
+                fr, es, on=["m"], num_buckets=num_buckets,
+                lschema={"seed": vd, "m": vd, "dist": i8},
+                rschema={"m": vd, "nxt": vd, "w": i8})
+
+        def as_cand(batch: pd.DataFrame) -> pd.DataFrame:
+            part = pd.DataFrame(
+                {"seed": batch["seed"].to_numpy(),
+                 "vertex": batch["nxt"].to_numpy(),
+                 "dist": batch["dist"].to_numpy(np.int64)
+                 + batch["w"].to_numpy(np.int64)})
+            return part.groupby(["seed", "vertex"],
+                                as_index=False).min()
+
+        both = hop.map_batches(as_cand, batch_format="pandas") \
+            .union(dist)
+        dist = bucket_agg(both, ["seed", "vertex"],
+                          {"dist": ("dist", "min")},
+                          num_buckets=num_buckets).materialize()
+    return dist

@@ -782,3 +782,44 @@ def test_procrustes_no_overlap_raises():
     dst = ray.data.from_items([{"vec_id": 9, "embedding": [0.0, 1.0]}])
     with _pytest.raises(ValueError, match="no shared ids"):
         procrustes_align(src, dst)
+
+
+# ---- weighted_distances ----------------------------------------------------
+
+def test_weighted_distances_prefers_cheap_long_path():
+    from pyrdf2vec_ray.ops.graph import weighted_distances
+
+    # s->t direct cost 10; s->a->t cost 2+3=5 (longer but cheaper)
+    edges = ray.data.from_items([
+        {"a": "s", "b": "t", "w": 10},
+        {"a": "s", "b": "a", "w": 2},
+        {"a": "a", "b": "t", "w": 3},
+    ])
+    out = (weighted_distances(edges, ["s"], rounds=2).to_pandas()
+           .set_index("vertex")["dist"].to_dict())
+    assert out == {"s": 0, "a": 2, "t": 5}
+    # one round only sees the direct edge
+    out1 = (weighted_distances(edges, ["s"], rounds=1).to_pandas()
+            .set_index("vertex")["dist"].to_dict())
+    assert out1 == {"s": 0, "a": 2, "t": 10}
+
+
+def test_weighted_distances_multi_seed_and_zero_weight():
+    from pyrdf2vec_ray.ops.graph import weighted_distances
+
+    edges = ray.data.from_items([
+        {"a": "x", "b": "y", "w": 0}, {"a": "y", "b": "z", "w": 7}])
+    out = weighted_distances(edges, ["x", "y"], rounds=2).to_pandas()
+    got = {(r.seed, r.vertex): r.dist for r in out.itertuples()}
+    assert got == {("x", "x"): 0, ("x", "y"): 0, ("x", "z"): 7,
+                   ("y", "y"): 0, ("y", "z"): 7}
+
+
+def test_weighted_distances_rejects_negative():
+    import pytest as _pytest
+
+    from pyrdf2vec_ray.ops.graph import weighted_distances
+
+    edges = ray.data.from_items([{"a": "s", "b": "t", "w": -1}])
+    with _pytest.raises(Exception, match="non-negative"):
+        weighted_distances(edges, ["s"], rounds=1).to_pandas()
