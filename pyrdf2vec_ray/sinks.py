@@ -83,4 +83,15 @@ def write_table(ds: ray.data.Dataset, path: str, fmt: str = "parquet") -> None:
             ) from e
         ds.write_lance(path)
         return
-    raise ValueError(f"unknown sink format {fmt!r} (parquet|lance)")
+    if fmt == "jsonl":
+        # the LLM-corpus interchange format: one JSON object per line,
+        # one file per block (Ray's write_json emits *.json files of
+        # newline-delimited objects — pandas/ray/duckdb all read them
+        # back); columns must be JSON-representable (no raw binary)
+        ds.write_json(path)
+        return
+    if fmt == "csv":
+        ds.write_csv(path)
+        return
+    raise ValueError(
+        f"unknown sink format {fmt!r} (parquet|lance|jsonl|csv)")

@@ -823,3 +823,61 @@ def test_weighted_distances_rejects_negative():
     edges = ray.data.from_items([{"a": "s", "b": "t", "w": -1}])
     with _pytest.raises(Exception, match="non-negative"):
         weighted_distances(edges, ["s"], rounds=1).to_pandas()
+
+
+# ---- JSONL source / sink ---------------------------------------------------
+
+def test_jsonl_roundtrip_and_normalization(tmp_path):
+    import json
+
+    from pyrdf2vec_ray.sinks import write_table
+    from pyrdf2vec_ray.sources.jsonl import read_documents_jsonl
+
+    # write via the sink, read back via the source
+    src = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc number {i}"} for i in range(20)])
+    out_dir = str(tmp_path / "out")
+    write_table(src, out_dir, fmt="jsonl")
+    back = read_documents_jsonl(out_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(back["doc_id"]) == list(range(20))
+    assert back.loc[3, "text"] == "doc number 3"
+
+    # loose field names + missing ids -> content-hash ids, stable
+    loose = tmp_path / "loose.jsonl"
+    with open(loose, "w") as fh:
+        for t in ["alpha", "beta", "alpha"]:
+            fh.write(json.dumps({"content": t, "meta": "x"}) + "\n")
+    d1 = read_documents_jsonl(str(loose)).to_pandas()
+    d2 = read_documents_jsonl(str(loose)).to_pandas()
+    assert sorted(d1["doc_id"]) == sorted(d2["doc_id"])
+    # duplicate texts collide on purpose (content-addressed)
+    assert d1["doc_id"].nunique() == 2
+    assert set(d1.columns) == {"doc_id", "text"}
+    kept = read_documents_jsonl(str(loose), keep_extra=True).to_pandas()
+    assert "meta" in kept.columns
+
+
+def test_jsonl_missing_text_field_raises(tmp_path):
+    import json
+
+    from pyrdf2vec_ray.sources.jsonl import read_documents_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    with open(p, "w") as fh:
+        fh.write(json.dumps({"body": "x"}) + "\n")
+    with pytest.raises(Exception, match="no text field"):
+        read_documents_jsonl(str(p)).to_pandas()
+
+
+def test_csv_sink_roundtrip(tmp_path):
+    import ray.data as rd
+
+    from pyrdf2vec_ray.sinks import write_table
+
+    src = ray.data.from_items(
+        [{"a": i, "b": f"s{i}"} for i in range(5)])
+    out = str(tmp_path / "csvout")
+    write_table(src, out, fmt="csv")
+    back = rd.read_csv(out).to_pandas().sort_values("a")
+    assert list(back["b"]) == [f"s{i}" for i in range(5)]
