@@ -6130,6 +6130,44 @@ def q_kg_weighted_distances(sf_dir: str):
         rounds=3)
 
 
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end corpus curation (pipelines/curation.curate_corpus,
+    round 5): ONE lazy plan chaining length gate → exact dedup →
+    benchmark decontamination over a corpus with PLANTED dirt — +1M
+    exact duplicates (dedup must keep the original id), +2M two-token
+    stubs (length gate must drop), and the first 10 docs' texts as
+    the "benchmark" (decontamination must drop them).  The oracle
+    replays every gate in SQL over the same planted union."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.pipelines.curation import curate_corpus
+
+    docs = _docs(sf_dir)
+
+    def dup_plant(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["doc_id"] < 50].copy()
+        sub["doc_id"] = sub["doc_id"] + 1_000_000
+        return sub
+
+    def stub_plant(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["doc_id"] < 20].copy()
+        sub["doc_id"] = sub["doc_id"] + 2_000_000
+        sub["text"] = "tiny doc"
+        return sub
+
+    def bench_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] < 10][["doc_id", "text"]]
+
+    dirty = docs.union(
+        docs.map_batches(dup_plant, batch_format="pandas"),
+        docs.map_batches(stub_plant, batch_format="pandas"))
+    bench = docs.map_batches(bench_rows, batch_format="pandas")
+    return curate_corpus(dirty, min_tokens=5, dedup="exact",
+                         benchmark=bench)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6383,6 +6421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_betweenness": q_kg_betweenness,
         "embedding_procrustes": q_embedding_procrustes,
         "kg_weighted_distances": q_kg_weighted_distances,
+        "curation_pipeline": q_curation_pipeline,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9277,6 +9316,31 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "curation_pipeline": r"""
+            WITH all_docs AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id + 2000000, 'tiny doc' FROM documents
+              WHERE doc_id < 20
+            ),
+            gated AS (
+              SELECT * FROM all_docs
+              WHERE len(list_filter(
+                      regexp_split_to_array(text, '\s+'),
+                      x -> x != '')) >= 5
+            ),
+            dedup AS (
+              SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id
+              FROM gated GROUP BY text
+            )
+            SELECT doc_id, text FROM dedup
+            WHERE text NOT IN (SELECT text FROM documents
+                               WHERE doc_id < 10)
         """,
         "kg_weighted_distances": _TRIPLES_CTE + """
             , e AS (SELECT subj AS m, obj AS nxt,

@@ -881,3 +881,42 @@ def test_csv_sink_roundtrip(tmp_path):
     write_table(src, out, fmt="csv")
     back = rd.read_csv(out).to_pandas().sort_values("a")
     assert list(back["b"]) == [f"s{i}" for i in range(5)]
+
+
+# ---- curate_corpus pipeline ------------------------------------------------
+
+def test_curate_corpus_all_gates():
+    from pyrdf2vec_ray.pipelines.curation import curate_corpus
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "the quick brown fox jumps over it"},
+        {"doc_id": 2, "text": "too short"},                   # length
+        {"doc_id": 3, "text": "the quick brown fox jumps over it"},  # dup of 1
+        {"doc_id": 4, "text": "benchmark sentence held out here ok"},
+        {"doc_id": 5, "text": "spam spam spam spam spam spam spam"},  # repetition
+    ])
+    bench = ray.data.from_items(
+        [{"doc_id": 99, "text": "benchmark sentence held out here ok"}])
+    out = curate_corpus(docs, min_tokens=4, dedup="exact",
+                        benchmark=bench,
+                        max_top_token_ratio=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == [1]
+
+
+def test_curate_corpus_language_gate():
+    from pyrdf2vec_ray.pipelines.curation import curate_corpus
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "the cat and the dog went to the park"},
+        {"doc_id": 2, "text": "der hund und die katze sind nicht da"},
+    ])
+    out = curate_corpus(docs, languages=["en"], dedup=None).to_pandas()
+    assert list(out["doc_id"]) == [1]
+
+
+def test_curate_corpus_rejects_unknown_dedup():
+    from pyrdf2vec_ray.pipelines.curation import curate_corpus
+
+    with pytest.raises(ValueError, match="unknown dedup"):
+        curate_corpus(ray.data.from_items(
+            [{"doc_id": 1, "text": "x"}]), dedup="fuzzy")
