@@ -6168,6 +6168,53 @@ def q_curation_pipeline(sf_dir: str):
                          benchmark=bench)
 
 
+def q_events_audience_overlap(sf_dir: str):
+    """Sketch-estimated audience overlap (round 5): |users(day A) ∩
+    users(day B)| by inclusion–exclusion over THREE HLL estimates —
+    est(A) + est(B) − est(A∪B) — where the union sketch is the
+    register-wise max (the same mergeability hll_sliding_estimate
+    rides).  Days A/B = the two earliest days in the event log.  All
+    register math and the estimator replay in SQL, so the overlap
+    estimate is value-checked end to end; exchanges are
+    days × 2^p register rows, event-volume-independent."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.sketch import hll_estimate, hll_registers_values
+    from pyrdf2vec_ray.util import to_table
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def day(batch: pd.DataFrame) -> pd.DataFrame:
+        ns = batch["ts"].astype("datetime64[ns]").astype("int64")
+        return pd.DataFrame(
+            {"day": ns // 86_400_000_000_000,
+             "u": batch["user_id"].astype("int64").astype(str)})
+
+    ds = events.map_batches(day, batch_format="pandas")
+    regs = to_table(hll_registers_values(ds, "day", "u")).to_pandas()
+    d0, d1 = sorted(regs["day"].unique())[:2]
+    two = regs[regs["day"].isin([d0, d1])].copy()
+    union = (two.groupby("reg", as_index=False)["rho_max"].max())
+    union["day"] = -1
+    allregs = pd.concat(
+        [two[["day", "reg", "rho_max"]], union[["day", "reg",
+                                                "rho_max"]]],
+        ignore_index=True)
+    est = hll_estimate(allregs, "day").set_index("day")["est_distinct"]
+    overlap = float(est[d0] + est[d1] - est[-1])
+    return ray.data.from_arrow(pa.table({
+        "day_a": pa.array([int(d0)], pa.int64()),
+        "day_b": pa.array([int(d1)], pa.int64()),
+        "est_a": pa.array([float(est[d0])], pa.float64()),
+        "est_b": pa.array([float(est[d1])], pa.float64()),
+        "est_union": pa.array([float(est[-1])], pa.float64()),
+        "est_overlap": pa.array([overlap], pa.float64()),
+    }))
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6422,6 +6469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_procrustes": q_embedding_procrustes,
         "kg_weighted_distances": q_kg_weighted_distances,
         "curation_pipeline": q_curation_pipeline,
+        "events_audience_overlap": q_events_audience_overlap,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9316,6 +9364,73 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "events_audience_overlap": r"""
+            WITH d AS (
+              SELECT DISTINCT
+                     datediff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS day,
+                     CAST(user_id AS VARCHAR) AS u
+              FROM events
+            ),
+            two AS (SELECT DISTINCT day FROM d ORDER BY day LIMIT 2),
+            h AS (
+              SELECT day,
+                     CAST(concat('0x', substr(md5(u), 1, 16))
+                          AS UBIGINT) AS hv
+              FROM d WHERE day IN (SELECT day FROM two)
+            ),
+            rb AS (
+              SELECT day, CAST(hv >> 54 AS BIGINT) AS reg,
+                     hv & ((1::UBIGINT << 54) - 1) AS w
+              FROM h
+            ),
+            r AS (
+              SELECT day, reg,
+                     CASE WHEN w = 0 THEN 55
+                          ELSE 55 - length(bin(w)) END AS rho
+              FROM rb
+            ),
+            daily AS (
+              SELECT day, reg, CAST(max(rho) AS BIGINT) AS rho_max
+              FROM r GROUP BY day, reg
+            ),
+            uni AS (
+              SELECT CAST(-1 AS BIGINT) AS day, reg,
+                     max(rho_max) AS rho_max
+              FROM daily GROUP BY reg
+            ),
+            allr AS (SELECT * FROM daily UNION ALL SELECT * FROM uni),
+            folded AS (
+              SELECT day, count(*) AS present,
+                     sum(power(2, -rho_max)) AS sp
+              FROM allr GROUP BY day
+            ),
+            est AS (
+              SELECT day,
+                     CASE WHEN (0.7213 / (1 + 1.079 / 1024))
+                               * 1024 * 1024
+                               / ((1024 - present) + sp) <= 2.5 * 1024
+                               AND present < 1024
+                          THEN 1024 * ln(1024.0 / (1024 - present))
+                          ELSE (0.7213 / (1 + 1.079 / 1024))
+                               * 1024 * 1024 / ((1024 - present) + sp)
+                     END AS e
+              FROM folded
+            )
+            SELECT (SELECT min(day) FROM two) AS day_a,
+                   (SELECT max(day) FROM two) AS day_b,
+                   (SELECT e FROM est
+                    WHERE day = (SELECT min(day) FROM two)) AS est_a,
+                   (SELECT e FROM est
+                    WHERE day = (SELECT max(day) FROM two)) AS est_b,
+                   (SELECT e FROM est WHERE day = -1) AS est_union,
+                   (SELECT e FROM est
+                    WHERE day = (SELECT min(day) FROM two))
+                   + (SELECT e FROM est
+                      WHERE day = (SELECT max(day) FROM two))
+                   - (SELECT e FROM est WHERE day = -1)
+                     AS est_overlap
         """,
         "curation_pipeline": r"""
             WITH all_docs AS (
