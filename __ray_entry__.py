@@ -6215,6 +6215,22 @@ def q_events_audience_overlap(sf_dir: str):
     }))
 
 
+def q_kg_bgp_globalagg(sf_dir: str):
+    """SPARQL global aggregates — no GROUP BY (ops/sparql.py, round
+    5): SPARQL's implicit single group, compiled as a constant-key tag
+    + the same ONE bucket reduce, key dropped after.  Whole-KG
+    numbers: member count, distinct-nation count, min/max member
+    name."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT (COUNT(?x) AS ?n_members)
+               (COUNT(DISTINCT ?n) AS ?n_nations)
+               (MIN(?x) AS ?first) (MAX(?x) AS ?last)
+        WHERE { ?x in_nation ?n }
+    """)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6470,6 +6486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_weighted_distances": q_kg_weighted_distances,
         "curation_pipeline": q_curation_pipeline,
         "events_audience_overlap": q_events_audience_overlap,
+        "kg_bgp_globalagg": q_kg_bgp_globalagg,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9364,6 +9381,12 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "kg_bgp_globalagg": _TRIPLES_CTE + """
+            SELECT CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(count(DISTINCT obj) AS BIGINT) AS n_nations,
+                   min(subj) AS first, max(subj) AS last
+            FROM triples WHERE pred = 'in_nation'
         """,
         "events_audience_overlap": r"""
             WITH d AS (

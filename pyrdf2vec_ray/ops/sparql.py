@@ -631,13 +631,27 @@ def sparql_query(
         from pyrdf2vec_ray.shuffle import bucket_agg, bucket_count
 
         gvars = q.get("groupby") or q.get("select") or []
-        if not gvars:
-            raise SparqlSyntaxError(
-                "aggregates need GROUP BY (global aggregates: GROUP BY "
-                "a constant-bound variable)")
+        global_agg = not gvars
+        if global_agg:
+            # SPARQL's implicit single group: tag every solution with
+            # one constant key, aggregate, drop the key after — the
+            # whole-result reduce stays the same ONE bucket exchange
+            gvars = ["__g"]
         in_vars = [v[1:] for _, v, _ in q["aggs"] if v.startswith("?")]
-        need = list(dict.fromkeys(list(gvars) + in_vars))
+        need = list(dict.fromkeys(
+            ([] if global_agg else list(gvars)) + in_vars))
+        if not need:
+            raise SparqlSyntaxError(
+                "global COUNT(*) needs at least one aggregated "
+                "?variable (solution sets are projected by variable)")
         sols = solutions(need)
+        if global_agg:
+            def tag_g(batch: pd.DataFrame) -> pd.DataFrame:
+                batch = batch.copy()
+                batch["__g"] = 0
+                return batch
+
+            sols = sols.map_batches(tag_g, batch_format="pandas")
         plain = [a for a in q["aggs"]
                  if a[0] not in ("COUNT_DISTINCT", "GROUP_CONCAT")]
         cdist = [a for a in q["aggs"] if a[0] == "COUNT_DISTINCT"]
@@ -764,6 +778,8 @@ def sparql_query(
                 return batch[mask]
 
             out = out.map_batches(apply_having, batch_format="pandas")
+        if global_agg:
+            out = out.drop_columns(["__g"])
     else:
         if "having" in q:
             raise SparqlSyntaxError("HAVING needs aggregates")

@@ -920,3 +920,19 @@ def test_curate_corpus_rejects_unknown_dedup():
     with pytest.raises(ValueError, match="unknown dedup"):
         curate_corpus(ray.data.from_items(
             [{"doc_id": 1, "text": "x"}]), dedup="fuzzy")
+
+
+# ---- SPARQL global aggregates ----------------------------------------------
+
+def test_global_aggregates_without_group_by():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    out = sparql_query(_tri(_KG), """
+        SELECT (COUNT(?c) AS ?n) (COUNT(DISTINCT ?n2) AS ?d)
+               (GROUP_CONCAT(?c) AS ?cs)
+        WHERE { ?c in_nation ?n2 }""").to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "n"] == 3
+    assert out.loc[0, "d"] == 2
+    assert out.loc[0, "cs"] == "c1 c2 c3"
+    assert "__g" not in out.columns
