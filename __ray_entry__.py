@@ -6231,6 +6231,26 @@ def q_kg_bgp_globalagg(sf_dir: str):
     """)
 
 
+def q_kg_bgp_values_rows(sf_dir: str):
+    """Correlated multi-variable VALUES (ops/sparql.py + ops/bgp.py
+    values_rows, round 5): (nation, region) PAIRS as an inline
+    solution table inner-joined onto the BGP — wrong pairings must
+    drop even when each value exists individually (the semantics the
+    per-variable isin form cannot express).  nation:5 sits in
+    region:0, so both its rows are wrong pairings."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?x ?n ?r WHERE {
+          ?x in_nation ?n . ?n in_region ?r .
+          VALUES (?n ?r) { ("nation:7" "region:2")
+                           ("nation:3" "region:3")
+                           ("nation:5" "region:1")
+                           ("nation:5" "region:2") }
+        }
+    """)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6487,6 +6507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "events_audience_overlap": q_events_audience_overlap,
         "kg_bgp_globalagg": q_kg_bgp_globalagg,
+        "kg_bgp_values_rows": q_kg_bgp_values_rows,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9381,6 +9402,20 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "kg_bgp_values_rows": _TRIPLES_CTE + """
+            , vr AS (
+              SELECT * FROM (VALUES
+                ('nation:7', 'region:2'), ('nation:3', 'region:3'),
+                ('nation:5', 'region:1'), ('nation:5', 'region:2'))
+                v(n, r)
+            )
+            SELECT DISTINCT t1.subj AS x, t1.obj AS n, t2.obj AS r
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj
+                           AND t2.pred = 'in_region'
+            JOIN vr ON vr.n = t1.obj AND vr.r = t2.obj
+            WHERE t1.pred = 'in_nation'
         """,
         "kg_bgp_globalagg": _TRIPLES_CTE + """
             SELECT CAST(count(*) AS BIGINT) AS n_members,

@@ -405,6 +405,7 @@ def bgp_match(
     values: dict[str, list[str]] | None = None,
     exists: list[list[tuple[str, str, str]]] | None = None,
     not_exists: list[list[tuple[str, str, str]]] | None = None,
+    values_rows: list[tuple[list[str], list[tuple]]] | None = None,
     unbound: str = "",
     closure_rounds: int = 6,
     broadcast_threshold: int = 200_000,
@@ -464,8 +465,13 @@ def bgp_match(
       form: "run this pattern for THESE entities"); a vectorized isin
       filter on the mandatory solution, the value set broadcast by
       closure (caller-bounded — it is inline query data, not corpus
-      data).  Correlated multi-variable VALUES rows are not supported;
-      join a Dataset instead."""
+      data).
+    * ``values_rows=[(["c", "n"], [("customer:1", "nation:3"), ...]),
+      ...]`` — SPARQL's correlated multi-variable VALUES: each entry
+      is an inline SOLUTION TABLE inner-joined on its variable tuple
+      (distinct rows broadcast once, stateless per-batch merge — zero
+      exchanges; the single-variable ``values`` form stays the cheaper
+      isin mask)."""
     if not patterns:
         raise ValueError("empty BGP")
     # normalize OPTIONAL groups: plain pattern list, or a dict with
@@ -519,6 +525,27 @@ def bgp_match(
             return batch[mask]
 
         acc = acc.map_batches(apply_values, batch_format="pandas")
+
+    for vars_, rows in (values_rows or []):
+        # correlated VALUES: an inline SOLUTION TABLE inner-joined on
+        # its variable tuple — SPARQL's multi-variable VALUES rows
+        # ("run this pattern for THESE (entity, type) pairs").  The
+        # inline table is query text, bounded by construction: its
+        # distinct rows broadcast (`ray.put` once) and the join is a
+        # stateless per-batch merge — zero exchanges.
+        missing = [v for v in vars_ if v not in acc_vars]
+        if missing:
+            raise ValueError(
+                f"VALUES variables {missing} not bound by the "
+                f"mandatory patterns {sorted(acc_vars)}")
+        import pandas as pd
+
+        from pyrdf2vec_ray.ops.join import broadcast_join
+
+        tbl = pd.DataFrame(rows, columns=list(vars_)) \
+            .drop_duplicates().reset_index(drop=True)
+        acc = broadcast_join(acc, ray.data.from_pandas(tbl),
+                             on=list(vars_))
 
     if filters:
         for var, op, rhs in filters:

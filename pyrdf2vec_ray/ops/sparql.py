@@ -167,7 +167,7 @@ class _Parser:
         self.expect("{")
         out = {"patterns": [], "filters": [], "optional": [],
                "minus": [], "values": {}, "union": [], "binds": [],
-               "exists": [], "not_exists": []}
+               "exists": [], "not_exists": [], "values_rows": []}
         while True:
             tok = self.peek()
             if tok is None:
@@ -177,7 +177,7 @@ class _Parser:
                 if out["union"] and (
                     out["patterns"] or out["filters"] or out["optional"]
                     or out["minus"] or out["values"] or out["exists"]
-                    or out["not_exists"]
+                    or out["not_exists"] or out["values_rows"]
                 ):
                     raise SparqlSyntaxError(
                         "UNION must be the only member of its group")
@@ -207,6 +207,7 @@ class _Parser:
                     # splicing preserves semantics exactly like FILTER
                     out["exists"].extend(sub["exists"])
                     out["not_exists"].extend(sub["not_exists"])
+                    out["values_rows"].extend(sub["values_rows"])
                     for v, vals in sub["values"].items():
                         if v in out["values"]:
                             raise SparqlSyntaxError(
@@ -241,7 +242,8 @@ class _Parser:
                     if (sub["filters"] or sub["optional"]
                             or sub["minus"] or sub["values"]
                             or sub["union"] or sub["binds"]
-                            or sub["exists"] or sub["not_exists"]):
+                            or sub["exists"] or sub["not_exists"]
+                            or sub["values_rows"]):
                         raise SparqlSyntaxError(
                             "FILTER [NOT] EXISTS groups support plain "
                             "patterns only")
@@ -288,7 +290,7 @@ class _Parser:
                 is_opt = tok.upper() == "OPTIONAL"
                 if (sub["optional"] or sub["minus"] or sub["values"]
                         or sub["exists"] or sub["not_exists"]
-                        or sub["binds"]
+                        or sub["binds"] or sub["values_rows"]
                         or (sub["filters"] and not is_opt)):
                     raise SparqlSyntaxError(
                         f"{tok.upper()} groups support plain patterns "
@@ -317,6 +319,38 @@ class _Parser:
                 continue
             if self.keyword(tok, "VALUES"):
                 self.next()
+                if self.peek() == "(":
+                    # correlated multi-variable form:
+                    # VALUES (?a ?b) { ("x" "y") ("z" "w") ... }
+                    self.next()
+                    vs = []
+                    while self.peek() != ")":
+                        v = self.next()
+                        if not v.startswith("?"):
+                            raise SparqlSyntaxError(
+                                f"VALUES (...) needs variables, got "
+                                f"{v!r}")
+                        vs.append(v[1:])
+                    self.next()
+                    if not vs:
+                        raise SparqlSyntaxError(
+                            "VALUES () needs at least one variable")
+                    self.expect("{")
+                    rows = []
+                    while self.peek() != "}":
+                        self.expect("(")
+                        row = []
+                        while self.peek() != ")":
+                            row.append(_term(self.next()))
+                        self.next()
+                        if len(row) != len(vs):
+                            raise SparqlSyntaxError(
+                                f"VALUES row {tuple(row)} arity != "
+                                f"{len(vs)} variables")
+                        rows.append(tuple(row))
+                    self.next()
+                    out["values_rows"].append((vs, rows))
+                    continue
                 var = self.next()
                 if not var.startswith("?"):
                     raise SparqlSyntaxError(
@@ -566,6 +600,7 @@ def sparql_query(
         values=g["values"] or None,
         exists=g["exists"] or None,
         not_exists=g["not_exists"] or None,
+        values_rows=g["values_rows"] or None,
         closure_rounds=closure_rounds,
         num_buckets=num_buckets,
     )
@@ -576,6 +611,7 @@ def sparql_query(
             minus=b["minus"] or None, values=b["values"] or None,
             exists=b["exists"] or None,
             not_exists=b["not_exists"] or None,
+            values_rows=b["values_rows"] or None,
             closure_rounds=closure_rounds, num_buckets=num_buckets,
         )
         return bgp_match(triples, b["patterns"], select=select, **bkw)

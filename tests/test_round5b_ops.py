@@ -936,3 +936,40 @@ def test_global_aggregates_without_group_by():
     assert out.loc[0, "d"] == 2
     assert out.loc[0, "cs"] == "c1 c2 c3"
     assert "__g" not in out.columns
+
+
+# ---- correlated VALUES rows ------------------------------------------------
+
+def test_values_rows_correlated_pairs():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    out = sparql_query(_tri(_KG), """
+        SELECT ?c ?n WHERE {
+          ?c in_nation ?n .
+          VALUES (?c ?n) { ("c1" "n1") ("c3" "n2") ("c2" "n2") }
+        }""").to_pandas().sort_values("c")
+    # (c2, n2) is a WRONG pairing -> correlated semantics must drop it
+    assert list(map(tuple, out[["c", "n"]].values)) == [
+        ("c1", "n1"), ("c3", "n2")]
+
+
+def test_values_rows_arity_mismatch_raises():
+    from pyrdf2vec_ray.ops.sparql import SparqlSyntaxError, sparql_query
+
+    with pytest.raises(SparqlSyntaxError, match="arity"):
+        sparql_query(_tri(_KG), """
+            SELECT ?c WHERE {
+              ?c in_nation ?n .
+              VALUES (?c ?n) { ("c1") }
+            }""")
+
+
+def test_values_rows_unbound_var_raises():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    with pytest.raises(ValueError, match="not bound"):
+        sparql_query(_tri(_KG), """
+            SELECT ?c WHERE {
+              ?c in_nation ?n .
+              VALUES (?zz) { ("x") }
+            }""").to_pandas()
