@@ -9,6 +9,9 @@ query strings) — for the supported subset:
     SELECT [DISTINCT] ?v ... | * WHERE {
         ?s pred ?o .                 # triple patterns ('.' separated)
         ?s (p1|p2)+ ?o .             # property paths (closure)
+        ?s p* ?o .                   # zero-or-more: closure ∪ node
+                                     #   identity (set-semantics
+                                     #   guarded); (p1|p2)* too
         ?s p1/p2 ?o .                # sequence path: expanded at parse
                                      #   time into chained patterns
                                      #   through fresh join variables
@@ -22,9 +25,16 @@ query strings) — for the supported subset:
                                      #   solution sets ≡ MINUS when a
                                      #   variable is shared; the SPARQL
                                      #   divergence cases raise)
-        OPTIONAL { ... }             # nested pattern group
-        MINUS { ... }                #   "
+        OPTIONAL { ... }             # nested pattern group; may carry
+                                     #   FILTERs — applied to the
+                                     #   group's OWN solutions BEFORE
+                                     #   the left join
+        MINUS { ... }                #   plain patterns only
         VALUES ?v { "x" "y" }        # inline per-var value list
+        VALUES (?a ?b) { ("x" "y") } # correlated rows: an inline
+                                     #   solution table inner-joined
+                                     #   on the variable tuple
+                                     #   (broadcast once)
         BIND(?x AS ?y)               # column copy / constant fill,
                                      #   applied after the pattern
                                      #   join (plain SELECT only)
@@ -49,7 +59,9 @@ query strings) — for the supported subset:
         bucket_agg shuffle (partials combine per batch); SUM/AVG cast
         their input to float64 (numeric literals are stored as
         strings), MIN/MAX compare the raw string form (SQL VARCHAR
-        min/max parity), AVG divides sum/size after the shuffle
+        min/max parity), AVG divides sum/size after the shuffle;
+        WITHOUT a GROUP BY the implicit single group applies (a
+        constant key tags every solution, dropped after the reduce)
 
     (GROUP_CONCAT(?v) AS ?s)         # DISTINCT values sorted and
         space-joined (deterministic; SPARQL leaves order unspecified —
