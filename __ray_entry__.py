@@ -6251,6 +6251,46 @@ def q_kg_bgp_values_rows(sf_dir: str):
     """)
 
 
+def q_kg_modularity(sf_dir: str):
+    """Exact Newman modularity (ops/graph.modularity, round 5) of the
+    NATION partition over the membership graph + planted peer cycles:
+    in_nation edges are all intra-community, the kg_scc peer cycles
+    cut across nations — Q reported as the exact int64 rational
+    q_num/q_den (4·m·m_c − d_c² sums), community-scale exchanges
+    only, the fold bounded by the class count."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.graph import modularity
+
+    tri = _triples(sf_dir)
+
+    def member_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["pred"] == "in_nation"]
+        return pd.DataFrame({"a": sub["subj"].to_numpy(),
+                             "b": sub["obj"].to_numpy()})
+
+    def label_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["pred"] == "in_nation"]
+        return pd.DataFrame({
+            "node": np.concatenate([sub["subj"].to_numpy(),
+                                    sub["obj"].to_numpy()]),
+            "label": np.concatenate([sub["obj"].to_numpy(),
+                                     sub["obj"].to_numpy()]),
+        }).drop_duplicates()
+
+    peers = []
+    for k in range(20):
+        for j in range(3):
+            peers.append({"a": f"customer:{3 * k + j}",
+                          "b": f"customer:{3 * k + (j + 1) % 3}"})
+    edges = tri.map_batches(member_edges, batch_format="pandas").union(
+        ray.data.from_items(peers))
+    labels = tri.map_batches(label_rows, batch_format="pandas")
+    return modularity(edges, labels)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6508,6 +6548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_audience_overlap": q_events_audience_overlap,
         "kg_bgp_globalagg": q_kg_bgp_globalagg,
         "kg_bgp_values_rows": q_kg_bgp_values_rows,
+        "kg_modularity": q_kg_modularity,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9402,6 +9443,62 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "kg_modularity": _TRIPLES_CTE + """
+            , peer AS (
+              SELECT 'customer:' || (3 * k.range + j.range) AS u,
+                     'customer:' || (3 * k.range
+                                     + (j.range + 1) % 3) AS v
+              FROM range(20) k CROSS JOIN range(3) j
+            ),
+            e0 AS (
+              SELECT subj AS u, obj AS v FROM triples
+              WHERE pred = 'in_nation'
+              UNION ALL SELECT u, v FROM peer
+            ),
+            und AS (
+              SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+              FROM e0 WHERE u <> v
+            ),
+            lab AS (
+              SELECT DISTINCT subj AS node, obj AS label FROM triples
+              WHERE pred = 'in_nation'
+              UNION
+              SELECT DISTINCT obj, obj FROM triples
+              WHERE pred = 'in_nation'
+            ),
+            l2 AS (
+              SELECT und.u, und.v, lu.label AS lu, lv.label AS lv
+              FROM und
+              JOIN lab lu ON lu.node = und.u
+              JOIN lab lv ON lv.node = und.v
+            ),
+            mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+            mc AS (
+              SELECT lu AS c, CAST(count(*) AS BIGINT) AS mc
+              FROM l2 WHERE lu = lv GROUP BY lu
+            ),
+            dc AS (
+              SELECT c, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT lu AS c FROM l2
+                    UNION ALL SELECT lv FROM l2) s
+              GROUP BY c
+            ),
+            fold AS (
+              SELECT CAST(sum(4 * (SELECT m FROM mm)
+                               * coalesce(mc.mc, 0) - dc.d * dc.d)
+                          AS BIGINT) AS q_num,
+                     CAST(count(*) AS BIGINT) AS n_communities
+              FROM dc LEFT JOIN mc USING (c)
+            )
+            SELECT (SELECT m FROM mm) AS m,
+                   n_communities, q_num,
+                   CAST(4 * (SELECT m FROM mm)
+                          * (SELECT m FROM mm) AS BIGINT) AS q_den,
+                   CAST(q_num AS DOUBLE)
+                     / (4 * (SELECT m FROM mm)
+                          * (SELECT m FROM mm)) AS modularity
+            FROM fold
         """,
         "kg_bgp_values_rows": _TRIPLES_CTE + """
             , vr AS (

@@ -973,3 +973,41 @@ def test_values_rows_unbound_var_raises():
               ?c in_nation ?n .
               VALUES (?zz) { ("x") }
             }""").to_pandas()
+
+
+# ---- modularity ------------------------------------------------------------
+
+def test_modularity_two_cliques_hand_computed():
+    from pyrdf2vec_ray.ops.graph import modularity
+
+    # two triangles joined by one bridge: m=7; communities A={a1..a3},
+    # B={b1..b3}: m_A=m_B=3; d_A = 2*3+1 = 7, d_B = 7
+    # q_num = (4*7*3 - 49)*2 = (84-49)*2 = 70 ; q_den = 196
+    edges = ray.data.from_items(
+        [{"a": "a1", "b": "a2"}, {"a": "a2", "b": "a3"},
+         {"a": "a3", "b": "a1"},
+         {"a": "b1", "b": "b2"}, {"a": "b2", "b": "b3"},
+         {"a": "b3", "b": "b1"},
+         {"a": "a1", "b": "b1"}])
+    labels = ray.data.from_items(
+        [{"node": f"a{i}", "label": "A"} for i in (1, 2, 3)]
+        + [{"node": f"b{i}", "label": "B"} for i in (1, 2, 3)])
+    out = modularity(edges, labels).to_pandas()
+    assert out.loc[0, "m"] == 7
+    assert out.loc[0, "q_num"] == 70
+    assert out.loc[0, "q_den"] == 196
+    assert abs(out.loc[0, "modularity"] - 70 / 196) < 1e-12
+
+
+def test_modularity_dedups_directed_and_selfloops():
+    from pyrdf2vec_ray.ops.graph import modularity
+
+    edges = ray.data.from_items(
+        [{"a": "x", "b": "y"}, {"a": "y", "b": "x"},  # one edge
+         {"a": "x", "b": "x"}])                        # dropped
+    labels = ray.data.from_items(
+        [{"node": "x", "label": "c"}, {"node": "y", "label": "c"}])
+    out = modularity(edges, labels).to_pandas()
+    assert out.loc[0, "m"] == 1
+    # single intra edge, one community: Q = 1 - 1 = 0
+    assert out.loc[0, "modularity"] == 0.0
