@@ -6291,6 +6291,18 @@ def q_kg_modularity(sf_dir: str):
     return modularity(edges, labels)
 
 
+def q_doc_heaps(sf_dir: str):
+    """Heaps'-law vocabulary-growth fit (ops/text.heaps_fit, round 5):
+    V(n) ~ K n^beta from 8 doc-id checkpoints — order-free
+    formulation (V(t) = tokens with MIN doc_id <= t, one vocab-scale
+    min-reduce; n(t) from per-block partial sums), the sibling of
+    doc_zipf.  The oracle replays thresholds, prefix counts, and the
+    OLS closed form."""
+    from pyrdf2vec_ray.ops.text import heaps_fit
+
+    return heaps_fit(_docs(sf_dir), n_points=8)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6549,6 +6561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_globalagg": q_kg_bgp_globalagg,
         "kg_bgp_values_rows": q_kg_bgp_values_rows,
         "kg_modularity": q_kg_modularity,
+        "doc_heaps": q_doc_heaps,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9443,6 +9456,50 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "doc_heaps": r"""
+            WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            ts AS (
+              SELECT i.range AS i,
+                     ((i.range + 1) * ((SELECT m FROM mx) + 1)) // 8
+                       - 1 AS t
+              FROM range(8) i
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       x -> x != '')) AS w
+              FROM documents
+            ),
+            fst AS (SELECT w, min(doc_id) AS fid FROM toks GROUP BY w),
+            pv AS (
+              SELECT ts.i,
+                     (SELECT count(*) FROM fst
+                      WHERE fid <= ts.t) AS v,
+                     (SELECT count(*) FROM toks
+                      WHERE doc_id <= ts.t) AS n
+              FROM ts
+            ),
+            pts AS (
+              SELECT ln(CAST(n AS DOUBLE)) AS x,
+                     ln(CAST(v AS DOUBLE)) AS y
+              FROM pv WHERE v > 0 AND n > 0
+            ),
+            agg AS (
+              SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM pts
+            )
+            SELECT CAST(k AS BIGINT) AS n_points_used,
+                   (k * sxy - sx * sy) / (k * sxx - sx * sx) AS beta,
+                   (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx)
+                      * sx) / k AS log_k,
+                   (SELECT CAST(count(*) AS BIGINT) FROM fst)
+                     AS vocab_total,
+                   (SELECT CAST(count(*) AS BIGINT) FROM toks)
+                     AS tokens_total
+            FROM agg
         """,
         "kg_modularity": _TRIPLES_CTE + """
             , peer AS (

@@ -1535,3 +1535,102 @@ def zipf_slope(docs: ray.data.Dataset) -> ray.data.Dataset:
         "slope": pa.array([slope], pa.float64()),
         "intercept": pa.array([intercept], pa.float64()),
     }))
+
+
+def heaps_fit(
+    docs: ray.data.Dataset,
+    n_points: int = 8,
+) -> ray.data.Dataset:
+    """Heaps'-law fit of vocabulary growth, ``V(n) ≈ K·n^β`` —
+    natural corpora sit near β≈0.5; β→1 flags unbounded junk
+    vocabularies (serial numbers, hashes) and β→0 flags templated
+    text, making the pair (``zipf_slope``, ``heaps_fit``) the
+    two-number vocabulary health check.
+
+    Order-free formulation (vocabulary growth normally depends on doc
+    order; pinning order = doc_id makes it deterministic AND turns the
+    curve into plain aggregates): checkpoint thresholds are
+    ``t_i = ((i+1)·(max_id+1))//n_points − 1``;  V(t) = #tokens whose
+    MINIMUM doc_id ≤ t (one vocab-scale min-reduce), n(t) = total
+    tokens over docs with doc_id ≤ t (one pass of partial sums).  OLS
+    of ln V on ln n over the checkpoints (empty prefixes dropped)
+    gives β and ln K.  Output one row: ``(n_points_used, beta, log_k,
+    vocab_total, tokens_total)``.
+
+    Scale shape: ONE token-bucket min-reduce (vocab-scale) + one
+    stateless stats pass; the checkpoint fold is ``n_points`` rows —
+    nothing else collects."""
+    from pyrdf2vec_ray.shuffle import bucket_agg
+    from pyrdf2vec_ray.util import to_table
+
+    if n_points < 2:
+        raise ValueError(f"n_points must be >= 2, got {n_points}")
+
+    def tok_first(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].astype(str).str.split()
+        counts = toks.map(len).to_numpy(np.int64)
+        flat = [t for lst in toks for t in lst]
+        ids = np.repeat(batch["doc_id"].to_numpy(np.int64), counts)
+        part = pd.DataFrame({"w": flat, "first_id": ids})
+        return part.groupby("w", as_index=False).min()
+
+    first = bucket_agg(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            tok_first, batch_format="pandas"),
+        ["w"], {"first_id": ("first_id", "min")}, pre=False)
+
+    max_id = docs.select_columns(["doc_id"]).max("doc_id")
+    if max_id is None:
+        raise ValueError("empty corpus")
+    max_id = int(max_id)
+    ts = np.array([((i + 1) * (max_id + 1)) // n_points - 1
+                   for i in range(n_points)], dtype=np.int64)
+
+    def tok_prefix_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-block partial token sums per checkpoint — the collect is
+        # blocks × n_points rows, never per-doc
+        n = batch["text"].astype(str).str.split().map(len) \
+            .to_numpy(np.int64)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"i": np.arange(len(ts), dtype=np.int64),
+             "n": np.array([n[ids <= t].sum() for t in ts],
+                           dtype=np.int64)})
+
+    nparts = to_table(docs.select_columns(["doc_id", "text"])
+                      .map_batches(tok_prefix_counts,
+                                   batch_format="pandas")).to_pandas()
+
+    def vocab_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        fid = batch["first_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"i": np.arange(len(ts), dtype=np.int64),
+             "v": np.array([(fid <= t).sum() for t in ts],
+                           dtype=np.int64)})
+
+    vparts = to_table(first.map_batches(
+        vocab_counts, batch_format="pandas")).to_pandas()
+    V = vparts.groupby("i")["v"].sum().reindex(
+        range(len(ts)), fill_value=0).to_numpy(np.int64)
+    N = nparts.groupby("i")["n"].sum().reindex(
+        range(len(ts)), fill_value=0).to_numpy(np.int64)
+    keep = (V > 0) & (N > 0)
+    x = np.log(N[keep].astype(np.float64))
+    y = np.log(V[keep].astype(np.float64))
+    k = int(keep.sum())
+    if k >= 2 and np.ptp(x) > 0:
+        beta = (
+            (k * (x * y).sum() - x.sum() * y.sum())
+            / (k * (x * x).sum() - x.sum() ** 2))
+        log_k = (y.sum() - beta * x.sum()) / k
+    else:
+        beta = log_k = float("nan")
+    return ray.data.from_arrow(pa.table({
+        "n_points_used": pa.array([k], pa.int64()),
+        "beta": pa.array([float(beta)], pa.float64()),
+        "log_k": pa.array([float(log_k)], pa.float64()),
+        "vocab_total": pa.array([int(V[-1]) if len(V) else 0],
+                                pa.int64()),
+        "tokens_total": pa.array([int(N[-1]) if len(N) else 0],
+                                 pa.int64()),
+    }))

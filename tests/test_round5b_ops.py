@@ -1011,3 +1011,36 @@ def test_modularity_dedups_directed_and_selfloops():
     assert out.loc[0, "m"] == 1
     # single intra edge, one community: Q = 1 - 1 = 0
     assert out.loc[0, "modularity"] == 0.0
+
+
+# ---- heaps_fit -------------------------------------------------------------
+
+def test_heaps_fit_power_law_recovered():
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.text import heaps_fit
+
+    # construct docs where V(n) = sqrt-ish growth: doc i introduces
+    # new tokens only when i is a perfect square -> beta < 1
+    docs = []
+    vocab = 0
+    for i in range(64):
+        if int(np.sqrt(i + 1)) ** 2 == i + 1:
+            vocab += 4
+        # rotate through the CURRENT vocab so new tokens actually
+        # appear as it grows
+        toks = [f"w{(i * 8 + j) % vocab}" for j in range(8)]
+        docs.append({"doc_id": i, "text": " ".join(toks)})
+    out = heaps_fit(ray.data.from_items(docs), n_points=8).to_pandas()
+    assert out.loc[0, "tokens_total"] == 64 * 8
+    assert out.loc[0, "vocab_total"] == vocab
+    assert 0.0 < out.loc[0, "beta"] < 1.0
+
+
+def test_heaps_fit_constant_vocab_beta_zero():
+    from pyrdf2vec_ray.ops.text import heaps_fit
+
+    docs = [{"doc_id": i, "text": "a b c d"} for i in range(32)]
+    out = heaps_fit(ray.data.from_items(docs), n_points=4).to_pandas()
+    assert out.loc[0, "vocab_total"] == 4
+    assert abs(out.loc[0, "beta"]) < 1e-9
