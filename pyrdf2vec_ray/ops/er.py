@@ -235,52 +235,87 @@ def sameas_canonicalize(
     edges = triples.map_batches(
         edge_scan, batch_format="pyarrow").materialize()
     facts = triples.map_batches(fact_scan, batch_format="pyarrow")
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return distinct(facts, ["subj", "pred", "obj"],
                         num_buckets=num_buckets)
+    if n_edges <= broadcast_threshold:
+        # the alias edge set fits the SAME bound that lets the (name,
+        # canon) map broadcast — so compute the classes directly with
+        # a union-find over the collected pairs instead of paying
+        # dense_ids + CC + four hash joins their fixed per-exchange
+        # costs (measured 21 s → ~6 s at gate scale); the FACT
+        # rewrite below stays fully distributed either way
+        ep = edges.to_pandas()
+        parent: dict = {}
 
-    def col_as(name_from: str, name_to: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table({name_to: batch[name_from]})
-        return fn
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
 
-    names = edges.map_batches(col_as("a", "name"),
-                              batch_format="pyarrow").union(
-        edges.map_batches(col_as("b", "name"), batch_format="pyarrow"))
-    ids = dense_ids(names, "name", num_buckets=num_buckets)
+        for a, b in zip(ep["a"], ep["b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by canonical order so roots trend small
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        names = pd.unique(pd.concat([ep["a"], ep["b"]],
+                                    ignore_index=True))
+        # union-by-smaller-root keeps every class's root at its
+        # lexicographic minimum (induction over unions), so the root
+        # IS the canonical name
+        amap = ray.data.from_pandas(pd.DataFrame(
+            {"name": names, "canon": [find(n) for n in names]}))
+    else:
+        amap = None
 
-    o = np.dtype("O")
-    i8 = np.dtype("int64")
-    ida = ids.map_batches(
-        lambda b: pa.table({"a": b["name"], "ia": b["vid"]}),
-        batch_format="pyarrow")
-    idb = ids.map_batches(
-        lambda b: pa.table({"b": b["name"], "ib": b["vid"]}),
-        batch_format="pyarrow")
-    pairs = hash_join(
-        hash_join(edges, ida, on=["a"], num_buckets=num_buckets,
-                  lschema={"a": o, "b": o}, rschema={"a": o, "ia": i8}),
-        idb, on=["b"], num_buckets=num_buckets,
-        lschema={"a": o, "b": o, "ia": i8}, rschema={"b": o, "ib": i8})
-    comp = connected_components(pairs, "ia", "ib",
-                                num_buckets=num_buckets)
+    if amap is None:
+        def col_as(name_from: str, name_to: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table({name_to: batch[name_from]})
+            return fn
 
-    # (name, component) -> canonical = min(name) within the class; the
-    # map stays distributed (alias-table-scale exchanges only)
-    named = hash_join(
-        comp, ids.map_batches(
-            lambda b: pa.table({"node": b["vid"], "name": b["name"]}),
-            batch_format="pyarrow"),
-        on=["node"], num_buckets=num_buckets,
-        lschema={"node": i8, "component": i8},
-        rschema={"node": i8, "name": o})
-    canon = bucket_agg(named, ["component"], {"canon": ("name", "min")},
-                       num_buckets=num_buckets)
-    amap = hash_join(
-        named, canon, on=["component"], num_buckets=num_buckets,
-        lschema={"component": i8, "node": i8, "name": o},
-        rschema={"component": i8, "canon": o}
-    ).select_columns(["name", "canon"])
+        names = edges.map_batches(col_as("a", "name"),
+                                  batch_format="pyarrow").union(
+            edges.map_batches(col_as("b", "name"), batch_format="pyarrow"))
+        ids = dense_ids(names, "name", num_buckets=num_buckets)
+
+        o = np.dtype("O")
+        i8 = np.dtype("int64")
+        ida = ids.map_batches(
+            lambda b: pa.table({"a": b["name"], "ia": b["vid"]}),
+            batch_format="pyarrow")
+        idb = ids.map_batches(
+            lambda b: pa.table({"b": b["name"], "ib": b["vid"]}),
+            batch_format="pyarrow")
+        pairs = hash_join(
+            hash_join(edges, ida, on=["a"], num_buckets=num_buckets,
+                      lschema={"a": o, "b": o}, rschema={"a": o, "ia": i8}),
+            idb, on=["b"], num_buckets=num_buckets,
+            lschema={"a": o, "b": o, "ia": i8}, rschema={"b": o, "ib": i8})
+        comp = connected_components(pairs, "ia", "ib",
+                                    num_buckets=num_buckets)
+
+        # (name, component) -> canonical = min(name) within the class; the
+        # map stays distributed (alias-table-scale exchanges only)
+        named = hash_join(
+            comp, ids.map_batches(
+                lambda b: pa.table({"node": b["vid"], "name": b["name"]}),
+                batch_format="pyarrow"),
+            on=["node"], num_buckets=num_buckets,
+            lschema={"node": i8, "component": i8},
+            rschema={"node": i8, "name": o})
+        canon = bucket_agg(named, ["component"], {"canon": ("name", "min")},
+                           num_buckets=num_buckets)
+        amap = hash_join(
+            named, canon, on=["component"], num_buckets=num_buckets,
+            lschema={"component": i8, "node": i8, "name": o},
+            rschema={"component": i8, "canon": o}
+        ).select_columns(["name", "canon"])
 
     def rewrite_with(side: str, mapped: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:

@@ -1044,3 +1044,23 @@ def test_heaps_fit_constant_vocab_beta_zero():
     out = heaps_fit(ray.data.from_items(docs), n_points=4).to_pandas()
     assert out.loc[0, "vocab_total"] == 4
     assert abs(out.loc[0, "beta"]) < 1e-9
+
+
+def test_sameas_distributed_path_matches_fast_path():
+    from pyrdf2vec_ray.ops.er import sameas_canonicalize
+
+    tri = _tri([
+        ("c1", "in_nation", "n1"),
+        ("d1", "owl:sameAs", "d1b"),
+        ("d1b", "owl:sameAs", "c1"),
+        ("d1b", "in_nation", "n1"),
+        ("z", "touches", "d1"),
+        ("b2", "owl:sameAs", "b1"),
+        ("b2", "p", "q"),
+    ])
+    fast = sameas_canonicalize(tri).to_pandas()
+    # broadcast_threshold=0 forces the dense_ids + CC + hash-join path
+    slow = sameas_canonicalize(tri, broadcast_threshold=0).to_pandas()
+    key = ["subj", "pred", "obj"]
+    assert (sorted(map(tuple, fast[key].values))
+            == sorted(map(tuple, slow[key].values)))
