@@ -5593,16 +5593,17 @@ def q_customer_k_anonymity(sf_dir: str):
 
 def q_fk_orphan_audit(sf_dir: str):
     """Referential-integrity audit: orphan counts for the five TPC-H
-    foreign-key relationships (`ops/join.hash_semi_join` ANTI per
-    relationship — the right side reduces to distinct keys before its
-    one co-partitioning exchange — then per-batch pre-counted (rel, n)
-    partials into ONE tiny rel-bucket sum; zero-orphan relationships
-    surface via anchor rows, so the report schema is closed).
+    foreign-key relationships in ONE multiplexed plan — every child
+    table is read ONCE emitting (rel, key)-tagged rows for all its
+    FKs, every parent table once for its tagged key set, and a SINGLE
+    (rel, key)-bucket ANTI semi-join checks all five relationships in
+    one co-partitioning exchange (was five independent joins); the
+    report is one tiny rel-bucket sum with anchor rows closing the
+    schema at zero orphans.
 
     Two relationships get PLANTED dirt (customer keys +9M into the
     orders side, part keys +9M into the lineitem side) so both the
-    clean-pass and the violation path are value-checked; a broken
-    anti-join shows up as a wrong count in either direction."""
+    clean-pass and the violation path are value-checked."""
     import pandas as pd
 
     import ray.data
@@ -5611,61 +5612,76 @@ def q_fk_orphan_audit(sf_dir: str):
     from pyrdf2vec_ray.shuffle import bucket_agg
 
     i8 = np.dtype("int64")
-    rels = [
-        ("orders.o_custkey", "orders", "o_custkey",
-         "customer", "c_custkey", ("customer", "c_custkey", 15)),
-        ("lineitem.l_orderkey", "lineitem", "l_orderkey",
-         "orders", "o_orderkey", None),
-        ("lineitem.l_partkey", "lineitem", "l_partkey",
-         "part", "p_partkey", ("part", "p_partkey", 25)),
-        ("lineitem.l_suppkey", "lineitem", "l_suppkey",
-         "supplier", "s_suppkey", None),
-        ("customer.c_nationkey", "customer", "c_nationkey",
-         "nation", "n_nationkey", None),
-    ]
+    o = np.dtype("O")
+    rels = ["orders.o_custkey", "lineitem.l_orderkey",
+            "lineitem.l_partkey", "lineitem.l_suppkey",
+            "customer.c_nationkey"]
 
-    def as_key(col):
-        def fn(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            return pa.table(
-                {"key": pc.cast(batch[col], pa.int64())})
-        return fn
+    def tagged(table, cols, emit):
+        return ray.data.read_parquet(
+            f"{sf_dir}/{table}.parquet", columns=cols
+        ).map_batches(emit, batch_format="pandas")
 
-    def planted(col, cap):
-        def fn(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            keys = pc.cast(batch[col], pa.int64())
-            kept = keys.filter(pc.less(keys, cap))
-            return pa.table({"key": pc.add(kept, 9_000_000)})
-        return fn
+    def rows(rel, keys):
+        return pd.DataFrame(
+            {"rel": rel, "key": np.asarray(keys, dtype=np.int64)})
 
-    parts = []
-    for rel, ct, cc, pt, pk, dirt in rels:
-        child = ray.data.read_parquet(
-            f"{sf_dir}/{ct}.parquet", columns=[cc]
-        ).map_batches(as_key(cc), batch_format="pyarrow")
-        if dirt is not None:
-            dt, dc, cap = dirt
-            child = child.union(ray.data.read_parquet(
-                f"{sf_dir}/{dt}.parquet", columns=[dc]
-            ).map_batches(planted(dc, cap), batch_format="pyarrow"))
-        parent = ray.data.read_parquet(
-            f"{sf_dir}/{pt}.parquet", columns=[pk]
-        ).map_batches(as_key(pk), batch_format="pyarrow")
-        orphans = hash_semi_join(child, parent, on=["key"], anti=True,
-                                 lschema={"key": i8},
-                                 rschema={"key": i8})
+    def child_orders(b):
+        return rows("orders.o_custkey", b["o_custkey"])
 
-        def tag(batch: pd.DataFrame, _r=rel) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"rel": [_r] * len(batch),
-                 "n": np.ones(len(batch), dtype=np.int64)})
+    def child_lineitem(b):
+        return pd.concat([
+            rows("lineitem.l_orderkey", b["l_orderkey"]),
+            rows("lineitem.l_partkey", b["l_partkey"]),
+            rows("lineitem.l_suppkey", b["l_suppkey"])],
+            ignore_index=True)
 
-        parts.append(orphans.map_batches(tag, batch_format="pandas"))
-    anchors = ray.data.from_items(
-        [{"rel": r[0], "n": 0} for r in rels])
-    allrows = anchors.union(*parts)
-    return bucket_agg(allrows, ["rel"], {"n_orphans": ("n", "sum")})
+    def child_customer(b):
+        k = b["c_custkey"].to_numpy(np.int64)
+        return pd.concat([
+            rows("customer.c_nationkey", b["c_nationkey"]),
+            rows("orders.o_custkey", k[k < 15] + 9_000_000)],
+            ignore_index=True)
+
+    def child_part_plant(b):
+        k = b["p_partkey"].to_numpy(np.int64)
+        return rows("lineitem.l_partkey", k[k < 25] + 9_000_000)
+
+    children = tagged("orders", ["o_custkey"], child_orders).union(
+        tagged("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"],
+               child_lineitem),
+        tagged("customer", ["c_custkey", "c_nationkey"],
+               child_customer),
+        tagged("part", ["p_partkey"], child_part_plant))
+
+    parents = tagged(
+        "customer", ["c_custkey"],
+        lambda b: rows("orders.o_custkey", b["c_custkey"])).union(
+        tagged("orders", ["o_orderkey"],
+               lambda b: rows("lineitem.l_orderkey", b["o_orderkey"])),
+        tagged("part", ["p_partkey"],
+               lambda b: rows("lineitem.l_partkey", b["p_partkey"])),
+        tagged("supplier", ["s_suppkey"],
+               lambda b: rows("lineitem.l_suppkey", b["s_suppkey"])),
+        tagged("nation", ["n_nationkey"],
+               lambda b: rows("customer.c_nationkey",
+                              b["n_nationkey"])))
+
+    orphans = hash_semi_join(children, parents, on=["rel", "key"],
+                             anti=True,
+                             lschema={"rel": o, "key": i8},
+                             rschema={"rel": o, "key": i8})
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({"rel": batch["rel"].to_numpy(),
+                             "n": np.int64(1)})
+        return part.groupby("rel", as_index=False).sum()
+
+    anchors = ray.data.from_items([{"rel": r, "n": 0} for r in rels])
+    allrows = anchors.union(
+        orphans.map_batches(tag, batch_format="pandas"))
+    return bucket_agg(allrows, ["rel"], {"n_orphans": ("n", "sum")},
+                      pre=False)
 
 
 def _user_purchase_features(sf_dir: str):
