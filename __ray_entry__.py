@@ -6319,6 +6319,26 @@ def q_doc_heaps(sf_dir: str):
     return heaps_fit(_docs(sf_dir), n_points=8)
 
 
+def q_events_funnel_window(sf_dir: str):
+    """Windowed funnel (ops/events.funnel within=, round 5): the
+    view→click→purchase funnel with a 48-hour CONVERSION WINDOW per
+    hop — late conversions stop counting (the growth-analytics
+    default the unbounded funnel can't express).  Same one
+    user-bucket exchange; the window is a vectorized mask inside the
+    chained min-after scan."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import funnel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"])
+    return funnel(ev, ["view", "click", "purchase"],
+                  within=pd.Timedelta(hours=48))
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6578,6 +6598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_values_rows": q_kg_bgp_values_rows,
         "kg_modularity": q_kg_modularity,
         "doc_heaps": q_doc_heaps,
+        "events_funnel_window": q_events_funnel_window,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9472,6 +9493,39 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "events_funnel_window": """
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            t2 AS (
+              SELECT e.user_id, min(ts) AS t2
+              FROM events e JOIN t1 USING (user_id)
+              WHERE event_type = 'click' AND ts > t1
+                AND ts <= t1 + INTERVAL 48 HOUR
+              GROUP BY e.user_id
+            ),
+            t3 AS (
+              SELECT e.user_id, min(ts) AS t3
+              FROM events e JOIN t2 USING (user_id)
+              WHERE event_type = 'purchase' AND ts > t2
+                AND ts <= t2 + INTERVAL 48 HOUR
+              GROUP BY e.user_id
+            ),
+            u AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                             WHEN t2.user_id IS NOT NULL THEN 2
+                             WHEN t1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stage_reached
+            FROM u
+            LEFT JOIN t1 ON t1.user_id = u.user_id
+            LEFT JOIN t2 ON t2.user_id = u.user_id
+            LEFT JOIN t3 ON t3.user_id = u.user_id
         """,
         "doc_heaps": r"""
             WITH mx AS (SELECT max(doc_id) AS m FROM documents),

@@ -650,12 +650,17 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within: "pd.Timedelta | None" = None,
 ) -> ray.data.Dataset:
     """(user, stage_reached): ordered multi-step funnel analysis — the
     deepest prefix of ``steps`` each user completed, where step i+1
     must occur STRICTLY after the earliest completion time of step i
     (the standard strict-ordering funnel definition).  stage_reached
-    is 0..len(steps).
+    is 0..len(steps).  ``within`` (optional pd.Timedelta) adds the
+    standard CONVERSION-WINDOW constraint: step i+1 must also land no
+    later than ``within`` after step i's qualifying time (the first
+    step is unconstrained) — late conversions stop counting, the
+    growth-analytics default.
 
     Shuffle shape: per-batch rows prune to the funnel's event types
     and pre-reduce to per-(user, type) min-timestamps (the combiner —
@@ -694,10 +699,13 @@ def funnel(
         for i, step in enumerate(steps):
             ev = g[g[type_col] == step]
             # earliest occurrence of `step` strictly after prev_t
-            t = ev[ts_col].where(
-                ev[ts_col] > prev_t.reindex(
-                    ev[user_col]).to_numpy()
-            )
+            # (and, with a conversion window, no later than
+            # prev_t + within — the first step has no window)
+            prev_at = prev_t.reindex(ev[user_col]).to_numpy()
+            mask = ev[ts_col] > prev_at
+            if within is not None and i > 0:
+                mask &= ev[ts_col] <= prev_at + within
+            t = ev[ts_col].where(mask)
             nxt = (pd.DataFrame({user_col: ev[user_col].to_numpy(),
                                  "t": t.to_numpy()})
                    .dropna().groupby(user_col)["t"].min())

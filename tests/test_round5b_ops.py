@@ -1064,3 +1064,30 @@ def test_sameas_distributed_path_matches_fast_path():
     key = ["subj", "pred", "obj"]
     assert (sorted(map(tuple, fast[key].values))
             == sorted(map(tuple, slow[key].values)))
+
+
+# ---- funnel conversion window ----------------------------------------------
+
+def test_funnel_within_window_cuts_late_conversions():
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.events import funnel
+
+    t0 = pd.Timestamp("2026-01-01")
+    rows = [
+        # u1 converts within 1h; u2 converts after 3h (late)
+        {"user_id": 1, "event_type": "view", "ts": t0},
+        {"user_id": 1, "event_type": "buy",
+         "ts": t0 + pd.Timedelta(minutes=30)},
+        {"user_id": 2, "event_type": "view", "ts": t0},
+        {"user_id": 2, "event_type": "buy",
+         "ts": t0 + pd.Timedelta(hours=3)},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    no_win = (funnel(ds, ["view", "buy"]).to_pandas()
+              .set_index("user_id")["stage_reached"].to_dict())
+    assert no_win == {1: 2, 2: 2}
+    win = (funnel(ds, ["view", "buy"],
+                  within=pd.Timedelta(hours=1)).to_pandas()
+           .set_index("user_id")["stage_reached"].to_dict())
+    assert win == {1: 2, 2: 1}
