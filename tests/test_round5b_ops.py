@@ -1,9 +1,14 @@
 """Round-5 continuation wave: owl:sameAs canonicalization, SPARQL
-FILTER [NOT] EXISTS, and GROUP_CONCAT.
+FILTER [NOT] EXISTS / GROUP_CONCAT / p* / OPTIONAL-FILTER / global
+aggregates / correlated VALUES, the eval family (AUC / grouped AUC /
+PR / calibration), governance audits (k-anonymity), directed SCC,
+Zipf + Heaps corpus fits, perceptual image dedup, sliding HLL,
+record linkage, Procrustes alignment, weighted shortest paths,
+betweenness, modularity, the curation pipeline, JSONL sources, and
+the funnel conversion window.
 
-Hand-computable fixtures, same discipline as the driver gate (the
-sf0.01 oracle checks live in __ray_entry__: kg_sameas_canonical,
-kg_conflict_resolve, kg_bgp_exists/notexists, kg_bgp_groupconcat)."""
+Hand-computable fixtures, same discipline as the driver gate (each
+family also has a DuckDB-oracled query in __ray_entry__)."""
 from __future__ import annotations
 
 import pandas as pd

@@ -143,11 +143,14 @@ def test_group_by_count():
         == [("ghent", 2), ("paris", 1)]
 
 
-def test_count_without_group_by_raises():
-    with pytest.raises(SparqlSyntaxError, match="GROUP BY"):
-        sparql_query(_ds(), """
-            SELECT (COUNT(?w) AS ?n) WHERE { ?w lives_in ?c . }
-        """)
+def test_count_without_group_by_is_global_aggregate():
+    # round 5: SPARQL's implicit single group — aggregates with no
+    # GROUP BY reduce the whole solution set to one row
+    out = sparql_query(_ds(), """
+        SELECT (COUNT(?w) AS ?n) WHERE { ?w lives_in ?c . }
+    """).to_pandas()
+    assert len(out) == 1 and out.loc[0, "n"] > 0
+    assert list(out.columns) == ["n"]
 
 
 def test_describe_form():
