@@ -6339,6 +6339,22 @@ def q_events_funnel_window(sf_dir: str):
                   within=pd.Timedelta(hours=48))
 
 
+def q_events_ordered_pairs(sf_dir: str):
+    """Behavioral precedence census (ops/events.ordered_pair_counts,
+    round 5): per ordered event-type pair (a, b), the number of users
+    with some a strictly before some b — the 2-subsequence support of
+    sequential-pattern mining, reduced to per-(user, type) min/max
+    spans so the exchange is users × type-domain, never events."""
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import ordered_pair_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"])
+    return ordered_pair_counts(ev)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6599,6 +6615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_modularity": q_kg_modularity,
         "doc_heaps": q_doc_heaps,
         "events_funnel_window": q_events_funnel_window,
+        "events_ordered_pairs": q_events_ordered_pairs,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9493,6 +9510,17 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "events_ordered_pairs": """
+            WITH spans AS (
+              SELECT user_id, event_type, min(ts) AS lo, max(ts) AS hi
+              FROM events GROUP BY user_id, event_type
+            )
+            SELECT a.event_type AS prev, b.event_type AS "next",
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM spans a JOIN spans b ON a.user_id = b.user_id
+            WHERE a.lo < b.hi
+            GROUP BY a.event_type, b.event_type
         """,
         "events_funnel_window": """
             WITH t1 AS (

@@ -1388,3 +1388,65 @@ def sequence_examples(
 
     return bucket_apply(events.select_columns(cols), [user_col],
                         examples, batch_format="pandas")
+
+
+def ordered_pair_counts(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Behavioral precedence census: for every ORDERED pair of event
+    types (a, b), how many users have some a-event strictly before
+    some b-event — the any-gap generalization of
+    :func:`event_transitions` (adjacent pairs) and the pairwise core
+    of sequential-pattern mining (a 2-subsequence support count).
+    Output ``(prev, next, n_users)``; self-pairs (a, a) count users
+    with ≥2 occurrences of a (the repeat signal).
+
+    The existence test collapses to per-(user, type) MIN and MAX
+    timestamps: user supports (a, b) iff ``min_ts(a) < max_ts(b)`` —
+    so the corpus reduces to a per-batch (user, type, min, max)
+    combiner, ONE user-bucket exchange of those rows (users ×
+    type-domain, event-volume-independent), a vectorized per-user
+    cross of its type table, and a tiny (prev, next) count reduce."""
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({
+            "u": batch[user_col].to_numpy(),
+            "t": batch[type_col].to_numpy(),
+            "lo": batch[ts_col].to_numpy(),
+            "hi": batch[ts_col].to_numpy()})
+        return part.groupby(["u", "t"], as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+
+    spans = bucket_agg(
+        events.select_columns([user_col, ts_col, type_col])
+        .map_batches(pre, batch_format="pandas"),
+        ["u", "t"], {"lo": ("lo", "min"), "hi": ("hi", "max")},
+        pre=False)
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized self-merge per bucket (k = type-domain rows
+        # per user, so the pair frame is users x k^2 — bounded by the
+        # type domain, no per-user Python loop)
+        m = g.merge(g, on="u", suffixes=("_a", "_b"))
+        m = m[m["lo_a"] < m["hi_b"]]
+        if not len(m):
+            return pd.DataFrame(
+                {"prev": pd.Series(dtype=object),
+                 "next": pd.Series(dtype=object),
+                 "n_users": pd.Series(dtype="int64")})
+        part = pd.DataFrame({"prev": m["t_a"].to_numpy(),
+                             "next": m["t_b"].to_numpy(),
+                             "n_users": np.int64(1)})
+        return part.groupby(["prev", "next"], as_index=False).sum()
+
+    crossed = bucket_apply(spans, ["u"], cross,
+                           num_buckets=num_buckets,
+                           batch_format="pandas")
+    return bucket_agg(crossed, ["prev", "next"],
+                      {"n_users": ("n_users", "sum")},
+                      num_buckets=num_buckets, pre=False)

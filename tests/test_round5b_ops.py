@@ -1096,3 +1096,26 @@ def test_funnel_within_window_cuts_late_conversions():
                   within=pd.Timedelta(hours=1)).to_pandas()
            .set_index("user_id")["stage_reached"].to_dict())
     assert win == {1: 2, 2: 1}
+
+
+# ---- ordered_pair_counts ---------------------------------------------------
+
+def test_ordered_pairs_hand_example():
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.events import ordered_pair_counts
+
+    t = pd.Timestamp("2026-01-01")
+    rows = [
+        {"user_id": 1, "event_type": "a", "ts": t},
+        {"user_id": 1, "event_type": "b", "ts": t + pd.Timedelta("1h")},
+        {"user_id": 2, "event_type": "b", "ts": t},
+        {"user_id": 2, "event_type": "a", "ts": t + pd.Timedelta("1h")},
+        {"user_id": 3, "event_type": "a", "ts": t},
+        {"user_id": 3, "event_type": "a", "ts": t + pd.Timedelta("2h")},
+    ]
+    out = (ordered_pair_counts(ray.data.from_pandas(pd.DataFrame(rows)))
+           .to_pandas())
+    got = {(r.prev, r.next): r.n_users for r in out.itertuples()}
+    # u1: a<b ; u2: b<a ; u3: a twice -> (a,a)
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}
