@@ -6355,6 +6355,76 @@ def q_events_ordered_pairs(sf_dir: str):
     return ordered_pair_counts(ev)
 
 
+def q_doc_source_report(sf_dir: str):
+    """Per-source corpus report card (round 5): the one-table summary
+    a curation pipeline publishes per ingest source — doc/char/token
+    volumes, mean length, and the exact duplicate-doc count (docs
+    minus distinct texts).  Volumes ride ONE pre-aggregating
+    source-bucket reduce; the dup count is a distinct
+    (source, text-hash) shuffle joined back at source scale."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def vol(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].astype(str)
+        part = pd.DataFrame({
+            "source": batch["source"].to_numpy(),
+            "n_docs": np.int64(1),
+            "total_chars": t.str.len().to_numpy(np.int64),
+            "total_tokens": t.str.split().map(len).to_numpy(np.int64)})
+        return part.groupby("source", as_index=False).sum()
+
+    vols = bucket_agg(
+        docs.map_batches(vol, batch_format="pandas"), ["source"],
+        {"n_docs": ("n_docs", "sum"),
+         "total_chars": ("total_chars", "sum"),
+         "total_tokens": ("total_tokens", "sum")}, pre=False)
+
+    def hashed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": batch["source"].to_numpy(),
+            "h": [hashlib.md5(t.encode()).hexdigest()
+                  for t in batch["text"].astype(str)]})
+
+    dtexts = distinct(docs.map_batches(hashed, batch_format="pandas"),
+                      ["source", "h"])
+
+    def dcount(batch: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({"source": batch["source"].to_numpy(),
+                             "n_distinct": np.int64(1)})
+        return part.groupby("source", as_index=False).sum()
+
+    dist_counts = bucket_agg(
+        dtexts.map_batches(dcount, batch_format="pandas"), ["source"],
+        {"n_distinct": ("n_distinct", "sum")}, pre=False)
+
+    o = np.dtype("O")
+    i8 = np.dtype("int64")
+    joined = hash_join(
+        vols, dist_counts, on=["source"],
+        lschema={"source": o, "n_docs": i8, "total_chars": i8,
+                 "total_tokens": i8},
+        rschema={"source": o, "n_distinct": i8})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["mean_tokens"] = (
+            batch["total_tokens"].to_numpy(np.int64)
+            / batch["n_docs"].to_numpy(np.float64))
+        batch["dup_docs"] = (batch["n_docs"].to_numpy(np.int64)
+                             - batch["n_distinct"].to_numpy(np.int64))
+        return batch[["source", "n_docs", "total_chars",
+                      "total_tokens", "mean_tokens", "dup_docs"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6616,6 +6686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_heaps": q_doc_heaps,
         "events_funnel_window": q_events_funnel_window,
         "events_ordered_pairs": q_events_ordered_pairs,
+        "doc_source_report": q_doc_source_report,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9510,6 +9581,21 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "doc_source_report": r"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(len(list_filter(
+                        regexp_split_to_array(text, '\s+'),
+                        x -> x != ''))) AS BIGINT) AS total_tokens,
+                   CAST(sum(len(list_filter(
+                        regexp_split_to_array(text, '\s+'),
+                        x -> x != ''))) AS DOUBLE)
+                     / count(*) AS mean_tokens,
+                   CAST(count(*) - count(DISTINCT text) AS BIGINT)
+                     AS dup_docs
+            FROM documents GROUP BY source
         """,
         "events_ordered_pairs": """
             WITH spans AS (
