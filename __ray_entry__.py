@@ -6425,6 +6425,21 @@ def q_doc_source_report(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_embedding_isotropy(sf_dir: str):
+    """Embedding-space isotropy (ops/similarity.isotropy_stats, round
+    5): anisotropy = ‖μ‖² / E‖x‖² — the collapsed-space pathology
+    check an embedding pipeline runs after training; one
+    sufficient-statistics pass, block partials folded on the driver.
+    Oracle: per-dim means via a range(64) cross join + list indexing."""
+    from pyrdf2vec_ray.ops.similarity import isotropy_stats
+
+    import ray.data
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return isotropy_stats(emb)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6687,6 +6702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_window": q_events_funnel_window,
         "events_ordered_pairs": q_events_ordered_pairs,
         "doc_source_report": q_doc_source_report,
+        "embedding_isotropy": q_embedding_isotropy,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9581,6 +9597,25 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "embedding_isotropy": """
+            WITH dims AS (
+              SELECT e.vec_id, d.range AS i,
+                     CAST(e.embedding[d.range + 1] AS DOUBLE) AS x
+              FROM embeddings e CROSS JOIN range(64) d
+            ),
+            mu AS (SELECT i, avg(x) AS m FROM dims GROUP BY i),
+            stats AS (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+                       AS n,
+                     (SELECT sum(x * x) FROM dims)
+                       / (SELECT count(*) FROM embeddings)
+                       AS mean_norm_sq,
+                     (SELECT sum(m * m) FROM mu) AS mu_norm_sq
+            )
+            SELECT n, mean_norm_sq, mu_norm_sq,
+                   mu_norm_sq / mean_norm_sq AS anisotropy
+            FROM stats
         """,
         "doc_source_report": r"""
             SELECT source,

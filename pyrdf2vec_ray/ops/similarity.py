@@ -795,3 +795,48 @@ def procrustes_align(
     aligned = src.select_columns([id_col, vec_col]).map_batches(
         apply_r, batch_format="pandas")
     return R, aligned
+
+
+def isotropy_stats(
+    emb: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Embedding-space isotropy diagnostic — anisotropic spaces (all
+    vectors sharing a dominant direction, the classic contextual-
+    embedding pathology) degrade cosine retrieval; the cheap signal is
+    ``mean_cos ≈ ‖μ‖² / E‖x‖²`` (the expected cosine between random
+    vectors equals the squared mean norm over the mean squared norm
+    when vectors are near-unit; 0 = isotropic, →1 = collapsed).
+    Output ONE row ``(n, mean_norm_sq, mu_norm_sq, anisotropy)``.
+
+    ONE sufficient-statistics pass (n, Σx, Σ‖x‖² — d+2 floats per
+    block, the `pca_fit` discipline), driver fold of block partials;
+    the corpus never collects."""
+    from pyrdf2vec_ray.util import to_table
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"n": [len(V)], "s": [V.sum(axis=0)],
+             "ss": [float((V * V).sum())]})
+
+    parts = to_table(
+        emb.select_columns([id_col, vec_col]).map_batches(
+            partial, batch_format="pandas")).to_pandas()
+    n = int(parts["n"].sum())
+    if n == 0:
+        raise ValueError("empty input")
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    ss = float(parts["ss"].sum())
+    mu = s / n
+    mu_norm_sq = float(mu @ mu)
+    mean_norm_sq = ss / n
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "mean_norm_sq": pa.array([mean_norm_sq], pa.float64()),
+        "mu_norm_sq": pa.array([mu_norm_sq], pa.float64()),
+        "anisotropy": pa.array(
+            [mu_norm_sq / mean_norm_sq if mean_norm_sq else
+             float("nan")], pa.float64()),
+    }))

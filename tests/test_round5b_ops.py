@@ -1119,3 +1119,26 @@ def test_ordered_pairs_hand_example():
     got = {(r.prev, r.next): r.n_users for r in out.itertuples()}
     # u1: a<b ; u2: b<a ; u3: a twice -> (a,a)
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}
+
+
+# ---- isotropy_stats --------------------------------------------------------
+
+def test_isotropy_collapsed_vs_isotropic():
+    import numpy as np
+
+    from pyrdf2vec_ray.ops.similarity import isotropy_stats
+
+    # collapsed: all vectors identical -> anisotropy 1
+    same = ray.data.from_items(
+        [{"vec_id": i, "embedding": [1.0, 2.0, 2.0]} for i in range(20)])
+    out = isotropy_stats(same).to_pandas()
+    assert abs(out.loc[0, "anisotropy"] - 1.0) < 1e-12
+    # centered symmetric pairs -> mu = 0 -> anisotropy 0
+    rng = np.random.RandomState(0)
+    V = rng.randn(30, 4)
+    both = np.vstack([V, -V])
+    iso = ray.data.from_items(
+        [{"vec_id": i, "embedding": r.tolist()}
+         for i, r in enumerate(both)])
+    out = isotropy_stats(iso).to_pandas()
+    assert abs(out.loc[0, "anisotropy"]) < 1e-12
