@@ -6440,6 +6440,22 @@ def q_embedding_isotropy(sf_dir: str):
     return isotropy_stats(emb)
 
 
+def q_kg_bgp_minus_filter(sf_dir: str):
+    """FILTER inside MINUS (ops/bgp.py + ops/sparql.py, round 5):
+    drop entities of nation:3 that have an order:1xx order — the
+    inner filter prunes the MINUS group's OWN solutions before the
+    anti-join key set, so entities whose only orders fail the filter
+    SURVIVE (not expressible by filtering after the anti-join)."""
+    from pyrdf2vec_ray.ops.sparql import sparql_query
+
+    return sparql_query(_triples(sf_dir), """
+        SELECT ?c WHERE {
+          ?c in_nation "nation:3" .
+          MINUS { ?o placed_by ?c . FILTER(STRSTARTS(?o, "order:1")) }
+        }
+    """)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6703,6 +6719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ordered_pairs": q_events_ordered_pairs,
         "doc_source_report": q_doc_source_report,
         "embedding_isotropy": q_embedding_isotropy,
+        "kg_bgp_minus_filter": q_kg_bgp_minus_filter,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9597,6 +9614,15 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "kg_bgp_minus_filter": _TRIPLES_CTE + """
+            SELECT DISTINCT t1.subj AS c
+            FROM triples t1
+            WHERE t1.pred = 'in_nation' AND t1.obj = 'nation:3'
+              AND NOT EXISTS (
+                SELECT 1 FROM triples t2
+                WHERE t2.pred = 'placed_by' AND t2.obj = t1.subj
+                  AND t2.subj LIKE 'order:1%')
         """,
         "embedding_isotropy": """
             WITH dims AS (

@@ -474,22 +474,32 @@ def bgp_match(
       isin mask)."""
     if not patterns:
         raise ValueError("empty BGP")
-    # normalize OPTIONAL groups: plain pattern list, or a dict with
-    # group-local filters applied before the left join
-    opt_norm: list[tuple[list, list]] = []
-    for g in (optional or []):
-        if isinstance(g, dict):
-            opt_norm.append((list(g["patterns"]),
-                             list(g.get("filters") or [])))
-        else:
-            opt_norm.append((list(g), []))
+    # normalize sub-groups: each may be a plain pattern list or a
+    # dict with group-local filters applied to the SUB-solutions
+    # before the group's join (left join for OPTIONAL, key
+    # semi/anti-join for MINUS / [NOT] EXISTS)
+    def _norm(gs):
+        out: list[tuple[list, list]] = []
+        for g in (gs or []):
+            if isinstance(g, dict):
+                out.append((list(g["patterns"]),
+                            list(g.get("filters") or [])))
+            else:
+                out.append((list(g), []))
+        return out
+
+    opt_norm = _norm(optional)
+    minus_norm = _norm(minus)
+    exists_norm = _norm(exists)
+    notex_norm = _norm(not_exists)
     # ONE multiplexed corpus pass covering the mandatory patterns AND
     # every MINUS / OPTIONAL group's plain patterns — property-path
     # patterns ride their own closure relation and can't share it
     groups: list[list[tuple[str, str, str]]] = (
-        [list(patterns)] + [list(g) for g in (minus or [])]
-        + [list(g) for g in (exists or [])]
-        + [list(g) for g in (not_exists or [])]
+        [list(patterns)]
+        + [p for p, _f in minus_norm]
+        + [p for p, _f in exists_norm]
+        + [p for p, _f in notex_norm]
         + [p for p, _f in opt_norm])
     plain = [(gi, pi) for gi, g in enumerate(groups)
              for pi, p in enumerate(g) if not _is_path(p[1])]
@@ -576,13 +586,40 @@ def bgp_match(
 
     o = np.dtype("O")
     semi_groups = (
-        [(g, True, "MINUS") for g in (minus or [])]
-        + [(g, False, "FILTER EXISTS") for g in (exists or [])]
-        + [(g, True, "FILTER NOT EXISTS") for g in (not_exists or [])])
-    for gi, (group, anti, kind) in enumerate(semi_groups, start=1):
+        [(p, f, True, "MINUS") for p, f in minus_norm]
+        + [(p, f, False, "FILTER EXISTS") for p, f in exists_norm]
+        + [(p, f, True, "FILTER NOT EXISTS") for p, f in notex_norm])
+    for gi, (group, gfilters, anti, kind) in enumerate(
+            semi_groups, start=1):
         sub, _ = _eval_group(group_scans(gi), group,
                              broadcast_threshold, num_buckets)
         sub_vars = _bgp_vars(group)
+        if gfilters:
+            # group-local filters prune the SUB-solutions before the
+            # key set distincts — MINUS { ... FILTER } / EXISTS with
+            # an inner FILTER
+            for var, op, rhs in gfilters:
+                if op not in _FILTER_OPS:
+                    raise ValueError(f"unsupported filter op {op!r}")
+                if var not in sub_vars:
+                    raise ValueError(
+                        f"{kind} filter variable {var!r} not bound "
+                        f"by the group's patterns {sorted(sub_vars)}")
+                if _is_var(rhs) and rhs[1:] not in sub_vars:
+                    raise ValueError(
+                        f"{kind} filter rhs {rhs!r} not bound by "
+                        f"the group's patterns {sorted(sub_vars)}")
+
+            def apply_sub_filters(batch, _filters=list(gfilters)):
+                mask = None
+                for var, op, rhs in _filters:
+                    rv = batch[rhs[1:]] if _is_var(rhs) else rhs
+                    m = _FILTER_OPS[op](batch[var], rv)
+                    mask = m if mask is None else (mask & m)
+                return batch[mask]
+
+            sub = sub.map_batches(apply_sub_filters,
+                                  batch_format="pandas")
         on = [v for v in acc_vars if v in sub_vars]
         if not on:
             raise ValueError(

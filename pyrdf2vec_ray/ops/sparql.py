@@ -251,16 +251,17 @@ class _Parser:
                     if neg:
                         self.expect("EXISTS")
                     sub = self.parse_group()
-                    if (sub["filters"] or sub["optional"]
-                            or sub["minus"] or sub["values"]
-                            or sub["union"] or sub["binds"]
-                            or sub["exists"] or sub["not_exists"]
-                            or sub["values_rows"]):
+                    if (sub["optional"] or sub["minus"]
+                            or sub["values"] or sub["union"]
+                            or sub["binds"] or sub["exists"]
+                            or sub["not_exists"] or sub["values_rows"]):
                         raise SparqlSyntaxError(
                             "FILTER [NOT] EXISTS groups support plain "
-                            "patterns only")
-                    out["not_exists" if neg else "exists"].append(
-                        sub["patterns"])
+                            "patterns and FILTER only")
+                    grp = ({"patterns": sub["patterns"],
+                            "filters": sub["filters"]}
+                           if sub["filters"] else sub["patterns"])
+                    out["not_exists" if neg else "exists"].append(grp)
                     continue
                 self.expect("(")
                 lhs = self.next()
@@ -299,18 +300,17 @@ class _Parser:
             if self.keyword(tok, "OPTIONAL", "MINUS"):
                 self.next()
                 sub = self.parse_group()
-                is_opt = tok.upper() == "OPTIONAL"
                 if (sub["optional"] or sub["minus"] or sub["values"]
                         or sub["exists"] or sub["not_exists"]
-                        or sub["binds"] or sub["values_rows"]
-                        or (sub["filters"] and not is_opt)):
+                        or sub["binds"] or sub["values_rows"]):
                     raise SparqlSyntaxError(
                         f"{tok.upper()} groups support plain patterns "
-                        + ("(and FILTER) " if is_opt else "") + "only")
-                if is_opt and sub["filters"]:
-                    # filter-inside-OPTIONAL: applied to the group's
-                    # own solutions before the left join
-                    out["optional"].append(
+                        "and FILTER only")
+                if sub["filters"]:
+                    # group-local filters: applied to the group's own
+                    # solutions before its join (left join for
+                    # OPTIONAL, anti-join keys for MINUS)
+                    out[tok.lower()].append(
                         {"patterns": sub["patterns"],
                          "filters": sub["filters"]})
                 else:

@@ -128,14 +128,24 @@ def test_exists_group_must_share_a_variable():
             }""").to_pandas()
 
 
-def test_exists_group_rejects_nested_machinery():
+def test_exists_group_with_inner_filter():
     from pyrdf2vec_ray.ops.sparql import SparqlSyntaxError, sparql_query
 
-    with pytest.raises(SparqlSyntaxError, match="plain patterns only"):
+    # inner FILTER prunes the sub-solutions before the semi-join keys:
+    # only c2 has a non-o1 order
+    out = sparql_query(_tri(_KG), """
+        SELECT ?c WHERE {
+          ?c in_nation ?n .
+          FILTER EXISTS { ?o placed_by ?c . FILTER(?o != "o1") }
+        }""").to_pandas()
+    assert sorted(out["c"]) == ["c2"]
+    # still-rejected machinery: OPTIONAL inside EXISTS
+    with pytest.raises(SparqlSyntaxError, match="plain patterns"):
         sparql_query(_tri(_KG), """
             SELECT ?c WHERE {
               ?c in_nation ?n .
-              FILTER EXISTS { ?o placed_by ?c . FILTER(?o != o1) }
+              FILTER EXISTS { ?o placed_by ?c .
+                              OPTIONAL { ?o contains ?p } }
             }""")
 
 
@@ -666,15 +676,17 @@ def test_optional_filter_applies_before_left_join():
     assert out == {"c1": "o1", "c2": "", "c3": ""}
 
 
-def test_minus_still_rejects_filters():
-    from pyrdf2vec_ray.ops.sparql import SparqlSyntaxError, sparql_query
+def test_minus_with_inner_filter():
+    from pyrdf2vec_ray.ops.sparql import sparql_query
 
-    with pytest.raises(SparqlSyntaxError, match="plain patterns"):
-        sparql_query(_tri(_KG), """
-            SELECT ?c WHERE {
-              ?c in_nation ?n .
-              MINUS { ?o placed_by ?c . FILTER(?o = "o1") }
-            }""")
+    # MINUS prunes only solutions whose sub-BGP match SURVIVES the
+    # inner filter: only c1 has an o1 order, so only c1 is removed
+    out = sparql_query(_tri(_KG), """
+        SELECT ?c WHERE {
+          ?c in_nation ?n .
+          MINUS { ?o placed_by ?c . FILTER(?o = "o1") }
+        }""").to_pandas()
+    assert sorted(out["c"]) == ["c2", "c3"]
 
 
 def test_optional_filter_var_must_be_group_bound():
