@@ -21,6 +21,9 @@ query strings) — for the supported subset:
                                      #   quoted predicates opt out
         FILTER(?a != ?b)             # =, !=, <, <=, >, >=
         FILTER EXISTS { ... }        # sub-BGP SEMI-join on shared vars
+                                     #   (may carry inner FILTERs —
+                                     #   applied to the sub-solutions
+                                     #   before the key set)
         FILTER NOT EXISTS { ... }    # sub-BGP ANTI-join (for null-free
                                      #   solution sets ≡ MINUS when a
                                      #   variable is shared; the SPARQL
@@ -29,7 +32,8 @@ query strings) — for the supported subset:
                                      #   FILTERs — applied to the
                                      #   group's OWN solutions BEFORE
                                      #   the left join
-        MINUS { ... }                #   plain patterns only
+        MINUS { ... }                #   like OPTIONAL: plain patterns
+                                     #   + group-local FILTERs
         VALUES ?v { "x" "y" }        # inline per-var value list
         VALUES (?a ?b) { ("x" "y") } # correlated rows: an inline
                                      #   solution table inner-joined
