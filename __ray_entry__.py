@@ -6456,6 +6456,41 @@ def q_kg_bgp_minus_filter(sf_dir: str):
     """)
 
 
+def q_kg_ktruss(sf_dir: str):
+    """Bounded k-truss (ops/graph.ktruss_bounded, round 5): the
+    triangle-supported dense-subgraph peel over the membership graph +
+    planted structure — a 4-clique among customers 0–3 (edge support
+    2, the only 4-truss), the kg_scc 3-cycles (support 1, peel round
+    1), and the triangle-free in_nation edges (support 0).  k=4,
+    rounds=2; the oracle unrolls both peel rounds with three-way
+    self-joins."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.graph import ktruss_bounded
+
+    tri = _triples(sf_dir)
+
+    def member_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["pred"] == "in_nation"]
+        return pd.DataFrame({"a": sub["subj"].to_numpy(),
+                             "b": sub["obj"].to_numpy()})
+
+    planted = []
+    cl = [f"customer:{i}" for i in range(4)]
+    for i, x in enumerate(cl):
+        for y in cl[i + 1:]:
+            planted.append({"a": x, "b": y})
+    for kk in range(20):
+        for j in range(3):
+            planted.append({"a": f"customer:{3 * kk + j}",
+                            "b": f"customer:{3 * kk + (j + 1) % 3}"})
+    edges = tri.map_batches(member_edges, batch_format="pandas").union(
+        ray.data.from_items(planted))
+    return ktruss_bounded(edges, k=4, rounds=2)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6720,6 +6755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_report": q_doc_source_report,
         "embedding_isotropy": q_embedding_isotropy,
         "kg_bgp_minus_filter": q_kg_bgp_minus_filter,
+        "kg_ktruss": q_kg_ktruss,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9614,6 +9650,51 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "kg_ktruss": _TRIPLES_CTE + """
+            , cl AS (
+              SELECT 'customer:' || i.range AS x,
+                     'customer:' || j.range AS y
+              FROM range(4) i CROSS JOIN range(4) j
+              WHERE i.range < j.range
+            ),
+            cyc AS (
+              SELECT 'customer:' || (3 * k.range + j.range) AS x,
+                     'customer:' || (3 * k.range
+                                     + (j.range + 1) % 3) AS y
+              FROM range(20) k CROSS JOIN range(3) j
+            ),
+            raw AS (
+              SELECT subj AS x, obj AS y FROM triples
+              WHERE pred = 'in_nation'
+              UNION ALL SELECT x, y FROM cl
+              UNION ALL SELECT x, y FROM cyc
+            ),
+            e1 AS (
+              SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+              FROM raw WHERE x <> y
+            ),
+            sym1 AS (SELECT u AS x, v AS y FROM e1
+                     UNION ALL SELECT v, u FROM e1),
+            sup1 AS (
+              SELECT e1.u, e1.v, count(*) AS s
+              FROM e1
+              JOIN sym1 su ON su.x = e1.u
+              JOIN sym1 sv ON sv.x = e1.v AND sv.y = su.y
+              GROUP BY e1.u, e1.v
+            ),
+            e2 AS (SELECT u, v FROM sup1 WHERE s >= 2),
+            sym2 AS (SELECT u AS x, v AS y FROM e2
+                     UNION ALL SELECT v, u FROM e2),
+            sup2 AS (
+              SELECT e2.u, e2.v, count(*) AS s
+              FROM e2
+              JOIN sym2 su ON su.x = e2.u
+              JOIN sym2 sv ON sv.x = e2.v AND sv.y = su.y
+              GROUP BY e2.u, e2.v
+            )
+            SELECT u AS a, v AS b, CAST(s AS BIGINT) AS support
+            FROM sup2 WHERE s >= 2
         """,
         "kg_bgp_minus_filter": _TRIPLES_CTE + """
             SELECT DISTINCT t1.subj AS c

@@ -2176,3 +2176,192 @@ def modularity(
         "q_den": pa.array([q_den], pa.int64()),
         "modularity": pa.array([q_num / q_den], pa.float64()),
     }))
+
+
+def _edge_support(
+    e: ray.data.Dataset,
+    vd,
+    broadcast_threshold: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-EDGE triangle support over a canonical distinct undirected
+    edge set ``(a, b)`` with a < b (the edge-attributed sibling of
+    `triangle_counts`' per-vertex counts): degree-oriented wedge
+    closing enumerates each triangle once at O(m^1.5), then the
+    triangle explodes to its three canonical edges and ONE edge-bucket
+    count gives ``(a, b, support)`` — edges in no triangle are absent
+    (support 0 by convention at the caller)."""
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, bucket_apply
+
+    i8 = np.dtype("int64")
+
+    def ends(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": np.concatenate([batch["a"].to_numpy(),
+                                  batch["b"].to_numpy()])})
+
+    deg = bucket_agg(e.map_batches(ends, batch_format="pandas"),
+                     ["v"], {"d": ("v", "size")},
+                     num_buckets=num_buckets).materialize()
+    if deg.count() <= broadcast_threshold:
+        ddf = deg.to_pandas()
+        deg_ref = ray.put(dict(zip(ddf["v"], ddf["d"].astype(np.int64))))
+
+        def attach_deg(batch: pd.DataFrame) -> pd.DataFrame:
+            dmap = ray.get(deg_ref)
+            out = batch.copy()
+            out["da"] = out["a"].map(dmap).astype(np.int64)
+            out["db"] = out["b"].map(dmap).astype(np.int64)
+            return out
+
+        eab = e.map_batches(attach_deg, batch_format="pandas")
+    else:
+        def rnm(nv, nd):
+            def fn(batch: pd.DataFrame) -> pd.DataFrame:
+                return batch.rename(columns={"v": nv, "d": nd})
+            return fn
+
+        ea = hash_join(e, deg.map_batches(rnm("a", "da"),
+                                          batch_format="pandas"),
+                       on=["a"], num_buckets=num_buckets,
+                       lschema={"a": vd, "b": vd},
+                       rschema={"a": vd, "da": i8})
+        eab = hash_join(ea, deg.map_batches(rnm("b", "db"),
+                                            batch_format="pandas"),
+                        on=["b"], num_buckets=num_buckets,
+                        lschema={"a": vd, "b": vd, "da": i8},
+                        rschema={"b": vd, "db": i8})
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        da = batch["da"].to_numpy()
+        db = batch["db"].to_numpy()
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame(
+            {"u": np.where(fwd, a, b), "w": np.where(fwd, b, a),
+             "dw": np.where(fwd, db, da)})
+
+    de = eab.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["u", "w", "dw"]]
+        j = m.merge(m, on="u", suffixes=("_1", "_2"))
+        keep = (j["dw_1"] < j["dw_2"]) | (
+            (j["dw_1"] == j["dw_2"]) & (j["w_1"] < j["w_2"]))
+        j = j[keep]
+        return pd.DataFrame({"p": j["w_1"].to_numpy(),
+                             "q": j["w_2"].to_numpy(),
+                             "center": j["u"].to_numpy()})
+
+    wed = bucket_apply(de, ["u"], wedges, num_buckets=num_buckets,
+                       batch_format="pandas")
+
+    if de.count() <= broadcast_threshold:
+        dedf = de.to_pandas()
+        pair_ref = ray.put(frozenset(zip(dedf["u"], dedf["w"])))
+
+        def close(batch: pd.DataFrame) -> pd.DataFrame:
+            pairs_set = ray.get(pair_ref)
+            if not len(batch):
+                return batch
+            mask = np.fromiter(
+                (pq in pairs_set
+                 for pq in zip(batch["p"].to_numpy(),
+                               batch["q"].to_numpy())),
+                dtype=bool, count=len(batch))
+            return batch[mask]
+
+        tri = wed.map_batches(close, batch_format="pandas")
+    else:
+        def as_pq(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"p": batch["u"].to_numpy(),
+                                 "q": batch["w"].to_numpy()})
+
+        tri = hash_join(wed,
+                        de.map_batches(as_pq, batch_format="pandas"),
+                        on=["p", "q"], num_buckets=num_buckets,
+                        lschema={"p": vd, "q": vd, "center": vd},
+                        rschema={"p": vd, "q": vd})
+
+    def tri_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        p = batch["p"].to_numpy()
+        q = batch["q"].to_numpy()
+        c = batch["center"].to_numpy()
+        ea_ = np.concatenate([np.minimum(p, q), np.minimum(p, c),
+                              np.minimum(q, c)])
+        eb_ = np.concatenate([np.maximum(p, q), np.maximum(p, c),
+                              np.maximum(q, c)])
+        part = pd.DataFrame({"a": ea_, "b": eb_,
+                             "support": np.int64(1)})
+        return part.groupby(["a", "b"], as_index=False).sum()
+
+    return bucket_agg(tri.map_batches(tri_edges, batch_format="pandas"),
+                      ["a", "b"], {"support": ("support", "sum")},
+                      num_buckets=num_buckets, pre=False)
+
+
+def ktruss_bounded(
+    edges: ray.data.Dataset,
+    k: int,
+    rounds: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+    broadcast_threshold: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Bounded k-truss: iteratively delete every edge in fewer than
+    ``k − 2`` triangles — the TRIANGLE-supported dense-subgraph peel,
+    stricter than `kcore_bounded`'s degree peel (a k-core can be
+    triangle-free; a k-truss cannot).  Returns the surviving edges
+    ``(a, b, support)`` after at most ``rounds`` peels, with support
+    measured in the graph of the FINAL computed round (exact — the
+    true k-truss — when the peel converges within the bound, which the
+    early-exit detects; otherwise the documented bounded-peel
+    contract, exactly `kcore_bounded`'s).
+
+    Per round: one `_edge_support` pass (degree-oriented wedge closing,
+    O(m^1.5) wedge volume, adaptive broadcast attach/close under the
+    AQE budget) + a vectorized support filter; edge sets are
+    materialized per round (they feed the next round's degree count
+    AND the convergence check)."""
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for a meaningful truss, "
+                         f"got {k}")
+    from pyrdf2vec_ray.ops.join import _dtypes_of
+    from pyrdf2vec_ray.shuffle import distinct
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[a_col].to_numpy()
+        b = batch[b_col].to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"a": np.minimum(a, b),
+                             "b": np.maximum(a, b)})
+
+    e = distinct(edges.map_batches(canon, batch_format="pandas"),
+                 ["a", "b"], num_buckets=num_buckets).materialize()
+    vd = _dtypes_of(e, None)["a"]
+    n_prev = e.count()
+    sup = None
+    for _r in range(int(rounds)):
+        sup = _edge_support(e, vd, broadcast_threshold,
+                            num_buckets).materialize()
+
+        def keep_fn(batch: pd.DataFrame, _k=k) -> pd.DataFrame:
+            return batch[batch["support"].to_numpy(np.int64)
+                         >= _k - 2]
+
+        sup = sup.map_batches(keep_fn,
+                              batch_format="pandas").materialize()
+        n_now = sup.count()
+        e = sup.map_batches(
+            lambda b: b[["a", "b"]], batch_format="pandas"
+        ).materialize()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    if sup is None:
+        raise ValueError("rounds must be >= 1")
+    return sup

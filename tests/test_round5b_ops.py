@@ -1154,3 +1154,55 @@ def test_isotropy_collapsed_vs_isotropic():
          for i, r in enumerate(both)])
     out = isotropy_stats(iso).to_pandas()
     assert abs(out.loc[0, "anisotropy"]) < 1e-12
+
+
+# ---- ktruss_bounded --------------------------------------------------------
+
+def _clique_edges(nodes):
+    return [{"a": x, "b": y} for i, x in enumerate(nodes)
+            for y in nodes[i + 1:]]
+
+
+def test_ktruss_keeps_clique_drops_cycle_and_chain():
+    from pyrdf2vec_ray.ops.graph import ktruss_bounded
+
+    edges = (_clique_edges(["k1", "k2", "k3", "k4"])        # support 2
+             + [{"a": "c1", "b": "c2"}, {"a": "c2", "b": "c3"},
+                {"a": "c1", "b": "c3"}]                      # support 1
+             + [{"a": "p1", "b": "p2"}])                     # support 0
+    ds = ray.data.from_items(edges)
+    out4 = (ktruss_bounded(ds, k=4, rounds=3).to_pandas()
+            .sort_values(["a", "b"]))
+    assert len(out4) == 6
+    assert set(out4["a"]).union(out4["b"]) == {"k1", "k2", "k3", "k4"}
+    assert (out4["support"] == 2).all()
+    out3 = ktruss_bounded(ds, k=3, rounds=3).to_pandas()
+    assert len(out3) == 9  # clique + triangle survive, chain drops
+
+
+def test_ktruss_cascade_needs_second_round():
+    from pyrdf2vec_ray.ops.graph import ktruss_bounded
+
+    # triangle + a pendant triangle sharing one edge... build: two
+    # triangles sharing edge (a,b): edges of each have support 1
+    # except the shared one (support 2).  k=4: all drop round 1 except
+    # none (shared has 2 >= 2 -> survives round 1, but its triangles
+    # died) -> round 2 drops it: bounded rounds matter
+    edges = [{"a": "a", "b": "b"}, {"a": "a", "b": "c"},
+             {"a": "b", "b": "c"}, {"a": "a", "b": "d"},
+             {"a": "b", "b": "d"}]
+    ds = ray.data.from_items(edges)
+    one = ktruss_bounded(ds, k=4, rounds=1).to_pandas()
+    assert len(one) == 1  # the shared edge lingers after one peel
+    two = ktruss_bounded(ds, k=4, rounds=2).to_pandas()
+    assert len(two) == 0
+
+
+def test_ktruss_rejects_small_k():
+    import pytest as _pytest
+
+    from pyrdf2vec_ray.ops.graph import ktruss_bounded
+
+    with _pytest.raises(ValueError, match="k must be"):
+        ktruss_bounded(ray.data.from_items(
+            [{"a": "x", "b": "y"}]), k=2)
