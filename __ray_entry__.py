@@ -6491,6 +6491,45 @@ def q_kg_ktruss(sf_dir: str):
     return ktruss_bounded(edges, k=4, rounds=2)
 
 
+def q_kg_conductance(sf_dir: str):
+    """Per-community conductance (ops/graph.conductance, round 5):
+    the class-level detail of kg_modularity over the same nation
+    partition + cross-cutting peer cycles — cut / min(vol, 2m−vol)
+    per nation, exact int numerator/denominator columns, class-count-
+    sized output."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.graph import conductance
+
+    tri = _triples(sf_dir)
+
+    def member_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["pred"] == "in_nation"]
+        return pd.DataFrame({"a": sub["subj"].to_numpy(),
+                             "b": sub["obj"].to_numpy()})
+
+    def label_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["pred"] == "in_nation"]
+        return pd.DataFrame({
+            "node": np.concatenate([sub["subj"].to_numpy(),
+                                    sub["obj"].to_numpy()]),
+            "label": np.concatenate([sub["obj"].to_numpy(),
+                                     sub["obj"].to_numpy()]),
+        }).drop_duplicates()
+
+    peers = []
+    for k in range(20):
+        for j in range(3):
+            peers.append({"a": f"customer:{3 * k + j}",
+                          "b": f"customer:{3 * k + (j + 1) % 3}"})
+    edges = tri.map_batches(member_edges, batch_format="pandas").union(
+        ray.data.from_items(peers))
+    labels = tri.map_batches(label_rows, batch_format="pandas")
+    return conductance(edges, labels)
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6756,6 +6795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_isotropy": q_embedding_isotropy,
         "kg_bgp_minus_filter": q_kg_bgp_minus_filter,
         "kg_ktruss": q_kg_ktruss,
+        "kg_conductance": q_kg_conductance,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9650,6 +9690,67 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "kg_conductance": _TRIPLES_CTE + """
+            , peer AS (
+              SELECT 'customer:' || (3 * k.range + j.range) AS u,
+                     'customer:' || (3 * k.range
+                                     + (j.range + 1) % 3) AS v
+              FROM range(20) k CROSS JOIN range(3) j
+            ),
+            e0 AS (
+              SELECT subj AS u, obj AS v FROM triples
+              WHERE pred = 'in_nation'
+              UNION ALL SELECT u, v FROM peer
+            ),
+            und AS (
+              SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+              FROM e0 WHERE u <> v
+            ),
+            lab AS (
+              SELECT DISTINCT subj AS node, obj AS label FROM triples
+              WHERE pred = 'in_nation'
+              UNION
+              SELECT DISTINCT obj, obj FROM triples
+              WHERE pred = 'in_nation'
+            ),
+            l2 AS (
+              SELECT und.u, und.v, lu.label AS lu, lv.label AS lv
+              FROM und
+              JOIN lab lu ON lu.node = und.u
+              JOIN lab lv ON lv.node = und.v
+            ),
+            mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+            stubs AS (
+              SELECT lu AS community,
+                     CASE WHEN lu = lv THEN 1 ELSE 0 END AS w,
+                     CASE WHEN lu = lv THEN 0 ELSE 1 END AS c
+              FROM l2
+              UNION ALL
+              SELECT lv, CASE WHEN lu = lv THEN 1 ELSE 0 END,
+                     CASE WHEN lu = lv THEN 0 ELSE 1 END
+              FROM l2
+            ),
+            agg AS (
+              SELECT community,
+                     CAST(count(*) AS BIGINT) AS volume,
+                     CAST(sum(w) AS BIGINT) AS w2,
+                     CAST(sum(c) AS BIGINT) AS cut
+              FROM stubs GROUP BY community
+            )
+            SELECT community, CAST(w2 // 2 AS BIGINT) AS m_within,
+                   cut, volume,
+                   cut AS phi_num,
+                   CAST(least(volume,
+                        2 * (SELECT m FROM mm) - volume) AS BIGINT)
+                     AS phi_den,
+                   CASE WHEN least(volume,
+                             2 * (SELECT m FROM mm) - volume) > 0
+                        THEN CAST(cut AS DOUBLE)
+                             / least(volume,
+                                     2 * (SELECT m FROM mm) - volume)
+                        ELSE NULL END AS conductance
+            FROM agg
         """,
         "kg_ktruss": _TRIPLES_CTE + """
             , cl AS (

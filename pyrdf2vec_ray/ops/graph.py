@@ -2365,3 +2365,102 @@ def ktruss_bounded(
     if sup is None:
         raise ValueError("rounds must be >= 1")
     return sup
+
+
+def conductance(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    label_col: str = "label",
+    broadcast_threshold: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-community cut quality — the class-level detail view of
+    :func:`modularity`: for each community c,
+    ``conductance φ(c) = cut(c) / min(vol(c), vol(rest))`` with
+    cut = edges leaving c, vol = total member degree.  Output one row
+    per community: ``(community, m_within, cut, volume, phi_num,
+    phi_den, conductance)`` — exact int64 numerator/denominator
+    (phi_num = cut, phi_den = min(vol, 2m − vol); communities with
+    phi_den = 0 report NaN), float64 division last.
+
+    Same distributed shape as modularity: ONE pair-distinct, adaptive
+    label attach (the label table dedups defensively), community-scale
+    reduces; the output is class-count-sized."""
+    from pyrdf2vec_ray.ops.join import broadcast_join, hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[a_col].to_numpy()
+        b = batch[b_col].to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo = np.where(a < b, a, b)
+        hi = np.where(a < b, b, a)
+        return pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+
+    und = distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["u", "v"],
+        num_buckets=num_buckets).materialize()
+    m = und.count()
+    if m == 0:
+        raise ValueError("conductance needs at least one edge")
+
+    lab = distinct(labels.select_columns([node_col, label_col]),
+                   [node_col, label_col],
+                   num_buckets=num_buckets).materialize()
+    small = lab.count() <= broadcast_threshold
+
+    def attach(ds, side, have):
+        ren = lab.map_batches(
+            lambda b, _s=side: pd.DataFrame(
+                {_s: b[node_col].to_numpy(),
+                 f"l_{_s}": b[label_col].to_numpy()}),
+            batch_format="pandas")
+        if small:
+            return broadcast_join(ds, ren, on=[side])
+        o = np.dtype("O")
+        return hash_join(ds, ren, on=[side], num_buckets=num_buckets,
+                         lschema={c: o for c in have},
+                         rschema={side: o, f"l_{side}": o})
+
+    lu = attach(attach(und, "u", ["u", "v"]), "v", ["u", "v", "l_u"])
+
+    def per_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        intra = (batch["l_u"] == batch["l_v"]).to_numpy()
+        part = pd.DataFrame({
+            "community": np.concatenate([batch["l_u"].to_numpy(),
+                                         batch["l_v"].to_numpy()]),
+            # volume: every endpoint contributes one degree stub
+            "volume": np.int64(1),
+            # within: both stubs of an intra edge; halved at the end
+            "m_within2": np.concatenate([intra, intra])
+            .astype(np.int64),
+            # cut: one per stub of an inter edge
+            "cut": np.concatenate([~intra, ~intra]).astype(np.int64),
+        })
+        return part.groupby("community", as_index=False).sum()
+
+    agg = bucket_agg(
+        lu.map_batches(per_edge, batch_format="pandas"),
+        ["community"],
+        {"volume": ("volume", "sum"), "m_within2": ("m_within2", "sum"),
+         "cut": ("cut", "sum")}, num_buckets=num_buckets, pre=False)
+
+    def finish(batch: pd.DataFrame, _2m=2 * m) -> pd.DataFrame:
+        vol = batch["volume"].to_numpy(np.int64)
+        cut = batch["cut"].to_numpy(np.int64)
+        den = np.minimum(vol, _2m - vol)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            phi = np.where(den > 0,
+                           cut / np.maximum(den, 1), np.nan)
+        return pd.DataFrame({
+            "community": batch["community"].to_numpy(),
+            "m_within": batch["m_within2"].to_numpy(np.int64) // 2,
+            "cut": cut, "volume": vol,
+            "phi_num": cut, "phi_den": den,
+            "conductance": phi.astype(np.float64)})
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -1206,3 +1206,43 @@ def test_ktruss_rejects_small_k():
     with _pytest.raises(ValueError, match="k must be"):
         ktruss_bounded(ray.data.from_items(
             [{"a": "x", "b": "y"}]), k=2)
+
+
+# ---- conductance -----------------------------------------------------------
+
+def test_conductance_two_triangles_with_bridge():
+    from pyrdf2vec_ray.ops.graph import conductance
+
+    # two triangles + one bridge (the modularity fixture): m=7;
+    # vol(A) = 7 (6 intra stubs + 1 bridge stub), cut(A) = 1,
+    # den = min(7, 14-7) = 7 -> phi = 1/7 both sides
+    edges = ray.data.from_items(
+        [{"a": "a1", "b": "a2"}, {"a": "a2", "b": "a3"},
+         {"a": "a3", "b": "a1"},
+         {"a": "b1", "b": "b2"}, {"a": "b2", "b": "b3"},
+         {"a": "b3", "b": "b1"},
+         {"a": "a1", "b": "b1"}])
+    labels = ray.data.from_items(
+        [{"node": f"a{i}", "label": "A"} for i in (1, 2, 3)]
+        + [{"node": f"b{i}", "label": "B"} for i in (1, 2, 3)])
+    out = (conductance(edges, labels).to_pandas()
+           .set_index("community"))
+    for c in ("A", "B"):
+        assert out.loc[c, "m_within"] == 3
+        assert out.loc[c, "cut"] == 1
+        assert out.loc[c, "volume"] == 7
+        assert abs(out.loc[c, "conductance"] - 1 / 7) < 1e-12
+
+
+def test_conductance_isolated_community_zero():
+    from pyrdf2vec_ray.ops.graph import conductance
+
+    edges = ray.data.from_items(
+        [{"a": "x", "b": "y"}, {"a": "p", "b": "q"}])
+    labels = ray.data.from_items(
+        [{"node": n, "label": lab} for n, lab in
+         (("x", "L"), ("y", "L"), ("p", "R"), ("q", "R"))])
+    out = (conductance(edges, labels).to_pandas()
+           .set_index("community"))
+    assert out.loc["L", "cut"] == 0
+    assert out.loc["L", "conductance"] == 0.0
