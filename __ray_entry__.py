@@ -6530,6 +6530,49 @@ def q_kg_conductance(sf_dir: str):
     return conductance(edges, labels)
 
 
+def q_events_churn(sf_dir: str):
+    """Daily churn (round 5 composition): per epoch-day d, how many
+    users were active on d−1 but silent on d — distinct (user, day)
+    pairs (ONE distinct shuffle), shifted +1 day, ANTI semi-joined
+    against the activity pairs, counted per day.  Days beyond the
+    log's last day are excluded (no activity data to churn
+    against)."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.join import hash_semi_join
+    from pyrdf2vec_ray.shuffle import bucket_count, distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ns = batch["ts"].astype("datetime64[ns]").astype("int64")
+        return pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(np.int64),
+             "day": ns // 86_400_000_000_000}
+        ).drop_duplicates()
+
+    act = distinct(ev.map_batches(pairs, batch_format="pandas"),
+                   ["user_id", "day"]).materialize()
+    max_day = int(act.max("day"))
+
+    def shifted(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["day"] = out["day"].to_numpy(np.int64) + 1
+        return out[out["day"] <= max_day]
+
+    i8 = np.dtype("int64")
+    churned = hash_semi_join(
+        act.map_batches(shifted, batch_format="pandas"), act,
+        on=["user_id", "day"], anti=True,
+        lschema={"user_id": i8, "day": i8},
+        rschema={"user_id": i8, "day": i8})
+    return bucket_count(churned.select_columns(["day"]), ["day"],
+                        count_col="n_churned")
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6796,6 +6839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_minus_filter": q_kg_bgp_minus_filter,
         "kg_ktruss": q_kg_ktruss,
         "kg_conductance": q_kg_conductance,
+        "events_churn": q_events_churn,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9690,6 +9734,23 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "events_churn": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     datediff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS day
+              FROM events
+            ),
+            mx AS (SELECT max(day) AS m FROM act)
+            SELECT a.day + 1 AS day,
+                   CAST(count(*) AS BIGINT) AS n_churned
+            FROM act a
+            WHERE a.day + 1 <= (SELECT m FROM mx)
+              AND NOT EXISTS (SELECT 1 FROM act b
+                              WHERE b.user_id = a.user_id
+                                AND b.day = a.day + 1)
+            GROUP BY a.day + 1
         """,
         "kg_conductance": _TRIPLES_CTE + """
             , peer AS (
