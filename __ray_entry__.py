@@ -6573,6 +6573,97 @@ def q_events_churn(sf_dir: str):
                         count_col="n_churned")
 
 
+def q_kg_degree_distribution(sf_dir: str):
+    """Degree distribution of the KG (round 5 composition): the
+    counts-of-counts profile (out-degree → node count) every graph
+    report opens with — two chained bucket counts, degree-domain
+    output."""
+    from pyrdf2vec_ray.shuffle import bucket_count
+
+    deg = bucket_count(_triples(sf_dir).select_columns(["subj"]),
+                       ["subj"], count_col="degree")
+    return bucket_count(deg.select_columns(["degree"]), ["degree"],
+                        count_col="n_nodes")
+
+
+def q_events_stickiness(sf_dir: str):
+    """DAU/WAU stickiness per epoch-week (round 5 composition): mean
+    daily-active count over the week divided by the week's distinct
+    actives — the engagement ratio product dashboards track.  Exact
+    int sums, the division shared with the oracle."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ns = batch["ts"].astype("datetime64[ns]").astype("int64")
+        day = ns // 86_400_000_000_000
+        return pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(np.int64),
+             "day": day, "week": day // 7}).drop_duplicates()
+
+    act = distinct(ev.map_batches(pairs, batch_format="pandas"),
+                   ["user_id", "day", "week"]).materialize()
+
+    def dau_part(batch: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({"week": batch["week"].to_numpy(np.int64),
+                             "dau_sum": np.int64(1)})
+        return part.groupby("week", as_index=False).sum()
+
+    dau = bucket_agg(act.map_batches(dau_part, batch_format="pandas"),
+                     ["week"], {"dau_sum": ("dau_sum", "sum")},
+                     pre=False)
+
+    def wau_part(batch: pd.DataFrame) -> pd.DataFrame:
+        part = batch[["user_id", "week"]].drop_duplicates()
+        out = pd.DataFrame({"week": part["week"].to_numpy(np.int64),
+                            "wau": np.int64(1)})
+        return out.groupby("week", as_index=False).sum()
+
+    wau = bucket_agg(
+        distinct(act.select_columns(["user_id", "week"]),
+                 ["user_id", "week"]).map_batches(
+            wau_part, batch_format="pandas"),
+        ["week"], {"wau": ("wau", "sum")}, pre=False)
+
+    def ndays_part(batch: pd.DataFrame) -> pd.DataFrame:
+        part = batch[["day", "week"]].drop_duplicates()
+        out = pd.DataFrame({"week": part["week"].to_numpy(np.int64),
+                            "n_days": np.int64(1)})
+        return out.groupby("week", as_index=False).sum()
+
+    ndays = bucket_agg(
+        distinct(act.select_columns(["day", "week"]),
+                 ["day", "week"]).map_batches(
+            ndays_part, batch_format="pandas"),
+        ["week"], {"n_days": ("n_days", "sum")}, pre=False)
+
+    i8 = np.dtype("int64")
+    j = hash_join(hash_join(dau, wau, on=["week"],
+                            lschema={"week": i8, "dau_sum": i8},
+                            rschema={"week": i8, "wau": i8}),
+                  ndays, on=["week"],
+                  lschema={"week": i8, "dau_sum": i8, "wau": i8},
+                  rschema={"week": i8, "n_days": i8})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["stickiness"] = (
+            batch["dau_sum"].to_numpy(np.int64)
+            / (batch["n_days"].to_numpy(np.float64)
+               * batch["wau"].to_numpy(np.float64)))
+        return batch[["week", "dau_sum", "n_days", "wau",
+                      "stickiness"]]
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6840,6 +6931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ktruss": q_kg_ktruss,
         "kg_conductance": q_kg_conductance,
         "events_churn": q_events_churn,
+        "kg_degree_distribution": q_kg_degree_distribution,
+        "events_stickiness": q_events_stickiness,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9734,6 +9827,35 @@ def oracle_sql() -> dict[str, str]:
                      AS postings
             FROM d GROUP BY token
             HAVING count(*) >= 3
+        """,
+        "kg_degree_distribution": _TRIPLES_CTE + """
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM (SELECT subj, CAST(count(*) AS BIGINT) AS degree
+                  FROM triples GROUP BY subj) d
+            GROUP BY degree
+        """,
+        "events_stickiness": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     datediff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS day
+              FROM events
+            ),
+            a2 AS (SELECT user_id, day, day // 7 AS week FROM act),
+            dau AS (SELECT week, CAST(count(*) AS BIGINT) AS dau_sum
+                    FROM a2 GROUP BY week),
+            wau AS (SELECT week,
+                           CAST(count(DISTINCT user_id) AS BIGINT)
+                             AS wau
+                    FROM a2 GROUP BY week),
+            nd AS (SELECT week,
+                          CAST(count(DISTINCT day) AS BIGINT)
+                            AS n_days
+                   FROM a2 GROUP BY week)
+            SELECT dau.week, dau_sum, n_days, wau,
+                   CAST(dau_sum AS DOUBLE) / (n_days * wau)
+                     AS stickiness
+            FROM dau JOIN wau USING (week) JOIN nd USING (week)
         """,
         "events_churn": """
             WITH act AS (
