@@ -6664,6 +6664,46 @@ def q_events_stickiness(sf_dir: str):
     return j.map_batches(finish, batch_format="pandas")
 
 
+def q_events_bounce_rate(sf_dir: str):
+    """Per-day bounce rate (round 5 composition): fraction of sessions
+    with exactly ONE event, keyed by the session's start day —
+    `ops/events.sessionize`'s one user-bucket exchange feeds a
+    day-bucket count reduce; exact int counts, shared division."""
+    import pandas as pd
+
+    import ray.data
+
+    from pyrdf2vec_ray.ops.events import sessionize
+    from pyrdf2vec_ray.shuffle import bucket_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    sess = sessionize(ev, gap_minutes=30)
+
+    def per_day(batch: pd.DataFrame) -> pd.DataFrame:
+        ns = batch["session_start"].astype("datetime64[ns]")             .astype("int64")
+        part = pd.DataFrame({
+            "day": ns // 86_400_000_000_000,
+            "n_sessions": np.int64(1),
+            "n_bounces": (batch["n_events"].to_numpy(np.int64) == 1)
+            .astype(np.int64)})
+        return part.groupby("day", as_index=False).sum()
+
+    agg = bucket_agg(sess.map_batches(per_day, batch_format="pandas"),
+                     ["day"], {"n_sessions": ("n_sessions", "sum"),
+                               "n_bounces": ("n_bounces", "sum")},
+                     pre=False)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bounce_rate"] = (
+            batch["n_bounces"].to_numpy(np.int64)
+            / batch["n_sessions"].to_numpy(np.float64))
+        return batch[["day", "n_sessions", "n_bounces", "bounce_rate"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6933,6 +6973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_churn": q_events_churn,
         "kg_degree_distribution": q_kg_degree_distribution,
         "events_stickiness": q_events_stickiness,
+        "events_bounce_rate": q_events_bounce_rate,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9833,6 +9874,34 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT subj, CAST(count(*) AS BIGINT) AS degree
                   FROM triples GROUP BY subj) d
             GROUP BY degree
+        """,
+        "events_bounce_rate": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d
+            ), sess AS (
+              SELECT user_id, sid,
+                     datediff('day', DATE '1970-01-01',
+                              CAST(min(ts) AS DATE)) AS day,
+                     count(*) AS n_events
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT day,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounces,
+                   CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS bounce_rate
+            FROM sess GROUP BY day
         """,
         "events_stickiness": """
             WITH act AS (
