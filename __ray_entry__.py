@@ -6704,6 +6704,47 @@ def q_events_bounce_rate(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def q_media_audio_dups(sf_dir: str):
+    """Audio content dedup over really-decoded WAV
+    (ops/multimodal.audio_dup_pairs, round 5): the media_wav_real
+    square-wave corpus has 35 natural content classes (length = id%5,
+    amplitude = id%7 — docs congruent mod 35 encode IDENTICAL PCM),
+    so the decode→hash→pair pipeline must recover exactly the
+    id ≡ id' (mod 35) pair set — the oracle is that congruence in
+    closed form; any container/PCM mis-parse splits or merges
+    classes."""
+    import io
+    import wave
+
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.multimodal import audio_dup_pairs
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    def synth(batch: pd.DataFrame) -> pa.Table:
+        ids, payloads = [], []
+        for did in batch["doc_id"].astype("int64"):
+            n = 800 + (int(did) % 5) * 160
+            amp = 1000 + (int(did) % 7) * 500
+            sig = np.repeat(np.tile(np.array([amp, -amp], np.int16),
+                                    n // 16), 8)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(sig.tobytes())
+            ids.append(int(did))
+            payloads.append(buf.getvalue())
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary())})
+
+    return audio_dup_pairs(docs.map_batches(synth,
+                                            batch_format="pandas"))
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -6974,6 +7015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_distribution": q_kg_degree_distribution,
         "events_stickiness": q_events_stickiness,
         "events_bounce_rate": q_events_bounce_rate,
+        "media_audio_dups": q_media_audio_dups,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9874,6 +9916,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT subj, CAST(count(*) AS BIGINT) AS degree
                   FROM triples GROUP BY subj) d
             GROUP BY degree
+        """,
+        "media_audio_dups": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b
+              ON a.doc_id < b.doc_id
+             AND a.doc_id % 35 = b.doc_id % 35
         """,
         "events_bounce_rate": """
             WITH d AS (

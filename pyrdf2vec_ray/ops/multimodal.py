@@ -723,3 +723,67 @@ def image_neardup_pairs(
                         batch_format="pandas")
     return distinct(cand, ["id_a", "id_b", "hamming"],
                     num_buckets=num_buckets)
+
+
+class AudioHasher(WavDecoder):
+    """Actor-pool audio content hashing over REALLY-decoded PCM: the
+    RIFF container parses through :class:`WavDecoder`'s stdlib path,
+    then the hash covers the DECODED sample stream plus its rate —
+    NOT the container bytes — so re-encodes of the same audio
+    (different chunk padding / metadata) collapse while a single
+    flipped sample separates.  Emits (doc_id, pcm_hash: 32-hex md5)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        out = {"doc_id": [], "pcm_hash": []}
+        for did, payload in zip(batch["doc_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            with self._wave.open(io.BytesIO(payload), "rb") as w:
+                if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                    raise ValueError(
+                        "AudioHasher supports mono 16-bit PCM only")
+                sr = w.getframerate()
+                raw = w.readframes(w.getnframes())
+            h = hashlib.md5(str(sr).encode() + b"|" + raw)
+            out["doc_id"].append(did)
+            out["pcm_hash"].append(h.hexdigest())
+        return pa.Table.from_pydict(out, schema=pa.schema(
+            [("doc_id", pa.int64()), ("pcm_hash", pa.string())]))
+
+
+def audio_dup_pairs(
+    payloads: ray.data.Dataset,
+    concurrency=(1, 4), batch_size: int = 256,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Content-identical audio pairs over really-decoded PCM:
+    ``(id_a, id_b)`` with id_a < id_b, every pair within a decoded-
+    stream hash class — the audio face of the exact-dedup discipline
+    (the image face is `image_dup_pairs`): ONE hash-bucket shuffle of
+    HASH rows (audio bytes never leave the decode actors), per-group
+    sorted pair generation; ΣC(class,2) pair volume, stated as
+    always."""
+    from pyrdf2vec_ray.shuffle import bucket_apply
+
+    hashes = payloads.map_batches(
+        AudioHasher, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("pcm_hash"):
+            if len(grp) < 2:
+                continue
+            ids = np.sort(grp["doc_id"].to_numpy(np.int64))
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame(
+                {"id_a": ids[ia], "id_b": ids[ib]}))
+        if not outs:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_apply(hashes, ["pcm_hash"], pairs,
+                        num_buckets=num_buckets, batch_format="pandas")

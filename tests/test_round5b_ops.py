@@ -1246,3 +1246,35 @@ def test_conductance_isolated_community_zero():
            .set_index("community"))
     assert out.loc["L", "cut"] == 0
     assert out.loc["L", "conductance"] == 0.0
+
+
+# ---- audio_dup_pairs -------------------------------------------------------
+
+def _wav(amp, n, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+    sig = np.repeat(np.tile(np.array([amp, -amp], np.int16), n // 16), 8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(sig.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_dup_pairs_content_addressed():
+    from pyrdf2vec_ray.ops.multimodal import audio_dup_pairs
+
+    items = [
+        {"doc_id": 1, "payload": _wav(1000, 800)},
+        {"doc_id": 2, "payload": _wav(1000, 800)},   # identical PCM
+        {"doc_id": 3, "payload": _wav(1500, 800)},   # different amp
+        {"doc_id": 4, "payload": _wav(1000, 800, rate=16000)},  # rate
+    ]
+    out = (audio_dup_pairs(ray.data.from_items(items), concurrency=1)
+           .to_pandas().sort_values(["id_a", "id_b"]))
+    # same samples at a different rate are DIFFERENT audio
+    assert list(map(tuple, out[["id_a", "id_b"]].values)) == [(1, 2)]
