@@ -6745,6 +6745,63 @@ def q_media_audio_dups(sf_dir: str):
                                             batch_format="pandas"))
 
 
+def q_kg_pred_stats(sf_dir: str):
+    """Predicate cardinality profile (round 5 composition): per
+    predicate — triple count, distinct subjects/objects, and the mean
+    out-fanout (triples per subject) — the one-table KG shape summary
+    complementing the domain/range census; ONE combiner reduce plus
+    two distinct-pair reduces, all predicate-keyed."""
+    import pandas as pd
+
+    from pyrdf2vec_ray.ops.join import hash_join
+    from pyrdf2vec_ray.shuffle import bucket_agg, distinct
+
+    tri = _triples(sf_dir)
+
+    def vol(batch: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({"pred": batch["pred"].to_numpy(),
+                             "n_triples": np.int64(1)})
+        return part.groupby("pred", as_index=False).sum()
+
+    vols = bucket_agg(tri.map_batches(vol, batch_format="pandas"),
+                      ["pred"], {"n_triples": ("n_triples", "sum")},
+                      pre=False)
+
+    def side_count(col, out_name):
+        pairs = distinct(tri.select_columns(["pred", col]),
+                         ["pred", col])
+
+        def cnt(batch: pd.DataFrame) -> pd.DataFrame:
+            part = pd.DataFrame({"pred": batch["pred"].to_numpy(),
+                                 out_name: np.int64(1)})
+            return part.groupby("pred", as_index=False).sum()
+
+        return bucket_agg(pairs.map_batches(cnt,
+                                            batch_format="pandas"),
+                          ["pred"], {out_name: (out_name, "sum")},
+                          pre=False)
+
+    o = np.dtype("O")
+    i8 = np.dtype("int64")
+    j = hash_join(
+        hash_join(vols, side_count("subj", "n_subjects"), on=["pred"],
+                  lschema={"pred": o, "n_triples": i8},
+                  rschema={"pred": o, "n_subjects": i8}),
+        side_count("obj", "n_objects"), on=["pred"],
+        lschema={"pred": o, "n_triples": i8, "n_subjects": i8},
+        rschema={"pred": o, "n_objects": i8})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["mean_fanout"] = (
+            batch["n_triples"].to_numpy(np.int64)
+            / batch["n_subjects"].to_numpy(np.float64))
+        return batch[["pred", "n_triples", "n_subjects", "n_objects",
+                      "mean_fanout"]]
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
 # ---- contract --------------------------------------------------------------
 
 def entry() -> Any:
@@ -7016,6 +7073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stickiness": q_events_stickiness,
         "events_bounce_rate": q_events_bounce_rate,
         "media_audio_dups": q_media_audio_dups,
+        "kg_pred_stats": q_kg_pred_stats,
         "doc_zipf": q_doc_zipf,
         "kg_type_inference": q_kg_type_inference,
         "kg_bgp_star": q_kg_bgp_star,
@@ -9916,6 +9974,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT subj, CAST(count(*) AS BIGINT) AS degree
                   FROM triples GROUP BY subj) d
             GROUP BY degree
+        """,
+        "kg_pred_stats": _TRIPLES_CTE + """
+            SELECT pred,
+                   CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+                   CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+                   CAST(count(*) AS DOUBLE)
+                     / count(DISTINCT subj) AS mean_fanout
+            FROM triples GROUP BY pred
         """,
         "media_audio_dups": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
